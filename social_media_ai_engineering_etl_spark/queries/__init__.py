@@ -1,0 +1,3 @@
+"""Query modules — importing this package populates the registry."""
+
+from . import pipeline_core  # noqa: F401

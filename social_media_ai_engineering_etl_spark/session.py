@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target local[$SPARK_GRAFT_CPUS] for tests/bench, but every
+setting is chosen for a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, plan re-opt),
+- shuffle partitions sized to cores locally (on a real cluster AQE
+  coalesces from a high initial number, so we set a high initial and
+  let AQE shrink),
+- Arrow enabled for every pandas UDF boundary,
+- UTC session timezone so results compare bit-for-bit with the
+  DuckDB oracle (DuckDB timestamps are UTC-naive),
+- broadcast threshold raised: every dimension table in the star
+  schema (region/nation/customer/supplier/part) is broadcastable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "social-media-ai-engineering-etl-spark",
+              extra_conf: dict | None = None) -> SparkSession:
+    n = cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        # --- adaptive execution: the 100 TB story ---------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # initial shuffle parallelism; AQE coalesces down at runtime.
+        .config("spark.sql.shuffle.partitions", str(max(n, 32)))
+        .config("spark.default.parallelism", str(max(n, 32)))
+        # --- oracle parity -------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- python/arrow boundary -----------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: ~128MB splits like a real cluster ----------
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # dims up to 64MB get broadcast instead of shuffled
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.crossJoin.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load every synthetic table in ``sf_dir`` as a DataFrame.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps pushdown/pruning;
+    no caching here -- callers decide what is hot.
+    """
+    return {t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in TABLES}
