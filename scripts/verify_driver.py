@@ -1,0 +1,72 @@
+"""Drive the driver contract end-to-end, as the driver does:
+entry() smoke at sf0.001, then every queries()/oracle_sql() pair
+side-by-side against DuckDB at sf0.01 (order-insensitive compare).
+
+Usage: python scripts/verify_driver.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(ROOT, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from social_media_ai_engineering_etl_spark.session import TABLES, get_spark
+    spark = get_spark("driver-sim")
+
+    rows = mod.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows :: {rows[:5]}")
+    assert rows, "entry() returned no rows"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    failed = []
+    for name in sorted(qs):
+        if name not in oracles:
+            n = qs[name](spark, sf).count()
+            print(f"{name}: rows-only ({n} rows)")
+            continue
+        got = qs[name](spark, sf).toPandas()
+        want = con.execute(oracles[name]).fetchdf()
+        for df in (got, want):
+            for c in df.columns:
+                if pd.api.types.is_float_dtype(df[c]):
+                    df[c] = df[c].round(6)
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.sort_values(list(got.columns), kind="mergesort").reset_index(drop=True)
+        want = want.sort_values(list(want.columns), kind="mergesort").reset_index(drop=True)
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                          check_exact=False, rtol=1e-6, atol=1e-9)
+            print(f"{name}: MATCH ({len(got)} rows)")
+        except AssertionError as e:
+            failed.append(name)
+            print(f"{name}: MISMATCH — {str(e)[:300]}")
+    spark.stop()
+    if failed:
+        print(f"FAILED: {failed}")
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

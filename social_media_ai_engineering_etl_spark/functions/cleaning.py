@@ -1,0 +1,119 @@
+"""Native cleaning / normalization expressions (reference stages
+07/12/15 cleaners, 09 tone normalize, 18/23 label normalizers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# stage 07/12/15: JSON unwrap + disallowed filter
+# ---------------------------------------------------------------------------
+
+DISALLOWED_SUBSTRINGS = ("...", "?", "_", "{", "}", "[", "]", "<", ">")
+CJK_PATTERN = "[\\x{4e00}-\\x{9fff}]"
+
+
+def unwrap_json_field(col: Column, key: str) -> Column:
+    """If the value is a JSON object string with ``key``, take that
+    value; else passthrough (7-clean-topics.py:45-57)."""
+    return F.coalesce(F.get_json_object(col, f"$.{key}"), col)
+
+
+def is_disallowed(col: Column) -> Column:
+    """True when the value contains any disallowed substring, any CJK
+    character, or trims/lowers to 'unknown' (7-clean-topics.py:18-43).
+
+    Stage 15's intended check is identical; its shipped version has a
+    truthiness bug (only tests "650+" — SURVEY Q4). We implement the
+    stage-07 semantics everywhere and document the deviation.
+    """
+    cond = F.lit(False)
+    for sub in DISALLOWED_SUBSTRINGS:
+        cond = cond | col.contains(F.lit(sub))
+    cond = cond | col.rlike(CJK_PATTERN)
+    cond = cond | (F.lower(F.trim(col)) == "unknown")
+    return cond
+
+
+def clean_field(df, field: str, key: str):
+    """Full cleaner stage: unwrap JSON then drop disallowed rows."""
+    out = df.withColumn(field, unwrap_json_field(F.col(field), key))
+    return out.filter(~is_disallowed(F.col(field)))
+
+
+# ---------------------------------------------------------------------------
+# stage 09: tone list normalize (9-extract-tone.py:150-169)
+# ---------------------------------------------------------------------------
+
+
+def normalize_tone_list(tones: Column, max_tones: int = 3,
+                        fallback: str = "Unknown") -> Column:
+    """Lowercase+trim each entry, dedupe preserving first occurrence,
+    cap at ``max_tones``, join with ', '; empty -> fallback.
+
+    ``array_distinct`` preserves first-occurrence order in Spark,
+    matching the reference's seen-set loop.
+    """
+    norm = F.transform(tones, lambda x: F.lower(F.trim(x)))
+    capped = F.slice(F.array_distinct(norm), 1, max_tones)
+    joined = F.array_join(capped, ", ")
+    return F.when(F.size(capped) > 0, joined).otherwise(F.lit(fallback))
+
+
+def constrain_to_domain(tones: Column, allowed: tuple[str, ...],
+                        max_tones: int = 3,
+                        fallback: str = "Unknown") -> Column:
+    """Same, but drop entries outside the allowed tone domain first
+    (guided-decoding constraint as post-hoc validation, SURVEY §2.13)."""
+    allowed_arr = F.array(*[F.lit(a) for a in allowed])
+    norm = F.transform(tones, lambda x: F.lower(F.trim(x)))
+    kept = F.filter(norm, lambda x: F.array_contains(allowed_arr, x))
+    capped = F.slice(F.array_distinct(kept), 1, max_tones)
+    return F.when(F.size(capped) > 0,
+                  F.array_join(capped, ", ")).otherwise(F.lit(fallback))
+
+
+# ---------------------------------------------------------------------------
+# stage 18/23: label normalizers + prompt-type classifier
+# ---------------------------------------------------------------------------
+
+STRUCTURE_LABELS = (
+    "educational", "inspirational", "promotional", "conversational",
+    "analytical", "narrative", "listicle", "announcement", "question",
+)
+DEFAULT_STRUCTURE = "instructional"
+
+
+def normalize_structure(text: Column,
+                        labels: tuple[str, ...] = STRUCTURE_LABELS,
+                        default: str = DEFAULT_STRUCTURE) -> Column:
+    """First known structure keyword contained in the text, else the
+    default (18-generate-prompts.py:361-374, 437-443)."""
+    lowered = F.lower(text)
+    expr = F.lit(default)
+    for label in reversed(labels):
+        expr = F.when(lowered.contains(F.lit(label)), F.lit(label)).otherwise(expr)
+    return expr
+
+
+PROMPT_TYPE_RULES = (
+    ("identify its primary topic", "topic"),
+    ("extract the core opinion", "opinion"),
+    ("identify up to three primary tones", "tone"),
+    ("classify the structural format", "structure"),
+)
+
+
+def classify_prompt_type(prompt: Column) -> Column:
+    """Substring rules -> prompt type, first match wins; 'unknown' for
+    null/empty; else 'other' (23-split.py:56-73). The post-generation
+    rule needs BOTH '# request' and 'create a linkedin post'."""
+    lowered = F.lower(prompt)
+    expr = F.when(lowered.contains("# request")
+                  & lowered.contains("create a linkedin post"),
+                  F.lit("post-generation")).otherwise(F.lit("other"))
+    for needle, label in reversed(PROMPT_TYPE_RULES):
+        expr = F.when(lowered.contains(F.lit(needle)), F.lit(label)).otherwise(expr)
+    return F.when(prompt.isNull() | (prompt == ""), F.lit("unknown")).otherwise(expr)

@@ -1,0 +1,441 @@
+"""Row-transform operator queries (SURVEY §2.2, §2.9, T3/T4/T11).
+
+The synthetic documents are plain word-soup, so where an operator
+needs markup the text lacks (newlines, punctuation, JSON topics,
+prompt phrases) the query derives it deterministically from existing
+columns — identically in the Spark plan and the oracle SQL — so the
+operator semantics stay non-degenerate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..functions import cleaning, describe, textstats
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --------------------------------------------------------------------------
+# P6 length buckets (stage 02)
+# --------------------------------------------------------------------------
+
+@register("q02_length_buckets", oracle="""
+SELECT bucket, count(*) AS n FROM (
+    SELECT CASE
+        WHEN len(repeat(text, 1 + doc_id % 5)) >= 750
+         AND len(repeat(text, 1 + doc_id % 5)) < 1501
+            THEN 'Between 750 and 1,500 characters long'
+        WHEN len(repeat(text, 1 + doc_id % 5)) >= 1501
+            THEN 'Between 1,500 and 3,000 characters long'
+        ELSE 'Up to 750 characters long' END AS bucket
+    FROM documents
+) GROUP BY bucket ORDER BY bucket
+""")
+def q02_length_buckets(spark, sf_dir):
+    """P6: 750/1501 length buckets (text stretched 1-5x for coverage)."""
+    df = _docs(spark, sf_dir).withColumn(
+        "stretched", F.repeat(F.col("text"), (F.col("doc_id") % 5 + 1).cast("int")))
+    return (df.select(textstats.length_bucket(F.col("stretched")).alias("bucket"))
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("bucket"))
+
+
+# --------------------------------------------------------------------------
+# P5 emoji-frequency threshold binning (stage 02)
+# --------------------------------------------------------------------------
+
+@register("q02_emoji_binning", oracle="""
+SELECT usage, count(*) AS n FROM (
+    SELECT CASE
+        WHEN (doc_id % 200) / 10000.0 <= 0.0    THEN 'none'
+        WHEN (doc_id % 200) / 10000.0 <= 0.0005 THEN 'very low'
+        WHEN (doc_id % 200) / 10000.0 <= 0.001  THEN 'low'
+        WHEN (doc_id % 200) / 10000.0 <= 0.005  THEN 'medium'
+        WHEN (doc_id % 200) / 10000.0 <= 0.01   THEN 'high'
+        ELSE 'extreme' END AS usage
+    FROM documents
+) GROUP BY usage ORDER BY usage
+""")
+def q02_emoji_binning(spark, sf_dir):
+    """P5 binning: first threshold with freq <= t wins (2-label.py:47-54).
+    Frequency derived from doc_id so every bin (incl. exact-boundary
+    equality) is exercised; the emoji regex itself is covered by
+    q02_emoji_count."""
+    freq = (F.col("doc_id") % 200) / 10000.0
+    return (_docs(spark, sf_dir)
+            .select(textstats.bin_label(freq).alias("usage"))
+            .groupBy("usage").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("usage"))
+
+
+@register("q02_emoji_count", oracle="""
+SELECT sum(CASE WHEN regexp_matches(text,
+        '[\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F680}-\\x{1F6FF}\\x{1F900}-\\x{1F9FF}\\x{1FA70}-\\x{1FAFF}\\x{2600}-\\x{26FF}\\x{2700}-\\x{27BF}\\x{FE0F}\\x{2764}]')
+    THEN 1 ELSE 0 END) AS docs_with_emoji,
+    count(*) AS total_docs
+FROM documents
+""")
+def q02_emoji_count(spark, sf_dir):
+    """T15 emoji detection via native codepoint regex (0 hits on the
+    synthetic corpus — asserts the class compiles + matches nothing)."""
+    return _docs(spark, sf_dir).agg(
+        F.sum(F.when(textstats.emoji_count(F.col("text")) > 0, 1).otherwise(0))
+         .alias("docs_with_emoji"),
+        F.count(F.lit(1)).alias("total_docs"))
+
+
+# --------------------------------------------------------------------------
+# P7 + P8: topic unwrap + disallowed filter (stage 07)
+# --------------------------------------------------------------------------
+
+_TOPIC_DERIVE_SQL = """
+    SELECT doc_id, CASE
+        WHEN doc_id % 7  = 0 THEN '{"topic": "' || source || '"}'
+        WHEN doc_id % 11 = 0 THEN 'unknown'
+        WHEN doc_id % 13 = 0 THEN source || '?'
+        WHEN doc_id % 17 = 0 THEN 'data_' || lang
+        WHEN doc_id % 19 = 0 THEN source || ' ... ' || lang
+        ELSE source END AS topic
+    FROM documents
+"""
+
+
+def _derive_topic(df):
+    d = F.col("doc_id")
+    return df.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.lit('{"topic": "'), F.col("source"), F.lit('"}')))
+         .when(d % 11 == 0, F.lit("unknown"))
+         .when(d % 13 == 0, F.concat(F.col("source"), F.lit("?")))
+         .when(d % 17 == 0, F.concat(F.lit("data_"), F.col("lang")))
+         .when(d % 19 == 0, F.concat(F.col("source"), F.lit(" ... "), F.col("lang")))
+         .otherwise(F.col("source")).alias("topic"))
+
+
+@register("q07_clean_topics", oracle=f"""
+WITH derived AS ({_TOPIC_DERIVE_SQL}),
+unwrapped AS (
+    SELECT doc_id,
+           coalesce(CASE WHEN json_valid(topic)
+                         THEN json_extract_string(topic, '$.topic') END,
+                    topic) AS topic
+    FROM derived
+)
+SELECT topic, count(*) AS n FROM unwrapped
+WHERE NOT (
+    contains(topic, '...') OR contains(topic, '?') OR contains(topic, '_')
+    OR contains(topic, '{{') OR contains(topic, '}}') OR contains(topic, '[')
+    OR contains(topic, ']') OR contains(topic, '<') OR contains(topic, '>')
+    OR regexp_matches(topic, '[\\x{{4e00}}-\\x{{9fff}}]')
+    OR lower(trim(topic)) = 'unknown'
+)
+GROUP BY topic ORDER BY topic
+""")
+def q07_clean_topics(spark, sf_dir):
+    """P7 JSON unwrap + P8 disallowed-topic filter over a derived
+    topic column (JSON-wrapped / 'unknown' / '?' / '_' / '...' mix)."""
+    derived = _derive_topic(_docs(spark, sf_dir))
+    cleaned = cleaning.clean_field(derived, "topic", "topic")
+    return (cleaned.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("topic"))
+
+
+# --------------------------------------------------------------------------
+# P10 tone-list normalize (stage 09)
+# --------------------------------------------------------------------------
+
+@register("q09_tone_normalize", oracle="""
+WITH words AS (
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS w1, string_split(text, ' ')[2] AS w2,
+           string_split(text, ' ')[3] AS w3, string_split(text, ' ')[4] AS w4
+    FROM documents
+), kept AS (
+    SELECT doc_id,
+           [w1]
+           || (CASE WHEN w2 IN (w1) THEN []::VARCHAR[] ELSE [w2] END)
+           || (CASE WHEN w3 IN (w1, w2) THEN []::VARCHAR[] ELSE [w3] END)
+           || (CASE WHEN w4 IN (w1, w2, w3) THEN []::VARCHAR[] ELSE [w4] END)
+           AS ks
+    FROM words
+)
+SELECT doc_id, array_to_string(ks[1:3], ', ') AS tone FROM kept
+""")
+def q09_tone_normalize(spark, sf_dir):
+    """P10: lowercase, order-preserving dedupe, cap 3, join ', '
+    (9-extract-tone.py:150-169) over the first 4 words (word-soup
+    repeats exercise the dedupe)."""
+    first4 = F.slice(F.split(F.col("text"), " ", -1), 1, 4)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        cleaning.normalize_tone_list(first4).alias("tone"))
+
+
+# --------------------------------------------------------------------------
+# T3 line breaks + describe (stages 17 + 18)
+# --------------------------------------------------------------------------
+
+@register("q17_line_breaks", oracle="""
+WITH ml AS (
+    SELECT doc_id, replace(text, ' the ', chr(10) || chr(10)) AS t
+    FROM documents
+), stats AS (
+    SELECT doc_id,
+           len(t) - len(replace(t, chr(10), '')) AS line_breaks,
+           CASE WHEN len(string_split(t, chr(10))) > 1
+                THEN len(list_filter(string_split(t, chr(10)), x -> x = ''))
+                     / (len(string_split(t, chr(10))) - 1.0)
+                ELSE 0.0 END AS avg_breaks
+    FROM ml
+)
+SELECT doc_id, line_breaks, round(avg_breaks, 6) AS avg_line_breaks,
+       CASE WHEN line_breaks = 0 THEN 'No line breaks, indicating a continuous block of text.'
+            WHEN line_breaks > 10 THEN 'Frequent line breaks, contributing to an easy-to-read structure.'
+            WHEN avg_breaks < 0.2 THEN 'Fewer line breaks, indicating a more compact writing style.'
+            ELSE 'A moderate number of line breaks, balancing readability and density.' END
+       AS description
+FROM stats
+""")
+def q17_line_breaks(spark, sf_dir):
+    """T3 line-break count + blank-line fraction + stage-18 describe
+    chain, over text with deterministically injected blank lines."""
+    df = _docs(spark, sf_dir).withColumn(
+        "t", F.replace(F.col("text"), F.lit(" the "), F.lit("\n\n")))
+    lb = textstats.line_break_count(F.col("t"))
+    ab = textstats.blank_line_fraction(F.col("t"))
+    return df.select(
+        "doc_id",
+        lb.alias("line_breaks"),
+        F.round(ab, 6).alias("avg_line_breaks"),
+        describe.describe_line_breaks(lb, ab).alias("description"))
+
+
+# --------------------------------------------------------------------------
+# T4 punctuation counts + describe (stages 17 + 18)
+# --------------------------------------------------------------------------
+
+_PUNCT_INJECT_SQL = """replace(replace(replace(text,
+    ' join ', '. '), ' merge ', ', '), ' filter ', '! ')"""
+
+
+def _punct_inject(col):
+    out = F.replace(col, F.lit(" join "), F.lit(". "))
+    out = F.replace(out, F.lit(" merge "), F.lit(", "))
+    return F.replace(out, F.lit(" filter "), F.lit("! "))
+
+
+@register("q17_punctuation", oracle=f"""
+WITH pt AS (
+    SELECT doc_id, {_PUNCT_INJECT_SQL} AS t FROM documents
+), counts AS (
+    SELECT doc_id, t,
+           len(t) - len(replace(t, '.', '')) AS n_period,
+           len(t) - len(replace(t, ',', '')) AS n_comma,
+           len(t) - len(replace(t, ';', '')) AS n_semicolon,
+           len(t) - len(replace(t, '!', '')) AS n_excl,
+           len(t) - len(replace(t, '?', '')) AS n_quest
+    FROM pt
+)
+SELECT doc_id, n_period, n_comma, n_semicolon, n_excl, n_quest,
+       CASE WHEN len(t) < 1 THEN 'No punctuation data.'
+            WHEN concat_ws(' ',
+                CASE WHEN n_period > 0 AND n_period / len(t) > 0.02 THEN 'Heavy use of periods.'
+                     WHEN n_period > 0 AND n_period / len(t) > 0.01 THEN 'Regular use of periods.' END,
+                CASE WHEN n_comma > 0 AND n_comma / len(t) > 0.02 THEN 'Heavy use of commas.'
+                     WHEN n_comma > 0 AND n_comma / len(t) > 0.01 THEN 'Regular use of commas.' END,
+                CASE WHEN n_semicolon > 0 AND n_semicolon / len(t) > 0.02 THEN 'Heavy use of semicolons.'
+                     WHEN n_semicolon > 0 AND n_semicolon / len(t) > 0.01 THEN 'Regular use of semicolons.' END,
+                CASE WHEN n_excl > 0 AND n_excl / len(t) > 0.02 THEN 'Heavy use of exclamation marks.'
+                     WHEN n_excl > 0 AND n_excl / len(t) > 0.01 THEN 'Regular use of exclamation marks.' END,
+                CASE WHEN n_quest > 0 AND n_quest / len(t) > 0.02 THEN 'Heavy use of question marks.'
+                     WHEN n_quest > 0 AND n_quest / len(t) > 0.01 THEN 'Regular use of question marks.' END
+            ) = '' THEN 'Standard punctuation usage.'
+            ELSE concat_ws(' ',
+                CASE WHEN n_period > 0 AND n_period / len(t) > 0.02 THEN 'Heavy use of periods.'
+                     WHEN n_period > 0 AND n_period / len(t) > 0.01 THEN 'Regular use of periods.' END,
+                CASE WHEN n_comma > 0 AND n_comma / len(t) > 0.02 THEN 'Heavy use of commas.'
+                     WHEN n_comma > 0 AND n_comma / len(t) > 0.01 THEN 'Regular use of commas.' END,
+                CASE WHEN n_semicolon > 0 AND n_semicolon / len(t) > 0.02 THEN 'Heavy use of semicolons.'
+                     WHEN n_semicolon > 0 AND n_semicolon / len(t) > 0.01 THEN 'Regular use of semicolons.' END,
+                CASE WHEN n_excl > 0 AND n_excl / len(t) > 0.02 THEN 'Heavy use of exclamation marks.'
+                     WHEN n_excl > 0 AND n_excl / len(t) > 0.01 THEN 'Regular use of exclamation marks.' END,
+                CASE WHEN n_quest > 0 AND n_quest / len(t) > 0.02 THEN 'Heavy use of question marks.'
+                     WHEN n_quest > 0 AND n_quest / len(t) > 0.01 THEN 'Regular use of question marks.' END)
+       END AS description
+FROM counts
+""")
+def q17_punctuation(spark, sf_dir):
+    """T4 punctuation map + stage-18 punctuation describe chain, over
+    text with injected '. ', ', ', '! ' marks."""
+    df = _docs(spark, sf_dir).withColumn("t", _punct_inject(F.col("text")))
+    pmap = textstats.punctuation_counts(F.col("t"))
+    return df.select(
+        "doc_id",
+        textstats.char_count(F.col("t"), ".").alias("n_period"),
+        textstats.char_count(F.col("t"), ",").alias("n_comma"),
+        textstats.char_count(F.col("t"), ";").alias("n_semicolon"),
+        textstats.char_count(F.col("t"), "!").alias("n_excl"),
+        textstats.char_count(F.col("t"), "?").alias("n_quest"),
+        describe.describe_punctuation(pmap, F.col("t")).alias("description"))
+
+
+# --------------------------------------------------------------------------
+# T11 profanity severity (stage 17)
+# --------------------------------------------------------------------------
+
+@register("q17_profanity", oracle="""
+SELECT category, count(*) AS n FROM (
+    SELECT CASE
+        WHEN list_has_any(list_slice(string_split_regex(lower(text), '\\s+'), 1, 1000), ['dup'])  THEN 'heavy'
+        WHEN list_has_any(list_slice(string_split_regex(lower(text), '\\s+'), 1, 1000), ['slow']) THEN 'moderate'
+        WHEN list_has_any(list_slice(string_split_regex(lower(text), '\\s+'), 1, 1000), ['small']) THEN 'light'
+        ELSE 'none' END AS category
+    FROM documents
+) GROUP BY category ORDER BY category
+""")
+def q17_profanity(spark, sf_dir):
+    """T11: max wordlist severity over first 1000 tokens
+    (17-writing-style.py:343-379) with a vocab-matched severity list."""
+    cat = textstats.profanity_category(
+        F.col("text"), light=("small",), moderate=("slow",), heavy=("dup",))
+    return (_docs(spark, sf_dir).select(cat.alias("category"))
+            .groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("category"))
+
+
+# --------------------------------------------------------------------------
+# §2.9 describe: sentence structure + vocabulary (stage 18)
+# --------------------------------------------------------------------------
+
+@register("q18_describe_style", oracle=f"""
+WITH pt AS (
+    SELECT doc_id, text, {_PUNCT_INJECT_SQL} AS t FROM documents
+), feats AS (
+    SELECT doc_id, text,
+           list_transform(string_split(t, '. '),
+                          s -> len(string_split_regex(trim(s), '\\s+'))) AS slens,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS vocab
+    FROM pt
+), scored AS (
+    SELECT doc_id,
+           list_sum(slens) / len(slens) AS avg_len,
+           vocab,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> regexp_matches(w, '^[A-Za-z]+$'))) AS total_alpha
+    FROM feats
+)
+SELECT doc_id,
+       CASE WHEN avg_len < 10 THEN 'Short sentences, suggesting brevity and conciseness.'
+            WHEN avg_len > 20 THEN 'Long and complex sentences, indicating a detailed and elaborate style.'
+            ELSE 'A mix of short and long sentences, showing a balanced style.' END
+       AS sentence_description,
+       CASE WHEN vocab / greatest(total_alpha, 1) > 0.5
+                THEN 'A rich vocabulary, showcasing extensive language use and depth.'
+            WHEN vocab / greatest(total_alpha, 1) > 0.35
+                THEN 'A developed vocabulary, indicating a wide range of language and expression.'
+            WHEN vocab / greatest(total_alpha, 1) > 0.25
+                THEN 'A normal vocabulary, reflecting a balanced and versatile use of language.'
+            WHEN vocab / greatest(total_alpha, 1) > 0.15
+                THEN 'A conservative vocabulary, suggesting a focused and deliberate choice of words.'
+            ELSE 'A very narrow vocabulary, highlighting a specific and targeted use of language.' END
+       AS vocab_description
+FROM scored
+""")
+def q18_describe_style(spark, sf_dir):
+    """describe_sentence_structure + describe_vocabulary_usage
+    (18:22-49) over derived sentence-length arrays + distinct counts."""
+    df = _docs(spark, sf_dir).withColumn("t", _punct_inject(F.col("text")))
+    slens = F.transform(F.split(F.col("t"), "\\. ", -1),
+                        lambda s: F.size(F.split(F.trim(s), "\\s+")))
+    vocab = textstats.distinct_word_count(F.col("text"))
+    return df.select(
+        "doc_id",
+        describe.describe_sentence_structure(slens).alias("sentence_description"),
+        describe.describe_vocabulary_usage(vocab, F.col("text")).alias("vocab_description"))
+
+
+# --------------------------------------------------------------------------
+# P12 structure normalize + P13 prompt-type classifier (stages 18/23)
+# --------------------------------------------------------------------------
+
+@register("q23_prompt_type", oracle="""
+SELECT prompt_type, count(*) AS n FROM (
+    SELECT CASE
+        WHEN lower(p) LIKE '%identify its primary topic%' THEN 'topic'
+        WHEN lower(p) LIKE '%extract the core opinion%' THEN 'opinion'
+        WHEN lower(p) LIKE '%identify up to three primary tones%' THEN 'tone'
+        WHEN lower(p) LIKE '%classify the structural format%' THEN 'structure'
+        WHEN lower(p) LIKE '%# request%' AND lower(p) LIKE '%create a linkedin post%'
+            THEN 'post-generation'
+        ELSE 'other' END AS prompt_type
+    FROM (
+        SELECT CASE doc_id % 7
+            WHEN 0 THEN 'Read the post and identify its primary topic: ' || text
+            WHEN 1 THEN 'Extract the core opinion from: ' || text
+            WHEN 2 THEN 'Identify up to three primary tones in: ' || text
+            WHEN 3 THEN 'Classify the structural format of: ' || text
+            WHEN 4 THEN '# Request' || chr(10) || 'Create a LinkedIn post about ' || source
+            WHEN 5 THEN 'Create a LinkedIn post about ' || source
+            ELSE text END AS p
+        FROM documents
+    )
+) GROUP BY prompt_type ORDER BY prompt_type
+""")
+def q23_prompt_type(spark, sf_dir):
+    """P13 substring-rule classifier (23-split.py:56-73), incl. the
+    conjunctive post-generation rule and its 'other' near-miss."""
+    d = F.col("doc_id") % 7
+    p = (F.when(d == 0, F.concat(F.lit("Read the post and identify its primary topic: "), F.col("text")))
+          .when(d == 1, F.concat(F.lit("Extract the core opinion from: "), F.col("text")))
+          .when(d == 2, F.concat(F.lit("Identify up to three primary tones in: "), F.col("text")))
+          .when(d == 3, F.concat(F.lit("Classify the structural format of: "), F.col("text")))
+          .when(d == 4, F.concat(F.lit("# Request\nCreate a LinkedIn post about "), F.col("source")))
+          .when(d == 5, F.concat(F.lit("Create a LinkedIn post about "), F.col("source")))
+          .otherwise(F.col("text")))
+    return (_docs(spark, sf_dir)
+            .select(cleaning.classify_prompt_type(p).alias("prompt_type"))
+            .groupBy("prompt_type").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("prompt_type"))
+
+
+@register("q18_structure_normalize", oracle="""
+SELECT structure, count(*) AS n FROM (
+    SELECT CASE
+        WHEN contains(lower(s), 'educational') THEN 'educational'
+        WHEN contains(lower(s), 'inspirational') THEN 'inspirational'
+        WHEN contains(lower(s), 'promotional') THEN 'promotional'
+        WHEN contains(lower(s), 'conversational') THEN 'conversational'
+        WHEN contains(lower(s), 'analytical') THEN 'analytical'
+        WHEN contains(lower(s), 'narrative') THEN 'narrative'
+        WHEN contains(lower(s), 'listicle') THEN 'listicle'
+        WHEN contains(lower(s), 'announcement') THEN 'announcement'
+        WHEN contains(lower(s), 'question') THEN 'question'
+        ELSE 'instructional' END AS structure
+    FROM (
+        SELECT CASE doc_id % 4
+            WHEN 0 THEN 'An Educational look at ' || source
+            WHEN 1 THEN 'narrative and analytical notes'
+            WHEN 2 THEN 'big Announcement today'
+            ELSE text END AS s
+        FROM documents
+    )
+) GROUP BY structure ORDER BY structure
+""")
+def q18_structure_normalize(spark, sf_dir):
+    """P12: first known structure keyword wins, default 'instructional'
+    (18:361-374); 'narrative and analytical' exercises precedence."""
+    d = F.col("doc_id") % 4
+    s = (F.when(d == 0, F.concat(F.lit("An Educational look at "), F.col("source")))
+          .when(d == 1, F.lit("narrative and analytical notes"))
+          .when(d == 2, F.lit("big Announcement today"))
+          .otherwise(F.col("text")))
+    return (_docs(spark, sf_dir)
+            .select(cleaning.normalize_structure(s).alias("structure"))
+            .groupBy("structure").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("structure"))
