@@ -1,0 +1,104 @@
+"""Author word/phrase mining (SURVEY A6/A8/J1/J5).
+
+The reference's hybrid phrase miner always falls back to
+``get_uncommon_regular_words`` (SURVEY Q3: the spaCy path raises
+TypeError on a bad kwarg), so the fallback IS the effective semantics
+(17-writing-style.py:625-654, features/phrases.py:144-156):
+first 5 texts -> join -> truncate 20k chars -> ``\\b\\w+\\b`` lowercase
+tokens -> keep freq >= 2, len > 3, freq < 1000, not stopword -> 15.
+
+Determinism deviation: the reference returns "first 15" of a Python
+set (arbitrary order). The engine ranks by (freq desc, word asc) —
+a total order — and documents the deviation.
+
+Scale: one shuffle on the author key. Per-author state is bounded by
+construction (<=5 texts, <=20k chars), which is also the skew story —
+no author group can exceed ~20KB regardless of post count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Compact English stopword list (public-domain; stand-in for NLTK's).
+STOPWORDS_EN = (
+    "i", "me", "my", "we", "our", "you", "your", "he", "him", "his", "she",
+    "her", "it", "its", "they", "them", "their", "what", "which", "who",
+    "this", "that", "these", "those", "am", "is", "are", "was", "were", "be",
+    "been", "being", "have", "has", "had", "do", "does", "did", "a", "an",
+    "the", "and", "but", "if", "or", "because", "as", "until", "while", "of",
+    "at", "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to", "from",
+    "up", "down", "in", "out", "on", "off", "over", "under", "again",
+    "further", "then", "once", "here", "there", "when", "where", "why",
+    "how", "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "can", "will", "just", "should", "now",
+)
+
+
+def author_texts(df: DataFrame, author_col: str, text_col: str,
+                 id_col: str, max_posts: int = 20) -> DataFrame:
+    """A6: keep the ``max_posts`` longest texts per author
+    (17-writing-style.py:776-802), deterministic tie-break on id."""
+    w = Window.partitionBy(author_col).orderBy(
+        F.length(F.col(text_col)).desc(), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_posts))
+
+
+def author_uncommon_words(df: DataFrame, author_col: str, text_col: str,
+                          id_col: str,
+                          stopwords: tuple[str, ...] = STOPWORDS_EN,
+                          max_texts: int = 5, max_chars: int = 20000,
+                          min_freq: int = 2, min_len: int = 4,
+                          common_threshold: int = 1000,
+                          top_k: int = 15) -> DataFrame:
+    """A8: per-author uncommon-but-regular words.
+
+    Returns (author, word, freq) of the top ``top_k`` words per
+    author under (freq desc, word asc).
+    """
+    ranked = author_texts(df, author_col, text_col, id_col,
+                          max_posts=max_texts)
+    # Rebuild the reference's ' '.join(texts[:5])[:20000] with a fixed
+    # order: sort_array over (rank, text) structs pins concat order.
+    joined = (ranked.groupBy(author_col)
+              .agg(F.array_join(
+                  F.transform(
+                      F.sort_array(F.collect_list(
+                          F.struct(F.col("__rn"), F.col(text_col).alias("t")))),
+                      lambda s: s.getField("t")),
+                  " ").alias("all_text")))
+    truncated = joined.withColumn("all_text",
+                                  F.substring(F.col("all_text"), 1, max_chars))
+    words = truncated.select(
+        author_col,
+        F.explode(F.expr(r"regexp_extract_all(lower(all_text), '\\w+', 0)"))
+         .alias("word"))
+    freq = (words.groupBy(author_col, "word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter((F.col("freq") >= min_freq)
+                    & (F.col("freq") < common_threshold)
+                    & (F.length("word") >= min_len)
+                    & ~F.col("word").isin(*stopwords)))
+    w = Window.partitionBy(author_col).orderBy(F.col("freq").desc(),
+                                               F.col("word"))
+    return (freq.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_k).drop("__rk"))
+
+
+def attach_author_phrases(posts: DataFrame, phrases: DataFrame,
+                          author_col: str) -> DataFrame:
+    """J1: left broadcast-join author phrase lists back onto posts
+    (17-writing-style.py:700-702). ``phrases`` is (author, word, freq);
+    aggregated to an array first."""
+    lists = (phrases.groupBy(author_col)
+             .agg(F.sort_array(F.collect_list(
+                 F.struct((-F.col("freq")).alias("nf"),
+                          F.col("word")))).alias("__s"))
+             .select(author_col,
+                     F.transform(F.col("__s"), lambda s: s.getField("word"))
+                      .alias("common_phrases")))
+    return posts.join(F.broadcast(lists), author_col, "left")

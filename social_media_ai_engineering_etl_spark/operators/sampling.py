@@ -1,0 +1,135 @@
+"""Sampling / balancing / split operators (SURVEY §2.5, B1-B8).
+
+Determinism contract: the reference's reservoirs depend on file row
+order, so bitwise parity is impossible under partition parallelism.
+The engine guarantees the *distributional* contract instead — exact
+per-stratum counts and sizes with a fixed seed (SURVEY §4 notes) —
+which is what the reference's own tests assert.
+
+Scale notes: every operator here is one shuffle on its grouping keys
+(window over rand) — no driver-side materialization, no collect. For
+skewed strata AQE skew-join/partition splitting applies; the
+rand-keyed window sort is per-partition only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def reservoir_target(eligible: Column, frac: float = 0.2,
+                     min_n: int = 5, max_n: int = 20) -> Column:
+    """Reference ablation sample size: min(max(int(frac*eligible),
+    min_n), max_n), capped by the eligible count itself
+    (4-structure-micro-ablation.py:31-34, 371-393)."""
+    want = F.least(F.greatest(F.floor(eligible * frac).cast("long"),
+                              F.lit(min_n)), F.lit(max_n))
+    return F.least(eligible, want)
+
+
+def downsample_to(df: DataFrame, keys: list[str], target: Column | int,
+                  seed: int = 42) -> DataFrame:
+    """B1/B2: keep at most ``target`` rows per key combo via a
+    rand-keyed row_number window — the distributed equivalent of the
+    reference's per-combo reservoir (5-balance.py:153-185)."""
+    w = Window.partitionBy(*keys).orderBy(F.rand(seed))
+    t = target if isinstance(target, Column) else F.lit(target)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= t)
+              .drop("__rn"))
+
+
+def upsample_to(df: DataFrame, keys: list[str], target: Column | int,
+                seed: int = 42) -> DataFrame:
+    """Clone rows (with replacement semantics) until every combo
+    reaches exactly ``target`` rows (5-balance.py:190-213). Expressed
+    as array_repeat(ceil(target/count)) + explode + row_number cap —
+    fully distributed, no driver loop. Augmentation (synonym
+    replacement) is off, matching `--disable-augmentation`."""
+    t = target if isinstance(target, Column) else F.lit(target)
+    cnt_w = Window.partitionBy(*keys)
+    df = df.withColumn("__cnt", F.count(F.lit(1)).over(cnt_w))
+    df = df.withColumn(
+        "__copies",
+        F.when(F.col("__cnt") >= t, F.lit(1))
+         .otherwise(F.ceil(t.cast("double") / F.col("__cnt")).cast("int")))
+    exploded = df.withColumn("__dup", F.explode(F.expr("sequence(1, __copies)")))
+    w = Window.partitionBy(*keys).orderBy(F.col("__dup"), F.rand(seed))
+    return (exploded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.greatest(t, F.col("__cnt")))
+            .drop("__cnt", "__copies", "__dup", "__rn"))
+
+
+def balance_to_average(df: DataFrame, keys: list[str],
+                       target_cap: int | None = 1000,
+                       seed: int = 42) -> DataFrame:
+    """Stage-05 balancer (5-balance.py:122-213): avg_target =
+    max(1, min(total/combos, cap)); reservoir-downsample above it,
+    upsample-with-replacement below it. Every combo ends at exactly
+    avg_target rows.
+
+    The scalar (total, combos) aggregate is broadcast — the fact side
+    shuffles once on the combo keys.
+    """
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__combos"))
+    avg = F.floor(F.col("__total") / F.col("__combos")).cast("long")
+    if target_cap is not None:
+        avg = F.least(avg, F.lit(int(target_cap)))
+    stats = stats.select(F.greatest(avg, F.lit(1)).alias("__avg_target"))
+
+    with_t = df.crossJoin(F.broadcast(stats))
+    down = downsample_to(with_t, keys, F.col("__avg_target"), seed)
+    up = upsample_to(down, keys, F.col("__avg_target"), seed)
+    return up.drop("__avg_target")
+
+
+def grouped_split(df: DataFrame, group_col: Column, sft_pct: float = 0.8,
+                  seed: int = 42) -> DataFrame:
+    """B6 (23-split.py:498-527): per group, shuffle and send the first
+    int(n*sft_pct) rows to 'sft', the rest to 'dpo'. Adds ``split``."""
+    g = group_col.alias("__grp")
+    w = Window.partitionBy(F.col("__grp")).orderBy(F.rand(seed))
+    cnt = Window.partitionBy(F.col("__grp"))
+    return (df.withColumn("__grp", group_col)
+              .withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(cnt))
+              .withColumn("split",
+                          F.when(F.col("__rn") <= F.floor(F.col("__n") * sft_pct),
+                                 F.lit("sft")).otherwise(F.lit("dpo")))
+              .drop("__grp", "__rn", "__n"))
+
+
+def global_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
+    """B5: deterministic-seed global shuffle (23-split.py:446)."""
+    return df.orderBy(F.rand(seed))
+
+
+def train_test_split(df: DataFrame, test_frac: float = 0.2,
+                     seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """B7: randomSplit (20:321; 25-train-sft.py:181-183)."""
+    train, test = df.randomSplit([1.0 - test_frac, test_frac], seed=seed)
+    return train, test
+
+
+def percent_gate(df: DataFrame, sample_percent: float,
+                 seed: int = 42) -> DataFrame:
+    """B8: keep ~sample_percent% of rows (17:783-786); no-op at 100."""
+    if sample_percent >= 100:
+        return df
+    return df.sample(fraction=sample_percent / 100.0, seed=seed)
+
+
+def top_n_per_group(df: DataFrame, keys: list[str], order: list[Column],
+                    n: int) -> DataFrame:
+    """A6: keep the top-N rows per group under a deterministic order
+    (17-writing-style.py:776-802 keeps the 20 longest posts/author).
+    Callers must pass a total order (e.g. length desc, id asc) so the
+    result is engine-independent."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= n).drop("__rn"))
