@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension; SURVEY §7.9). Four families, all DataFrame-native:
+
+  * exact          — normalize -> md5 -> keep min-id per group
+  * MinHash + LSH  — shingles -> xxhash64 minhash signature -> banded
+                     bucket join -> exact-Jaccard verify
+  * SimHash        — token-hash bit voting -> 64-bit signature ->
+                     pigeonhole chunk join -> hamming filter
+  * n-gram Jaccard — blocked self-join with exact Jaccard (the small-
+                     block / verification path)
+
+Scale design: the LSH paths avoid the O(n^2) self-join — candidates
+come from equality joins on (band, band_hash) / chunk keys, which
+shuffle-partition cleanly and AQE-skew-split if a bucket is hot. The
+exact-Jaccard blocked join is intended for inside-bucket verification
+or small blocks only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per normalized-text group (hash-groupBy
+    exact dedup). One shuffle on the text hash; the min-id winner is
+    picked map-side-combinable via min()."""
+    key = F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("__k")
+    winners = (df.select(key, F.col(id_col))
+               .groupBy("__k").agg(F.min(id_col).alias(id_col)))
+    return df.join(winners, id_col, "leftsemi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of whitespace-tokenized text.
+
+    Built by zipping n shifted slices of the word array rather than
+    indexing with element_at inside a lambda: Catalyst inlines the
+    split() into every element_at call (no CSE across higher-order-
+    function lambdas), making the naive form O(words^2) regex splits
+    per row; this form evaluates split() n times per row."""
+    words = F.split(F.trim(text), "\\s+")
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, 1 + j, m) for j in range(n)])
+    return F.array_distinct(F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        block_col: str | None = None, n: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Blocked self-join exact n-gram Jaccard pairs (id1 < id2,
+    jaccard >= threshold). With ``block_col`` the join is an
+    equi-join per block; without it, a full cross product — only for
+    small inputs or in-bucket verification. At scale, generate
+    candidates with :func:`minhash_lsh_candidates` instead."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   *( [F.col(block_col).alias("blk")] if block_col else [] ),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(*[F.col(c).alias(f"{c}1") for c in sh.columns])
+    b = sh.select(*[F.col(c).alias(f"{c}2") for c in sh.columns])
+    cond = F.col("id1") < F.col("id2")
+    if block_col:
+        joined = a.join(b, (F.col("blk1") == F.col("blk2")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return (joined
+            .withColumn("jaccard_sim", jaccard(F.col("sh1"), F.col("sh2")))
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
+
+
+def ngram_jaccard_pairs_inverted(df: DataFrame, id_col: str, text_col: str,
+                                 n: int = 3, threshold: float = 0.2,
+                                 max_df: int | None = None) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (>= threshold) without the O(n^2)
+    cross join — the scale path for exact near-dup mining.
+
+    Count-based inverted index: explode distinct shingles, self-join
+    on shingle equality (only docs that actually share a shingle ever
+    meet), then ``groupBy(id1, id2).count()`` IS the intersection
+    size, so Jaccard = cnt / (sz1 + sz2 - cnt) arithmetically — no
+    array materialization, no verify pass. Plan shape: one shuffle on
+    shingle + one map-side-combinable shuffle on the pair key + two
+    equi-joins against the tiny (id, size) table (auto-broadcast /
+    AQE). Pairs sharing zero shingles (J = 0 < threshold) are never
+    generated.
+
+    Skew: a shingle appearing in m docs yields C(m, 2) pair rows.
+    ``max_df`` drops shingles with document frequency > max_df from
+    pair generation (stopword-shingle guard); this UNDER-counts
+    intersections for pairs relying on those shingles — leave None
+    for exactness, set it at web scale where boilerplate shingles
+    would otherwise dominate the shuffle.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    sh = sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+    sizes = sh.select("id", "sz")
+    tok = sh.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        tok = (tok.join(dfreq.filter(F.col("df") <= max_df), "s", "leftsemi"))
+    inter = (tok.alias("a")
+             .join(tok.alias("b"),
+                   (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    res = (inter
+           .join(sizes.select(F.col("id").alias("id1"),
+                              F.col("sz").alias("sz1")), "id1")
+           .join(sizes.select(F.col("id").alias("id2"),
+                              F.col("sz").alias("sz2")), "id2")
+           .withColumn("jaccard_sim",
+                       F.col("inter").cast("double")
+                       / (F.col("sz1") + F.col("sz2") - F.col("inter"))))
+    return (res.filter(F.col("jaccard_sim") >= threshold)
+            .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: element i is min over shingles of
+    xxhash64(shingle, salt=i). Deterministic across runs/engines that
+    share xxhash64 (Spark-side only; the oracle for LSH is a
+    rows-only + recall test)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles,
+                        lambda s: F.xxhash64(F.concat(s, F.lit("#"),
+                                                      i.cast("string"))))))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 3, num_hashes: int = 64,
+                           bands: int = 16) -> DataFrame:
+    """Candidate pairs from banded MinHash buckets (id1 < id2).
+
+    rows-per-band r = num_hashes // bands; detection probability
+    1 - (1 - s^r)^bands (s = true Jaccard). Defaults (r=4, b=16)
+    catch s >= 0.8 w.p. > 0.999.
+
+    Plan shape: one narrow map to signatures, explode to ``bands``
+    rows each, shuffle on (band, band_hash), in-bucket pairing. No
+    O(n^2) stage; hot buckets are bounded by banding width.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), n),
+                          num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice(F.col("sig"), b * r + 1, r),
+                                     lambda x: x.cast("string"))))
+                 .alias("bucket")))).alias("bb"))
+    banded = banded.select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+             .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.8) -> DataFrame:
+    """LSH candidates verified by exact Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n,
+                                   num_hashes, bands)
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    joined = (cands
+              .join(sh.select(F.col("id").alias("id1"),
+                              F.col("sh").alias("sh1")), "id1")
+              .join(sh.select(F.col("id").alias("id2"),
+                              F.col("sh").alias("sh2")), "id2"))
+    return (joined.withColumn("jaccard_sim", jaccard(F.col("sh1"), F.col("sh2")))
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       bits: int = 64) -> DataFrame:
+    """SimHash signatures: per-bit majority vote over distinct-token
+    hashes. bit j = 1 iff sum over tokens of (+1 if bit j of
+    xxhash64(token) else -1) >= 0.
+
+    Shape: explode tokens -> one shuffle groupBy(id) with 64 SUM
+    aggregates (map-side combinable) -> fold bits into one BIGINT.
+    Returns (id, sig)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(
+                          F.split(F.lower(F.trim(F.col(text_col))), "\\s+")))
+                       .alias("tok"))
+              .withColumn("h", F.xxhash64("tok")))
+    votes = toks.groupBy("id").agg(*[
+        F.sum(F.when(F.shiftrightunsigned(F.col("h"), j)
+                      .bitwiseAND(F.lit(1).cast("long")) == 1,
+                     1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)])
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        bitval = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+        sig = sig.bitwiseOR(F.when(F.col(f"b{j}") >= 0, bitval)
+                             .otherwise(F.lit(0).cast("long")))
+    return votes.select("id", sig.alias("sig"))
+
+
+def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        max_hamming: int = 3,
+                        chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole: signatures within distance d < chunks must share at
+    least one of ``chunks`` 16-bit chunks — candidates come from an
+    equi-join on (chunk_idx, chunk_value), then exact hamming filters.
+    """
+    width = 64 // chunks
+    sig = simhash_signatures(df, id_col, text_col)
+    # chunks is a small constant: unroll Python-side (shift amount must
+    # be a literal int for shiftrightunsigned)
+    chunked = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("sig"), c * width)
+                 .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                 .alias("val"))
+            for c in range(chunks)])).alias("cc"))
+    chunked = chunked.select("id", "sig", "cc.chunk", "cc.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                     F.col("a.sig").alias("sig1"), F.col("b.sig").alias("sig2"))
+             .distinct())
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, computed
+    JVM-side with zip_with + aggregate (no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.4,
+                          block_col: str | None = None) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold. Brute self-
+    join (optionally blocked); the scale path buckets with
+    :mod:`.similarity`'s hyperplane LSH first."""
+    v = df.select(F.col(id_col).alias("id"),
+                  *( [F.col(block_col).alias("blk")] if block_col else [] ),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(*[F.col(c).alias(f"{c}1") for c in v.columns])
+    b = v.select(*[F.col(c).alias(f"{c}2") for c in v.columns])
+    cond = F.col("id1") < F.col("id2")
+    if block_col:
+        joined = a.join(b, (F.col("blk1") == F.col("blk2")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return (joined.withColumn("cosine_sim", cosine(F.col("v1"), F.col("v2")))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id1", "id2", F.round("cosine_sim", 6).alias("cosine_sim")))

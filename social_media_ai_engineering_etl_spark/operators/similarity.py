@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+  * brute-force cosine top-k — broadcast the (small) query set against
+    the corpus; exact, the correctness baseline;
+  * hyperplane-LSH bucketed top-k — deterministic seeded random
+    hyperplanes (literal plane matrix, no runtime randomness) bucket
+    the corpus; candidates only within matching buckets (+ optional
+    multi-probe). The 100 TB path: bucket join instead of cross join.
+
+All vector math is zip_with/aggregate (JVM, codegen) — no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
+                           id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self), deterministic
+    tie-break on neighbor id. Queries are broadcast; the corpus is
+    scanned once — no shuffle of the corpus side until the final
+    per-query top-k window over (query, score)."""
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    scored = (c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+              .withColumn("cosine_sim", cosine(F.col("cv"), F.col("qv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def hyperplane_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes via a tiny LCG —
+    reproducible across engines without numpy state."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / norm for x in row])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i set iff dot(vec, plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(F.zip_with(vec, lit_plane, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def _table_buckets(vec: Column, planes: list[list[float]],
+                   num_tables: int, num_planes: int) -> Column:
+    """Array of (table, bucket) structs — table t hashes with planes
+    [t*P, (t+1)*P)."""
+    entries = []
+    for t in range(num_tables):
+        sub = planes[t * num_planes:(t + 1) * num_planes]
+        entries.append(F.struct(F.lit(t).alias("t"),
+                                hyperplane_bucket(vec, sub).alias("b")))
+    return F.array(*entries)
+
+
+def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, k: int = 5, num_planes: int = 4,
+                    num_tables: int = 12, dim: int = 64,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: L independent
+    hash tables of P sign-bits each; a corpus vector is a candidate for
+    a query if they collide in ANY table (standard OR-of-ANDs — a
+    single table's recall decays as p_bit^P, the union recovers it as
+    1-(1-p_bit^P)^L). Candidate generation is a (table, bucket)
+    equi-join — the 100 TB path: the corpus explodes L× but never
+    cross-joins; per-bucket candidate lists stay bounded by tuning P
+    upward as the corpus grows."""
+    planes = hyperplane_planes(dim, num_planes * num_tables, seed)
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("tb", F.explode(
+        _table_buckets(F.col("cv"), planes, num_tables, num_planes)))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("tb", F.explode(
+        _table_buckets(F.col("qv"), planes, num_tables, num_planes)))
+    scored = (c.join(F.broadcast(q), "tb")
+              .filter(F.col("corpus_id") != F.col("query_id"))
+              .dropDuplicates(["query_id", "corpus_id"])
+              .withColumn("cosine_sim", cosine(F.col("cv"), F.col("qv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def pairwise_aligned_cosine(df_a: DataFrame, df_b: DataFrame, id_col: str,
+                            vec_col: str) -> DataFrame:
+    """M15: cosine between same-id vector pairs from two tables
+    (4-structure-micro-ablation.py:136-150 with/without-feature
+    generations)."""
+    a = df_a.select(F.col(id_col), _as_double(F.col(vec_col)).alias("va"))
+    b = df_b.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vb"))
+    return (a.join(b, id_col)
+            .select(id_col,
+                    F.round(cosine(F.col("va"), F.col("vb")), 6)
+                     .alias("cosine_sim")))

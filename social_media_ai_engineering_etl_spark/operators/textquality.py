@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data curation (north-star
+extension): language-ID, quality scoring, token counting, document
+fingerprinting. All native expressions — these run over every
+document at 100 TB, so they must stay inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (public knowledge). The
+# heuristic scores each language by the fraction of distinct tokens
+# that are language markers; argmax wins, 'und' for unknown.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "por"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def lang_score(text: Column, markers: tuple[str, ...]) -> Column:
+    """Fraction of distinct tokens that are language markers."""
+    toks = F.array_distinct(_tokens(text))
+    hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(m) for m in markers])))
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def language_id(text: Column,
+                markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
+                min_score: float = 0.0) -> Column:
+    """Argmax language by marker-token ratio, deterministic order on
+    ties (dict order); 'unknown' when the best score <= min_score."""
+    langs = list(markers)
+    scores = {lang: lang_score(text, markers[lang]) for lang in langs}
+    best = F.greatest(*[scores[lang] for lang in langs]) if len(langs) > 1 \
+        else scores[langs[0]]
+    expr = F.lit("unknown")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= min_score, F.lit("unknown")).otherwise(expr)
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: word runs plus isolated punctuation
+    (`\\w+|[^\\w\\s]` — the standard pre-tokenizer split)."""
+    return F.regexp_count(text, F.lit("\\w+|[^\\w\\s]"))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), "\\s+"))
+
+
+def quality_score(text: Column,
+                  stopwords: tuple[str, ...] = LANG_MARKERS["en"],
+                  ideal_len: int = 1000) -> Column:
+    """Composite document quality in [0,1]:
+      0.25 * length score   (len/ideal capped at 1)
+      0.25 * alpha ratio    (alpha tokens / tokens)
+      0.25 * stopword score (stopword-token ratio scaled x5, capped)
+      0.25 * word-length sanity (1 when mean token len in [3,12])
+    A deterministic, explainable heuristic in the spirit of C4/Gopher
+    quality filters (public rules), all in native expressions."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    length_score = F.least(F.length(text).cast("double") / ideal_len, F.lit(1.0))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(F.lit(0.0))
+    sw = F.size(F.filter(
+        toks, lambda t: F.array_contains(
+            F.array(*[F.lit(s) for s in stopwords]), t)))
+    sw_score = F.least(F.when(n > 0, sw.cast("double") / n)
+                        .otherwise(F.lit(0.0)) * 5.0, F.lit(1.0))
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n > 0, total_chars.cast("double") / n).otherwise(F.lit(0.0))
+    len_sane = F.when((mean_len >= 3.0) & (mean_len <= 12.0),
+                      F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.25 * length_score + 0.25 * alpha_ratio
+                   + 0.25 * sw_score + 0.25 * len_sane, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 of the whitespace-normalized
+    lowercase text — the dedup/lineage key."""
+    norm = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    return F.md5(norm.cast("binary"))

@@ -1,5 +1,6 @@
 """Query modules — importing this package populates the registry."""
 
-from . import pipeline_core  # noqa: F401
+from . import dedup_similarity  # noqa: F401
 from . import pairs_sampling  # noqa: F401
+from . import pipeline_core  # noqa: F401
 from . import row_transforms  # noqa: F401

@@ -1,0 +1,268 @@
+"""Dedup / similarity-search / text-analysis queries (north-star
+extensions; SURVEY §7.9). SQL-expressible variants carry DuckDB
+oracles; the hash-based LSH variants (engine-specific xxhash64) are
+rows-only here and recall-tested against the exact oracles in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textquality
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+@register("qx_dedup_exact", oracle="""
+WITH dup AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN d2.text ELSE d.text END AS text
+    FROM documents d
+    LEFT JOIN documents d2
+      ON d2.doc_id = (d.doc_id // 3) % (SELECT count(*) FROM documents)
+), keyed AS (
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+    FROM dup
+), winners AS (
+    SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k
+)
+SELECT count(*) AS n_kept,
+       (SELECT count(*) FROM dup) AS n_total
+FROM winners
+""")
+def qx_dedup_exact(spark, sf_dir):
+    """Exact dedup (hash-groupBy, min-id winner) over a corpus with
+    planted exact duplicates (every 3rd doc replaced by another doc's
+    text)."""
+    docs = _docs(spark, sf_dir)
+    total = docs.count()
+    lookup = docs.select(F.col("doc_id").alias("src_id"),
+                         F.col("text").alias("src_text"))
+    planted = (docs.withColumn(
+        "ref", ((F.col("doc_id") / 3).cast("long")) % total)
+        .join(F.broadcast(lookup), F.col("ref") == F.col("src_id"), "left")
+        .select("doc_id",
+                F.when(F.col("doc_id") % 3 == 0, F.col("src_text"))
+                 .otherwise(F.col("text")).alias("text")))
+    kept = dedup.exact_dedup(planted, "text", "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.lit(total).cast("long").alias("n_total"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact; the SQL-checkable baseline)
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+    SELECT doc_id,
+           list_distinct([string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]
+                          for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+    FROM documents
+"""
+
+
+@register("qx_dedup_ngram_jaccard", bench=True, oracle="WITH d AS (" + _SHINGLE_CTE + """
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard_sim
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+ORDER BY id1, id2
+""")
+def qx_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) via the
+    inverted-index + prefix-filter path (no O(n^2) cross join); the
+    hash-approximate scale path is qx_dedup_minhash."""
+    return dedup.ngram_jaccard_pairs_inverted(_docs(spark, sf_dir), "doc_id",
+                                              "text", n=3, threshold=0.2
+                                              ).orderBy("id1", "id2")
+
+
+@register("qx_dedup_minhash")
+def qx_dedup_minhash(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) candidates verified at Jaccard >=
+    0.5. Rows-only for the driver (xxhash64 is engine-specific);
+    tests/test_dedup.py asserts recall == 1.0 vs the exact pairs at
+    j >= 0.8 and precision via the verify step."""
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                     threshold=0.5).orderBy("id1", "id2")
+
+
+@register("qx_dedup_simhash")
+def qx_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (hamming <= 3) via 4-chunk pigeonhole
+    join. Rows-only (engine-specific hashing)."""
+    return dedup.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                     max_hamming=3).orderBy("id1", "id2")
+
+
+# --------------------------------------------------------------------------
+# embedding similarity
+# --------------------------------------------------------------------------
+
+@register("qx_embedding_dedup_pairs", oracle="""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+           AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+ORDER BY id1, id2
+""")
+def qx_embedding_dedup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>= 0.4), exact self-join."""
+    return dedup.embedding_dedup_pairs(_emb(spark, sf_dir), "vec_id",
+                                       "embedding", threshold=0.4
+                                       ).orderBy("id1", "id2")
+
+
+@register("qx_similarity_topk", bench=True, oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.corpus_id,
+           list_dot_product(c.cv, q.qv) /
+           (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+               AS cos
+    FROM c JOIN q ON c.corpus_id <> q.query_id
+), ranked AS (
+    SELECT query_id, corpus_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, corpus_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, corpus_id, round(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""")
+def qx_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query (every 25th vector as a
+    query), deterministic tie-break — the exact ANN baseline."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_bruteforce(emb, queries, "vec_id",
+                                             "embedding", k=5
+                                             ).orderBy("query_id", "rank")
+
+
+@register("qx_similarity_topk_lsh")
+def qx_similarity_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed top-5 (approximate scale path);
+    rows-only + recall-vs-bruteforce test in tests/test_dedup.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_lsh(emb, queries, "vec_id", "embedding",
+                                      k=5, num_planes=4, num_tables=12
+                                      ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# text analysis: language-ID, quality, tokens, fingerprint
+# --------------------------------------------------------------------------
+
+_LANGID_DERIVE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 7
+                THEN 'der und die das ist nicht ein mit ' || text
+                WHEN doc_id % 10 = 8
+                THEN 'le la les et une est pour que ' || text
+                ELSE 'the and of to is that ' || text END AS t
+    FROM documents
+"""
+
+
+def _langid_derive(df):
+    d = F.col("doc_id") % 10
+    return df.select(
+        "doc_id",
+        F.when(d == 7, F.concat(F.lit("der und die das ist nicht ein mit "), F.col("text")))
+         .when(d == 8, F.concat(F.lit("le la les et une est pour que "), F.col("text")))
+         .otherwise(F.concat(F.lit("the and of to is that "), F.col("text")))
+         .alias("t"))
+
+
+@register("qx_language_id", oracle="WITH derived AS (" + _LANGID_DERIVE + """
+), scored AS (
+    SELECT doc_id,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(t)), '\\s+')),
+               ['the','and','of','to','a','in','is','that','it','for']))::DOUBLE
+               / len(list_distinct(string_split_regex(lower(trim(t)), '\\s+'))) AS s_en,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(t)), '\\s+')),
+               ['der','die','das','und','nicht','ist','ein','mit','von','zu']))::DOUBLE
+               / len(list_distinct(string_split_regex(lower(trim(t)), '\\s+'))) AS s_de,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(t)), '\\s+')),
+               ['le','la','les','et','de','un','une','est','pour','que']))::DOUBLE
+               / len(list_distinct(string_split_regex(lower(trim(t)), '\\s+'))) AS s_fr,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(t)), '\\s+')),
+               ['el','la','los','las','y','de','un','una','es','por']))::DOUBLE
+               / len(list_distinct(string_split_regex(lower(trim(t)), '\\s+'))) AS s_es
+    FROM derived
+)
+SELECT lang_guess, count(*) AS n FROM (
+    SELECT CASE
+        WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'unknown'
+        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        ELSE 'es' END AS lang_guess
+    FROM scored
+) GROUP BY lang_guess ORDER BY lang_guess
+""")
+def qx_language_id(spark, sf_dir):
+    """Marker-ratio language-ID over text with injected de/fr
+    prefixes; argmax with deterministic tie order."""
+    derived = _langid_derive(_docs(spark, sf_dir))
+    return (derived
+            .select(textquality.language_id(F.col("t")).alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang_guess"))
+
+
+@register("qx_quality_tokens_fingerprint", oracle="""
+SELECT doc_id,
+       round(0.25 * least(len(text)::DOUBLE / 1000, 1.0)
+           + 0.25 * (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> regexp_matches(t, '^[a-z]+$')))::DOUBLE
+                     / len(string_split_regex(lower(trim(text)), '\\s+')))
+           + 0.25 * least(5.0 * len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t)))::DOUBLE
+                     / len(string_split_regex(lower(trim(text)), '\\s+')), 1.0)
+           + 0.25 * (CASE WHEN list_sum(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                                        t -> len(t)))::DOUBLE
+                               / len(string_split_regex(lower(trim(text)), '\\s+'))
+                               BETWEEN 3.0 AND 12.0
+                          THEN 1.0 ELSE 0.0 END), 6) AS quality,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fingerprint
+FROM documents
+""")
+def qx_quality_tokens_fingerprint(spark, sf_dir):
+    """Per-document quality score, BPE-ish token count, and md5
+    fingerprint — the curation-table triple."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textquality.quality_score(F.col("text")).alias("quality"),
+        textquality.token_count(F.col("text")).alias("n_tokens"),
+        textquality.fingerprint(F.col("text")).alias("doc_fingerprint"))

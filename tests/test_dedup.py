@@ -1,0 +1,76 @@
+"""Recall/precision contracts for the hash-based (non-SQL-oracle)
+dedup and ANN operators, checked against their exact counterparts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = {(r.id1, r.id2)
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, "doc_id", "text", threshold=0.8).collect()}
+    found = {(r.id1, r.id2)
+             for r in dedup.minhash_dedup_pairs(
+                 docs, "doc_id", "text", threshold=0.8).collect()}
+    # LSH (r=4, b=16) detects j>=0.8 w.p. >0.999; planted dups must all surface
+    assert exact, "corpus should contain planted near-duplicates"
+    assert exact <= found or exact == found, \
+        f"missed pairs: {exact - found}"
+    # the verify step makes precision exact
+    assert found <= exact
+
+
+def test_minhash_candidates_bounded(docs):
+    n = docs.count()
+    cands = dedup.minhash_lsh_candidates(docs, "doc_id", "text").count()
+    assert cands < n * 5, "candidate set should be far below O(n^2)"
+
+
+def test_simhash_finds_exact_duplicates(spark, docs):
+    # plant exact dup: copy doc 0's text onto a new id
+    base = docs.limit(1).select(F.lit(10_000_000).alias("doc_id"), "text")
+    with_dup = docs.select("doc_id", "text").unionByName(base)
+    pairs = dedup.simhash_dedup_pairs(with_dup, "doc_id", "text",
+                                      max_hamming=3).collect()
+    ids = {(r.id1, r.id2) for r in pairs}
+    first_id = docs.limit(1).collect()[0].doc_id
+    assert (first_id, 10_000_000) in ids
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(emb):
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = similarity.cosine_topk_bruteforce(emb, queries, "vec_id",
+                                              "embedding", k=5).collect()
+    lsh = similarity.cosine_topk_lsh(emb, queries, "vec_id", "embedding",
+                                     k=5, num_planes=6).collect()
+    brute_best = {r.query_id: r.cosine_sim for r in brute if r.rank == 1}
+    lsh_best = {r.query_id: r.cosine_sim for r in lsh if r.rank == 1}
+    assert lsh_best, "LSH should return neighbors"
+    # approximate path can miss, but scores it returns can never beat exact
+    for q, s in lsh_best.items():
+        assert s <= brute_best[q] + 1e-9
+    # and recall@1 should be non-trivial on this corpus
+    hits = sum(1 for q, s in lsh_best.items()
+               if abs(s - brute_best[q]) < 1e-9)
+    assert hits >= len(lsh_best) // 3
+
+
+def test_exact_dedup_removes_planted(spark, docs):
+    dup = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    kept = dedup.exact_dedup(dup, "text", "doc_id")
+    assert kept.count() == docs.count()
+    # winners are the min ids
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 10_000_000
