@@ -3,4 +3,5 @@
 from . import dedup_similarity  # noqa: F401
 from . import pairs_sampling  # noqa: F401
 from . import pipeline_core  # noqa: F401
+from . import rewards_scoring  # noqa: F401
 from . import row_transforms  # noqa: F401

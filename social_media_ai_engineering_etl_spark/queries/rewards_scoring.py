@@ -1,0 +1,718 @@
+"""Reward-scoring queries (SURVEY §2.11 R1-R20) over derived
+(prompt, completion) pairs. The pair derivation is deterministic from
+``documents`` and mirrored byte-for-byte in the DuckDB oracle CTE, so
+every native reward is value-hash checked.
+
+Split into four queries to keep each oracle readable:
+  * q26_rewards_scalar    — R1/R2, R6, R7, R15, R16, R17, R3, R4, R5,
+                            R20 scenario id, R19 weighted aggregate
+  * q26_rewards_textual   — R9 sentence structure, R10 bullets,
+                            R11 dividers
+  * q26_rewards_sentiment — arc/pacing + R8 tone, R12 narrative,
+                            R14 semantic coherence
+  * q26_fabrication       — R18
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..functions import rewards as rw
+from ..functions.textstats import EMOJI_CLASS
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --------------------------------------------------------------------------
+# derived (prompt, completion) pairs — Spark + byte-identical SQL CTE
+# --------------------------------------------------------------------------
+
+_LEN_REQS = ("Up to 750 characters", "Between 750 and 1,500 characters",
+             "Between 1,500 and 3,000 characters", "Up to 1,200 characters")
+_EMOJI_REQS = ("none", "infrequent", "frequent")
+_PUNCT_REQS = ("Heavy use of periods and heavy use of commas",
+               "Standard punctuation")
+_LB_REQS = ("Frequent line breaks", "Fewer, more compact",
+            "No line breaks (continuous)", "Moderate line breaks")
+_VOCAB_REQS = ("Rich and varied", "Developed", "Normal",
+               "Conservative and narrow")
+_SS_REQS = ("Short sentences", "Long and complex sentences",
+            "A mix of balanced sentence lengths")
+_TONE_REQS = ("friendly, cheerful", "professional", "serious")
+_DIV_REQS = ("-", "=")
+_BULLET_REQS = ("Numbers", "• (dot)", "None specified")
+
+_ANALYSIS_TASKS = (
+    "Analyze the following social media post and identify its primary topic.",
+    "Extract the core opinion from this social media post and present it "
+    "in first person.",
+    "Analyze this social media post and identify up to three primary tones.",
+    "Classify the structural format of this social media post.",
+)
+
+
+def _pick(d, options, mod):
+    expr = F.lit(options[-1])
+    for i in range(len(options) - 2, -1, -1):
+        expr = F.when(d % mod == i, F.lit(options[i])).otherwise(expr)
+    return expr
+
+
+def _derive_reward_pairs(df):
+    d, text = F.col("doc_id"), F.col("text")
+    gen_prompt = F.concat(
+        F.lit("# Request\nCreate a LinkedIn post that follows the writing "
+              "style below on the topic of`: `"),
+        F.col("source"),
+        F.lit("`\n\n### Key Message\n```\n"),
+        F.substring(text, 1, 120),
+        F.lit("\n```\n\n## Writing Style\n**Suggested Post Length**: "),
+        _pick(d, _LEN_REQS, 4),
+        F.lit("\n**Emoji Usage**: "), _pick(d, _EMOJI_REQS, 3),
+        F.lit("\n**Punctuation**: "), _pick(d, _PUNCT_REQS, 2),
+        F.lit("\n**Line Break Usage**: "), _pick(d, _LB_REQS, 4),
+        F.lit("\n**Vocabulary Usage**: "), _pick(d, _VOCAB_REQS, 4),
+        F.lit("\n**Sentence Structure**: "), _pick(d, _SS_REQS, 3),
+        F.lit("\n**Tone**: "), _pick(d, _TONE_REQS, 3),
+        F.lit("\n**Section Divider**: `"), _pick(d, _DIV_REQS, 2),
+        F.lit("`\n**Bullet Styles**: "), _pick(d, _BULLET_REQS, 3),
+        F.lit("\n"))
+    analysis = F.concat(_pick(d, _ANALYSIS_TASKS, 19),
+                        F.lit("\n```\n"), text, F.lit("\n```"))
+    prompt = F.when(d % 19 <= 3, analysis).otherwise(gen_prompt)
+
+    def extra(mod, s):
+        return F.when(d % mod == 0, F.lit("\n" + s)).otherwise(F.lit(""))
+
+    completion = F.concat(
+        F.when(d % 17 == 0,
+               F.concat(F.lit("1. First point\n2. Second point\n"), text)
+               ).otherwise(text),
+        extra(5, "----\nNext section"),
+        extra(13, "😀 🚀 😀 💡"),
+        extra(11, "Visit https://example.com/launch today"),
+        extra(23, "Sign up for our newsletter today"),
+        extra(29, "John Smith and Mary Jones agree"),
+        extra(7, "#Launch #AI #Growth #Data #Cloud"))
+    return df.select("doc_id", prompt.alias("prompt"),
+                     completion.alias("completion"))
+
+
+def _sql_pick(options, mod):
+    whens = " ".join(f"WHEN {i} THEN '{o}'" for i, o in enumerate(options[:-1]))
+    return f"CASE doc_id % {mod} {whens} ELSE '{options[-1]}' END"
+
+
+_RP_CTE = f"""
+    SELECT doc_id,
+      CASE WHEN doc_id % 19 <= 3 THEN
+        {_sql_pick(_ANALYSIS_TASKS, 19)}
+          || chr(10) || '```' || chr(10) || text || chr(10) || '```'
+      ELSE
+        '# Request' || chr(10)
+        || 'Create a LinkedIn post that follows the writing style below '
+        || 'on the topic of`: `' || source || '`' || chr(10) || chr(10)
+        || '### Key Message' || chr(10) || '```' || chr(10)
+        || substr(text, 1, 120) || chr(10) || '```' || chr(10) || chr(10)
+        || '## Writing Style' || chr(10)
+        || '**Suggested Post Length**: ' || {_sql_pick(_LEN_REQS, 4)} || chr(10)
+        || '**Emoji Usage**: ' || {_sql_pick(_EMOJI_REQS, 3)} || chr(10)
+        || '**Punctuation**: ' || {_sql_pick(_PUNCT_REQS, 2)} || chr(10)
+        || '**Line Break Usage**: ' || {_sql_pick(_LB_REQS, 4)} || chr(10)
+        || '**Vocabulary Usage**: ' || {_sql_pick(_VOCAB_REQS, 4)} || chr(10)
+        || '**Sentence Structure**: ' || {_sql_pick(_SS_REQS, 3)} || chr(10)
+        || '**Tone**: ' || {_sql_pick(_TONE_REQS, 3)} || chr(10)
+        || '**Section Divider**: `' || {_sql_pick(_DIV_REQS, 2)} || '`' || chr(10)
+        || '**Bullet Styles**: ' || {_sql_pick(_BULLET_REQS, 3)} || chr(10)
+      END AS prompt,
+      CASE WHEN doc_id % 17 = 0
+           THEN '1. First point' || chr(10) || '2. Second point' || chr(10) || text
+           ELSE text END
+      || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || '----' || chr(10) || 'Next section' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '😀 🚀 😀 💡' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN chr(10) || 'Visit https://example.com/launch today' ELSE '' END
+      || CASE WHEN doc_id % 23 = 0
+              THEN chr(10) || 'Sign up for our newsletter today' ELSE '' END
+      || CASE WHEN doc_id % 29 = 0
+              THEN chr(10) || 'John Smith and Mary Jones agree' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN chr(10) || '#Launch #AI #Growth #Data #Cloud' ELSE '' END
+        AS completion
+    FROM documents
+"""
+
+# shared SQL fragments ------------------------------------------------------
+
+_SENTS = ("list_filter(list_transform(string_split_regex(completion,"
+          " '[.!?]+'), s -> trim(s)), s -> s <> '')")
+_TLINES = ("list_filter(list_transform(string_split(completion, chr(10)),"
+           " l -> trim(l)), l -> l <> '')")
+_POS_SQL = "[" + ", ".join(f"'{w}'" for w in rw.POSITIVE_WORDS) + "]"
+_NEG_SQL = "[" + ", ".join(f"'{w}'" for w in rw.NEGATIVE_WORDS) + "]"
+
+_AGG_WEIGHTS = {"r_length": 2.0, "r_punct": 1.0, "r_linebreaks": 1.0,
+                "r_vocab": 1.0, "r_hashtags": 1.5, "r_cjk": 1.0,
+                "r_emoji": 1.5}
+
+
+# --------------------------------------------------------------------------
+# q26_rewards_scalar
+# --------------------------------------------------------------------------
+
+_SCALAR_SQL = "WITH rp AS (" + _RP_CTE + r"""
+), base AS (
+    SELECT doc_id, prompt, completion,
+        len(completion) AS ln,
+        trim(regexp_extract(prompt,
+             '\*\*Suggested Post Length\*\*:\s*([^\n]*)', 1)) AS len_req,
+        lower(regexp_extract(prompt,
+             '\*\*Punctuation\*\*:\s*([^\n]*)', 1)) AS pf,
+        regexp_matches(prompt, '\*\*Punctuation\*\*:') AS has_punct,
+        lower(regexp_extract(prompt,
+             '\*\*Line Break Usage\*\*:\s*([^\n]*)', 1)) AS lbf,
+        lower(regexp_extract(prompt,
+             '\*\*Vocabulary Usage\*\*:\s*([^\n]*)', 1)) AS vf,
+        lower(trim(regexp_extract(prompt,
+             '\*\*Emoji Usage\*\*:\s*([^\n]*)', 1))) AS ef,
+        regexp_extract_all(lower(completion), '[a-z]+') AS words,
+        len(regexp_extract_all(completion, '""" + EMOJI_CLASS + r"""')) AS ec,
+        regexp_extract_all(completion, '""" + EMOJI_CLASS + r"""') AS emojis,
+        len(regexp_extract_all(string_split(completion, chr(10))[-1],
+            '#[A-Za-z0-9_]+')) AS n_tags,
+        len(completion) - len(replace(completion, '.', '')) AS c_per,
+        len(completion) - len(replace(completion, ',', '')) AS c_com,
+        len(completion) - len(replace(completion, '!', '')) AS c_exc,
+        len(completion) - len(replace(completion, '?', '')) AS c_que,
+        len(completion) - len(replace(completion, ';', '')) AS c_sem,
+        len(completion) - len(replace(completion, chr(10), '')) + 1 AS n_lines
+    FROM rp
+), derived AS (
+    SELECT *,
+        CASE WHEN regexp_extract(len_req,
+                  '(?i)up\s+to\s+(\d+(,\d+)?)\s+characters', 1) = '' THEN NULL
+             ELSE replace(regexp_extract(len_req,
+                  '(?i)up\s+to\s+(\d+(,\d+)?)\s+characters', 1), ',', '')::BIGINT
+        END AS mc,
+        CASE WHEN ln = 0 THEN 0.0 ELSE ec::DOUBLE / ln END AS efreq,
+        CASE WHEN ln = 0 OR n_lines <= 1 THEN 0.0
+             ELSE (n_lines - 1)::DOUBLE / ln * 100 END AS lbr,
+        CASE WHEN len(words) = 0 THEN NULL
+             ELSE len(list_distinct(words))::DOUBLE / len(words) END AS vr
+    FROM base
+), cats AS (
+    SELECT *,
+        CASE WHEN efreq <= 0.0 THEN 'none' WHEN efreq <= 0.0005 THEN 'very low'
+             WHEN efreq <= 0.001 THEN 'low' WHEN efreq <= 0.005 THEN 'medium'
+             WHEN efreq <= 0.01 THEN 'high' ELSE 'extreme' END AS e_actual,
+        CASE WHEN ef IN ('none','very low','low','medium','high','extreme')
+                  THEN ef
+             WHEN ef = 'infrequent' THEN 'low'
+             WHEN ef = 'frequent' THEN 'high'
+             ELSE 'medium' END AS e_req
+    FROM derived
+), scored AS (
+    SELECT doc_id,
+        CASE WHEN len_req = '' THEN 0.5
+          WHEN contains(lower(len_req), 'up to 750') THEN
+            CASE WHEN ln <= 750 THEN 0.7 + 0.3 * least(1.0, ln / 750.0)
+                 WHEN (ln - 750) / 750.0 <= 0.1 THEN 0.6
+                 WHEN (ln - 750) / 750.0 <= 0.25 THEN 0.3 ELSE 0.0 END
+          WHEN contains(lower(len_req), 'between 750 and 1,500') THEN
+            CASE WHEN ln < 750 THEN 0.7 * ln / 750.0
+                 WHEN ln <= 1500 THEN 0.7 + 0.3 * (ln - 750) / 750.0
+                 WHEN (ln - 1500) / 1500.0 <= 0.1 THEN 0.6
+                 WHEN (ln - 1500) / 1500.0 <= 0.25 THEN 0.3 ELSE 0.0 END
+          WHEN contains(lower(len_req), 'between 1,500 and 3,000') THEN
+            CASE WHEN ln < 1500 THEN 0.7 * ln / 1500.0
+                 WHEN ln <= 3000 THEN 0.7 + 0.3 * (ln - 1500) / 1500.0
+                 WHEN (ln - 3000) / 3000.0 <= 0.1 THEN 0.6
+                 WHEN (ln - 3000) / 3000.0 <= 0.25 THEN 0.3 ELSE 0.0 END
+          WHEN mc IS NULL THEN 0.5
+          WHEN ln <= mc THEN 1.0
+          WHEN (ln - mc)::DOUBLE / mc <= 0.1 THEN 0.7
+          WHEN (ln - mc)::DOUBLE / mc <= 0.25 THEN 0.4
+          ELSE 0.0 END AS r_length,
+        CASE WHEN NOT has_punct THEN 0.5 WHEN ln = 0 THEN 0.3 ELSE (
+            (CASE WHEN contains(pf, 'heavy use of periods') THEN
+                CASE WHEN c_per::DOUBLE/ln >= 0.03 THEN 1.0
+                     WHEN c_per::DOUBLE/ln >= 0.02 THEN 0.7
+                     WHEN c_per::DOUBLE/ln >= 0.01 THEN 0.4 ELSE 0.1 END
+              ELSE
+                CASE WHEN c_per::DOUBLE/ln >= 0.01 AND c_per::DOUBLE/ln <= 0.02 THEN 1.0
+                     WHEN c_per::DOUBLE/ln < 0.01 THEN 0.6
+                     WHEN c_per::DOUBLE/ln < 0.03 THEN 0.8 ELSE 0.4 END END)
+          + (CASE WHEN contains(pf, 'heavy use of commas') THEN
+                CASE WHEN c_com::DOUBLE/ln >= 0.03 THEN 1.0
+                     WHEN c_com::DOUBLE/ln >= 0.02 THEN 0.7
+                     WHEN c_com::DOUBLE/ln >= 0.01 THEN 0.4 ELSE 0.1 END
+              ELSE
+                CASE WHEN c_com::DOUBLE/ln >= 0.01 AND c_com::DOUBLE/ln <= 0.02 THEN 1.0
+                     WHEN c_com::DOUBLE/ln < 0.01 THEN 0.6
+                     WHEN c_com::DOUBLE/ln < 0.03 THEN 0.8 ELSE 0.4 END END)
+          + (CASE WHEN contains(pf, 'heavy use of exclamation') THEN
+                CASE WHEN c_exc::DOUBLE/ln >= 0.01 THEN 1.0
+                     WHEN c_exc::DOUBLE/ln >= 0.005 THEN 0.7
+                     WHEN c_exc::DOUBLE/ln >= 0.001 THEN 0.4 ELSE 0.1 END
+              ELSE
+                CASE WHEN c_exc::DOUBLE/ln >= 0.001 AND c_exc::DOUBLE/ln <= 0.005 THEN 1.0
+                     WHEN c_exc::DOUBLE/ln < 0.001 THEN 0.6
+                     WHEN c_exc::DOUBLE/ln < 0.01 THEN 0.8 ELSE 0.4 END END)
+          + (CASE WHEN contains(pf, 'heavy use of question') THEN
+                CASE WHEN c_que::DOUBLE/ln >= 0.01 THEN 1.0
+                     WHEN c_que::DOUBLE/ln >= 0.005 THEN 0.7
+                     WHEN c_que::DOUBLE/ln >= 0.001 THEN 0.4 ELSE 0.1 END
+              ELSE
+                CASE WHEN c_que::DOUBLE/ln >= 0.001 AND c_que::DOUBLE/ln <= 0.005 THEN 1.0
+                     WHEN c_que::DOUBLE/ln < 0.001 THEN 0.6
+                     WHEN c_que::DOUBLE/ln < 0.01 THEN 0.8 ELSE 0.4 END END)
+          + (CASE WHEN contains(pf, 'heavy use of semicolons') THEN
+                CASE WHEN c_sem::DOUBLE/ln >= 0.002 THEN 1.0
+                     WHEN c_sem::DOUBLE/ln >= 0.001 THEN 0.7
+                     WHEN c_sem::DOUBLE/ln >= 0.0005 THEN 0.4 ELSE 0.1 END
+              ELSE
+                CASE WHEN c_sem::DOUBLE/ln >= 0.0005 AND c_sem::DOUBLE/ln <= 0.001 THEN 1.0
+                     WHEN c_sem::DOUBLE/ln < 0.0005 THEN 0.6
+                     WHEN c_sem::DOUBLE/ln < 0.002 THEN 0.8 ELSE 0.4 END END)
+        ) / 5 END AS r_punct,
+        CASE
+          WHEN NOT (contains(lbf,'frequent') OR contains(lbf,'fewer')
+                    OR contains(lbf,'compact') OR contains(lbf,'no ')
+                    OR contains(lbf,'continuous') OR contains(lbf,'moderate'))
+               THEN 0.5
+          WHEN contains(lbf, 'frequent') THEN
+            CASE WHEN lbr > 2 THEN 1.0 WHEN lbr > 1.5 THEN 0.8
+                 WHEN lbr > 1 THEN 0.6 WHEN lbr > 0.5 THEN 0.4 ELSE 0.2 END
+          WHEN contains(lbf,'fewer') OR contains(lbf,'compact') THEN
+            CASE WHEN lbr > 0.2 AND lbr <= 0.8 THEN 1.0
+                 WHEN (lbr > 0 AND lbr <= 0.2) OR (lbr > 0.8 AND lbr <= 1.2) THEN 0.7
+                 WHEN lbr > 1.2 THEN 0.3 ELSE 0.5 END
+          WHEN contains(lbf,'no ') OR contains(lbf,'continuous') THEN
+            CASE WHEN lbr = 0 THEN 1.0 WHEN lbr <= 0.2 THEN 0.7
+                 WHEN lbr <= 0.5 THEN 0.4 ELSE 0.2 END
+          ELSE
+            CASE WHEN lbr > 0.8 AND lbr <= 1.5 THEN 1.0
+                 WHEN (lbr > 0.5 AND lbr <= 0.8) OR (lbr > 1.5 AND lbr <= 2) THEN 0.8
+                 WHEN (lbr > 0.2 AND lbr <= 0.5) OR (lbr > 2 AND lbr <= 2.5) THEN 0.5
+                 ELSE 0.3 END
+        END AS r_linebreaks,
+        CASE
+          WHEN NOT (contains(vf,'rich') OR contains(vf,'developed')
+                    OR contains(vf,'normal') OR contains(vf,'conservative')
+                    OR contains(vf,'narrow')) THEN 0.5
+          WHEN vr IS NULL THEN 0.2
+          WHEN contains(vf,'rich') THEN
+            CASE WHEN vr > 0.5 THEN 1.0 WHEN vr > 0.4 THEN 0.8
+                 WHEN vr > 0.3 THEN 0.5 ELSE 0.3 END
+          WHEN contains(vf,'developed') THEN
+            CASE WHEN vr > 0.35 AND vr <= 0.5 THEN 1.0
+                 WHEN (vr > 0.3 AND vr <= 0.35) OR (vr > 0.5 AND vr <= 0.6) THEN 0.8
+                 WHEN (vr > 0.25 AND vr <= 0.3) OR vr > 0.6 THEN 0.5 ELSE 0.3 END
+          WHEN contains(vf,'normal') THEN
+            CASE WHEN vr > 0.25 AND vr <= 0.35 THEN 1.0
+                 WHEN (vr > 0.2 AND vr <= 0.25) OR (vr > 0.35 AND vr <= 0.4) THEN 0.8
+                 WHEN (vr > 0.15 AND vr <= 0.2) OR (vr > 0.4 AND vr <= 0.5) THEN 0.5
+                 ELSE 0.3 END
+          ELSE
+            CASE WHEN vr <= 0.25 THEN 1.0 WHEN vr <= 0.3 THEN 0.8
+                 WHEN vr <= 0.35 THEN 0.5 ELSE 0.3 END
+        END AS r_vocab,
+        CASE WHEN n_tags <= 3 THEN 1.0
+             ELSE greatest(0.0, 1.0 - 0.2 * (n_tags - 3)) END AS r_hashtags,
+        CASE WHEN regexp_matches(completion, '[一-鿿]') THEN 0.0
+             ELSE 1.0 END AS r_cjk,
+        CASE WHEN ef = '' THEN 0.5
+             WHEN e_actual = e_req THEN 1.0
+             WHEN abs((CASE e_req WHEN 'none' THEN 0 WHEN 'very low' THEN 1
+                       WHEN 'low' THEN 2 WHEN 'medium' THEN 3 WHEN 'high' THEN 4
+                       ELSE 5 END)
+                    - (CASE e_actual WHEN 'none' THEN 0 WHEN 'very low' THEN 1
+                       WHEN 'low' THEN 2 WHEN 'medium' THEN 3 WHEN 'high' THEN 4
+                       ELSE 5 END)) = 1 THEN 0.7
+             WHEN abs((CASE e_req WHEN 'none' THEN 0 WHEN 'very low' THEN 1
+                       WHEN 'low' THEN 2 WHEN 'medium' THEN 3 WHEN 'high' THEN 4
+                       ELSE 5 END)
+                    - (CASE e_actual WHEN 'none' THEN 0 WHEN 'very low' THEN 1
+                       WHEN 'low' THEN 2 WHEN 'medium' THEN 3 WHEN 'high' THEN 4
+                       ELSE 5 END)) = 2 THEN 0.4
+             ELSE 0.0 END AS r_emoji,
+        CASE WHEN ef = '' THEN 0.5 ELSE (
+          CASE WHEN (CASE WHEN ef = 'none' THEN 'none'
+                          WHEN ef IN ('infrequent','very low','low') THEN 'infrequent'
+                          WHEN ef IN ('frequent','medium','high','extreme') THEN 'frequent'
+                          ELSE 'infrequent' END)
+                  = (CASE WHEN e_actual = 'none' THEN 'none'
+                          WHEN e_actual IN ('very low','low') THEN 'infrequent'
+                          ELSE 'frequent' END) THEN 1.0
+               WHEN ef = 'none' THEN
+                 CASE WHEN e_actual IN ('very low','low') THEN 0.5 ELSE 0.0 END
+               WHEN ef IN ('infrequent','very low','low') THEN
+                 CASE WHEN e_actual = 'none' THEN 0.5 ELSE 0.3 END
+               ELSE
+                 CASE WHEN e_actual IN ('very low','low') THEN 0.7 ELSE 0.0 END
+          END) END AS r_emoji_coarse,
+        CASE WHEN len(emojis) = 0 THEN 0.0
+             WHEN len(list_distinct(emojis))::DOUBLE / len(emojis) >= 0.9 THEN 1.0
+             WHEN len(list_distinct(emojis))::DOUBLE / len(emojis) >= 0.7 THEN 0.8
+             WHEN len(list_distinct(emojis))::DOUBLE / len(emojis) >= 0.5 THEN 0.6
+             ELSE 0.4 END AS r_emoji_variety,
+        CASE WHEN contains(lower(prompt), 'create a linkedin post that') THEN 0
+             WHEN contains(lower(prompt), 'analyze the following social media post and identify its primary topic') THEN 1
+             WHEN contains(lower(prompt), 'extract the core opinion from this social media post and present it in first person') THEN 2
+             WHEN contains(lower(prompt), 'analyze this social media post and identify up to three primary tones') THEN 3
+             WHEN contains(lower(prompt), 'classify the structural format of this social media post') THEN 4
+             ELSE 5 END AS scenario_id
+    FROM cats
+)
+SELECT doc_id,
+       round(r_length, 6) AS r_length, round(r_punct, 6) AS r_punct,
+       round(r_linebreaks, 6) AS r_linebreaks, round(r_vocab, 6) AS r_vocab,
+       round(r_hashtags, 6) AS r_hashtags, round(r_cjk, 6) AS r_cjk,
+       round(r_emoji, 6) AS r_emoji,
+       round(r_emoji_coarse, 6) AS r_emoji_coarse,
+       round(r_emoji_variety, 6) AS r_emoji_variety,
+       scenario_id,
+       round((2.0*r_length + r_punct + r_linebreaks + r_vocab
+              + 1.5*r_hashtags + r_cjk + 1.5*r_emoji) / 9.0, 6) AS r_aggregate
+FROM scored
+"""
+
+
+@register("q26_rewards_scalar", bench=True, oracle=_SCALAR_SQL)
+def q26_rewards_scalar(spark, sf_dir):
+    """R1/R2, R6, R7, R15, R16, R17, R3, R4, R5, R20 + weighted
+    aggregate R19 — one wide native projection over derived pairs."""
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    p, c = F.col("prompt"), F.col("completion")
+    raw = {
+        "r_length": rw.precise_post_length(p, c),
+        "r_punct": rw.punctuation_usage(p, c),
+        "r_linebreaks": rw.line_break_usage(p, c),
+        "r_vocab": rw.vocabulary_usage(p, c),
+        "r_hashtags": rw.hashtag_limit(c),
+        "r_cjk": rw.chinese_character_guard(c),
+        "r_emoji": rw.enhanced_emoji_usage(p, c),
+    }
+    agg = rw.aggregate_rewards(raw, _AGG_WEIGHTS)
+    return pairs.select(
+        "doc_id",
+        *[F.round(expr, 6).alias(name) for name, expr in raw.items()],
+        F.round(rw.emoji_usage_coarse(p, c), 6).alias("r_emoji_coarse"),
+        F.round(rw.emoji_variety(c), 6).alias("r_emoji_variety"),
+        rw.scenario_type(p).alias("scenario_id"),
+        F.round(agg, 6).alias("r_aggregate"))
+
+
+# --------------------------------------------------------------------------
+# q26_rewards_textual — R9 sentence structure, R10 bullets, R11 dividers
+# --------------------------------------------------------------------------
+
+_TEXTUAL_SQL = "WITH rp AS (" + _RP_CTE + r"""
+), base AS (
+    SELECT doc_id, prompt, completion,
+        """ + _SENTS + r""" AS sents,
+        """ + _TLINES + r""" AS tlines,
+        lower(regexp_extract(prompt,
+             '\*\*Sentence Structure\*\*:\s*([^\n]*)', 1)) AS ssf,
+        CASE WHEN regexp_extract(prompt,
+                  '(?i)Bullet\s+Styles?:\s*([^\n]*)', 1) = ''
+             THEN lower(trim(regexp_extract(prompt,
+                  '(?i)\*\*Bullet Styles\*\*:\s*([^\n]*)', 1)))
+             ELSE lower(trim(regexp_extract(prompt,
+                  '(?i)Bullet\s+Styles?:\s*([^\n]*)', 1))) END AS binfo,
+        regexp_extract(prompt,
+             '\*\*Section Divider\*\*:\s*`([^`]+)`', 1) AS div_req,
+        len(regexp_extract_all(completion, '""" + EMOJI_CLASS + r"""')) AS ec,
+        len(list_filter(list_transform(string_split(completion,
+            chr(10) || chr(10)), p -> trim(p)), p -> p <> '')) AS n_paras
+    FROM rp
+), stats AS (
+    SELECT *,
+        len(sents) AS ns,
+        list_transform(sents,
+            s -> len(string_split_regex(s, '\s+'))) AS slens,
+        list_filter(list_transform(tlines,
+            l -> CASE WHEN regexp_matches(l, '^\s*\d+[.)]\s+') THEN 'Numbers'
+                      WHEN regexp_matches(l, '^\s*[a-zA-Z]+[.)]\s+') THEN 'Letters'
+                      WHEN regexp_matches(l, '^\s*[^\w\s]') THEN substr(l, 1, 1)
+                 END), x -> x IS NOT NULL) AS blabels,
+        list_filter(list_transform(tlines,
+            l -> CASE WHEN len(l) >= 3
+                        AND l = repeat(substr(l, 1, 1), len(l))
+                      THEN substr(l, 1, 1)
+                      WHEN len(l) >= 5 AND substr(l, 1, 1) = substr(l, 3, 1)
+                        AND regexp_matches(l, '^[^\s]( [^\s])+$')
+                      THEN substr(l, 1, 1)
+                 END), x -> x IS NOT NULL) AS dchars
+    FROM base
+), derived AS (
+    SELECT *,
+        CASE WHEN ns = 0 THEN NULL
+             ELSE list_sum(slens)::DOUBLE / ns END AS avg_len,
+        CASE WHEN ns = 0 THEN NULL
+             ELSE list_sum(list_transform(slens, x -> x * x))::DOUBLE / ns
+                  - (list_sum(slens)::DOUBLE / ns)
+                    * (list_sum(slens)::DOUBLE / ns) END AS var_len,
+        CASE WHEN len(blabels) = 0 THEN NULL
+             WHEN len(list_distinct(blabels)) > 1 THEN 'Mixed Bullet Styles'
+             ELSE list_distinct(blabels)[1] END AS detected
+    FROM stats
+)
+SELECT doc_id,
+    round(CASE
+      WHEN NOT (contains(ssf,'short') AND contains(ssf,'sentences'))
+       AND NOT (contains(ssf,'long') AND contains(ssf,'complex'))
+       AND NOT (contains(ssf,'mix') OR contains(ssf,'balanced')) THEN
+        CASE WHEN n_paras >= 2 AND ns >= 2 THEN 0.9
+             WHEN ns >= 2 THEN 0.7 ELSE 0.5 END
+      WHEN ns < 2 THEN 0.3
+      WHEN contains(ssf,'short') AND contains(ssf,'sentences') THEN
+        CASE WHEN avg_len < 10 THEN 1.0 WHEN avg_len < 15 THEN 0.7
+             WHEN avg_len < 20 THEN 0.4 ELSE 0.2 END
+      WHEN contains(ssf,'long') AND contains(ssf,'complex') THEN
+        CASE WHEN avg_len > 20 THEN 1.0 WHEN avg_len > 15 THEN 0.7
+             WHEN avg_len > 10 THEN 0.4 ELSE 0.2 END
+      ELSE
+        CASE WHEN avg_len >= 10 AND avg_len <= 20 AND var_len > 20 THEN 1.0
+             WHEN avg_len >= 10 AND avg_len <= 20 THEN 0.7
+             WHEN var_len > 20 THEN 0.6 ELSE 0.4 END
+    END, 6) AS r_structure,
+    round(CASE
+      WHEN NOT (contains(binfo,'•') OR contains(binfo,'dot')
+                OR contains(binfo,'emoji') OR contains(binfo,'numbers')
+                OR contains(binfo,'letters')) THEN
+        CASE WHEN detected IS NOT NULL THEN 1.0 ELSE 0.0 END
+      WHEN detected IS NULL THEN 0.0
+      ELSE greatest(
+        CASE WHEN (contains(binfo,'•') OR contains(binfo,'dot'))
+               AND (detected = '•' OR contains(completion,'•')) THEN 1.0 ELSE 0.0 END,
+        CASE WHEN contains(binfo,'differing emojis') THEN 0.8 ELSE 0.0 END,
+        CASE WHEN contains(binfo,'emoji') AND ec > 0 THEN 0.7 ELSE 0.0 END,
+        CASE WHEN contains(binfo,'numbers')
+               AND contains(lower(coalesce(detected,'')),'numbers') THEN 0.9 ELSE 0.0 END,
+        CASE WHEN contains(binfo,'letters')
+               AND contains(lower(coalesce(detected,'')),'letters') THEN 0.9 ELSE 0.0 END)
+    END, 6) AS r_bullets,
+    round(CASE WHEN div_req = '' THEN 0.5
+               WHEN len(dchars) = 0 THEN 0.0
+               WHEN list_contains(dchars, div_req) THEN 1.0
+               ELSE 0.3 END, 6) AS r_dividers
+FROM derived
+"""
+
+
+@register("q26_rewards_textual", oracle=_TEXTUAL_SQL)
+def q26_rewards_textual(spark, sf_dir):
+    """R9 sentence-structure, R10 bullet-style, R11 divider rewards."""
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    p, c = F.col("prompt"), F.col("completion")
+    return pairs.select(
+        "doc_id",
+        F.round(rw.sentence_structure(p, c), 6).alias("r_structure"),
+        F.round(rw.bullet_style(p, c), 6).alias("r_bullets"),
+        F.round(rw.divider_style(p, c), 6).alias("r_dividers"))
+
+
+# --------------------------------------------------------------------------
+# q26_rewards_sentiment — arc/pacing + R8 tone, R12 narrative, R14 semantic
+# --------------------------------------------------------------------------
+
+_SENTIMENT_SQL = "WITH rp AS (" + _RP_CTE + r"""
+), base AS (
+    SELECT doc_id, prompt, completion,
+        """ + _SENTS + r""" AS sents,
+        CASE WHEN regexp_extract(prompt,
+                  '(?i)\*\*Tone\*\*: \s*([^\n]+)', 1) = ''
+             THEN regexp_extract(prompt, '(?i)-\s*Tone:\s*([^\n]+)', 1)
+             ELSE regexp_extract(prompt,
+                  '(?i)\*\*Tone\*\*: \s*([^\n]+)', 1) END AS tone_raw
+    FROM rp
+), stats AS (
+    SELECT *, len(sents) AS ns,
+        greatest(1, len(sents) // 10) AS step,
+        list_transform(sents,
+            s -> len(string_split_regex(s, '\s+'))) AS slens
+    FROM base
+), sampled AS (
+    SELECT *,
+        CASE WHEN ns > 10
+             THEN list_filter(sents, (x, i) -> (i - 1) % step = 0)
+             ELSE sents END AS ssents
+    FROM stats
+), scored AS (
+    SELECT *,
+        list_transform(ssents, s ->
+            least(1.0, greatest(-1.0,
+                5.0 * (len(list_filter(string_split_regex(lower(s), '\s+'),
+                           t -> list_contains(""" + _POS_SQL + r""", t)))
+                     - len(list_filter(string_split_regex(lower(s), '\s+'),
+                           t -> list_contains(""" + _NEG_SQL + r""", t))))::DOUBLE
+                / greatest(len(string_split_regex(lower(s), '\s+')), 1)))
+        ) AS scores
+    FROM sampled
+), arcs AS (
+    SELECT *, len(scores) AS nsc,
+        CASE WHEN len(scores) < 3 THEN 'Neutral'
+             WHEN scores[1] < scores[len(scores)//2 + 1]
+              AND scores[len(scores)//2 + 1] < scores[len(scores)]
+              AND scores[len(scores)] > 0.2 THEN 'Rising'
+             WHEN scores[1] > scores[len(scores)//2 + 1]
+              AND scores[len(scores)//2 + 1] > scores[len(scores)]
+              AND scores[len(scores)] < -0.2 THEN 'Falling'
+             WHEN abs(scores[len(scores)] - scores[1]) < 0.1
+              AND abs(scores[len(scores)//2 + 1]) < 0.1 THEN 'Flat'
+             ELSE 'Variable' END AS arc,
+        CASE WHEN ns < 3 THEN 'Short/Not Enough Data'
+             WHEN sqrt(list_sum(list_transform(slens, x -> x*x))::DOUBLE / ns
+                       - (list_sum(slens)::DOUBLE/ns)*(list_sum(slens)::DOUBLE/ns))
+                  > 7 THEN 'Variable'
+             WHEN list_sum(slens)::DOUBLE / ns < 10 THEN 'Fast'
+             WHEN list_sum(slens)::DOUBLE / ns > 20 THEN 'Slow'
+             ELSE 'Moderate' END AS pacing
+    FROM scored
+), toned AS (
+    SELECT *,
+        list_filter(list_transform(string_split(tone_raw, ','),
+                    t -> lower(trim(t))), t -> t <> '') AS tones
+    FROM arcs
+)
+SELECT doc_id, arc, pacing,
+    round(CASE WHEN len(tones) = 0 THEN 0.5 ELSE
+        list_sum(list_transform(tones, t ->
+            CASE WHEN (CASE WHEN list_contains(['friendly','cheerful','charming'], t)
+                            THEN 'positive'
+                            WHEN list_contains(['serious','rebellious','sarcastic'], t)
+                            THEN 'negative' ELSE 'neutral' END) = 'positive'
+                 THEN CASE WHEN arc = 'Rising' THEN 1.0 ELSE 0.6 END
+                 WHEN (CASE WHEN list_contains(['friendly','cheerful','charming'], t)
+                            THEN 'positive'
+                            WHEN list_contains(['serious','rebellious','sarcastic'], t)
+                            THEN 'negative' ELSE 'neutral' END) = 'negative'
+                 THEN CASE WHEN arc = 'Falling' THEN 1.0 ELSE 0.6 END
+                 ELSE CASE WHEN arc IN ('Flat','Neutral') THEN 1.0 ELSE 0.6 END
+            END)) / len(tones) END, 6) AS r_tone,
+    round((CASE WHEN pacing <> 'Short/Not Enough Data' THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN arc <> 'Neutral' THEN 0.3 ELSE 0.0 END)
+          + 0.3, 6) AS r_narrative,
+    round(CASE WHEN ns < 3 THEN CASE WHEN ns >= 1 THEN 0.6 ELSE 0.5 END
+          ELSE least(1.0, greatest(0.0, 0.5
+               + (CASE WHEN pacing <> 'Short/Not Enough Data' THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN arc <> 'Neutral' THEN 0.25 ELSE 0.0 END)))
+          END, 6) AS r_semantic
+FROM toned
+"""
+
+
+@register("q26_rewards_sentiment", oracle=_SENTIMENT_SQL)
+def q26_rewards_sentiment(spark, sf_dir):
+    """Sentiment arc + pacing labels and the rewards built on them:
+    R8 tone alignment, R12 narrative structure, R14 semantic
+    coherence."""
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    p, c = F.col("prompt"), F.col("completion")
+    return pairs.select(
+        "doc_id",
+        rw.sentiment_arc(rw.sentiment_scores(c)).alias("arc"),
+        rw.pacing(c).alias("pacing"),
+        F.round(rw.tone_alignment(p, c), 6).alias("r_tone"),
+        F.round(rw.narrative_structure(c), 6).alias("r_narrative"),
+        F.round(rw.semantic_coherence(c), 6).alias("r_semantic"))
+
+
+# --------------------------------------------------------------------------
+# q26_fabrication — R18
+# --------------------------------------------------------------------------
+
+_URL_SQL = (r"http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*(),]"
+            r"|(?:%[0-9a-fA-F][0-9a-fA-F]))+")
+
+_CAP_PAIRS = """list_filter(list_transform(
+        range(1, greatest(len({w}), 1)),
+        i -> CASE WHEN regexp_matches({w}[i], '^[A-Z].')
+                   AND regexp_matches({w}[i+1], '^[A-Z].')
+                  THEN {w}[i] || ' ' || {w}[i+1] END),
+        x -> x IS NOT NULL)"""
+
+_FAB_SQL = "WITH rp AS (" + _RP_CTE + r"""
+), base AS (
+    SELECT doc_id, prompt, completion,
+        regexp_extract(prompt, '(?i)on the topic of`?:?\s*`?([^`\n]+)', 1)
+            AS topic,
+        regexp_extract(prompt,
+            '(?is)### Key Message\s*```\s*(.*?)\s*```', 1) AS key_msg,
+        regexp_extract_all(completion, '""" + _URL_SQL + r"""') AS urls_c,
+        regexp_extract_all(prompt, '""" + _URL_SQL + r"""') AS urls_p,
+        string_split_regex(trim(completion), '\s+') AS cw,
+        string_split_regex(trim(regexp_extract(prompt,
+            '(?i)on the topic of`?:?\s*`?([^`\n]+)', 1)), '\s+') AS tw,
+        string_split_regex(trim(regexp_extract(prompt,
+            '(?is)### Key Message\s*```\s*(.*?)\s*```', 1)), '\s+') AS kw
+    FROM rp
+), pairs AS (
+    SELECT *,
+        """ + _CAP_PAIRS.format(w="cw") + r""" AS cpairs,
+        list_transform(""" + _CAP_PAIRS.format(w="tw") + r"""
+            || """ + _CAP_PAIRS.format(w="kw") + r""",
+            x -> lower(x)) AS known
+    FROM base
+), pens AS (
+    SELECT doc_id,
+        CASE WHEN len(urls_c) = 0 THEN 0.0
+             WHEN len(urls_p) = 0 THEN 0.7
+             WHEN len(list_intersect(urls_c, urls_p)) = 0 THEN 0.5
+             ELSE 0.0 END AS url_pen,
+        least(0.5, 0.1 * len(list_filter(cpairs,
+              nm -> NOT list_contains(known, lower(nm))))) AS name_pen,
+        CASE WHEN (regexp_matches(completion, '(?i)(sign\s*up|subscribe|join).{0,30}(newsletter)')
+                   AND NOT regexp_matches(topic, '(?i)(sign\s*up|subscribe|join).{0,30}(newsletter)')
+                   AND NOT regexp_matches(key_msg, '(?i)(sign\s*up|subscribe|join).{0,30}(newsletter)'))
+               OR (regexp_matches(completion, '(?i)(register|join).{0,30}(webinar|event)')
+                   AND NOT regexp_matches(topic, '(?i)(register|join).{0,30}(webinar|event)')
+                   AND NOT regexp_matches(key_msg, '(?i)(register|join).{0,30}(webinar|event)'))
+               OR (regexp_matches(completion, '(?i)link in (bio|profile|comments)')
+                   AND NOT regexp_matches(topic, '(?i)link in (bio|profile|comments)')
+                   AND NOT regexp_matches(key_msg, '(?i)link in (bio|profile|comments)'))
+             THEN 0.3 ELSE 0.0 END AS news_pen,
+        CASE WHEN (regexp_matches(completion, '(?i)link in (bio|comments|description)')
+                   AND NOT regexp_matches(topic, '(?i)link in (bio|comments|description)')
+                   AND NOT regexp_matches(key_msg, '(?i)link in (bio|comments|description)'))
+               OR (regexp_matches(completion, '(?i)dm me for')
+                   AND NOT regexp_matches(topic, '(?i)dm me for')
+                   AND NOT regexp_matches(key_msg, '(?i)dm me for'))
+               OR (regexp_matches(completion, '(?i)email me at')
+                   AND NOT regexp_matches(topic, '(?i)email me at')
+                   AND NOT regexp_matches(key_msg, '(?i)email me at'))
+               OR (regexp_matches(completion, '(?i)call (me|us) at')
+                   AND NOT regexp_matches(topic, '(?i)call (me|us) at')
+                   AND NOT regexp_matches(key_msg, '(?i)call (me|us) at'))
+               OR (regexp_matches(completion, '(?i)limited time offer')
+                   AND NOT regexp_matches(topic, '(?i)limited time offer')
+                   AND NOT regexp_matches(key_msg, '(?i)limited time offer'))
+               OR (regexp_matches(completion, '(?i)exclusive (deal|offer)')
+                   AND NOT regexp_matches(topic, '(?i)exclusive (deal|offer)')
+                   AND NOT regexp_matches(key_msg, '(?i)exclusive (deal|offer)'))
+             THEN 0.4 ELSE 0.0 END AS act_pen
+    FROM pairs
+)
+SELECT doc_id,
+       round(greatest(0.0, 1.0 - (url_pen + name_pen + news_pen + act_pen)),
+             6) AS r_fabrication
+FROM pens
+"""
+
+
+@register("q26_fabrication", oracle=_FAB_SQL)
+def q26_fabrication(spark, sf_dir):
+    """R18 fabrication-detection reward (URL / new-name / promo-phrase
+    penalties)."""
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    return pairs.select(
+        "doc_id",
+        F.round(rw.fabrication_guard(F.col("prompt"), F.col("completion")),
+                6).alias("r_fabrication"))
