@@ -3,5 +3,6 @@
 from . import dedup_similarity  # noqa: F401
 from . import pairs_sampling  # noqa: F401
 from . import pipeline_core  # noqa: F401
+from . import streaming_analytics  # noqa: F401
 from . import rewards_scoring  # noqa: F401
 from . import row_transforms  # noqa: F401

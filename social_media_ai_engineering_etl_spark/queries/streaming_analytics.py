@@ -1,0 +1,110 @@
+"""Event-time window queries over ``events`` (SURVEY §2.12 —
+green-field streaming surface). Registered in BATCH mode so the
+driver's DuckDB oracle can value-check the window semantics; the SAME
+transformation functions run as watermarked Structured Streaming plans
+(equivalence + late-data-drop tests in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming import (sessionized_activity, sliding_event_rates,
+                         tumbling_engagement)
+from ..streaming.windows import load_events
+
+
+def _events(spark, sf_dir):
+    return load_events(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("qs_tumbling_engagement", bench=True, oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR AS window_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def qs_tumbling_engagement(spark, sf_dir):
+    """Tumbling 1-hour engagement rollup per event type."""
+    return (tumbling_engagement(_events(spark, sf_dir), "1 hour")
+            .orderBy("window_start", "event_type"))
+
+
+@register("qs_sliding_rates", oracle="""
+SELECT (time_bucket(INTERVAL '1 hour', ts) - to_hours(k))::VARCHAR
+           AS window_start,
+       event_type, count(*) AS n_events
+FROM events, unnest([0, 1]) AS t(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def qs_sliding_rates(spark, sf_dir):
+    """Sliding 2-hour/1-hour event counts (each event in 2 windows)."""
+    return (sliding_event_rates(_events(spark, sf_dir), "2 hours", "1 hour")
+            .orderBy("window_start", "event_type"))
+
+
+@register("qs_session_windows", oracle="""
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id, min(ts)::VARCHAR AS session_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""")
+def qs_session_windows(spark, sf_dir):
+    """30-minute-gap session windows per user (session_window); the
+    oracle mirrors the gap semantics with lag + cumulative sum."""
+    return (sessionized_activity(_events(spark, sf_dir), "30 minutes")
+            .orderBy("user_id", "session_start"))
+
+
+@register("qs_event_tiering", oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type IN ('click', 'view') THEN value
+                    ELSE 0 END) AS engagement
+    FROM events GROUP BY user_id
+), cuts AS (
+    SELECT quantile_cont(engagement, 0.80) AS top_cut,
+           quantile_cont(engagement, 0.40) AS bot_cut
+    FROM per_user
+)
+SELECT CASE WHEN engagement >= top_cut THEN 'Tier A (Top 20%)'
+            WHEN engagement < bot_cut THEN 'Tier C (Bottom 40%)'
+            ELSE 'Tier B (Middle 40%)' END AS tier,
+       count(*) AS n_users
+FROM per_user, cuts GROUP BY 1 ORDER BY 1
+""")
+def qs_event_tiering(spark, sf_dir):
+    """Stage-01 tiering semantics (P2/A1) applied to streamed events:
+    per-user engagement -> exact quantile cutoffs (broadcast 1-row
+    agg, J2) -> tier CASE -> counts."""
+    per_user = (_events(spark, sf_dir)
+                .groupBy("user_id")
+                .agg(F.sum(F.when(F.col("event_type").isin("click", "view"),
+                                  F.col("value")).otherwise(0.0))
+                     .alias("engagement")))
+    cuts = per_user.agg(
+        F.expr("percentile(engagement, 0.80)").alias("top_cut"),
+        F.expr("percentile(engagement, 0.40)").alias("bot_cut"))
+    tiered = per_user.crossJoin(F.broadcast(cuts))
+    return (tiered.select(
+        F.when(F.col("engagement") >= F.col("top_cut"), "Tier A (Top 20%)")
+         .when(F.col("engagement") < F.col("bot_cut"), "Tier C (Bottom 40%)")
+         .otherwise("Tier B (Middle 40%)").alias("tier"))
+        .groupBy("tier").agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("tier"))

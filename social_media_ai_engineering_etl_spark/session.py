@@ -40,6 +40,10 @@ def get_spark(app_name: str = "social-media-ai-engineering-etl-spark",
         .config("spark.default.parallelism", str(max(n, 32)))
         # --- oracle parity -------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot
+        # map to its micros TimestampType; read as long and let
+        # loaders truncate to micros (same as DuckDB's coercion).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python/arrow boundary -----------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,118 @@
+"""Event-time window transformations that run identically as batch
+queries (DuckDB-oracle-checked) and as Structured Streaming plans
+(watermark + append mode, tested with availableNow in
+tests/test_streaming.py).
+
+Design: each transformation is a pure ``DataFrame -> DataFrame``
+function over the events schema ``(event_id, ts, user_id, event_type,
+value, props)``. Batch callers pass ``spark.read.parquet``; streaming
+callers pass ``stream_events(...)`` and get the same logical plan with
+a watermark inserted, so late data is bounded-state at 100 TB/day
+ingest rates: state per key is one window aggregate, evicted when the
+watermark passes the window end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+# the driver's events.parquet stores TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong it surfaces as bigint nanos.
+EVENTS_SCHEMA_NANOS = ("event_id bigint, ts bigint, user_id bigint, "
+                       "event_type string, value double, props string")
+
+
+def _nanos_to_ts(df: DataFrame) -> DataFrame:
+    """bigint nanos -> micros TimestampType (floor division — the same
+    truncation DuckDB applies when coercing NANOS to its micros
+    TIMESTAMP)."""
+    # integer `div`, not `/`: nanos exceed double precision (2^53) and
+    # float division rounds the microsecond
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of an events parquet, normalizing nanos timestamps."""
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = _nanos_to_ts(df)
+    return df
+
+
+def stream_events(spark: SparkSession, path_or_dir: str,
+                  max_files_per_trigger: int | None = None,
+                  nanos: bool = False) -> DataFrame:
+    """readStream over an events parquet directory. Explicit schema
+    (required by streaming file sources — no inference pass); pass
+    ``nanos=True`` for sources written with TIMESTAMP(NANOS)."""
+    reader = spark.readStream.schema(
+        EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path_or_dir)
+    return _nanos_to_ts(df) if nanos else df
+
+
+def tumbling_engagement(events: DataFrame, window: str = "1 hour",
+                        watermark: str | None = None) -> DataFrame:
+    """Tumbling-window engagement rollup per event type: count +
+    value sum/avg. With ``watermark`` set (streaming), late rows
+    beyond the delay are dropped and window state is evicted — the
+    bounded-state scale path."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .select(F.col("w.start").cast("string").alias("window_start"),
+                    "event_type", "n_events", "sum_value", "avg_value"))
+
+
+def sliding_event_rates(events: DataFrame, window: str = "2 hours",
+                        slide: str = "1 hour",
+                        watermark: str | None = None) -> DataFrame:
+    """Sliding-window event counts (overlapping windows — each event
+    lands in window/slide buckets)."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").cast("string").alias("window_start"),
+                    "event_type", "n_events"))
+
+
+def sessionized_activity(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str | None = None) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within ``gap``. Output: per-session event count,
+    value sum, and duration (first->last event, seconds)."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"))
+            .select("user_id",
+                    F.col("first_ts").cast("string").alias("session_start"),
+                    "n_events", "sum_value",
+                    (F.unix_micros("last_ts") - F.unix_micros("first_ts"))
+                    .alias("duration_us")))
+
+
+def run_stream_to_memory(stream_df: DataFrame, table_name: str,
+                         output_mode: str = "append") -> None:
+    """Drive a streaming DataFrame to a memory sink with the
+    availableNow trigger and block until all available data is
+    processed (test/bench harness path)."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(table_name).outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -1,0 +1,118 @@
+"""Structured Streaming tests: batch/stream equivalence under
+availableNow, and watermark late-data dropping across checkpointed
+restarts."""
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.streaming import (
+    stream_events, tumbling_engagement)
+from social_media_ai_engineering_etl_spark.streaming.windows import (
+    run_stream_to_memory)
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        load_events)
+    return load_events(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def test_stream_matches_batch_for_closed_windows(spark, sf_dir, events_batch,
+                                                 tmp_path):
+    """availableNow + append emits exactly the windows whose end is
+    <= final watermark (max event time - delay); those must equal the
+    batch result for the same windows."""
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = tumbling_engagement(
+        stream_events(spark, src, nanos=True),
+        "1 hour", watermark="10 minutes")
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(stream, name)
+    got = {tuple(r) for r in spark.table(name).collect()}
+
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    batch = tumbling_engagement(events_batch, "1 hour")
+    closed = batch.filter(
+        F.col("window_start").cast("timestamp") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES"))
+    want = {tuple(r) for r in closed.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Phase 1 establishes a watermark past hour-0; phase 2 delivers a
+    late hour-0 row (dropped) and a fresh row (new window emitted)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_phase(rows, fname):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tmp = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = tumbling_engagement(
+            stream_events(spark, src), "1 hour", watermark="10 minutes")
+        q = (stream.writeStream.format("parquet").option("path", out)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    write_phase([(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+                 (2, "2024-01-01 00:20:00", 1, "click", 1.0, "{}"),
+                 (3, "2024-01-01 03:00:00", 2, "view", 1.0, "{}")],
+                "a.parquet")
+    r1 = {(r.window_start, r.event_type): r.n_events for r in run()}
+    # watermark after phase 1 = 03:00 - 10min -> hour-0 window closed
+    assert r1[("2024-01-01 00:00:00", "click")] == 2
+
+    write_phase([(4, "2024-01-01 00:30:00", 1, "click", 99.0, "{}"),   # LATE
+                 (5, "2024-01-01 03:10:00", 2, "view", 1.0, "{}"),
+                 (6, "2024-01-01 06:00:00", 3, "click", 1.0, "{}")],
+                "b.parquet")
+    rows2 = run()
+    r2 = {(r.window_start, r.event_type): r.n_events for r in rows2}
+    # file sink accumulates; the closed hour-0 window must keep its
+    # phase-1 count — the late 99.0 click was dropped, not merged
+    assert r2[("2024-01-01 00:00:00", "click")] == 2
+    assert len([r for r in rows2
+                if (r.window_start, r.event_type)
+                == ("2024-01-01 00:00:00", "click")]) == 1
+    # the fresh 03:xx window closes once watermark passes 04:00
+    assert r2[("2024-01-01 03:00:00", "view")] == 2
+
+
+def test_session_window_gap_semantics(spark):
+    from social_media_ai_engineering_etl_spark.streaming import (
+        sessionized_activity)
+    rows = [(1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:29:59", 7, "click", 1.0, "{}"),
+            (3, "2024-01-01 01:10:00", 7, "click", 1.0, "{}"),   # new session
+            (4, "2024-01-01 00:05:00", 8, "view", 2.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.user_id, r.session_start): r.n_events
+           for r in sessionized_activity(df, "30 minutes").collect()}
+    assert out == {(7, "2024-01-01 00:00:00"): 2,
+                   (7, "2024-01-01 01:10:00"): 1,
+                   (8, "2024-01-01 00:05:00"): 1}
