@@ -1,0 +1,127 @@
+"""MLlib model operators (SURVEY §2.10 M2, M4-M6, M11-M13): one-hot
+encoding, random-forest importance, permutation importance, KMeans
+sweep with silhouette, PCA projection.
+
+Implementation notes vs the reference (sklearn):
+  * RandomForestRegressor/KMeans/PCA are MLlib — same hyperparameters
+    (n=100/depth=10/seed=42; k sweep seed 42), different internals, so
+    checks are metric-level (rows-only for the driver), matching
+    SURVEY §2.10 'no oracle' markers.
+  * permutation importance (M6, 20:361-382) has no MLlib built-in:
+    implemented by re-keying ONE feature with rand(seed) per repeat
+    (a distributed shuffle of that column) and re-scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.evaluation import ClusteringEvaluator, RegressionEvaluator
+from pyspark.ml.feature import PCA, VectorAssembler
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.regression import RandomForestRegressor
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def one_hot_counts(df: DataFrame, col: str,
+                   null_label: str = "unknown") -> DataFrame:
+    """M2 (20:243-291) as its oracle-checkable projection: category ->
+    count with NULL -> 'unknown' (reference NaN handling). The dense
+    vector form for models comes from ``assemble_features``."""
+    return (df.select(F.coalesce(F.col(col), F.lit(null_label)).alias(col))
+            .groupBy(col).agg(F.count(F.lit(1)).alias("n")))
+
+
+def assemble_features(df: DataFrame, numeric_cols: list[str],
+                      out: str = "features") -> DataFrame:
+    """Numeric columns -> MLlib vector (NULL -> 0.0)."""
+    filled = df.withColumns({
+        c: F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+        for c in numeric_cols})
+    return VectorAssembler(inputCols=numeric_cols, outputCol=out
+                           ).transform(filled)
+
+
+def rf_importance(df: DataFrame, numeric_cols: list[str], target: str,
+                  n_trees: int = 100, max_depth: int = 10,
+                  seed: int = 42):
+    """M4/M5 (20:314-359): 80/20 split, RF fit, (mse, r2, per-feature
+    importances) — returns (metrics_dict, importance_rows)."""
+    data = assemble_features(df, numeric_cols)
+    train, test = data.randomSplit([0.8, 0.2], seed=seed)
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol=target,
+        numTrees=n_trees, maxDepth=max_depth, seed=seed).fit(train)
+    pred = model.transform(test)
+    mse = RegressionEvaluator(labelCol=target, metricName="mse").evaluate(pred)
+    r2 = RegressionEvaluator(labelCol=target, metricName="r2").evaluate(pred)
+    imps = list(model.featureImportances.toArray())
+    rows = [(c, float(i)) for c, i in zip(numeric_cols, imps)]
+    return {"mse": mse, "r2": r2}, rows, model
+
+
+def permutation_importance(df: DataFrame, numeric_cols: list[str],
+                           target: str, model, n_repeats: int = 3,
+                           seed: int = 42) -> list[tuple[str, float]]:
+    """M6 (20:361-382): baseline r2 minus r2 with one column shuffled.
+    The shuffle is distributed: re-key the column by rand(seed+r) via
+    a window, never collecting to the driver."""
+    data = assemble_features(df, numeric_cols)
+    evaluator = RegressionEvaluator(labelCol=target, metricName="r2")
+    base = evaluator.evaluate(model.transform(data))
+    out = []
+    for c in numeric_cols:
+        deltas = []
+        for r in range(n_repeats):
+            w = Window.orderBy(F.rand(seed + r))
+            shuffled_vals = (df.select(F.col(c).alias("__v"))
+                             .withColumn("__rn", F.row_number().over(
+                                 Window.orderBy(F.rand(seed + r + 1000)))))
+            keyed = df.withColumn("__rn", F.row_number().over(w)).drop(c)
+            shuf = (keyed.join(shuffled_vals, "__rn")
+                    .withColumnRenamed("__v", c).drop("__rn"))
+            scored = model.transform(assemble_features(shuf, numeric_cols))
+            deltas.append(base - evaluator.evaluate(scored))
+        out.append((c, float(sum(deltas) / len(deltas))))
+    return out
+
+
+def kmeans_sweep(df: DataFrame, vec_col: str, k_range=range(2, 9),
+                 seed: int = 42) -> DataFrame:
+    """M11 (21:315-380): silhouette + inertia per k. Returns a small
+    driver-built DataFrame (k, silhouette, inertia)."""
+    spark = df.sparkSession
+    data = df.withColumn("features",
+                         array_to_vector(F.col(vec_col).cast("array<double>")))
+    data = data.cache()
+    rows = []
+    try:
+        for k in k_range:
+            model = KMeans(k=k, seed=seed, featuresCol="features").fit(data)
+            pred = model.transform(data)
+            sil = ClusteringEvaluator(featuresCol="features").evaluate(pred)
+            rows.append((k, float(sil), float(model.summary.trainingCost)))
+    finally:
+        data.unpersist()
+    return spark.createDataFrame(rows, "k int, silhouette double, inertia double")
+
+
+def kmeans_assign(df: DataFrame, vec_col: str, k: int,
+                  seed: int = 42) -> DataFrame:
+    """M12: final fit_predict — adds a ``cluster`` column."""
+    data = df.withColumn("features",
+                         array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(data)
+    return (model.transform(data)
+            .withColumnRenamed("prediction", "cluster").drop("features"))
+
+
+def pca_project(df: DataFrame, vec_col: str, n_components: int = 2,
+                out: str = "pca") -> DataFrame:
+    """M13 (21:275-313): PCA to n components, back to array<double>."""
+    data = df.withColumn("__vec",
+                         array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = PCA(k=n_components, inputCol="__vec", outputCol="__pca").fit(data)
+    return (model.transform(data)
+            .withColumn(out, vector_to_array(F.col("__pca")))
+            .drop("__vec", "__pca"))

@@ -1,0 +1,320 @@
+"""Stage-20/21 analytics queries (SURVEY §2.10). Native pieces carry
+DuckDB oracles; MLlib model operators (RF/KMeans/PCA) register
+rows-only, matching the survey's 'no oracle' markers — their
+correctness is asserted at the metric level in tests/test_analytics.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import analytics, mllib_pipeline
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# M1 feature table
+# --------------------------------------------------------------------------
+
+@register("q20_feature_table", oracle=r"""
+SELECT doc_id,
+       len(text) AS text_length,
+       len(string_split_regex(trim(text), '\s+')) AS word_count,
+       round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                     t -> len(t)))::DOUBLE
+             / len(string_split_regex(trim(text), '\s+')), 6)
+           AS avg_word_length,
+       len(text) - len(replace(text, '.', '')) AS punct_period,
+       len(text) - len(replace(text, ',', '')) AS punct_comma,
+       len(text) - len(replace(text, '!', '')) AS punct_exclaim,
+       len(text) - len(replace(text, '?', '')) AS punct_question,
+       len(text) - len(replace(text, chr(10), '')) + 1 AS line_count,
+       len(list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+                                      p -> trim(p)), p -> p <> ''))
+           AS paragraph_count
+FROM documents
+""")
+def q20_feature_table(spark, sf_dir):
+    """M1: numeric text-feature table as one wide native projection."""
+    return analytics.text_feature_table(_docs(spark, sf_dir), "text").select(
+        "doc_id", "text_length", "word_count", "avg_word_length",
+        "punct_period", "punct_comma", "punct_exclaim", "punct_question",
+        "line_count", "paragraph_count")
+
+
+# --------------------------------------------------------------------------
+# A15 deterministic synthetic engagement + M3 scaling + A14 min-max
+# --------------------------------------------------------------------------
+
+_SYNTH_CTE = """
+    SELECT doc_id, text, lang, source,
+           (CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.8
+                      WHEN 'fr' THEN 0.7 ELSE 0.5 END
+            + CASE source WHEN 'reddit' THEN 0.9 WHEN 'twitter' THEN 0.7
+                          ELSE 0.6 END)
+           * exp(-((len(text) - 1000.0) * (len(text) - 1000.0))
+                 / (2 * 500.0 * 500.0)) AS engagement
+    FROM documents
+"""
+
+
+@register("q20_engagement_synth", oracle="WITH synth AS (" + _SYNTH_CTE + """
+)
+SELECT doc_id, round(engagement, 6) AS engagement FROM synth
+""")
+def q20_engagement_synth(spark, sf_dir):
+    """A15 (20:85-155) deterministic core: category lookup scores
+    (create_map) x a 1000-char length sweet spot. The reference adds
+    seed-42 gaussian noise; exact noise parity is impossible across
+    engines, so the engine keeps the deterministic part (documented
+    deviation, SURVEY A15 'partial')."""
+    return _synth_engagement(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("engagement", 6).alias("engagement"))
+
+
+def _synth_engagement(df):
+    lang_score = (F.when(F.col("lang") == "en", 1.0)
+                   .when(F.col("lang") == "de", 0.8)
+                   .when(F.col("lang") == "fr", 0.7).otherwise(F.lit(0.5)))
+    src_score = (F.when(F.col("source") == "reddit", 0.9)
+                  .when(F.col("source") == "twitter", 0.7)
+                  .otherwise(F.lit(0.6)))
+    n = F.length("text")
+    sweet = F.exp(-((n - 1000.0) * (n - 1000.0)) / (2 * 500.0 * 500.0))
+    return df.withColumn("engagement", (lang_score + src_score) * sweet)
+
+
+@register("q20_scaling", oracle=r"""
+SELECT doc_id,
+       round(CASE WHEN stddev_pop(len(text)) OVER () > 0
+                  THEN (len(text) - avg(len(text)) OVER ())
+                       / stddev_pop(len(text)) OVER ()
+                  ELSE 0.0 END, 6) AS text_length_scaled,
+       round(CASE WHEN stddev_pop(len(string_split_regex(trim(text), '\s+'))) OVER () > 0
+                  THEN (len(string_split_regex(trim(text), '\s+'))
+                        - avg(len(string_split_regex(trim(text), '\s+'))) OVER ())
+                       / stddev_pop(len(string_split_regex(trim(text), '\s+'))) OVER ()
+                  ELSE 0.0 END, 6) AS word_count_scaled
+FROM documents
+""")
+def q20_scaling(spark, sf_dir):
+    """M3: standard scaling via one broadcast aggregate pass."""
+    feats = analytics.text_feature_table(_docs(spark, sf_dir), "text")
+    return analytics.standard_scale(
+        feats, ["text_length", "word_count"]).select(
+        "doc_id", "text_length_scaled", "word_count_scaled")
+
+
+@register("q20_minmax", oracle="WITH synth AS (" + _SYNTH_CTE + """
+)
+SELECT doc_id,
+       round(CASE WHEN max(engagement) OVER () > min(engagement) OVER ()
+                  THEN (engagement - min(engagement) OVER ())
+                       / (max(engagement) OVER () - min(engagement) OVER ())
+                  ELSE 0.0 END, 6) AS engagement_norm
+FROM synth
+""")
+def q20_minmax(spark, sf_dir):
+    """A14: min-max normalization of the synthetic engagement score."""
+    synth = _synth_engagement(_docs(spark, sf_dir))
+    return analytics.min_max_normalize(synth, "engagement",
+                                       "engagement_norm").select(
+        "doc_id", "engagement_norm")
+
+
+# --------------------------------------------------------------------------
+# M7 feature<->target correlations
+# --------------------------------------------------------------------------
+
+@register("q20_correlations", oracle="WITH synth AS (" + _SYNTH_CTE + r"""
+), f AS (
+    SELECT engagement,
+           len(text) AS text_length,
+           len(string_split_regex(trim(text), '\s+')) AS word_count,
+           len(text) - len(replace(text, '.', '')) AS punct_period,
+           len(text) - len(replace(text, chr(10), '')) + 1 AS line_count
+    FROM synth
+), c AS (
+    SELECT 'text_length' AS feature,
+           round(coalesce(corr(text_length, engagement), 0.0), 6) AS correlation FROM f
+    UNION ALL SELECT 'word_count', round(coalesce(corr(word_count, engagement), 0.0), 6) FROM f
+    UNION ALL SELECT 'punct_period', round(coalesce(corr(punct_period, engagement), 0.0), 6) FROM f
+    UNION ALL SELECT 'line_count', round(coalesce(corr(line_count, engagement), 0.0), 6) FROM f
+)
+SELECT feature, correlation FROM c ORDER BY abs(correlation) DESC, feature
+""")
+def q20_correlations(spark, sf_dir):
+    """M7: Pearson r of each feature vs engagement, one agg pass,
+    sorted by |r| desc."""
+    synth = _synth_engagement(_docs(spark, sf_dir))
+    feats = analytics.text_feature_table(synth, "text")
+    return analytics.feature_target_correlations(
+        feats, ["text_length", "word_count", "punct_period", "line_count"],
+        "engagement")
+
+
+# --------------------------------------------------------------------------
+# A11/A12 cluster distribution + purity (deterministic pseudo-clusters)
+# --------------------------------------------------------------------------
+
+@register("q21_cluster_distribution", oracle="""
+WITH assigned AS (
+    SELECT doc_id % 5 AS cluster, lang FROM documents
+), counts AS (
+    SELECT cluster, lang, count(*) AS n FROM assigned GROUP BY cluster, lang
+)
+SELECT cluster, lang, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY cluster), 6) AS share,
+       CASE WHEN row_number() OVER (PARTITION BY cluster
+                                    ORDER BY n DESC, lang) = 1
+            THEN 1 ELSE 0 END AS is_dominant
+FROM counts ORDER BY cluster, lang
+""")
+def q21_cluster_distribution(spark, sf_dir):
+    """A11 over deterministic pseudo-clusters (doc_id % 5) so the
+    window logic itself is value-checked; the MLlib-cluster variant is
+    qm_kmeans_distribution (rows-only)."""
+    assigned = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 5).alias("cluster"), "lang")
+    return analytics.cluster_value_distribution(
+        assigned, "cluster", "lang").orderBy("cluster", "lang")
+
+
+@register("q21_purity", oracle="""
+WITH assigned AS (
+    SELECT doc_id % 5 AS cluster, lang FROM documents
+), counts AS (
+    SELECT lang, cluster, count(*) AS n FROM assigned GROUP BY lang, cluster
+), ranked AS (
+    SELECT lang, cluster AS dominant_cluster,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS purity,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, cluster) AS rk
+    FROM counts
+)
+SELECT lang, dominant_cluster, purity FROM ranked WHERE rk = 1 ORDER BY lang
+""")
+def q21_purity(spark, sf_dir):
+    """A12: dominant cluster share per feature value."""
+    assigned = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 5).alias("cluster"), "lang")
+    return analytics.feature_purity(assigned, "lang", "cluster").orderBy("lang")
+
+
+@register("q21_separability", oracle="""
+WITH g AS (
+    SELECT vec_id % 4 AS g, embedding FROM embeddings
+), d AS (
+    SELECT g, i, avg(embedding[i]::DOUBLE) AS m
+    FROM g, range(1, 65) t(i) GROUP BY g, i
+)
+SELECT a.g AS g1, b.g AS g2,
+       round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS centroid_l2
+FROM d a JOIN d b ON a.i = b.i AND a.g < b.g
+GROUP BY a.g, b.g ORDER BY g1, g2
+""")
+def q21_separability(spark, sf_dir):
+    """M14: pairwise centroid L2 between (deterministic) groups of
+    embeddings — posexplode centroids + broadcast pairwise join."""
+    grouped = _emb(spark, sf_dir).select(
+        (F.col("vec_id") % 4).alias("grp"), "embedding")
+    return analytics.separability(grouped, "grp", "embedding").orderBy(
+        "g1", "g2")
+
+
+# --------------------------------------------------------------------------
+# M16 ablation diffs
+# --------------------------------------------------------------------------
+
+@register("q04_ablation_diffs", oracle=r"""
+WITH pairs AS (
+    SELECT doc_id, text AS text_a,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || chr(10) || '1. extra point'
+                     || chr(10) || '2. second point'
+                ELSE text END AS text_b
+    FROM documents
+)
+SELECT doc_id,
+    round(CASE WHEN len(text_a) > 0
+          THEN (len(text_b) - len(text_a))::DOUBLE * 100 / len(text_a)
+          ELSE 0.0 END, 6) AS length_delta_pct,
+    len(list_filter(list_transform(string_split(text_b, chr(10) || chr(10)),
+                                   p -> trim(p)), p -> p <> ''))
+    - len(list_filter(list_transform(string_split(text_a, chr(10) || chr(10)),
+                                     p -> trim(p)), p -> p <> ''))
+        AS paragraph_delta,
+    len(list_filter(string_split(text_b, chr(10)),
+        l -> regexp_matches(trim(l), '^(\d+[.)]|[-*•])\s+')))
+    - len(list_filter(string_split(text_a, chr(10)),
+        l -> regexp_matches(trim(l), '^(\d+[.)]|[-*•])\s+')))
+        AS bullet_delta
+FROM pairs
+""")
+def q04_ablation_diffs(spark, sf_dir):
+    """M16: with/without ablation text diffs (length %, paragraphs,
+    bullet lines) over derived pairs."""
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("text_a"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit("\n\n1. extra point\n2. second point")))
+         .otherwise(F.col("text")).alias("text_b"))
+    return analytics.ablation_text_diffs(pairs, "text_a", "text_b").select(
+        "doc_id", "length_delta_pct", "paragraph_delta", "bullet_delta")
+
+
+# --------------------------------------------------------------------------
+# MLlib model operators — rows-only (SURVEY M4-M6, M11-M13)
+# --------------------------------------------------------------------------
+
+_RF_FEATURES = ["text_length", "word_count", "avg_word_length",
+                "punct_period", "line_count"]
+
+
+@register("qm_rf_importance")
+def qm_rf_importance(spark, sf_dir):
+    """M4/M5: RandomForestRegressor(n=100, depth=10, seed=42) feature
+    importances for the synthetic engagement target."""
+    synth = _synth_engagement(_docs(spark, sf_dir))
+    feats = analytics.text_feature_table(synth, "text")
+    _metrics, rows, _m = mllib_pipeline.rf_importance(
+        feats, _RF_FEATURES, "engagement")
+    return spark.createDataFrame(rows, "feature string, importance double")
+
+
+@register("qm_permutation_importance")
+def qm_permutation_importance(spark, sf_dir):
+    """M6: permutation importance (r2 drop per shuffled feature)."""
+    synth = _synth_engagement(_docs(spark, sf_dir))
+    feats = analytics.text_feature_table(synth, "text")
+    _metrics, _rows, model = mllib_pipeline.rf_importance(
+        feats, _RF_FEATURES, "engagement")
+    out = mllib_pipeline.permutation_importance(
+        feats, _RF_FEATURES, "engagement", model, n_repeats=2)
+    return spark.createDataFrame(out, "feature string, r2_drop double")
+
+
+@register("qm_kmeans_sweep")
+def qm_kmeans_sweep(spark, sf_dir):
+    """M11: KMeans k=2..6 sweep with silhouette + inertia (seed 42)."""
+    return mllib_pipeline.kmeans_sweep(_emb(spark, sf_dir), "embedding",
+                                       k_range=range(2, 7))
+
+
+@register("qm_pca_projection")
+def qm_pca_projection(spark, sf_dir):
+    """M13: 2-component PCA of the embedding table."""
+    out = mllib_pipeline.pca_project(_emb(spark, sf_dir), "embedding", 2)
+    return out.select("vec_id",
+                      F.round(F.element_at("pca", 1), 6).alias("pc1"),
+                      F.round(F.element_at("pca", 2), 6).alias("pc2"))
