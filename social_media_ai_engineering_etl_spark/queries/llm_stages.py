@@ -1,0 +1,121 @@
+"""LLM-extraction stage queries (03 structure / 06 topic / 09 tone)
+running the mapInPandas inference operator with deterministic test
+backends (SURVEY §3.2). The rule backends are md5/keyword-based, so
+structure and topic are fully oracle-checkable; tone (hash-picked
+JSON array) registers rows-only plus a pytest contract check.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import inference as inf
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _posts(df):
+    """Empty-text gate fixture: every 97th doc has empty post_text
+    (P11 gate -> fallback label)."""
+    return df.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(""))
+         .otherwise(F.col("text")).alias("post_text"))
+
+
+_LABELS_SQL = "[" + ", ".join(f"'{l}'" for l in inf.STRUCTURE_LABELS) + "]"
+
+_STRUCTURE_ORACLE = f"""
+WITH posts AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS post_text
+    FROM documents
+), labeled AS (
+    SELECT doc_id,
+        CASE WHEN trim(post_text) = '' THEN 'unknown'
+             WHEN contains(lower(post_text), 'how to')
+               OR contains(lower(post_text), 'step') THEN 'instructional'
+             WHEN contains(lower(post_text), 'data')
+               OR contains(lower(post_text), 'metric') THEN 'analytical'
+             WHEN contains(lower(post_text), 'announc')
+               OR contains(lower(post_text), 'launch') THEN 'announcement'
+             WHEN contains(lower(post_text), 'versus')
+               OR contains(lower(post_text), ' vs ') THEN 'comparative'
+             ELSE {_LABELS_SQL}[
+                 (('0x' || substr(md5(post_text), 1, 6))::BIGINT % 10) + 1]
+        END AS structure
+    FROM posts
+)
+SELECT structure, count(*) AS n FROM labeled
+GROUP BY structure ORDER BY structure
+"""
+
+
+@register("q03_extract_structure", oracle=_STRUCTURE_ORACLE)
+def q03_extract_structure(spark, sf_dir):
+    """Stage 03: per-post structure label distribution (A3) through
+    the full inference dataflow — empty gate, prompt templating,
+    backend generate, choice-constrained postprocess."""
+    posts = _posts(_docs(spark, sf_dir))
+    labeled = inf.infer_column(
+        posts, "post_text", "structure",
+        backend_factory=lambda: inf.RuleClassifierBackend(
+            inf.STRUCTURE_LABELS, inf.STRUCTURE_KEYWORDS),
+        prompt_builder=lambda t: inf.chat_prompt(
+            "Classify the structural format of this social media post.", t),
+        postprocess=inf.constrain_to(inf.STRUCTURE_LABELS, "unknown"),
+        empty_label="unknown")
+    return (labeled.groupBy("structure").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("structure"))
+
+
+_TOPIC_ORACLE = """
+WITH posts AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS post_text
+    FROM documents
+)
+SELECT doc_id,
+    CASE WHEN trim(post_text) = '' THEN 'unknown'
+         ELSE coalesce(
+             list_filter(string_split_regex(lower(post_text), '\\s+'),
+                         w -> len(w) >= 6)[1], 'unknown')
+    END AS topic
+FROM posts
+"""
+
+
+@register("q06_extract_topic", oracle=_TOPIC_ORACLE)
+def q06_extract_topic(spark, sf_dir):
+    """Stage 06: topic per post via the JSON-object guided-decoding
+    contract — backend emits {"topic": w}, postprocess unwraps with
+    fallback (P7 shape)."""
+    posts = _posts(_docs(spark, sf_dir))
+    return inf.infer_column(
+        posts, "post_text", "topic",
+        backend_factory=lambda: inf.FirstLongWordBackend(min_len=6),
+        prompt_builder=lambda t: inf.chat_prompt(
+            "Identify the primary topic of this social media post.", t),
+        postprocess=inf.parse_json_field("topic", "unknown"),
+        empty_label="unknown").select("doc_id", "topic")
+
+
+@register("q09_extract_tone")
+def q09_extract_tone(spark, sf_dir):
+    """Stage 09: tone list via the JSON-array-of-enum guided-decoding
+    contract (parse, dedupe preserving order, cap 3, join ', ').
+    Rows-only; the domain/cardinality contract is asserted in
+    tests/test_inference.py."""
+    posts = _posts(_docs(spark, sf_dir))
+    return inf.infer_column(
+        posts, "post_text", "tone",
+        backend_factory=lambda: inf.HashToneBackend(inf.AVAILABLE_TONES),
+        prompt_builder=lambda t: inf.chat_prompt(
+            "Identify up to three primary tones of this post.", t),
+        postprocess=inf.parse_tone_array(inf.AVAILABLE_TONES),
+        empty_label="Unknown").select("doc_id", "tone")
