@@ -1,0 +1,140 @@
+"""Multimodal columns for a training-data pipeline: image/audio/video
+as opaque ``binary`` columns with typed metadata structs, and
+decode / feature-extract / resize / frame-sample operators over
+``mapInPandas`` (Arrow-batched, one decoder instance per partition).
+
+The decode step is STUBBED: image/audio libraries (PIL, ffmpeg, ...)
+are not in this environment. ``RealImageDecoder`` raises
+NotImplementedError behind an import-try; ``FakeDecoder`` produces a
+deterministic stand-in so the Spark-side plumbing — schema, UDF
+signature, batch shape, partitioning — is real and tested
+(tests/test_multimodal.py).
+
+Scale notes: binary payloads ride in Arrow record batches; cap
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py) so a
+batch of images fits executor memory. Feature extraction is a narrow
+map — no shuffle; downstream dedup/search reuse the embedding
+operators (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, IntegerType, StringType,
+                               StructField, StructType)
+
+MEDIA_METADATA = StructType([
+    StructField("media_type", StringType()),     # image | audio | video
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("codec", StringType()),
+])
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic opaque payload + metadata per row (test fixture:
+    the bytes are the utf-8 text; metadata derives from the id)."""
+    d = F.col(id_col)
+    media_type = (F.when(d % 3 == 0, "image")
+                   .when(d % 3 == 1, "audio").otherwise(F.lit("video")))
+    meta = F.struct(
+        media_type.alias("media_type"),
+        (64 + (d % 16) * 32).cast("int").alias("width"),
+        (64 + (d % 9) * 32).cast("int").alias("height"),
+        F.when(media_type == "video", (24 + d % 240).cast("int"))
+         .otherwise(F.lit(None).cast("int")).alias("n_frames"),
+        F.when(media_type == "audio", F.lit(16000))
+         .otherwise(F.lit(None).cast("int")).alias("sample_rate"),
+        F.when(media_type == "image", "png")
+         .when(media_type == "audio", "pcm16")
+         .otherwise(F.lit("h264")).alias("codec"))
+    return df.withColumns({"content": F.col(text_col).cast("binary"),
+                           "media": meta})
+
+
+class RealImageDecoder:  # pragma: no cover - needs PIL
+    """Real decode path, import-gated (PIL absent here)."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decoding requires PIL, which is not installed; "
+                "use FakeDecoder in this environment") from e
+
+    def decode(self, payload: bytes) -> tuple[int, int, list[float]]:
+        raise NotImplementedError("wire PIL Image.open here")
+
+
+class FakeDecoder:
+    """Deterministic stand-in decoder: 'pixels' are an md5 stream of
+    the payload — stable across runs/engines, zero dependencies."""
+
+    def decode_features(self, payload: bytes, dim: int) -> list[float]:
+        out: list[float] = []
+        counter = 0
+        seed = hashlib.md5(payload).digest()
+        while len(out) < dim:
+            block = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+            out.extend(b / 255.0 for b in block)
+            counter += 1
+        return out[:dim]
+
+
+def extract_media_features(df: DataFrame, content_col: str = "content",
+                           dim: int = 16,
+                           out_col: str = "features") -> DataFrame:
+    """Feature-extraction operator: binary -> array<float> via
+    mapInPandas (decoder instantiated once per partition; batches are
+    Arrow RecordBatches of binary + passthrough columns)."""
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, ArrayType(FloatType()))])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = FakeDecoder()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                decoder.decode_features(bytes(b) if b is not None else b"",
+                                        dim)
+                for b in pdf[content_col]]
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def resize_metadata(df: DataFrame, max_side: int = 256,
+                    media_col: str = "media") -> DataFrame:
+    """Resize plan (native): clamp the longer side to ``max_side``
+    preserving aspect ratio — pure metadata arithmetic; the pixel
+    resample would live in the decoder."""
+    w = F.col(f"{media_col}.width").cast("double")
+    h = F.col(f"{media_col}.height").cast("double")
+    scale = F.least(F.lit(1.0), max_side / F.greatest(w, h))
+    return df.withColumns({
+        "resized_width": F.floor(w * scale).cast("int"),
+        "resized_height": F.floor(h * scale).cast("int"),
+    })
+
+
+def sample_frames(df: DataFrame, every_n: int = 24,
+                  media_col: str = "media") -> DataFrame:
+    """Frame-sampling fan-out for video rows: one output row per
+    sampled frame index (0, n, 2n, ...) — the UDTF-shaped explode;
+    non-video rows pass through with frame_idx NULL."""
+    n_frames = F.col(f"{media_col}.n_frames")
+    idxs = F.when(
+        F.col(f"{media_col}.media_type") == "video",
+        F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
+    return df.withColumn(
+        "frame_idx",
+        F.explode_outer(F.coalesce(idxs, F.array(F.lit(None).cast("int")))))

@@ -266,3 +266,27 @@ def qx_quality_tokens_fingerprint(spark, sf_dir):
         textquality.quality_score(F.col("text")).alias("quality"),
         textquality.token_count(F.col("text")).alias("n_tokens"),
         textquality.fingerprint(F.col("text")).alias("doc_fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (rows-only: binary payloads + stubbed decode)
+# --------------------------------------------------------------------------
+
+@register("qmm_media_features", oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       count(*) AS n, sum(len(text))::BIGINT AS total_bytes
+FROM documents GROUP BY 1 ORDER BY 1
+""")
+def qmm_media_features(spark, sf_dir):
+    """Multimodal pipeline: attach binary payload + typed metadata,
+    extract (stub-decoded) features via mapInPandas, roll up per
+    media_type. The oracle checks the metadata/payload plumbing
+    (byte counts); feature values are covered by determinism tests."""
+    from ..operators import multimodal as mm
+    media = mm.attach_fake_media(_docs(spark, sf_dir))
+    feats = mm.extract_media_features(media, dim=16)
+    return (feats.groupBy(F.col("media.media_type").alias("media_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length(F.col("content"))).alias("total_bytes"))
+            .orderBy("media_type"))

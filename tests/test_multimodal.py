@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism,
+frame fan-out, resize arithmetic."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return mm.attach_fake_media(docs).cache()
+
+
+def test_media_schema(media):
+    dt = dict(media.dtypes)
+    assert dt["content"] == "binary"
+    assert dt["media"].startswith("struct<media_type:string,width:int")
+
+
+def test_feature_extraction_shape_and_determinism(media):
+    out = mm.extract_media_features(media, dim=16)
+    sizes = out.select(F.size("features").alias("d")).distinct().collect()
+    assert [r.d for r in sizes] == [16]
+    a = {r.doc_id: r.features for r in
+         out.select("doc_id", "features").limit(20).collect()}
+    b = {r.doc_id: r.features for r in
+         mm.extract_media_features(media, dim=16)
+         .select("doc_id", "features").limit(20).collect()}
+    assert a == b
+    assert all(0.0 <= x <= 1.0 for v in a.values() for x in v)
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        mm.RealImageDecoder()
+
+
+def test_resize_preserves_aspect(media):
+    out = mm.resize_metadata(media, max_side=128)
+    rows = out.select("media.width", "media.height",
+                      "resized_width", "resized_height").collect()
+    for r in rows:
+        assert max(r.resized_width, r.resized_height) <= 128
+        if max(r.width, r.height) <= 128:
+            assert (r.resized_width, r.resized_height) == (r.width, r.height)
+
+
+def test_frame_sampling_fanout(media):
+    out = mm.sample_frames(media, every_n=24)
+    vids = out.filter(F.col("media.media_type") == "video")
+    n = vids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("media.n_frames").alias("f")).collect()
+    for r in n:
+        assert r.k == (r.f - 1) // 24 + 1
+    others = out.filter(F.col("media.media_type") != "video")
+    assert others.filter(F.col("frame_idx").isNotNull()).count() == 0
+    # non-video rows survive the explode (outer)
+    assert others.count() > 0
