@@ -1,0 +1,81 @@
+"""Source/sink connectors (SURVEY §2.1).
+
+S1 error-tolerant JSONL scan, S2 nested-posts unnest, S3 JSONL sink,
+S4/S5 CSV scan/sink, S6 parquet mirror. The reference streams files
+line-by-line and silently skips bad lines (1-find-gradient.py:33-41);
+here that is schema-on-read with PERMISSIVE mode + _corrupt_record,
+so bad lines are *observable* (corrupt_records) instead of silently
+dropped, and the drop is an explicit filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType,
+               keep_corrupt: bool = False) -> DataFrame:
+    """S1: JSONL scan with the reference's skip-bad-lines semantics
+    (PERMISSIVE + _corrupt_record; blank lines are dropped by the
+    JSON reader). ``keep_corrupt=True`` keeps bad lines as rows with
+    only _corrupt_record set, for quarantine sinks."""
+    full = StructType(list(schema.fields))
+    if CORRUPT_COL not in full.fieldNames():
+        from pyspark.sql.types import StringType, StructField
+        full = StructType(list(full.fields)
+                          + [StructField(CORRUPT_COL, StringType())])
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CORRUPT_COL)
+          .json(path))
+    # Spark refuses queries that reference ONLY the corrupt-record
+    # column on a raw scan; cache the parsed frame first (documented
+    # workaround) so quarantine counts work.
+    df = df.cache()
+    if keep_corrupt:
+        return df
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def normalize_posts(df: DataFrame, posts_col: str = "posts") -> DataFrame:
+    """S2/F2 (1-find-gradient.py:42-47): a line may be a flat post or
+    a {"posts": [...]} user document — explode the nested form and
+    union with the flat rows by name."""
+    post_fields = [f.name for f in df.schema[posts_col].dataType.elementType]
+    nested = (df.filter(F.col(posts_col).isNotNull())
+              .select(F.explode(posts_col).alias("__p"))
+              .select(*[F.col(f"__p.{c}").alias(c) for c in post_fields]))
+    flat = (df.filter(F.col(posts_col).isNull())
+            .select(*[F.col(c) for c in post_fields]))
+    return flat.unionByName(nested)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S3: JSONL sink (`json.dumps(post) + "\\n"` per record)."""
+    df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    """S4: CSV scan with header (csv.DictReader semantics)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv_with_parquet_mirror(df: DataFrame, csv_path: str,
+                                  parquet_path: str | None = None,
+                                  mode: str = "overwrite") -> None:
+    """S5+S6 (22:122-124, 208-216): CSV sink with header plus a
+    parquet mirror next to it. NOTE: the reference's run-id mode
+    writes every row TWICE (Q2, 22:127+145-147); that defect is not
+    replicated."""
+    df.write.mode(mode).option("header", "true").csv(csv_path)
+    df.write.mode(mode).parquet(parquet_path or csv_path + ".parquet")

@@ -1,0 +1,140 @@
+"""Lineage/memoization + connector tests, mirroring the reference's
+infrastructure tests (tests/test_manifest_skip_version.py:6-29,
+tests/test_run_id_and_discovery.py:8-31) plus JSONL error tolerance
+and nested-posts unnesting."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
+
+from social_media_ai_engineering_etl_spark.plans import manifest as mf
+from social_media_ai_engineering_etl_spark.sources import io as sio
+
+
+def _write_input(tmp_path, rows):
+    p = str(tmp_path / "input.jsonl")
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return p
+
+
+POST_SCHEMA = StructType([StructField("id", LongType()),
+                          StructField("post_text", StringType())])
+
+
+def test_stage_memoization_skips_unchanged(spark, tmp_path):
+    src = _write_input(tmp_path, [{"id": i, "post_text": f"t{i}"}
+                                  for i in range(10)])
+    man = mf.Manifest(str(tmp_path / "run"))
+    calls = []
+
+    def stage(sp, inp):
+        calls.append(1)
+        return sio.read_jsonl(sp, inp, POST_SCHEMA).withColumn(
+            "n", F.length("post_text"))
+
+    a = mf.run_stage(spark, man, "01-stage", [src], {"k": 1}, stage)
+    b = mf.run_stage(spark, man, "01-stage", [src], {"k": 1}, stage)
+    assert len(calls) == 1                       # second run skipped
+    assert a.count() == b.count() == 10
+
+    # config change invalidates
+    mf.run_stage(spark, man, "01-stage", [src], {"k": 2}, stage)
+    assert len(calls) == 2
+
+    # input content change invalidates
+    _write_input(tmp_path, [{"id": i, "post_text": f"u{i}"}
+                            for i in range(10)])
+    mf.run_stage(spark, man, "01-stage", [src], {"k": 2}, stage)
+    assert len(calls) == 3
+
+
+def test_stage_version_bump_invalidates(spark, tmp_path, monkeypatch):
+    src = _write_input(tmp_path, [{"id": 1, "post_text": "x"}])
+    man = mf.Manifest(str(tmp_path / "run"))
+    calls = []
+
+    def stage(sp, inp):
+        calls.append(1)
+        return sio.read_jsonl(sp, inp, POST_SCHEMA)
+
+    mf.run_stage(spark, man, "s", [src], {}, stage)
+    monkeypatch.setattr(mf, "STAGE_VERSION", "2")
+    mf.run_stage(spark, man, "s", [src], {}, stage)
+    assert len(calls) == 2
+
+
+def test_validation_gates_manifest_commit(spark, tmp_path):
+    src = _write_input(tmp_path, [{"id": 1, "post_text": ""}])
+    man = mf.Manifest(str(tmp_path / "run"))
+
+    def stage(sp, inp):
+        return sio.read_jsonl(sp, inp, POST_SCHEMA)
+
+    def validate(df):
+        if df.filter(F.col("post_text") == "").count() > 0:
+            raise ValueError("empty post_text")
+
+    try:
+        mf.run_stage(spark, man, "s", [src], {}, stage, validate=validate)
+        raise AssertionError("expected validation failure")
+    except ValueError:
+        pass
+    assert "s" not in man.doc["stages"]           # no commit
+
+
+def test_input_discovery_fallback(spark, tmp_path):
+    src = _write_input(tmp_path, [{"id": 1, "post_text": "x"}])
+    man = mf.Manifest(str(tmp_path / "run"))
+    mf.run_stage(spark, man, "11-extract-opinion", [src], {},
+                 lambda sp, i: sio.read_jsonl(sp, i, POST_SCHEMA))
+    # 17 prefers 15-clean-context -> 12-clean-opinions -> 11-...
+    got = man.discover_input(["15-clean-context", "12-clean-opinions",
+                              "11-extract-opinion"])
+    assert got == man.stage_output("11-extract-opinion")
+    assert man.discover_input(["nope"]) is None
+
+
+def test_jsonl_error_tolerance(spark, tmp_path):
+    p = str(tmp_path / "bad.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "post_text": "ok"}\n')
+        f.write('not json at all\n')
+        f.write('{"id": 2, "post_text": "also ok"}\n')
+        f.write('{"id": 3, "post_text": truncated\n')
+    good = sio.read_jsonl(spark, p, POST_SCHEMA)
+    assert {r.id for r in good.collect()} == {1, 2}
+    quarantined = sio.read_jsonl(spark, p, POST_SCHEMA, keep_corrupt=True)
+    assert quarantined.filter(F.col(sio.CORRUPT_COL).isNotNull()).count() == 2
+
+
+def test_nested_posts_unnest(spark, tmp_path):
+    p = str(tmp_path / "mixed.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"id": 1, "post_text": "flat"}) + "\n")
+        f.write(json.dumps({"posts": [{"id": 2, "post_text": "n1"},
+                                      {"id": 3, "post_text": "n2"}]}) + "\n")
+    schema = StructType(list(POST_SCHEMA.fields)
+                        + [StructField("posts", ArrayType(POST_SCHEMA))])
+    df = sio.read_jsonl(spark, p, schema)
+    out = sio.normalize_posts(df)
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_contract_sidecar(spark, tmp_path):
+    out = str(tmp_path / "artifact")
+    df = spark.range(5).withColumnRenamed("id", "n")
+    df.write.parquet(out)
+    path = mf.write_contract(out, "v1", 5)
+    with open(path) as f:
+        doc = json.load(f)
+    assert doc["schema_version"] == "v1"
+    assert doc["counts"]["rows"] == 5
+    assert len(doc["signature"]) == 64
+    # signature is stable for identical bytes
+    assert json.load(open(mf.write_contract(out, "v1", 5)))["signature"] \
+        == doc["signature"]
