@@ -1,0 +1,113 @@
+"""Training-prep queries: P16 DPO negative generation, P19 pair
+filter, P20 chat-template wrap — byte-exact oracle checks via per-row
+md5 of the constructed strings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import negatives as neg
+from ..registry import register
+from .rewards_scoring import _RP_CTE, _derive_reward_pairs
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_EMOJI_SQL = "[" + ", ".join(f"'{e}'" for e in neg.EMOJI_ALPHABET) + "]"
+_NAMES_SQL = "[" + ", ".join(f"'{n}'" for n in neg.NAME_POOL) + "]"
+
+# md5-hex byte i (0-based pairs) as 0-255
+_HB = "(('0x' || substr(md5({t}), {p}, 2))::BIGINT)"
+
+_NEG_SQL = "WITH rp AS (" + _RP_CTE + r"""
+), base AS (
+    SELECT doc_id, completion AS chosen,
+        trim(regexp_extract(prompt,
+             '\*\*Suggested Post Length\*\*:\s*([^\n]*)', 1)) AS length_req,
+        lower(trim(regexp_extract(prompt,
+             '\*\*Emoji Usage\*\*:\s*([^\n]*)', 1))) AS emoji_usage
+    FROM rp
+), v1 AS (  -- urls
+    SELECT doc_id, length_req, emoji_usage,
+           chosen || chr(10) || chr(10) || 'Learn more: https://lnkd.in/'
+                  || substr(md5(chosen), 1, 8) AS t
+    FROM base
+), v2 AS (  -- names
+    SELECT doc_id, length_req, emoji_usage,
+           t || chr(10) || chr(10) || 'Shout out to '
+             || """ + _NAMES_SQL + "[" + _HB.format(t="t", p=9) + r""" % 4 + 1]
+             || '!' AS t
+    FROM v1
+), v3 AS (  -- emoji spam when usage none/infrequent
+    SELECT doc_id, length_req, emoji_usage,
+        CASE WHEN emoji_usage IN ('none', 'infrequent')
+             THEN t || chr(10) || chr(10) ||
+                  list_aggregate(list_transform(range(0, 10), i ->
+                      """ + _EMOJI_SQL + f"""[
+                          ('0x' || substr(md5(t), 2*i + 1, 2))::BIGINT
+                          % {len(neg.EMOJI_ALPHABET)} + 1]), 'string_agg', '')
+             ELSE t END AS t
+    FROM v2
+), v4 AS (  -- hashtags (always)
+    SELECT doc_id, length_req,
+        regexp_replace(t, '\s+$', '') || chr(10) || chr(10)
+        || '#tag0 #tag1 #tag2 #tag3 #tag4 #tag5' AS t
+    FROM v3
+), v5 AS (  -- length
+    SELECT doc_id,
+        CASE WHEN contains(lower(length_req), 'up to')
+             THEN t || repeat(' Lorem ipsum dolor sit amet.',
+                              greatest(1, floor(len(t) * 0.2 / 24)::INT))
+             WHEN contains(lower(length_req), 'between')
+             THEN substr(t, 1, greatest(1, floor(len(t) * 0.5)::INT))
+             ELSE t END AS rejected
+    FROM v4
+)
+SELECT doc_id, md5(rejected) AS rejected_md5, len(rejected) AS rejected_len
+FROM v5
+"""
+
+
+@register("q24_negatives", oracle=_NEG_SQL)
+def q24_negatives(spark, sf_dir):
+    """P16: violation-composed DPO negatives from the chosen text +
+    prompt constraints; byte-exact via md5 per row."""
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    length_req = F.trim(F.regexp_extract(
+        F.col("prompt"), r"\*\*Suggested Post Length\*\*:\s*([^\n]*)", 1))
+    emoji_usage = F.lower(F.trim(F.regexp_extract(
+        F.col("prompt"), r"\*\*Emoji Usage\*\*:\s*([^\n]*)", 1)))
+    rejected = neg.generate_negative(F.col("completion"), length_req,
+                                     emoji_usage)
+    return pairs.select(
+        "doc_id",
+        F.md5(rejected.cast("binary")).alias("rejected_md5"),
+        F.length(rejected).alias("rejected_len"))
+
+
+@register("q25_chat_template", oracle="WITH rp AS (" + _RP_CTE + """
+), filtered AS (
+    SELECT doc_id, prompt, completion AS chosen FROM rp
+    WHERE trim(prompt) <> '' AND trim(completion) <> ''
+)
+SELECT doc_id,
+       md5('<|start_header_id|>user<|end_header_id|>' || chr(10) || chr(10)
+           || prompt
+           || '<|eot_id|><|start_header_id|>assistant<|end_header_id|>'
+           || chr(10) || chr(10) || chosen || '<|eot_id|>') AS text_md5
+FROM filtered
+""")
+def q25_chat_template(spark, sf_dir):
+    """P19+P20: blank-pair filter then 2-turn chat-template wrap,
+    md5-checked per row."""
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    kept = pairs.filter(neg.training_pair_filter(F.col("prompt"),
+                                                 F.col("completion")))
+    wrapped = neg.chat_template_wrap(F.col("prompt"), F.col("completion"))
+    return kept.select("doc_id",
+                       F.md5(wrapped.cast("binary")).alias("text_md5"))
