@@ -102,3 +102,49 @@ def attach_author_phrases(posts: DataFrame, phrases: DataFrame,
                      F.transform(F.col("__s"), lambda s: s.getField("word"))
                       .alias("common_phrases")))
     return posts.join(F.broadcast(lists), author_col, "left")
+
+
+def author_uncommon_words_grouped(df: DataFrame, author_col: str,
+                                  text_col: str, id_col: str,
+                                  stopwords: tuple[str, ...] = STOPWORDS_EN,
+                                  max_texts: int = 5,
+                                  max_chars: int = 20000,
+                                  min_freq: int = 2, min_len: int = 4,
+                                  common_threshold: int = 1000,
+                                  top_k: int = 15) -> DataFrame:
+    """A7-shaped grouped-map variant of :func:`author_uncommon_words`:
+    ``groupBy(author).applyInPandas`` running the per-author mining in
+    pandas (the reference's author-dict pass, 17-writing-style.py:
+    776-836, as a distributed grouped map). Same output contract as
+    the native version — the oracle-parity test asserts equality.
+
+    When to use which: the native explode/groupBy version keeps
+    everything in codegen and is the default; this one is the template
+    for group logic that genuinely needs imperative Python (the spaCy
+    Matcher path the reference intended before Q3)."""
+    import re as _re
+
+    import pandas as pd
+
+    stop = set(stopwords)
+    word_re = _re.compile(r"\w+")
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__len", id_col], ascending=[False, True]).head(max_texts)
+        joined = " ".join(pdf[text_col].fillna(""))[:max_chars]
+        counts: dict[str, int] = {}
+        for w in word_re.findall(joined.lower()):
+            counts[w] = counts.get(w, 0) + 1
+        rows = [(a, w, c) for (a, w, c) in
+                ((pdf[author_col].iloc[0], w, c) for w, c in counts.items())
+                if c >= min_freq and c < common_threshold
+                and len(w) >= min_len and w not in stop]
+        rows.sort(key=lambda r: (-r[2], r[1]))
+        return pd.DataFrame(rows[:top_k],
+                            columns=[author_col, "word", "freq"])
+
+    prepped = df.select(author_col, text_col, id_col,
+                        F.length(text_col).alias("__len"))
+    return prepped.groupBy(author_col).applyInPandas(
+        mine, schema=f"{author_col} string, word string, freq long")

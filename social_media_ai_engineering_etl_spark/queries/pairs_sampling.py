@@ -248,7 +248,7 @@ def q17_author_top_texts(spark, sf_dir):
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in phrases.STOPWORDS_EN) + "]"
 
 
-@register("q17_author_words", oracle=f"""
+_AUTHOR_WORDS_SQL = f"""
 WITH ranked AS (
     SELECT source, text,
            row_number() OVER (PARTITION BY source
@@ -273,11 +273,24 @@ SELECT source, word, freq FROM (
                               ORDER BY freq DESC, word) AS rk
     FROM freq
 ) WHERE rk <= 15 ORDER BY source, word
-""")
+"""
+
+
+@register("q17_author_words", oracle=_AUTHOR_WORDS_SQL)
 def q17_author_words(spark, sf_dir):
     """A8: per-author uncommon-but-regular words — 5 longest texts,
     20k-char cap, \\w+ tokens, freq/len/stopword filters, top-15 by
     (freq desc, word)."""
     return phrases.author_uncommon_words(
+        _docs(spark, sf_dir), "source", "text", "doc_id"
+    ).orderBy("source", "word")
+
+
+@register("q17_author_words_grouped", oracle=_AUTHOR_WORDS_SQL)
+def q17_author_words_grouped(spark, sf_dir):
+    """A7-shaped applyInPandas grouped-map variant of the author word
+    miner — identical contract to q17_author_words (same oracle), so
+    the grouped-map path is value-checked against the native path."""
+    return phrases.author_uncommon_words_grouped(
         _docs(spark, sf_dir), "source", "text", "doc_id"
     ).orderBy("source", "word")

@@ -716,3 +716,65 @@ def q26_fabrication(spark, sf_dir):
         "doc_id",
         F.round(rw.fabrication_guard(F.col("prompt"), F.col("completion")),
                 6).alias("r_fabrication"))
+
+
+# --------------------------------------------------------------------------
+# q17_narrative_structure — stage-17 main-path T7/T8/T10 variants
+# --------------------------------------------------------------------------
+
+_SENTS5K = ("list_filter(list_transform(string_split_regex("
+            "substr(text, 1, 5000), '[.!?]+'), s -> trim(s)), s -> s <> '')")
+
+_NARR_SQL = r"""
+WITH base AS (
+    SELECT doc_id, """ + _SENTS5K + r""" AS sents FROM documents
+), stats AS (
+    SELECT doc_id, len(sents) AS ns,
+        list_transform(sents, s -> len(string_split_regex(s, '\s+'))) AS slens,
+        CASE WHEN len(sents) > 10
+             THEN list_filter(sents,
+                  (x, i) -> (i - 1) % greatest(1, len(sents) // 10) = 0)
+             ELSE sents END AS ssents
+    FROM base
+), scored AS (
+    SELECT doc_id, ns, slens,
+        list_transform(ssents, s ->
+            least(1.0, greatest(-1.0,
+                5.0 * (len(list_filter(string_split_regex(lower(s), '\s+'),
+                           t -> list_contains(""" + _POS_SQL + r""", t)))
+                     - len(list_filter(string_split_regex(lower(s), '\s+'),
+                           t -> list_contains(""" + _NEG_SQL + r""", t))))::DOUBLE
+                / greatest(len(string_split_regex(lower(s), '\s+')), 1)))
+        ) AS scores
+    FROM stats
+)
+SELECT doc_id,
+    CASE WHEN ns > 0 THEN 'Introduction/Setup' END AS flow_head,
+    ns AS n_flow,
+    CASE WHEN ns < 3 THEN 'Short/Not Enough Data'
+         WHEN list_sum(slens)::DOUBLE / ns < 10 THEN 'Fast'
+         WHEN list_sum(slens)::DOUBLE / ns > 20 THEN 'Slow'
+         ELSE 'Moderate' END AS pacing,
+    CASE WHEN len(scores) < 3 THEN 'Short/Not Enough Data for Arc'
+         WHEN list_sum(scores) / len(scores) > 0.2 THEN 'Positive'
+         WHEN list_sum(scores) / len(scores) < -0.2 THEN 'Negative'
+         ELSE 'Neutral' END AS arc
+FROM scored
+"""
+
+
+@register("q17_narrative_structure", oracle=_NARR_SQL)
+def q17_narrative_structure(spark, sf_dir):
+    """Stage-17 main-path narrative variants (T7/T8/T10 'backup
+    behavior', 17:269-330): flow head + sentence count, pacing by
+    average sentence length, arc by mean sampled sentiment — all with
+    the [:5000] truncation guard."""
+    from ..functions import narrative17 as n17
+    t = F.col("text")
+    flow = n17.narrative_flow_17(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(flow, 1).alias("flow_head"),
+        F.size(flow).alias("n_flow"),
+        n17.pacing_17(t).alias("pacing"),
+        n17.sentiment_arc_17(t).alias("arc"))
