@@ -303,6 +303,9 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     v = df.select(F.col(id_col).alias("id"),
                   *( [F.col(block_col).alias("blk")] if block_col else [] ),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    # norms projected once per row, not once per pair (n^2 saving)
+    v = v.withColumn("n", F.sqrt(F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)))
     a = v.select(*[F.col(c).alias(f"{c}1") for c in v.columns])
     b = v.select(*[F.col(c).alias(f"{c}2") for c in v.columns])
     cond = F.col("id1") < F.col("id2")
@@ -310,6 +313,9 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
         joined = a.join(b, (F.col("blk1") == F.col("blk2")) & cond)
     else:
         joined = a.join(b, cond)
-    return (joined.withColumn("cosine_sim", cosine(F.col("v1"), F.col("v2")))
+    dot = F.aggregate(F.zip_with(F.col("v1"), F.col("v2"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (joined.withColumn("cosine_sim", dot / (F.col("n1") * F.col("n2")))
             .filter(F.col("cosine_sim") >= threshold)
             .select("id1", "id2", F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -25,18 +25,30 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
                            id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Exact top-k neighbors per query (excluding self), deterministic
     tie-break on neighbor id. Queries are broadcast; the corpus is
     scanned once — no shuffle of the corpus side until the final
-    per-query top-k window over (query, score)."""
+    per-query top-k window over (query, score). Norms are projected
+    BEFORE the pair join: per-pair work is one dot product, not
+    dot + two norm re-computations (a 3x expression saving on an
+    n_corpus x n_queries blowup)."""
     c = corpus.select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", _norm(F.col("cv")))
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qn", _norm(F.col("qv")))
+    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
     scored = (c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-              .withColumn("cosine_sim", cosine(F.col("cv"), F.col("qv"))))
+              .withColumn("cosine_sim", dot / (F.col("cn") * F.col("qn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -100,16 +112,19 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
     planes = hyperplane_planes(dim, num_planes * num_tables, seed)
     c = corpus.select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("tb", F.explode(
+    c = c.withColumn("cn", _norm(F.col("cv"))).withColumn("tb", F.explode(
         _table_buckets(F.col("cv"), planes, num_tables, num_planes)))
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("tb", F.explode(
+    q = q.withColumn("qn", _norm(F.col("qv"))).withColumn("tb", F.explode(
         _table_buckets(F.col("qv"), planes, num_tables, num_planes)))
+    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
     scored = (c.join(F.broadcast(q), "tb")
               .filter(F.col("corpus_id") != F.col("query_id"))
               .dropDuplicates(["query_id", "corpus_id"])
-              .withColumn("cosine_sim", cosine(F.col("cv"), F.col("qv"))))
+              .withColumn("cosine_sim", dot / (F.col("cn") * F.col("qn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,103 @@
+"""Physical-plan regression tests — guard the scale properties the
+engine is designed around. These assert on explain() output, so a
+refactor that silently reintroduces a cartesian product, breaks
+column pruning, or drops a broadcast fails CI, not the 100 TB run."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.registry import QUERIES
+import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tiering_broadcasts_cutoffs_and_prunes_scan(spark, sf_dir):
+    """q01: the 1-row quantile aggregate must broadcast (J2), and the
+    lineitem scan must read only the engagement columns, not the full
+    16-column schema."""
+    plan = plan_of(QUERIES["q01_tier_counts"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = m.group(1)
+    assert "l_comment" not in read_cols, "scan reads unneeded columns"
+    assert len(read_cols.split(",")) <= 6, read_cols
+
+
+def test_ngram_jaccard_has_no_cartesian_product(spark, sf_dir):
+    """The inverted-index exact Jaccard must never plan a cartesian
+    or nested-loop join — candidates come from shingle equi-joins."""
+    plan = plan_of(QUERIES["qx_dedup_ngram_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_candidates_are_equi_join(spark, sf_dir):
+    plan = plan_of(QUERIES["qx_dedup_minhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rewards_scalar_is_single_stage_no_shuffle(spark, sf_dir):
+    """Reward scoring is one wide projection: no Exchange (shuffle)
+    before the scan->project pipeline; everything whole-stage
+    codegen-able, no Python UDFs (BatchEvalPython/ArrowEvalPython)."""
+    from social_media_ai_engineering_etl_spark.queries.rewards_scoring import (
+        _derive_reward_pairs)
+    from social_media_ai_engineering_etl_spark.functions import rewards as rw
+    import os
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = _derive_reward_pairs(docs)
+    scored = pairs.select(
+        rw.precise_post_length(F.col("prompt"), F.col("completion"))
+        .alias("r"))
+    plan = plan_of(scored)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_author_topn_single_shuffle(spark, sf_dir):
+    """A6 top-N per author: exactly one exchange (the author-key
+    shuffle for the window)."""
+    plan = plan_of(QUERIES["q17_author_top_texts"](spark, sf_dir))
+    # count real shuffles, not reused references
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    # one for the window partition, one for the final orderBy at most
+    assert n_exchange <= 3, plan
+
+
+def test_fanout_no_shuffle_before_explode(spark, sf_dir):
+    """F1 fan-out is a narrow map (explode + filter): the pair
+    generation itself must not shuffle."""
+    import os
+    from social_media_ai_engineering_etl_spark.operators import fanout
+    from social_media_ai_engineering_etl_spark.queries.pairs_sampling import (
+        _derive_posts)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = fanout.generate_training_pairs(_derive_posts(docs),
+                                           id_cols=("doc_id",))
+    assert "Exchange" not in plan_of(pairs)
+
+
+def test_feature_table_is_narrow_jvm_projection(spark, sf_dir):
+    """M1 feature table: a single Project over a 2-column pruned scan
+    — no shuffle, no Python, codegen on the scan pipeline (the
+    higher-order-function expressions themselves are interpreted;
+    that is a Spark limitation, not a plan regression)."""
+    plan = plan_of(QUERIES["q20_feature_table"](spark, sf_dir))
+    assert "codegen id" in plan
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"}, plan
