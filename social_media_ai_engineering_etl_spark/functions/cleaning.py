@@ -117,3 +117,27 @@ def classify_prompt_type(prompt: Column) -> Column:
     for needle, label in reversed(PROMPT_TYPE_RULES):
         expr = F.when(lowered.contains(F.lit(needle)), F.lit(label)).otherwise(expr)
     return F.when(prompt.isNull() | (prompt == ""), F.lit("unknown")).otherwise(expr)
+
+
+def normalize_surrogates_udf():
+    """P4 (2-label.py:91-96): UTF-16 surrogate-pass normalization —
+    re-encodes through UTF-16 with surrogatepass so lone/paired
+    surrogates survive round-trips. No native Spark equivalent
+    (SURVEY P4: UDF); Arrow-batched pandas UDF, not per-row Python.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module's postponed annotations would turn
+    # them into strings pandas_udf cannot resolve
+    @pandas_udf("string")
+    def _normalize(s):
+        def fix(t):
+            if t is None:
+                return None
+            try:
+                return t.encode("utf-16", "surrogatepass").decode("utf-16")
+            except UnicodeDecodeError:
+                return t
+        return s.map(fix)
+
+    return _normalize

@@ -318,3 +318,144 @@ def qm_pca_projection(spark, sf_dir):
     return out.select("vec_id",
                       F.round(F.element_at("pca", 1), 6).alias("pc1"),
                       F.round(F.element_at("pca", 2), 6).alias("pc2"))
+
+
+# --------------------------------------------------------------------------
+# M15 + A9: aligned cosine similarity and grouped mean/std/count
+# --------------------------------------------------------------------------
+
+_PERTURB_CTE = """
+    SELECT vec_id, vec_id % 4 AS structure,
+           embedding::DOUBLE[] AS va,
+           list_prepend(-((embedding::DOUBLE[])[1]),
+                        (embedding::DOUBLE[])[2:]) AS vb
+    FROM embeddings
+"""
+
+
+@register("q04_grouped_similarity", oracle="WITH p AS (" + _PERTURB_CTE + """
+), scored AS (
+    SELECT structure,
+           list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+               AS sim
+    FROM p
+)
+SELECT structure, round(avg(sim), 6) AS mean_sim,
+       round(stddev_samp(sim), 6) AS std_sim, count(*) AS n
+FROM scored GROUP BY structure ORDER BY structure
+""")
+def q04_grouped_similarity(spark, sf_dir):
+    """M15 + A9 (4-structure-micro-ablation.py:136-150, 228): aligned
+    cosine between original and perturbed vectors (first component
+    negated), then per-group mean/stddev_samp/count."""
+    from ..operators.dedup import cosine
+    emb = _emb(spark, sf_dir)
+    va = F.col("embedding").cast("array<double>")
+    vb = F.concat(
+        F.array(-F.element_at(va, 1)),
+        F.slice(va, 2, F.greatest(F.size(va) - 1, F.lit(0))))
+    scored = emb.select((F.col("vec_id") % 4).alias("structure"),
+                        cosine(va, vb).alias("sim"))
+    return (scored.groupBy("structure")
+            .agg(F.round(F.avg("sim"), 6).alias("mean_sim"),
+                 F.round(F.stddev_samp("sim"), 6).alias("std_sim"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("structure"))
+
+
+# --------------------------------------------------------------------------
+# M8: pairwise feature correlation matrix
+# --------------------------------------------------------------------------
+
+_CORR_FEATURES = ["text_length", "word_count", "punct_period", "line_count"]
+
+
+@register("q20_corr_matrix", oracle=r"""
+WITH f AS (
+    SELECT len(text) AS text_length,
+           len(string_split_regex(trim(text), '\s+')) AS word_count,
+           len(text) - len(replace(text, '.', '')) AS punct_period,
+           len(text) - len(replace(text, chr(10), '')) + 1 AS line_count
+    FROM documents
+), pairs AS (
+    SELECT 'text_length' AS f1, 'word_count' AS f2,
+           coalesce(corr(text_length, word_count), 0.0) AS r FROM f
+    UNION ALL SELECT 'text_length', 'punct_period',
+           coalesce(corr(text_length, punct_period), 0.0) FROM f
+    UNION ALL SELECT 'text_length', 'line_count',
+           coalesce(corr(text_length, line_count), 0.0) FROM f
+    UNION ALL SELECT 'word_count', 'punct_period',
+           coalesce(corr(word_count, punct_period), 0.0) FROM f
+    UNION ALL SELECT 'word_count', 'line_count',
+           coalesce(corr(word_count, line_count), 0.0) FROM f
+    UNION ALL SELECT 'punct_period', 'line_count',
+           coalesce(corr(punct_period, line_count), 0.0) FROM f
+)
+SELECT f1, f2, round(r, 6) AS correlation FROM pairs ORDER BY f1, f2
+""")
+def q20_corr_matrix(spark, sf_dir):
+    """M8 (20:409-427): upper-triangle pairwise Pearson matrix over
+    the interaction features, ONE aggregate pass (all pairs as
+    map-side-combinable corr aggregates, no per-pair jobs)."""
+    feats = analytics.text_feature_table(_docs(spark, sf_dir), "text")
+
+    def pearson(a, b):
+        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        return F.coalesce(
+            F.try_divide(F.covar_pop(x, y),
+                         F.stddev_pop(x) * F.stddev_pop(y)), F.lit(0.0))
+
+    pairs = [(a, b) for i, a in enumerate(_CORR_FEATURES)
+             for b in _CORR_FEATURES[i + 1:]]
+    row = feats.agg(*[pearson(a, b).alias(f"{a}|{b}") for a, b in pairs])
+    return (row.select(F.explode(F.array(*[
+        F.struct(F.lit(a).alias("f1"), F.lit(b).alias("f2"),
+                 F.round(F.col(f"`{a}|{b}`"), 6).alias("correlation"))
+        for a, b in pairs])).alias("kv")).select("kv.*")
+        .orderBy("f1", "f2"))
+
+
+# --------------------------------------------------------------------------
+# M2: one-hot category counts (NULL -> 'unknown')
+# --------------------------------------------------------------------------
+
+@register("qm_onehot_counts", oracle="""
+SELECT coalesce(CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END,
+                'unknown') AS lang,
+       count(*) AS n
+FROM documents GROUP BY 1 ORDER BY 1
+""")
+def qm_onehot_counts(spark, sf_dir):
+    """M2 (20:243-291) oracle-checkable projection: category counts
+    with the reference's NaN->'unknown' fill (every 11th doc's lang
+    nulled to exercise it)."""
+    df = _docs(spark, sf_dir).select(
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+         .otherwise(F.col("lang")).alias("lang"))
+    return mllib_pipeline.one_hot_counts(df, "lang").orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# B7/B8: random split + percent sampling (seeded; rows-only contracts)
+# --------------------------------------------------------------------------
+
+@register("qb7_train_test_split")
+def qb7_train_test_split(spark, sf_dir):
+    """B7 (20:321, 25:181-183): randomSplit([0.8, 0.2], seed=42).
+    Rows-only: split sizes are binomial around 80/20 (exact counts are
+    partition-order-defined); determinism + ratio asserted in
+    tests/test_sampling_extras.py."""
+    train, test = _docs(spark, sf_dir).randomSplit([0.8, 0.2], seed=42)
+    return spark.createDataFrame(
+        [("train", train.count()), ("test", test.count())],
+        "split string, n long")
+
+
+@register("qb8_percent_sample")
+def qb8_percent_sample(spark, sf_dir):
+    """B8 (17:783-786): percent sampling gate as df.sample(pct, seed).
+    Rows-only (Bernoulli size varies); contract tests assert bounds +
+    determinism."""
+    sampled = _docs(spark, sf_dir).sample(fraction=0.25, seed=42)
+    return sampled.agg(F.count(F.lit(1)).alias("n_sampled"))

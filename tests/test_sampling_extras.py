@@ -1,0 +1,40 @@
+"""B7/B8 sampling contracts + P4 surrogate normalization."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.functions import cleaning
+
+
+def test_random_split_deterministic_and_ratioed(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a_train, a_test = docs.randomSplit([0.8, 0.2], seed=42)
+    b_train, b_test = docs.randomSplit([0.8, 0.2], seed=42)
+    assert a_train.count() == b_train.count()
+    assert a_test.count() == b_test.count()
+    total = docs.count()
+    assert a_train.count() + a_test.count() == total
+    assert 0.7 <= a_train.count() / total <= 0.9
+
+
+def test_percent_sample_deterministic_and_bounded(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = docs.sample(fraction=0.25, seed=42).count()
+    b = docs.sample(fraction=0.25, seed=42).count()
+    assert a == b
+    total = docs.count()
+    assert 0.1 <= a / total <= 0.4
+
+
+def test_surrogate_normalization(spark):
+    fix = cleaning.normalize_surrogates_udf()
+    # a lone surrogate pair encoded via surrogatepass round-trips to
+    # the astral character; clean text passes through unchanged
+    astral = "post \U0001F600 text"
+    df = spark.createDataFrame([("plain",), (astral,), (None,)],
+                               "t string")
+    out = [r.fixed for r in df.select(fix(F.col("t")).alias("fixed")).collect()]
+    assert out[0] == "plain"
+    assert out[1] == astral
+    assert out[2] is None
