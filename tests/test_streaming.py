@@ -116,3 +116,52 @@ def test_session_window_gap_semantics(spark):
     assert out == {(7, "2024-01-01 00:00:00"): 2,
                    (7, "2024-01-01 01:10:00"): 1,
                    (8, "2024-01-01 00:05:00"): 1}
+
+
+def test_stateful_running_engagement_recovers_state(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    checkpointed availableNow runs (state survives restart)."""
+    from social_media_ai_engineering_etl_spark.streaming.stateful import (
+        running_user_engagement)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def write_phase(rows, fname):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tmp = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    def run(qname):
+        emitted = []
+
+        def sink(batch_df, _batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = running_user_engagement(stream_events(spark, src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r.user_id: (r.total_value, r.n_events) for r in emitted}
+
+    write_phase([(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+                 (2, "2024-01-01 00:20:00", 1, "click", 2.0, "{}"),
+                 (3, "2024-01-01 00:30:00", 2, "view", 5.0, "{}")],
+                "a.parquet")
+    r1 = run("st1")
+    assert r1[1] == (3.0, 2) and r1[2] == (5.0, 1)
+
+    write_phase([(4, "2024-01-01 01:00:00", 1, "click", 4.0, "{}")],
+                "b.parquet")
+    r2 = run("st2")
+    assert r2[1] == (7.0, 3)          # state recovered: 3.0 + 4.0
+    assert 2 not in r2                 # untouched user not re-emitted
+    del out_dir
