@@ -459,3 +459,77 @@ def qb8_percent_sample(spark, sf_dir):
     determinism."""
     sampled = _docs(spark, sf_dir).sample(fraction=0.25, seed=42)
     return sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# --------------------------------------------------------------------------
+# M9 + A13: feature-category mapping and category-mean importance
+# --------------------------------------------------------------------------
+
+@register("q20_category_importance", oracle="WITH synth AS (" + _SYNTH_CTE + r"""
+), f AS (
+    SELECT engagement,
+           len(text) AS text_length,
+           len(string_split_regex(trim(text), '\s+')) AS word_count,
+           len(text) - len(replace(text, '.', '')) AS punct_period,
+           len(text) - len(replace(text, chr(10), '')) + 1 AS line_count
+    FROM synth
+), c AS (
+    SELECT 'text_length' AS feature,
+           abs(coalesce(corr(text_length, engagement), 0.0)) AS imp FROM f
+    UNION ALL SELECT 'word_count', abs(coalesce(corr(word_count, engagement), 0.0)) FROM f
+    UNION ALL SELECT 'punct_period', abs(coalesce(corr(punct_period, engagement), 0.0)) FROM f
+    UNION ALL SELECT 'line_count', abs(coalesce(corr(line_count, engagement), 0.0)) FROM f
+), categorized AS (
+    SELECT CASE WHEN contains(feature, 'punct') THEN 'punctuation'
+                WHEN contains(feature, 'length') OR contains(feature, 'count')
+                THEN 'structure' ELSE 'other' END AS category,
+           imp
+    FROM c
+)
+SELECT category, round(avg(imp), 6) AS mean_importance
+FROM categorized GROUP BY category ORDER BY category
+""")
+def q20_category_importance(spark, sf_dir):
+    """M9 (20:429-460) prefix-rule category mapping + A13 (20:674-689)
+    category-mean importance, using |corr| as the oracle-able
+    importance signal."""
+    synth = _synth_engagement(_docs(spark, sf_dir))
+    feats = analytics.text_feature_table(synth, "text")
+    corrs = analytics.feature_target_correlations(
+        feats, ["text_length", "word_count", "punct_period", "line_count"],
+        "engagement")
+    categorized = corrs.select(
+        F.when(F.col("feature").contains("punct"), "punctuation")
+         .when(F.col("feature").contains("length")
+               | F.col("feature").contains("count"), "structure")
+         .otherwise(F.lit("other")).alias("category"),
+        F.abs(F.col("correlation")).alias("imp"))
+    return (categorized.groupBy("category")
+            .agg(F.round(F.avg("imp"), 6).alias("mean_importance"))
+            .orderBy("category"))
+
+
+# --------------------------------------------------------------------------
+# J4: importance tables merged on Feature (left joins x3)
+# --------------------------------------------------------------------------
+
+@register("qm_importance_merged")
+def qm_importance_merged(spark, sf_dir):
+    """J4 (20:573-589): RF importance LEFT JOIN permutation importance
+    LEFT JOIN |correlation| on the feature key. Rows-only (MLlib
+    inputs); join-shape is what the inventory requires."""
+    synth = _synth_engagement(_docs(spark, sf_dir))
+    feats = analytics.text_feature_table(synth, "text")
+    _m, rf_rows, model = mllib_pipeline.rf_importance(
+        feats, _RF_FEATURES, "engagement")
+    rf = spark.createDataFrame(rf_rows, "feature string, rf_importance double")
+    perm = spark.createDataFrame(
+        mllib_pipeline.permutation_importance(
+            feats, _RF_FEATURES, "engagement", model, n_repeats=1),
+        "feature string, perm_importance double")
+    corrs = analytics.feature_target_correlations(
+        feats, _RF_FEATURES, "engagement").select(
+        "feature", F.abs(F.col("correlation")).alias("abs_corr"))
+    return (rf.join(perm, "feature", "left")
+            .join(corrs, "feature", "left")
+            .orderBy("feature"))
