@@ -1,0 +1,70 @@
+"""Scale utilities: skew-salted aggregation and bucketed co-located
+joins. These are the knobs the engine reaches for when AQE alone is
+not enough — a single pathological key (one author with 10^8 posts,
+one boilerplate shingle) or a join repeated across many jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# algebraic aggregates that re-combine across salt buckets
+_MERGE = {
+    "sum": F.sum, "count": F.sum,          # counts re-merge by summing
+    "min": F.min, "max": F.max,
+}
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(c),
+    "min": F.min, "max": F.max,
+}
+
+
+def salted_aggregate(df: DataFrame, keys: list[str],
+                     aggs: dict[str, tuple[str, str]],
+                     salt_buckets: int = 32,
+                     seed: int = 42) -> DataFrame:
+    """Two-phase aggregation for skewed keys: phase 1 groups on
+    (keys + random salt) so one hot key spreads over ``salt_buckets``
+    reducers; phase 2 merges the partials on the true keys (tiny —
+    at most buckets x distinct keys rows).
+
+    ``aggs``: out_col -> (input_col, fn) with fn in sum/count/min/max
+    (algebraic, so partials re-combine exactly). avg = sum/count at
+    the call site. Results are identical to a direct groupBy — the
+    equivalence test asserts it.
+    """
+    for name, (_c, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{name}: non-algebraic aggregate {fn!r}")
+    salted = df.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int"))
+    partial = (salted.groupBy(*keys, "__salt")
+               .agg(*[_PARTIAL[fn](c).alias(f"__p_{name}")
+                      for name, (c, fn) in aggs.items()]))
+    return (partial.groupBy(*keys)
+            .agg(*[_MERGE[fn](f"__p_{name}").alias(name)
+                   for name, (_c, fn) in aggs.items()]))
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   num_buckets: int = 8,
+                   sort_keys: list[str] | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) table: joins and
+    aggregations on ``keys`` against another table bucketed the same
+    way need NO shuffle — the co-location is baked into the layout.
+    This is the 100 TB answer to 'this join runs every day on the
+    same key'."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  keys: list[str]) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket keys —
+    planner produces a shuffle-free sort-merge join (asserted in
+    tests/test_scale.py)."""
+    return spark.table(left_table).join(spark.table(right_table), keys)

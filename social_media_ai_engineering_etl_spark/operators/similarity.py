@@ -144,3 +144,60 @@ def pairwise_aligned_cosine(df_a: DataFrame, df_b: DataFrame, id_col: str,
             .select(id_col,
                     F.round(cosine(F.col("va"), F.col("vb")), 6)
                      .alias("cosine_sim")))
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, k: int = 5, n_centroids: int = 16,
+                    n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans partitions the
+    corpus into ``n_centroids`` cells; each query probes only its
+    ``n_probe`` nearest cells and reranks those candidates exactly.
+
+    Scale shape: the centroid table is tiny (n_centroids rows) and
+    broadcast twice — once to assign query probes, never to the
+    corpus (cell ids are precomputed by the fitted model). Candidate
+    generation is a (cell) equi-join touching ~n_probe/n_centroids of
+    the corpus per query; recall/latency trades via n_probe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    data = c.withColumn("features", array_to_vector(F.col("cv")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(data)
+    assigned = (model.transform(data)
+                .select("corpus_id", "cv",
+                        F.col("prediction").alias("cell"))
+                .withColumn("cn", _norm(F.col("cv"))))
+
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in
+         enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qn", _norm(F.col("qv")))
+    cdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cell"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("d", cdist)
+              .withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= n_probe)
+              .select("query_id", "qv", "qn", "cell"))
+
+    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    scored = (assigned.join(F.broadcast(probes), "cell")
+              .filter(F.col("corpus_id") != F.col("query_id"))
+              .withColumn("cosine_sim", dot / (F.col("cn") * F.col("qn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -290,3 +290,15 @@ def qmm_media_features(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.length(F.col("content"))).alias("total_bytes"))
             .orderBy("media_type"))
+
+
+@register("qx_similarity_topk_ivf")
+def qx_similarity_topk_ivf(spark, sf_dir):
+    """IVF-partitioned approximate top-5 (KMeans cells + n_probe=6
+    rerank); rows-only + recall-vs-bruteforce test in
+    tests/test_scale.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_ivf(emb, queries, "vec_id", "embedding",
+                                      k=5, n_centroids=16, n_probe=6
+                                      ).orderBy("query_id", "rank")

@@ -52,6 +52,9 @@ def get_spark(app_name: str = "social-media-ai-engineering-etl-spark",
         # dims up to 64MB get broadcast instead of shuffled
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
     )

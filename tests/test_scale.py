@@ -1,0 +1,77 @@
+"""Scale-utility tests: salted aggregation equivalence, shuffle-free
+bucketed joins, IVF recall vs the exact baseline."""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators import scale, similarity
+
+
+def test_salted_aggregate_matches_direct(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    direct = {(r.lang,): (r.n, r.total, r.lo)
+              for r in docs.groupBy("lang").agg(
+                  F.count("doc_id").alias("n"),
+                  F.sum(F.length("text")).alias("total"),
+                  F.min("doc_id").alias("lo")).collect()}
+    salted = {(r.lang,): (r.n, r.total, r.lo)
+              for r in scale.salted_aggregate(
+                  docs.withColumn("tl", F.length("text")), ["lang"],
+                  {"n": ("doc_id", "count"),
+                   "total": ("tl", "sum"),
+                   "lo": ("doc_id", "min")},
+                  salt_buckets=8).collect()}
+    assert direct == salted
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with pytest.raises(ValueError):
+        scale.salted_aggregate(docs, ["lang"], {"m": ("doc_id", "median")})
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    import contextlib
+    import io
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"bl_{suffix}", f"br_{suffix}"
+    scale.write_bucketed(docs.select("doc_id", "lang"), lt,
+                         ["doc_id"], num_buckets=4, sort_keys=["doc_id"])
+    scale.write_bucketed(docs.select("doc_id", "source"), rt,
+                         ["doc_id"], num_buckets=4, sort_keys=["doc_id"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = scale.bucketed_join(spark, lt, rt, ["doc_id"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan      # co-located: no shuffle
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = similarity.cosine_topk_bruteforce(emb, queries, "vec_id",
+                                              "embedding", k=5).collect()
+    ivf = similarity.cosine_topk_ivf(emb, queries, "vec_id", "embedding",
+                                     k=5, n_centroids=16, n_probe=6).collect()
+    brute_best = {r.query_id: r.cosine_sim for r in brute if r.rank == 1}
+    ivf_best = {r.query_id: r.cosine_sim for r in ivf if r.rank == 1}
+    assert ivf_best
+    for qid, s in ivf_best.items():
+        assert s <= brute_best[qid] + 1e-9     # can never beat exact
+    hits = sum(1 for qid, s in ivf_best.items()
+               if abs(s - brute_best[qid]) < 1e-9)
+    assert hits >= len(ivf_best) // 3           # non-trivial recall@1
