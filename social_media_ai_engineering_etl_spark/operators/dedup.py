@@ -142,27 +142,64 @@ def ngram_jaccard_pairs_inverted(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: element i is min over shingles of
-    xxhash64(shingle, salt=i). Deterministic across runs/engines that
-    share xxhash64 (Spark-side only; the oracle for LSH is a
-    rows-only + recall test)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles,
-                        lambda s: F.xxhash64(F.concat(s, F.lit("#"),
-                                                      i.cast("string"))))))
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Odd multiplier + offset pairs from a small LCG (deterministic,
+    engine-independent constants)."""
+    state = seed | 1
+    a, b = [], []
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a.append((state >> 32) | 1 | (1 << 30))   # odd 31-bit multiplier
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b.append(state >> 33)                     # 30-bit offset
+    return a, b
+
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """MinHash signature via multiply-shift permutations of ONE
+    xxhash64 per shingle: element i = min over shingles of
+    (a_i * (xxhash64(s) & 0x7FFFFFFF) + b_i) mod (2^31 - 1), the
+    Carter-Wegman family: 31-bit hash x 31-bit odd multiplier stays
+    under 2^62 (no ANSI overflow), and the mod-prime reduction breaks
+    monotonicity — WITHOUT it every 'permutation' is increasing in h,
+    all bands select the same min-shingle, and banding amplifies
+    nothing (recall collapses to ~j).
+
+    Expression shape matters: the outer loop is an ``aggregate`` over
+    the shingle array with an element-wise-min ``zip_with``, so the
+    (expensive) shingle array is evaluated ONCE per row. The naive
+    'transform over hash indices, min over shingles' form re-inlines
+    the whole shingle expression per index (no CSE across HOF
+    lambdas) — 64x the work, measured 13x slower end-to-end."""
+    a_coef, b_coef = _minhash_coeffs(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in a_coef])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in b_coef])
+    hashed = F.transform(
+        shingles,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
+    prime = F.lit((1 << 31) - 1).cast("long")   # Mersenne prime 2^31-1
+    perm = lambda h: F.zip_with(  # noqa: E731 - permuted-h vector
+        a_arr, b_arr, lambda a, b: F.pmod(a * h + b, prime))
+    return F.aggregate(
+        hashed, init,
+        lambda acc, h: F.zip_with(acc, perm(h),
+                                  lambda x, y: F.least(x, y)))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
-                           n: int = 3, num_hashes: int = 64,
-                           bands: int = 16) -> DataFrame:
+                           n: int = 3, num_hashes: int = 128,
+                           bands: int = 32) -> DataFrame:
     """Candidate pairs from banded MinHash buckets (id1 < id2).
 
     rows-per-band r = num_hashes // bands; detection probability
-    1 - (1 - s^r)^bands (s = true Jaccard). Defaults (r=4, b=16)
-    catch s >= 0.8 w.p. > 0.999.
+    1 - (1 - s^r)^bands (s = true Jaccard). Defaults (r=4, b=32)
+    catch s >= 0.8 w.p. > 0.99999 — headroom for the multiply-shift
+    hash family being only approximately min-wise independent.
 
     Plan shape: one narrow map to signatures, explode to ``bands``
     rows each, shuffle on (band, band_hash), in-bucket pairing. No
@@ -194,7 +231,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, num_hashes: int = 64, bands: int = 16,
+                        n: int = 3, num_hashes: int = 128, bands: int = 32,
                         threshold: float = 0.8) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold."""
     cands = minhash_lsh_candidates(df, id_col, text_col, n,

@@ -97,7 +97,7 @@ def qx_dedup_ngram_jaccard(spark, sf_dir):
                                               ).orderBy("id1", "id2")
 
 
-@register("qx_dedup_minhash")
+@register("qx_dedup_minhash", bench=True)
 def qx_dedup_minhash(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) candidates verified at Jaccard >=
     0.5. Rows-only for the driver (xxhash64 is engine-specific);

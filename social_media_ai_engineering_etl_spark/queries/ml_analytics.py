@@ -26,7 +26,7 @@ def _emb(spark, sf_dir):
 # M1 feature table
 # --------------------------------------------------------------------------
 
-@register("q20_feature_table", oracle=r"""
+@register("q20_feature_table", bench=True, oracle=r"""
 SELECT doc_id,
        len(text) AS text_length,
        len(string_split_regex(trim(text), '\s+')) AS word_count,

@@ -276,7 +276,7 @@ SELECT source, word, freq FROM (
 """
 
 
-@register("q17_author_words", oracle=_AUTHOR_WORDS_SQL)
+@register("q17_author_words", bench=True, oracle=_AUTHOR_WORDS_SQL)
 def q17_author_words(spark, sf_dir):
     """A8: per-author uncommon-but-regular words — 5 longest texts,
     20k-char cap, \\w+ tokens, freq/len/stopword filters, top-15 by

@@ -47,7 +47,7 @@ def qs_sliding_rates(spark, sf_dir):
             .orderBy("window_start", "event_type"))
 
 
-@register("qs_session_windows", oracle="""
+@register("qs_session_windows", bench=True, oracle="""
 WITH o AS (
     SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL

@@ -73,7 +73,7 @@ FROM v5
 """
 
 
-@register("q24_negatives", oracle=_NEG_SQL)
+@register("q24_negatives", bench=True, oracle=_NEG_SQL)
 def q24_negatives(spark, sf_dir):
     """P16: violation-composed DPO negatives from the chosen text +
     prompt constraints; byte-exact via md5 per row."""
