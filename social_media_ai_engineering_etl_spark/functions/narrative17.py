@@ -65,3 +65,82 @@ def rolling_average(values: Column, window: int = 3) -> Column:
     rolled = F.transform(idx, lambda i: F.aggregate(
         F.slice(values, i, window), F.lit(0.0), lambda a, x: a + x) / window)
     return F.when(n < window, values.cast("array<double>")).otherwise(rolled)
+
+
+# ---------------------------------------------------------------------------
+# features/narrative.py flavors (the cue-word / p75 / slope variants)
+# ---------------------------------------------------------------------------
+
+INTRO_CUES = ("today", "announce", "we're", "introduce", "sharing")
+OUTRO_CUES = ("follow", "check out", "sign up", "learn more", "share",
+              "comment")
+
+
+def narrative_flow_cue(text: Column, max_sentences: int = 20) -> Column:
+    """T7 cue variant (features/narrative.py:10-26): first two
+    sentences with intro cues -> Introduction/Setup, last two with
+    outro cues -> Outro/CTA, else Content."""
+    sents = F.slice(sentences(_truncated(text)), 1, max_sentences)
+    n = F.size(sents)
+
+    def any_cue(s, cues):
+        expr = F.lit(False)
+        for c in cues:
+            expr = expr | F.lower(s).contains(c)
+        return expr
+
+    return F.zip_with(
+        sents, F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda s, i: F.when((i <= 2) & any_cue(s, INTRO_CUES),
+                            F.lit("Introduction/Setup"))
+                      .when((i >= n - 1) & any_cue(s, OUTRO_CUES),
+                            F.lit("Outro/CTA"))
+                      .otherwise(F.lit("Content")))
+
+
+def _percentile_linear(sorted_arr: Column, q: float) -> Column:
+    """np.percentile linear interpolation over a sorted array."""
+    n = F.size(sorted_arr)
+    pos = F.lit(q) * (n - 1).cast("double")
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    a = F.element_at(sorted_arr, lo + 1).cast("double")
+    b = F.element_at(sorted_arr, F.least(lo + 2, n)).cast("double")
+    return a * (1.0 - frac) + b * frac
+
+
+def pacing_p75(text: Column, max_sentences: int = 50) -> Column:
+    """T8 p75 variant (narrative.py:29-41): 75th-percentile sentence
+    token count <= 10 Fast / > 20 Slow / else Moderate."""
+    sents = sentences(_truncated(text))
+    lens = F.transform(F.slice(sents, 1, max_sentences),
+                       lambda s: F.size(F.split(s, "\\s+")))
+    p75 = _percentile_linear(F.array_sort(lens), 0.75)
+    return (F.when(F.size(sents) < 3, F.lit("Short/Not Enough Data"))
+             .when(p75 <= 10, F.lit("Fast"))
+             .when(p75 > 20, F.lit("Slow"))
+             .otherwise(F.lit("Moderate")))
+
+
+def sentiment_arc_slope(scores: Column, window: int = 3,
+                        short_threshold: int = 4) -> Column:
+    """T10 slope variant (narrative.py:50-67): least-squares slope of
+    the rolling-mean-smoothed scores; > 0.03 Rising / < -0.03 Falling
+    / else Flat."""
+    smoothed = rolling_average(scores, window)
+    m = F.size(smoothed).cast("double")
+    idx = F.sequence(F.lit(0), F.size(smoothed) - 1)
+    sum_y = F.aggregate(smoothed, F.lit(0.0), lambda a, x: a + x)
+    sum_t = (m - 1) * m / 2
+    sum_t2 = (m - 1) * m * (2 * m - 1) / 6
+    sum_ty = F.aggregate(
+        F.zip_with(idx, smoothed, lambda i, y: i.cast("double") * y),
+        F.lit(0.0), lambda a, x: a + x)
+    denom = sum_t2 - sum_t * sum_t / m
+    slope = F.when(denom > 0, (sum_ty - sum_t * sum_y / m) / denom
+                   ).otherwise(F.lit(0.0))
+    return (F.when(F.size(scores) < short_threshold,
+                   F.lit("Short/Not Enough Data for Arc"))
+             .when(slope > 0.03, F.lit("Rising"))
+             .when(slope < -0.03, F.lit("Falling"))
+             .otherwise(F.lit("Flat")))

@@ -237,3 +237,68 @@ def parse_json_field(field: str, fallback: str) -> Callable[[str], str]:
         except Exception:
             return fallback
     return post
+
+
+# ---------------------------------------------------------------------------
+# M10 — text-embedding inference (21-embedding-and-clustering.py:252-273)
+# ---------------------------------------------------------------------------
+
+
+class DeterministicEmbeddingBackend:
+    """Test embedder: unit-norm md5-stream vector per text (stable
+    across runs/engines; stands in for all-MiniLM-L6-v2, which is not
+    installed here)."""
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            seed = hashlib.md5(t.encode("utf-8")).digest()
+            vals: list[float] = []
+            counter = 0
+            while len(vals) < self.dim:
+                block = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+                vals.extend(b / 255.0 - 0.5 for b in block)
+                counter += 1
+            vals = vals[:self.dim]
+            norm = sum(v * v for v in vals) ** 0.5 or 1.0
+            out.append([v / norm for v in vals])
+        return out
+
+
+class SentenceTransformerBackend:  # pragma: no cover - real path
+    """Real sentence-transformers embedder, import-gated."""
+
+    def __init__(self, model: str = "all-MiniLM-L6-v2"):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:
+            raise NotImplementedError(
+                "sentence-transformers is not installed; use "
+                "DeterministicEmbeddingBackend for tests") from e
+        self._model = SentenceTransformer(model)
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        return [list(map(float, v)) for v in self._model.encode(texts)]
+
+
+def embed_column(df: DataFrame, text_col: str, out_col: str,
+                 backend_factory: Callable[[], object]) -> DataFrame:
+    """M10: batched embedding inference — one model instance per
+    partition, Arrow batches in/out, output array<float>."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, ArrayType(FloatType()))])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = backend.embed(
+                [t if isinstance(t, str) else "" for t in pdf[text_col]])
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)

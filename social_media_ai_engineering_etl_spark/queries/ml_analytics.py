@@ -533,3 +533,30 @@ def qm_importance_merged(spark, sf_dir):
     return (rf.join(perm, "feature", "left")
             .join(corrs, "feature", "left")
             .orderBy("feature"))
+
+
+# --------------------------------------------------------------------------
+# M10: embedding inference + feature-vector concat (21:252-273)
+# --------------------------------------------------------------------------
+
+@register("qm_text_embeddings")
+def qm_text_embeddings(spark, sf_dir):
+    """M10: batched text embedding (deterministic test backend; real
+    path is sentence-transformers, import-gated) concatenated with
+    scaled numeric features — the stage-21 combined-vector input.
+    Rows-only; determinism + shape asserted in tests."""
+    from ..operators.inference import (DeterministicEmbeddingBackend,
+                                       embed_column)
+    feats = analytics.standard_scale(
+        analytics.text_feature_table(_docs(spark, sf_dir), "text"),
+        ["text_length", "word_count"])
+    embedded = embed_column(feats, "text", "emb",
+                            lambda: DeterministicEmbeddingBackend(dim=32))
+    combined = embedded.withColumn(
+        "combined",
+        F.concat(F.col("emb").cast("array<double>"),
+                 F.array("text_length_scaled", "word_count_scaled")))
+    return combined.select(
+        "doc_id", F.size("combined").alias("dim"),
+        F.round(F.aggregate(F.col("combined"), F.lit(0.0),
+                            lambda a, x: a + x * x), 6).alias("sq_norm"))

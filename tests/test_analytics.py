@@ -65,3 +65,52 @@ def test_pca_projection_dims(spark, sf_dir):
     out = mllib_pipeline.pca_project(emb, "embedding", 2)
     row = out.select(F.size("pca").alias("d")).distinct().collect()
     assert [r.d for r in row] == [2]
+
+
+def test_narrative_py_variants(spark):
+    from social_media_ai_engineering_etl_spark.functions import narrative17 as n17
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        sentiment_scores)
+    rows = [
+        (1, "Today we announce a launch. It does things. Follow for more."),
+        (2, "One. Two. Three words here. Four makes this much longer now."),
+        (3, "Too short."),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = df.select(
+        "id",
+        n17.narrative_flow_cue(F.col("t")).alias("flow"),
+        n17.pacing_p75(F.col("t")).alias("pacing"),
+        n17.sentiment_arc_slope(sentiment_scores(F.col("t"))).alias("arc"),
+    ).collect()
+    byid = {r.id: r for r in out}
+    assert byid[1].flow[0] == "Introduction/Setup"
+    assert byid[1].flow[-1] == "Outro/CTA"
+    assert byid[2].flow == ["Content"] * 4
+    assert byid[1].pacing == "Fast"
+    assert byid[3].pacing == "Short/Not Enough Data"
+    assert byid[3].arc == "Short/Not Enough Data for Arc"
+    rising = ("This is bad and awful today. Neutral middle sentence here. "
+              "Then good progress appears. Everything is great and amazing "
+              "and wonderful and happy.")
+    arc = spark.createDataFrame([(rising,)], "t string").select(
+        n17.sentiment_arc_slope(sentiment_scores(F.col("t"))).alias("a")
+    ).collect()[0].a
+    assert arc == "Rising"
+
+
+def test_embedding_operator_deterministic(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.operators.inference import (
+        DeterministicEmbeddingBackend, embed_column)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = embed_column(docs.limit(20), "text", "emb",
+                       lambda: DeterministicEmbeddingBackend(dim=32))
+    rows = {r.doc_id: r.emb for r in out.select("doc_id", "emb").collect()}
+    again = {r.doc_id: r.emb for r in
+             embed_column(docs.limit(20), "text", "emb",
+                          lambda: DeterministicEmbeddingBackend(dim=32))
+             .select("doc_id", "emb").collect()}
+    assert rows == again
+    for v in rows.values():
+        assert len(v) == 32
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5   # unit norm
