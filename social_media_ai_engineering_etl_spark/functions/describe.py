@@ -190,3 +190,88 @@ def structure_command(structure: Column,
     for k, v in reversed(STRUCTURE_COMMANDS.items()):
         expr = F.when(structure == k, F.lit(v)).otherwise(expr)
     return expr
+
+
+def writing_style_summary(structure: Column, topic: Column, key_msg: Column,
+                          max_length: Column, tone: Column,
+                          emoji_usage: Column, *,
+                          slens: Column | None = None,
+                          post_text: Column | None = None,
+                          vocab_count: Column | None = None,
+                          common_phrases: Column | None = None,
+                          divider_style: Column | None = None,
+                          line_breaks: Column | None = None,
+                          avg_breaks: Column | None = None,
+                          punct_map: Column | None = None,
+                          bullet_style: Column | None = None,
+                          shift_scores: Column | None = None,
+                          flow: Column | None = None,
+                          pacing_label: Column | None = None,
+                          arc_label: Column | None = None,
+                          profanity: Column | None = None,
+                          include_writing_style: bool = True) -> Column:
+    """generate_writing_style_summary (18:245-354): the final markdown
+    prompt — head + constraints + NULL-gated style-feature sections,
+    joined with newlines. One concat_ws over an array_compact'd array;
+    entirely native."""
+    items: list[Column] = [
+        F.lit("# Request"),
+        F.concat(structure_command(structure),
+                 F.lit(" **on the topic of**: `"), topic, F.lit("`\n")),
+        F.lit("### Key Message"),
+        F.concat(F.lit("```\n"), key_msg, F.lit("\n```")),
+        F.lit("### Writing Constraints"),
+        F.concat(F.lit("- **Suggested Post Length**: "), max_length),
+        F.concat(F.lit("- **Emoji Usage**: "), emoji_usage),
+        F.concat(F.lit("- **Tone**: "), tone),
+    ]
+    if include_writing_style:
+        items.append(F.lit("### Writing Style Features"))
+
+        def sec(present: Column, label: str, body: Column) -> Column:
+            return F.when(present, F.concat(F.lit(f"- **{label}**: "), body))
+
+        if slens is not None:
+            items.append(sec(slens.isNotNull(), "Sentence Structure",
+                             describe_sentence_structure(slens)))
+        if vocab_count is not None:
+            items.append(sec(vocab_count.isNotNull(), "Vocabulary Usage",
+                             describe_vocabulary_usage(vocab_count, post_text)))
+        if common_phrases is not None:
+            items.append(sec(F.size(common_phrases) > 0, "Common Phrases",
+                             describe_phrases(common_phrases)))
+        if divider_style is not None:
+            items.append(F.when(divider_style.isNotNull(),
+                                F.concat(F.lit("- **Section Divider**: `"),
+                                         divider_style, F.lit("`"))))
+        if line_breaks is not None:
+            items.append(sec(line_breaks.isNotNull() & avg_breaks.isNotNull(),
+                             "Line Break Usage",
+                             describe_line_breaks(line_breaks, avg_breaks)))
+        if punct_map is not None:
+            items.append(sec(punct_map.isNotNull(), "Punctuation",
+                             describe_punctuation(punct_map, post_text)))
+        if bullet_style is not None:
+            # NULL bullet_style is a real value ('no specific style');
+            # the section is gated on the FIELD being present upstream,
+            # which callers encode by passing a non-null sentinel or
+            # pre-gating; here we gate on non-null like the reference's
+            # dict-key check.
+            items.append(sec(bullet_style.isNotNull(), "Bullet Styles",
+                             describe_bullet_styles(bullet_style)))
+        if shift_scores is not None:
+            items.append(sec(shift_scores.isNotNull(), "Topic Shifts",
+                             describe_topic_shifts(shift_scores)))
+        if flow is not None:
+            items.append(sec(flow.isNotNull(), "Narrative Flow",
+                             describe_narrative_flow(flow)))
+        if pacing_label is not None:
+            items.append(sec(pacing_label.isNotNull(), "Pacing",
+                             describe_pacing(pacing_label)))
+        if arc_label is not None:
+            items.append(sec(arc_label.isNotNull(), "Sentiment Arc",
+                             describe_sentiment_arc(arc_label)))
+        if profanity is not None:
+            items.append(sec(profanity.isNotNull(), "Profanity Level",
+                             profanity))
+    return F.array_join(F.array_compact(F.array(*items)), "\n")

@@ -439,3 +439,191 @@ def q18_structure_normalize(spark, sf_dir):
             .select(cleaning.normalize_structure(s).alias("structure"))
             .groupBy("structure").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("structure"))
+
+
+# --------------------------------------------------------------------------
+# q18_full_prompt — generate_writing_style_summary assembly (18:245-354)
+# --------------------------------------------------------------------------
+
+_FULL_PROMPT_SQL = r"""
+WITH feats AS (
+    SELECT doc_id, text, source,
+        len(text) - len(replace(text, chr(10), '')) AS lb,
+        CASE WHEN len(string_split(text, chr(10))) > 1
+             THEN len(list_filter(list_transform(string_split(text, chr(10)),
+                                                 l -> l), l -> l = ''))::DOUBLE
+                  / (len(string_split(text, chr(10))) - 1)
+             ELSE 0.0 END AS avg_lb,
+        list_transform(string_split(text, '. '),
+                       s -> len(string_split_regex(trim(s), '\s+'))) AS slens,
+        len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+            AS vocab,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> regexp_matches(w, '^[A-Za-z]+$'))) AS alpha,
+        len(text) - len(replace(text, '.', '')) AS c_per,
+        len(text) - len(replace(text, ',', '')) AS c_com,
+        len(text) - len(replace(text, ';', '')) AS c_sem,
+        len(text) - len(replace(text, '!', '')) AS c_exc,
+        len(text) - len(replace(text, '?', '')) AS c_que,
+        len(text) AS n
+    FROM documents
+), parts AS (
+    SELECT doc_id,
+        '# Request' AS p1,
+        (CASE doc_id % 4
+            WHEN 0 THEN 'Create a LinkedIn post that **shares a step-by-step guide**'
+            WHEN 1 THEN 'Create a LinkedIn post that **reflects on an experience**'
+            WHEN 2 THEN 'Create a LinkedIn post that **offers keen observations**'
+            ELSE 'Create a LinkedIn post that **announces something new**' END)
+         || ' **on the topic of**: `' || source || '`' || chr(10) AS p2,
+        '### Key Message' AS p3,
+        '```' || chr(10) || 'I think ' || source || ' Based on recent data.'
+              || chr(10) || '```' AS p4,
+        '### Writing Constraints' AS p5,
+        '- **Suggested Post Length**: ' ||
+            (CASE WHEN n >= 750 AND n < 1501
+                  THEN 'Between 750 and 1,500 characters long'
+                  WHEN n >= 1501 THEN 'Between 1,500 and 3,000 characters long'
+                  ELSE 'Up to 750 characters long' END) AS p6,
+        '- **Emoji Usage**: ' || (CASE doc_id % 3 WHEN 0 THEN 'none'
+            WHEN 1 THEN 'infrequent' ELSE 'frequent' END) AS p7,
+        '- **Tone**: ' || (CASE doc_id % 3 WHEN 0 THEN 'friendly, cheerful'
+            WHEN 1 THEN 'professional' ELSE 'serious' END) AS p8,
+        '### Writing Style Features' AS p9,
+        '- **Sentence Structure**: ' ||
+            (CASE WHEN list_sum(slens)::DOUBLE / len(slens) < 10
+                  THEN 'Short sentences, suggesting brevity and conciseness.'
+                  WHEN list_sum(slens)::DOUBLE / len(slens) > 20
+                  THEN 'Long and complex sentences, indicating a detailed and elaborate style.'
+                  ELSE 'A mix of short and long sentences, showing a balanced style.' END) AS p10,
+        '- **Vocabulary Usage**: ' ||
+            (CASE WHEN vocab::DOUBLE / greatest(alpha, 1) > 0.5
+                  THEN 'A rich vocabulary, showcasing extensive language use and depth.'
+                  WHEN vocab::DOUBLE / greatest(alpha, 1) > 0.35
+                  THEN 'A developed vocabulary, indicating a wide range of language and expression.'
+                  WHEN vocab::DOUBLE / greatest(alpha, 1) > 0.25
+                  THEN 'A normal vocabulary, reflecting a balanced and versatile use of language.'
+                  WHEN vocab::DOUBLE / greatest(alpha, 1) > 0.15
+                  THEN 'A conservative vocabulary, suggesting a focused and deliberate choice of words.'
+                  ELSE 'A very narrow vocabulary, highlighting a specific and targeted use of language.' END) AS p11,
+        CASE WHEN doc_id % 2 = 0
+             THEN '- **Common Phrases**: data driven, key insight' END AS p12,
+        CASE WHEN doc_id % 5 = 0 THEN '- **Section Divider**: `-`' END AS p13,
+        '- **Line Break Usage**: ' ||
+            (CASE WHEN lb = 0 THEN 'No line breaks, indicating a continuous block of text.'
+                  WHEN lb > 10 THEN 'Frequent line breaks, contributing to an easy-to-read structure.'
+                  WHEN avg_lb < 0.2 THEN 'Fewer line breaks, indicating a more compact writing style.'
+                  ELSE 'A moderate number of line breaks, balancing readability and density.' END) AS p14,
+        '- **Punctuation**: ' ||
+            (CASE WHEN n < 1 THEN 'No punctuation data.'
+                  ELSE coalesce(nullif(array_to_string(list_filter([
+                      CASE WHEN c_per > 0 AND c_per::DOUBLE / n > 0.02 THEN 'Heavy use of periods.'
+                           WHEN c_per > 0 AND c_per::DOUBLE / n > 0.01 THEN 'Regular use of periods.' END,
+                      CASE WHEN c_com > 0 AND c_com::DOUBLE / n > 0.02 THEN 'Heavy use of commas.'
+                           WHEN c_com > 0 AND c_com::DOUBLE / n > 0.01 THEN 'Regular use of commas.' END,
+                      CASE WHEN c_sem > 0 AND c_sem::DOUBLE / n > 0.02 THEN 'Heavy use of semicolons.'
+                           WHEN c_sem > 0 AND c_sem::DOUBLE / n > 0.01 THEN 'Regular use of semicolons.' END,
+                      CASE WHEN c_exc > 0 AND c_exc::DOUBLE / n > 0.02 THEN 'Heavy use of exclamation marks.'
+                           WHEN c_exc > 0 AND c_exc::DOUBLE / n > 0.01 THEN 'Regular use of exclamation marks.' END,
+                      CASE WHEN c_que > 0 AND c_que::DOUBLE / n > 0.02 THEN 'Heavy use of question marks.'
+                           WHEN c_que > 0 AND c_que::DOUBLE / n > 0.01 THEN 'Regular use of question marks.' END
+                  ], x -> x IS NOT NULL), ' '), ''), 'Standard punctuation usage.') END) AS p15,
+        CASE doc_id % 7
+            WHEN 0 THEN '- **Bullet Styles**: Uses Numbers for bullet points, indicating a structured format.'
+            WHEN 1 THEN '- **Bullet Styles**: Uses • for bullet points, indicating a structured format.'
+            WHEN 2 THEN '- **Bullet Styles**: Uses varying emojis as bullet points, adding a casual and modern touch.'
+        END AS p16,
+        '- **Topic Shifts**: ' ||
+            (CASE WHEN doc_id % 3 = 0
+                  THEN 'Moderate topic shifts, indicating a well-rounded but focused narrative.'
+                  ELSE 'Consistent topic focus, highlighting a thorough exploration of a single subject.' END) AS p17,
+        '- **Narrative Flow**: ' ||
+            (CASE doc_id % 4
+                WHEN 0 THEN 'The narrative flow includes: introducing the subject; then Content.'
+                WHEN 1 THEN 'A complex narrative flow that progresses through multiple stages, indicating a dynamic and layered storytelling approach.'
+                WHEN 2 THEN 'No discernible narrative flow detected.'
+                ELSE 'The narrative flow includes: shifting into reflection or transitioning between ideas; then setting up a new idea.' END) AS p18,
+        '- **Pacing**: ' ||
+            (CASE doc_id % 3
+                WHEN 0 THEN 'The pacing is described as ''Fast'', indicating the rhythm and speed of the narrative.'
+                WHEN 1 THEN 'Pacing analysis is inconclusive due to the brevity of the text.'
+                ELSE 'The pacing is described as ''Moderate'', indicating the rhythm and speed of the narrative.' END) AS p19,
+        '- **Sentiment Arc**: ' ||
+            (CASE doc_id % 4
+                WHEN 0 THEN 'Overall positive tone, conveying optimism or encouragement.'
+                WHEN 1 THEN 'A steadily rising sentiment, indicating an increasingly positive or hopeful tone.'
+                WHEN 2 THEN 'Insufficient length to determine a clear sentiment progression.'
+                ELSE 'Balanced tone without a strong emotional shift.' END) AS p20,
+        CASE WHEN doc_id % 11 = 0 THEN '- **Profanity Level**: none' END AS p21
+    FROM feats
+)
+SELECT doc_id,
+       md5(array_to_string(list_filter(
+           [p1,p2,p3,p4,p5,p6,p7,p8,p9,p10,p11,p12,p13,p14,p15,p16,p17,
+            p18,p19,p20,p21], x -> x IS NOT NULL), chr(10))) AS prompt_md5,
+       len(array_to_string(list_filter(
+           [p1,p2,p3,p4,p5,p6,p7,p8,p9,p10,p11,p12,p13,p14,p15,p16,p17,
+            p18,p19,p20,p21], x -> x IS NOT NULL), chr(10))) AS prompt_len
+FROM parts
+"""
+
+
+@register("q18_full_prompt", oracle=_FULL_PROMPT_SQL)
+def q18_full_prompt(spark, sf_dir):
+    """§2.9 capstone: generate_writing_style_summary (18:245-354) —
+    the full markdown prompt assembly with NULL-gated feature
+    sections, md5-checked per row."""
+    d = F.col("doc_id")
+    df = _docs(spark, sf_dir)
+    structure = (F.when(d % 4 == 0, "instructional")
+                  .when(d % 4 == 1, "reflective")
+                  .when(d % 4 == 2, "insightful")
+                  .otherwise(F.lit("announcement")))
+    slens = F.transform(F.split(F.col("text"), "\\. ", -1),
+                        lambda s: F.size(F.split(F.trim(s), "\\s+")))
+    prompt = describe.writing_style_summary(
+        structure, F.col("source"),
+        F.concat(F.lit("I think "), F.col("source"),
+                 F.lit(" Based on recent data.")),
+        textstats.length_bucket(F.col("text")),
+        _pick_mod(d, 3, ["friendly, cheerful", "professional", "serious"]),
+        _pick_mod(d, 3, ["none", "infrequent", "frequent"]),
+        slens=slens,
+        post_text=F.col("text"),
+        vocab_count=textstats.distinct_word_count(F.col("text")),
+        common_phrases=F.when(d % 2 == 0,
+                              F.array(F.lit("data driven"),
+                                      F.lit("key insight"))
+                              ).otherwise(F.array().cast("array<string>")),
+        divider_style=F.when(d % 5 == 0, F.lit("-")),
+        line_breaks=textstats.line_break_count(F.col("text")),
+        avg_breaks=textstats.blank_line_fraction(F.col("text")),
+        punct_map=textstats.punctuation_counts(F.col("text")),
+        bullet_style=(F.when(d % 7 == 0, "Numbers")
+                       .when(d % 7 == 1, "(")
+                       .when(d % 7 == 2, "Differing Emojis")),
+        shift_scores=F.when(d % 3 == 0, F.array(F.lit(0.5), F.lit(0.3))
+                            ).otherwise(F.array().cast("array<double>")),
+        flow=(F.when(d % 4 == 0, F.array(F.lit("Introduction/Setup"),
+                                         F.lit("Content")))
+               .when(d % 4 == 1, F.array_repeat(F.lit("Content"), 5))
+               .when(d % 4 == 2, F.array().cast("array<string>"))
+               .otherwise(F.array(F.lit("Transition/Reflection"),
+                                  F.lit("Introduction/Setup")))),
+        pacing_label=_pick_mod(d, 3, ["Fast", "Short/Not Enough Data",
+                                      "Moderate"]),
+        arc_label=_pick_mod(d, 4, ["Positive", "Upward Trend",
+                                   "Short/Not Enough Data for Arc",
+                                   "Neutral"]),
+        profanity=F.when(d % 11 == 0, F.lit("none")))
+    return df.select(
+        "doc_id",
+        F.md5(prompt.cast("binary")).alias("prompt_md5"),
+        F.length(prompt).alias("prompt_len"))
+
+
+def _pick_mod(d, mod, options):
+    expr = F.lit(options[-1])
+    for i in range(len(options) - 2, -1, -1):
+        expr = F.when(d % mod == i, F.lit(options[i])).otherwise(expr)
+    return expr
