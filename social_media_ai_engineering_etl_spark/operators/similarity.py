@@ -201,3 +201,64 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "corpus_id",
                     F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
+                     id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+    """Exact top-k via vectorized BLAS matmul (``mapInPandas``) — the
+    dense-linear-algebra scale path.
+
+    The JVM higher-order-function path (:func:`cosine_topk_bruteforce`)
+    evaluates each dot product as an interpreted fold; fine at test
+    scale, but at 100 TB x thousands of queries the arithmetic
+    dominates and one ``C @ Q.T`` GEMM per Arrow batch (SIMD BLAS,
+    ~GFLOP/s) wins by orders of magnitude. The query matrix is
+    collected driver-side (queries are small by ANN contract) and
+    shipped in the closure; each corpus batch emits only its partial
+    top-k, so the shuffle into the global per-query window is
+    ``num_batches * n_queries * k`` rows, independent of corpus size.
+
+    Output contract identical to ``cosine_topk_bruteforce`` (same
+    rounding, same tie-break) — parity is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpd = (queries.select(F.col(id_col).alias("qid"),
+                          _as_double(F.col(vec_col)).alias("qv"))
+           .toPandas())
+    qids = qpd["qid"].to_numpy()
+    Q = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            ids = pdf["corpus_id"].to_numpy()
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Cn @ Qn.T                       # (n_corpus, n_queries)
+            n_c, n_q = sims.shape
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, n_c),
+                "corpus_id": np.tile(ids, n_q),
+                "cosine_sim": sims.T.ravel(),
+            })
+            out = out[out.query_id != out.corpus_id]
+            out = (out.sort_values(["query_id", "cosine_sim", "corpus_id"],
+                                   ascending=[True, False, True])
+                   .groupby("query_id").head(k))   # per-batch partial top-k
+            yield out
+
+    scored = c.mapInPandas(
+        score, "query_id long, corpus_id long, cosine_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -44,8 +44,15 @@ def order_engagement(lineitem: DataFrame, orders: DataFrame,
 
 def tier_counts(lineitem: DataFrame, orders: DataFrame,
                 customer: DataFrame, keep_bottom: bool = False) -> DataFrame:
-    """Flagship query: tier assignment + Tier-C drop + tier counts."""
-    scored = order_engagement(lineitem, orders, customer)
+    """Flagship query: tier assignment + Tier-C drop + tier counts.
+
+    ``scored`` feeds BOTH the quantile aggregate and the tiering
+    branch; without materialization Catalyst recomputes the whole
+    scan+agg+join subtree twice (no DAG-level CSE across actions).
+    Persist is the two-pass-quantile idiom at any scale: the cached
+    post-grain table is ~1 row per order, orders-of-magnitude smaller
+    than the lineitem input it replaces re-reading."""
+    scored = order_engagement(lineitem, orders, customer).persist()
     tiered = with_tiers(scored, keep_bottom=keep_bottom)
     return (tiered.groupBy("tier")
             .agg(F.count(F.lit(1)).alias("post_count"))

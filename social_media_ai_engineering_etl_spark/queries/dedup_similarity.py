@@ -13,14 +13,17 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, textquality
 from ..registry import register
+from ..session import widen_scan
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = os.path.join(sf_dir, "documents.parquet")
+    return widen_scan(spark.read.parquet(p), p)
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    return widen_scan(spark.read.parquet(p), p)
 
 
 # --------------------------------------------------------------------------
@@ -138,7 +141,7 @@ def qx_embedding_dedup_pairs(spark, sf_dir):
                                        ).orderBy("id1", "id2")
 
 
-@register("qx_similarity_topk", bench=True, oracle="""
+_TOPK_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id % 25 = 0),
 c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -156,7 +159,10 @@ scored AS (
 )
 SELECT query_id, rank, corpus_id, round(cos, 6) AS cosine_sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
-""")
+"""
+
+
+@register("qx_similarity_topk", bench=True, oracle=_TOPK_SQL)
 def qx_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query (every 25th vector as a
     query), deterministic tie-break — the exact ANN baseline."""
@@ -165,6 +171,17 @@ def qx_similarity_topk(spark, sf_dir):
     return similarity.cosine_topk_bruteforce(emb, queries, "vec_id",
                                              "embedding", k=5
                                              ).orderBy("query_id", "rank")
+
+
+@register("qx_similarity_topk_gemm", oracle=_TOPK_SQL)
+def qx_similarity_topk_gemm(spark, sf_dir):
+    """Vectorized BLAS-matmul exact top-5 (mapInPandas GEMM) — same
+    contract and oracle as qx_similarity_topk; the arithmetic path
+    that wins once corpus x queries dwarfs Arrow transfer cost."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_gemm(emb, queries, "vec_id", "embedding",
+                                       k=5).orderBy("query_id", "rank")
 
 
 @register("qx_similarity_topk_lsh")

@@ -69,6 +69,43 @@ TABLES = (
 )
 
 
+def _scan_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs
+                   if not f.startswith(("_", ".")))
+    return os.path.getsize(path)
+
+
+def widen_scan(df, path: str | None = None):
+    """Size-adaptive compute repartition for CPU-heavy stages.
+
+    The synthetic test tables are single-row-group parquet files, so a
+    local scan yields ONE partition and every downstream expression
+    (MinHash signatures, shingling, regex mining) runs on 1 of N
+    cores. On a real cluster reading ~100 TB the scan already splits
+    into thousands of partitions and a blanket ``repartition`` would
+    be a catastrophic full shuffle — so this estimates the scan split
+    count from file size / maxPartitionBytes (pure metadata, no
+    planning round-trip) and only repartitions when the scan comes
+    back narrower than the cluster's parallelism. Filters and column
+    pruning still reach the parquet scan: Catalyst pushes both
+    through RepartitionOperation nodes, so the exchange carries only
+    the pruned/filtered rows.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if path is not None:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                       "134217728").rstrip("b"))
+        est_splits = max(1, _scan_bytes(path) // max_split)
+    else:
+        est_splits = df.rdd.getNumPartitions()
+    if est_splits < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load every synthetic table in ``sf_dir`` as a DataFrame.
 

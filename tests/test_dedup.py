@@ -74,3 +74,16 @@ def test_exact_dedup_removes_planted(spark, docs):
     assert kept.count() == docs.count()
     # winners are the min ids
     assert kept.agg(F.max("doc_id")).collect()[0][0] < 10_000_000
+
+
+def test_gemm_topk_matches_bruteforce(emb):
+    """The BLAS mapInPandas path must be value-identical to the JVM
+    HOF path — same rounding, same tie-break."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = similarity.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5
+    ).orderBy("query_id", "rank").collect()
+    gemm = similarity.cosine_topk_gemm(
+        emb, queries, "vec_id", "embedding", k=5
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in brute] == [tuple(r) for r in gemm]
