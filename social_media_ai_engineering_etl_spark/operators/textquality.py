@@ -91,3 +91,34 @@ def fingerprint(text: Column) -> Column:
     lowercase text — the dedup/lineage key."""
     norm = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
     return F.md5(norm.cast("binary"))
+
+
+def keyword_candidates(text: Column,
+                       stopwords: tuple[str, ...]) -> Column:
+    """Keyword-candidate array for a document (SURVEY M17,
+    training/rewards/base.py:19-35).
+
+    The reference uses spaCy NOUN/PROPN/ADJ tokens + NER entities;
+    that model isn't available here, so this is the documented
+    deterministic stand-in (same shape the reference itself falls
+    back to for NER in fabrication scoring,
+    training/grpo/prompt_parsing.py:223-236):
+
+      * word candidates — alphabetic tokens of length >= 4,
+        lowercased, stopwords dropped (content-word proxy);
+      * entity candidates — runs of >= 2 Capitalized words,
+        lowercased (consecutive-capitalized-word NER proxy).
+
+    Pure JVM expressions (regexp_extract_all + array ops) so the
+    per-document pass stays inside codegen at 100 TB.
+    """
+    words = F.filter(
+        F.transform(
+            F.regexp_extract_all(text, F.lit("[A-Za-z]{4,}"), F.lit(0)),
+            lambda t: F.lower(t)),
+        lambda t: ~t.isin(*stopwords))
+    ents = F.transform(
+        F.regexp_extract_all(text, F.lit("[A-Z][a-z]+(?: [A-Z][a-z]+)+"),
+                             F.lit(0)),
+        lambda t: F.lower(t))
+    return F.concat(words, ents)

@@ -8,9 +8,10 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators import analytics, mllib_pipeline
+from ..operators import analytics, mllib_pipeline, phrases, textquality
 from ..registry import register
 
 
@@ -560,3 +561,59 @@ def qm_text_embeddings(spark, sf_dir):
         "doc_id", F.size("combined").alias("dim"),
         F.round(F.aggregate(F.col("combined"), F.lit(0.0),
                             lambda a, x: a + x * x), 6).alias("sq_norm"))
+
+
+# --------------------------------------------------------------------------
+# M17: keyword extraction (heuristic stand-in for the spaCy path)
+# --------------------------------------------------------------------------
+
+_KW_STOPWORDS_SQL = "[" + ", ".join(
+    f"'{w}'" for w in phrases.STOPWORDS_EN) + "]"
+
+_KEYWORDS_SQL = f"""
+WITH cands AS (
+    SELECT doc_id,
+           unnest(list_concat(
+               list_filter(
+                   list_transform(
+                       regexp_extract_all(text, '[A-Za-z]{{4,}}'),
+                       t -> lower(t)),
+                   t -> NOT list_contains({_KW_STOPWORDS_SQL}, t)),
+               list_transform(
+                   regexp_extract_all(text, '[A-Z][a-z]+(?: [A-Z][a-z]+)+'),
+                   t -> lower(t)))) AS kw
+    FROM documents WHERE doc_id % 10 = 0
+), freq AS (
+    SELECT doc_id, kw, count(*) AS freq
+    FROM cands GROUP BY doc_id, kw
+)
+SELECT doc_id, kw, freq FROM (
+    SELECT doc_id, kw, freq,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY freq DESC, kw) AS rk
+    FROM freq
+) WHERE rk <= 15 ORDER BY doc_id, kw
+"""
+
+
+@register("qm_keywords", oracle=_KEYWORDS_SQL)
+def qm_keywords(spark, sf_dir):
+    """M17: per-document top-15 keywords (freq desc, word asc) from
+    the heuristic candidate set — content words (alpha, len>=4,
+    non-stopword, lowercased) plus consecutive-capitalized-word
+    entity phrases (training/rewards/base.py:19-35; NER fallback
+    shape from training/grpo/prompt_parsing.py:223-236). Every 10th
+    doc to keep the oracle cheap; semantics are per-row, so the
+    sample is representative."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    cands = docs.select(
+        "doc_id",
+        F.explode(textquality.keyword_candidates(
+            F.col("text"), phrases.STOPWORDS_EN)).alias("kw"))
+    freq = cands.groupBy("doc_id", "kw").agg(
+        F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("freq").desc(),
+                                             F.col("kw"))
+    return (freq.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 15).drop("rk")
+            .orderBy("doc_id", "kw"))
