@@ -141,3 +141,43 @@ def normalize_surrogates_udf():
         return s.map(fix)
 
     return _normalize
+
+
+def validate_records(df, required: tuple[str, ...] = (),
+                     non_empty: tuple[str, ...] = (),
+                     domains: dict[str, tuple[str, ...]] | None = None):
+    """P18 (utils/validation.py:32-100): record-validation gate as ONE
+    single-pass aggregation.
+
+    The reference instantiates a Pydantic model per record and counts
+    failures; here every rule becomes a conditional-count expression
+    in one ``agg`` (map-side combinable, one job, no per-row Python),
+    then the 1-row wide result unpivots to (rule, violations) rows
+    via an exploded map — violation reporting at 100 TB costs one
+    scan.
+
+      * required  — column must be non-null;
+      * non_empty — column must be non-null and not '' after trim;
+      * domains   — column value must be in the allowed enum (nulls
+        counted by ``required`` if listed there, not double-counted
+        here).
+    """
+    aggs = []
+    for c in required:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"required_{c}"))
+    for c in non_empty:
+        aggs.append(F.sum(F.when(F.col(c).isNull()
+                                 | (F.trim(F.col(c)) == ""), 1).otherwise(0))
+                    .alias(f"non_empty_{c}"))
+    for c, allowed in (domains or {}).items():
+        aggs.append(F.sum(F.when(F.col(c).isNotNull()
+                                 & ~F.col(c).isin(*allowed), 1).otherwise(0))
+                    .alias(f"domain_{c}"))
+    wide = df.agg(*aggs)
+    pairs = []
+    for c in wide.columns:
+        pairs.extend([F.lit(c), F.col(c).cast("long")])
+    return (wide.select(F.explode(F.create_map(*pairs))
+                        .alias("rule", "violations"))
+            .orderBy("rule"))

@@ -627,3 +627,41 @@ def _pick_mod(d, mod, options):
     for i in range(len(options) - 2, -1, -1):
         expr = F.when(d % mod == i, F.lit(options[i])).otherwise(expr)
     return expr
+
+
+# --------------------------------------------------------------------------
+# P18: record validation gate
+# --------------------------------------------------------------------------
+
+@register("qv_record_validation", oracle="""
+SELECT rule, violations FROM (
+    SELECT 'required_doc_id' AS rule,
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS violations
+    FROM documents
+    UNION ALL
+    SELECT 'required_text',
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM documents
+    UNION ALL
+    SELECT 'non_empty_text',
+           sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+    FROM documents
+    UNION ALL
+    SELECT 'non_empty_source',
+           sum(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END)
+    FROM documents
+    UNION ALL
+    SELECT 'domain_lang',
+           sum(CASE WHEN lang IS NOT NULL
+                    AND lang NOT IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END)
+    FROM documents
+) ORDER BY rule
+""")
+def qv_record_validation(spark, sf_dir):
+    """P18: single-pass validation counts over documents — required
+    keys, non-empty text/source, lang enum domain
+    (utils/validation.py:32-100 as one aggregation)."""
+    return cleaning.validate_records(
+        _docs(spark, sf_dir),
+        required=("doc_id", "text"),
+        non_empty=("text", "source"),
+        domains={"lang": ("en", "de", "fr", "es")})
