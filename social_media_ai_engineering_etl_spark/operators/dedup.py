@@ -59,9 +59,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays."""
+    """Exact Jaccard over two distinct-element arrays; 0.0 when both
+    are empty (ANSI mode would otherwise raise DIVIDE_BY_ZERO the
+    first time two shingle-less short documents meet in a pair join —
+    found by the hypothesis property suite)."""
     inter = F.size(F.array_intersect(a, b))
-    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union <= 0, F.lit(0.0)) \
+            .otherwise(inter.cast("double") / union)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -1,0 +1,116 @@
+"""Property-based invariants (hypothesis) over the expression
+libraries — a layer the reference lacks (SURVEY §5 'not present');
+cheap here because every property evaluates one batched Spark job
+per example, never per-row Python.
+
+Invariants chosen to catch the classes of bug unit fixtures miss:
+boundary texts (empty/whitespace/unicode), score-range violations,
+and algebraic identities (symmetry, idempotence).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.functions import rewards as rw
+from social_media_ai_engineering_etl_spark.operators import dedup, textquality
+
+# text with newlines/punct/unicode, small batches; deadline None
+# because Spark job latency dwarfs hypothesis' default 200ms.
+TEXTS = st.lists(
+    st.text(alphabet=st.characters(codec="utf-8",
+                                   exclude_categories=("Cs",)),
+            max_size=200),
+    min_size=1, max_size=16)
+
+PROP_SETTINGS = dict(max_examples=8, deadline=None,
+                     suppress_health_check=[HealthCheck.too_slow])
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "id long, text string")
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=TEXTS)
+def test_reward_scores_bounded(spark, texts):
+    """Every scalar reward lands in [0, 1] for arbitrary text."""
+    df = _df(spark, texts)
+    cols = {
+        "hashtag": rw.hashtag_limit(F.col("text")),
+        "chinese": rw.chinese_character_guard(F.col("text")),
+        "variety": rw.emoji_variety(F.col("text")),
+        "semantic": rw.semantic_coherence(F.col("text")),
+        "narrative": rw.narrative_structure(F.col("text")),
+    }
+    out = df.select(*[v.alias(k) for k, v in cols.items()]).collect()
+    for row in out:
+        for k in cols:
+            assert row[k] is not None, k
+            assert 0.0 <= row[k] <= 1.0, (k, row[k])
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=TEXTS)
+def test_quality_score_bounded_and_tokens_nonnegative(spark, texts):
+    df = _df(spark, texts)
+    out = df.select(
+        textquality.quality_score(F.col("text")).alias("q"),
+        textquality.token_count(F.col("text")).alias("n")).collect()
+    for row in out:
+        assert 0.0 <= row["q"] <= 1.0
+        assert row["n"] >= 0
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="ab cd\n", min_size=0,
+                              max_size=120), min_size=2, max_size=12))
+def test_jaccard_symmetric_and_bounded(spark, texts):
+    """jaccard(a,b) == jaccard(b,a), in [0,1]; shingling of a text
+    against itself is exactly 1 when non-empty."""
+    df = _df(spark, texts)
+    sh = df.select("id", dedup.word_shingles(F.col("text"), 2).alias("sh"))
+    a = sh.select(F.col("id").alias("i"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("j"), F.col("sh").alias("sb"))
+    pairs = (a.crossJoin(b)
+             .withColumn("na", F.size("sa"))
+             .withColumn("jab", dedup.jaccard(F.col("sa"), F.col("sb")))
+             .withColumn("jba", dedup.jaccard(F.col("sb"), F.col("sa"))))
+    for row in pairs.collect():
+        assert abs(row["jab"] - row["jba"]) < 1e-12
+        assert 0.0 <= row["jab"] <= 1.0
+        if row["i"] == row["j"]:
+            # self-similarity is 1 for non-empty shingle sets, 0 (by
+            # empty-union convention) otherwise
+            expected = 1.0 if row["na"] > 0 else 0.0
+            assert row["jab"] == pytest.approx(expected)
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="xy z", min_size=1, max_size=60),
+                      min_size=1, max_size=12))
+def test_exact_dedup_idempotent(spark, texts):
+    """exact_dedup(exact_dedup(df)) == exact_dedup(df) row-for-row."""
+    df = _df(spark, texts)
+    once = dedup.exact_dedup(df, "text", "id")
+    twice = dedup.exact_dedup(once, "text", "id")
+    assert sorted(r["id"] for r in once.collect()) == \
+        sorted(r["id"] for r in twice.collect())
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="mn op\n", min_size=0,
+                              max_size=100), min_size=1, max_size=12))
+def test_minhash_signature_shape(spark, texts):
+    """Signature is always num_hashes long with non-negative entries
+    (empty shingle sets keep the sentinel max)."""
+    df = _df(spark, texts)
+    sig = df.select(dedup.minhash_signature(
+        dedup.word_shingles(F.col("text"), 2), 16).alias("s"))
+    for row in sig.collect():
+        assert len(row["s"]) == 16
+        assert all(v >= 0 for v in row["s"])
