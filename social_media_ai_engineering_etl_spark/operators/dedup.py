@@ -343,12 +343,14 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, computed
-    JVM-side with zip_with + aggregate (no UDF)."""
+    JVM-side with zip_with + aggregate (no UDF); 0.0 for zero-norm
+    vectors (ANSI mode raises DIVIDE_BY_ZERO otherwise)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
@@ -373,6 +375,9 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     dot = F.aggregate(F.zip_with(F.col("v1"), F.col("v2"),
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    return (joined.withColumn("cosine_sim", dot / (F.col("n1") * F.col("n2")))
+    denom = F.col("n1") * F.col("n2")
+    return (joined.withColumn("cosine_sim",
+                              F.when(denom > 0, dot / denom)
+                               .otherwise(F.lit(0.0)))
             .filter(F.col("cosine_sim") >= threshold)
             .select("id1", "id2", F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -48,7 +48,10 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     scored = (c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-              .withColumn("cosine_sim", dot / (F.col("cn") * F.col("qn"))))
+              .withColumn("cosine_sim",
+                          F.when(F.col("cn") * F.col("qn") > 0,
+                                 dot / (F.col("cn") * F.col("qn")))
+                           .otherwise(F.lit(0.0))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -124,7 +127,10 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
     scored = (c.join(F.broadcast(q), "tb")
               .filter(F.col("corpus_id") != F.col("query_id"))
               .dropDuplicates(["query_id", "corpus_id"])
-              .withColumn("cosine_sim", dot / (F.col("cn") * F.col("qn"))))
+              .withColumn("cosine_sim",
+                          F.when(F.col("cn") * F.col("qn") > 0,
+                                 dot / (F.col("cn") * F.col("qn")))
+                           .otherwise(F.lit(0.0))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -194,7 +200,10 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
                       F.lit(0.0), lambda acc, v: acc + v)
     scored = (assigned.join(F.broadcast(probes), "cell")
               .filter(F.col("corpus_id") != F.col("query_id"))
-              .withColumn("cosine_sim", dot / (F.col("cn") * F.col("qn"))))
+              .withColumn("cosine_sim",
+                          F.when(F.col("cn") * F.col("qn") > 0,
+                                 dot / (F.col("cn") * F.col("qn")))
+                           .otherwise(F.lit(0.0))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -229,7 +238,8 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
            .toPandas())
     qids = qpd["qid"].to_numpy()
     Q = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)   # zero vectors stay zero -> cos 0
 
     c = corpus.select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
@@ -240,7 +250,8 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
                 continue
             C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
             ids = pdf["corpus_id"].to_numpy()
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(cn == 0, 1.0, cn)
             sims = Cn @ Qn.T                       # (n_corpus, n_queries)
             n_c, n_q = sims.shape
             out = pd.DataFrame({

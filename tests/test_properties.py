@@ -114,3 +114,23 @@ def test_minhash_signature_shape(spark, texts):
     for row in sig.collect():
         assert len(row["s"]) == 16
         assert all(v >= 0 for v in row["s"])
+
+
+def test_cosine_zero_vector_is_zero_not_error(spark):
+    """Zero-norm vectors must yield 0.0, not an ANSI DIVIDE_BY_ZERO
+    crash, on every cosine path."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 2.0, 2.0]), (2, [3.0, 0.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_dedup_pairs(df, "vec_id", "embedding",
+                                        threshold=-1.0).collect()
+    sims = {(r.id1, r.id2): r.cosine_sim for r in pairs}
+    assert sims[(0, 1)] == 0.0 and sims[(0, 2)] == 0.0
+    from social_media_ai_engineering_etl_spark.operators import similarity
+    brute = similarity.cosine_topk_bruteforce(
+        df, df, "vec_id", "embedding", k=2).collect()
+    gemm = similarity.cosine_topk_gemm(
+        df, df, "vec_id", "embedding", k=2).collect()
+    assert [tuple(r) for r in brute] == [tuple(r) for r in gemm]
+    assert all(r.cosine_sim == 0.0 for r in brute if 0 in
+               (r.query_id, r.corpus_id))
