@@ -78,7 +78,11 @@ def precise_post_length(prompt: Column, completion: Column) -> Column:
     # generic fallback (length.py:60-77)
     m = F.regexp_extract(req, r"(?i)up\s+to\s+(\d+(,\d+)?)\s+characters", 1)
     max_chars = F.replace(m, F.lit(","), F.lit("")).cast("long")
-    fb_over = (length - max_chars).cast("double") / max_chars
+    # greatest(.,1): a prompt reading 'up to 0 characters' must score
+    # 0.0, not raise ANSI DIVIDE_BY_ZERO (the reference's Python would
+    # crash there too; documented deviation)
+    fb_over = (length - max_chars).cast("double") / F.greatest(max_chars,
+                                                               F.lit(1))
     fallback = (F.when(m == "", F.lit(0.5))
                  .when(length <= max_chars, F.lit(1.0))
                  .when(fb_over <= 0.1, F.lit(0.7))

@@ -119,7 +119,7 @@ def resize_metadata(df: DataFrame, max_side: int = 256,
     resample would live in the decoder."""
     w = F.col(f"{media_col}.width").cast("double")
     h = F.col(f"{media_col}.height").cast("double")
-    scale = F.least(F.lit(1.0), max_side / F.greatest(w, h))
+    scale = F.least(F.lit(1.0), max_side / F.greatest(w, h, F.lit(1.0)))
     return df.withColumns({
         "resized_width": F.floor(w * scale).cast("int"),
         "resized_height": F.floor(h * scale).cast("int"),

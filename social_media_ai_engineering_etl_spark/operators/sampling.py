@@ -77,7 +77,8 @@ def balance_to_average(df: DataFrame, keys: list[str],
     stats = df.agg(
         F.count(F.lit(1)).alias("__total"),
         F.count_distinct(*[F.col(k) for k in keys]).alias("__combos"))
-    avg = F.floor(F.col("__total") / F.col("__combos")).cast("long")
+    avg = F.floor(F.col("__total")
+                  / F.greatest(F.col("__combos"), F.lit(1))).cast("long")
     if target_cap is not None:
         avg = F.least(avg, F.lit(int(target_cap)))
     stats = stats.select(F.greatest(avg, F.lit(1)).alias("__avg_target"))
