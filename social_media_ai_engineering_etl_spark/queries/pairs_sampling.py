@@ -294,3 +294,65 @@ def q17_author_words_grouped(spark, sf_dir):
     return phrases.author_uncommon_words_grouped(
         _docs(spark, sf_dir), "source", "text", "doc_id"
     ).orderBy("source", "word")
+
+
+# --------------------------------------------------------------------------
+# §3.1 whole-pipeline composition: 22 fan-out -> 23 type+split -> mix
+# --------------------------------------------------------------------------
+
+@register("qe2e_training_mix", oracle="WITH posts AS (" + _PAIRS_CTE + """
+), typed AS (
+    SELECT doc_id, prompt, len(prompt) AS prompt_len,
+        CASE
+            WHEN lower(prompt) LIKE '%identify its primary topic%' THEN 'topic'
+            WHEN lower(prompt) LIKE '%extract the core opinion%' THEN 'opinion'
+            WHEN lower(prompt) LIKE '%identify up to three primary tones%'
+                THEN 'tone'
+            WHEN lower(prompt) LIKE '%classify the structural format%'
+                THEN 'structure'
+            WHEN lower(prompt) LIKE '%# request%'
+                 AND lower(prompt) LIKE '%create a linkedin post%'
+                THEN 'post-generation'
+            ELSE 'other' END AS prompt_type
+    FROM pairs
+), split AS (
+    SELECT doc_id, prompt_type, prompt_len,
+           CASE WHEN ('0x' || substr(md5(prompt), 1, 4))::BIGINT % 5 < 4
+                THEN 'sft' ELSE 'dpo' END AS split
+    FROM typed
+)
+SELECT prompt_type, split,
+       count(*) AS n_pairs,
+       sum(prompt_len) AS total_prompt_chars,
+       count(DISTINCT doc_id) AS n_docs
+FROM split GROUP BY prompt_type, split ORDER BY prompt_type, split
+""")
+def qe2e_training_mix(spark, sf_dir):
+    """SURVEY §3.1 'run-e2e' as ONE composed DataFrame plan: stage-22
+    fan-out (F1 templates) -> stage-23 prompt-type classification
+    (P13) -> 80/20 SFT/DPO split -> training-mix summary, value-
+    checked end-to-end against a single nested-CTE oracle.
+
+    The split is the deterministic HASH variant of B6 (md5(prompt)
+    bucket % 5): unlike the reference's in-memory random.shuffle, a
+    content-hash split makes the same decision on every executor,
+    every retry, and every engine — the property that makes the whole
+    chain oracle-checkable AND makes the split reproducible at 100 TB
+    (documented deviation from seed-shuffle row identity, matching
+    the sampling count-contract stance)."""
+    posts = _derive_posts(_docs(spark, sf_dir))
+    pairs = fanout.generate_training_pairs(posts, id_cols=("doc_id",))
+    typed = pairs.select(
+        "doc_id",
+        cleaning.classify_prompt_type(F.col("prompt")).alias("prompt_type"),
+        F.length("prompt").alias("prompt_len"),
+        (F.conv(F.substring(F.md5(F.col("prompt").cast("binary")), 1, 4),
+                16, 10).cast("long") % 5).alias("bucket"))
+    split = typed.withColumn(
+        "split", F.when(F.col("bucket") < 4, F.lit("sft"))
+                  .otherwise(F.lit("dpo")))
+    return (split.groupBy("prompt_type", "split")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("prompt_len").alias("total_prompt_chars"),
+                 F.count_distinct("doc_id").alias("n_docs"))
+            .orderBy("prompt_type", "split"))
