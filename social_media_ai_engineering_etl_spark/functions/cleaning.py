@@ -22,8 +22,9 @@ def unwrap_json_field(col: Column, key: str) -> Column:
 
 
 def is_disallowed(col: Column) -> Column:
-    """True when the value contains any disallowed substring, any CJK
-    character, or trims/lowers to 'unknown' (7-clean-topics.py:18-43).
+    """P8/P9: True when the value contains any disallowed substring,
+    any CJK character, or trims/lowers to 'unknown'
+    (7-clean-topics.py:18-43; 12-clean-opinions.py:18-46).
 
     Stage 15's intended check is identical; its shipped version has a
     truthiness bug (only tests "650+" — SURVEY Q4). We implement the
@@ -181,3 +182,36 @@ def validate_records(df, required: tuple[str, ...] = (),
     return (wide.select(F.explode(F.create_map(*pairs))
                         .alias("rule", "violations"))
             .orderBy("rule"))
+
+
+def structure_from_chosen(chosen: Column,
+                          labels: tuple[str, ...] = STRUCTURE_LABELS) -> Column:
+    """P15 (23-split.py:133-152): structure recovered from the chosen
+    completion — exact label match first, then substring containment,
+    else NULL (unknown). Differs from P12's prompt-side normalize in
+    its exact-match fast path and null default."""
+    lowered = F.lower(F.trim(chosen))
+    expr = F.lit(None).cast("string")
+    for label in reversed(labels):
+        expr = F.when(lowered.contains(F.lit(label)),
+                      F.lit(label)).otherwise(expr)
+    for label in reversed(labels):
+        expr = F.when(lowered == label, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def first_tone(chosen: Column) -> Column:
+    """P15 (23-split.py:154-166): first tone of a comma-joined tone
+    list, lowercased+trimmed; NULL for empty."""
+    head = F.lower(F.trim(F.element_at(F.split(chosen, ","), 1)))
+    return F.when(head == "", F.lit(None).cast("string")).otherwise(head)
+
+
+def is_disallowed_context_effective(col: Column) -> Column:
+    """P9 bug-compatible variant (15-clean-context.py:36): the shipped
+    `if "$3.5M" and "LinkedIn" and "650+" in context` only evaluates
+    `"650+" in context` (Python truthiness chain — SURVEY Q4), so the
+    EFFECTIVE reference behavior drops only contexts containing
+    '650+'. Provided for byte-parity replays; the engine's default
+    cleaners use the intended stage-07 semantics (is_disallowed)."""
+    return col.contains(F.lit("650+"))

@@ -8,6 +8,15 @@ semantics, not just perf (SURVEY §4). Deviations as in rewards.py:
 engine sentence split + mini-lexicon sentiment; the reference's
 random.sample sentence sampling becomes the deterministic stride of
 base.py (engines cannot share Python's global random stream).
+
+Deliberately not ported (documented dead code, SURVEY §2.8):
+  * T13 get_action_to_descriptive_ratio / get_new_entity_rate
+    (17:155-173) — defined but never called in the reference's main
+    path; no engine surface.
+  * T14 `similar` phrase fuzz (17:385-400) — only reachable inside
+    the A7 spaCy miner, which the reference always bypasses via the
+    TypeError fallback (SURVEY Q3); the engine implements the
+    effective A8 fallback path.
 """
 
 from __future__ import annotations
@@ -144,3 +153,13 @@ def sentiment_arc_slope(scores: Column, window: int = 3,
              .when(slope > 0.03, F.lit("Rising"))
              .when(slope < -0.03, F.lit("Falling"))
              .otherwise(F.lit("Flat")))
+
+
+def topic_transitions_disabled() -> Column:
+    """T12 (17:175-218, disabled by default via PERFORMANCE_CONFIG
+    17:31, 138-147, 689-693): BERT segment-shift scoring is OFF in the
+    reference's main path, so the effective main-path value is the
+    empty array. The model-backed variant belongs in
+    operators.inference behind the pluggable backend; this literal is
+    what stage-17 actually emits."""
+    return F.array().cast("array<struct<idx:int,score:double>>")

@@ -36,6 +36,7 @@ from .textstats import EMOJI_CLASS, bin_label, char_count
 
 
 def style_field(prompt: Column, name: str) -> Column:
+    # P14 regex metadata extraction (23:75-131, prompt_parsing.py:6-120)
     """``**Name**: value`` field value ('' when absent). Same regex
     runs under Java regex and DuckDB RE2 (no lookbehind)."""
     return F.regexp_extract(prompt, r"\*\*" + name + r"\*\*:\s*([^\n]*)", 1)
@@ -311,7 +312,7 @@ def emoji_variety(completion: Column) -> Column:
 
 
 def sentences(text: Column) -> Column:
-    """Sentences = non-empty trimmed ``[.!?]+``-delimited segments."""
+    """T1 sentence segmentation (features/text_stats.py:12-14 shape): Sentences = non-empty trimmed ``[.!?]+``-delimited segments."""
     return F.filter(F.transform(F.split(text, "[.!?]+"), lambda s: F.trim(s)),
                     lambda s: s != "")
 
@@ -354,7 +355,7 @@ def _lexicon_score(sentence: Column) -> Column:
 
 
 def sentiment_scores(text: Column) -> Column:
-    """base.py:68-80: per-sentence scores; >10 sentences sampled with
+    """T9 per-sentence sentiment (17:300-312 / rewards/base.py:68-80): base.py:68-80: per-sentence scores; >10 sentences sampled with
     stride ``max(1, n // 10)``."""
     sents = sentences(text)
     n = F.size(sents)
@@ -478,7 +479,7 @@ def sentence_structure(prompt: Column, completion: Column) -> Column:
 
 
 def detect_bullet_styles(text: Column) -> Column:
-    """base.py:38-65: per-line Numbers/Letters/first-symbol labels;
+    """T5 bullet-style detector (17:231-267, features/bullets.py:8-42): base.py:38-65: per-line Numbers/Letters/first-symbol labels;
     >1 distinct -> 'Mixed Bullet Styles'; none -> NULL."""
     lines = F.filter(F.transform(F.split(text, "\n", -1), lambda s: F.trim(s)),
                      lambda l: l != "")
@@ -530,7 +531,7 @@ def bullet_style(prompt: Column, completion: Column) -> Column:
 
 
 def divider_style(prompt: Column, completion: Column) -> Column:
-    """R11: requested backtick-quoted divider vs found divider lines
+    """R11 + T6 divider detector (17:333-341, features/dividers.py:9-17): requested backtick-quoted divider vs found divider lines
     (all-same-char len>=3, or len>=5 space-alternating). The
     same-char test is ``line == repeat(first_char, len)`` — no regex
     backreference, so it mirrors into RE2-bound engines."""
@@ -586,6 +587,7 @@ def semantic_coherence(completion: Column) -> Column:
 # R18 — fabrication detection (fabrication.py:14-100)
 # ---------------------------------------------------------------------------
 
+# P17 URL detection (24:35-38, training/grpo/prompt_parsing.py:218-220)
 URL_REGEX = r"http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*(),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+"
 
 _NEWSLETTER_PATTERNS = (
@@ -695,3 +697,36 @@ def aggregate_rewards(rewards: dict[str, Column],
         total = total + w * col
         wsum += w
     return total / F.lit(wsum) if wsum else F.lit(0.0)
+
+
+def topic_shifts_score(completion: Column) -> Column:
+    """R13 (training/rewards/topics.py:12-33): consecutive-paragraph
+    similarity, scored 1 - |0.5 - avg_sim| (rewarding a medium drift).
+
+    The reference's similarity is spaCy ``doc.similarity`` (word-
+    vector cosine); that model isn't available here, so the engine's
+    deterministic stand-in is distinct-token Jaccard between
+    consecutive paragraphs — same [0,1] range, same monotonicity in
+    lexical overlap, fully native (split/array ops, no UDF). <2
+    paragraphs -> neutral 0.5, matching the reference's early return.
+    """
+    paras = F.filter(
+        F.transform(F.split(completion, "\n\n"), lambda p: F.trim(p)),
+        lambda p: p != "")
+    toks = F.transform(
+        paras, lambda p: F.array_distinct(F.split(F.lower(p), "\\s+")))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    sims = F.transform(idx, lambda i: _pair_jaccard(
+        F.element_at(toks, i), F.element_at(toks, i + 1)))
+    avg_sim = (F.aggregate(sims, F.lit(0.0), lambda a, x: a + x)
+               / F.size(sims))
+    return (F.when(n < 2, F.lit(0.5))
+             .otherwise(F.lit(1.0) - F.abs(F.lit(0.5) - avg_sim)))
+
+
+def _pair_jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union <= 0, F.lit(0.0)) \
+            .otherwise(inter.cast("double") / union)

@@ -1,4 +1,6 @@
-"""MLlib model operators (SURVEY §2.10 M2, M4-M6, M11-M13): one-hot
+"""M18 TF-IDF: imported-only in the reference (21:20), never used — no engine surface (documented n/a).
+
+MLlib model operators (SURVEY §2.10 M2, M4-M6, M11-M13): one-hot
 encoding, random-forest importance, permutation importance, KMeans
 sweep with silhouette, PCA projection.
 

@@ -63,7 +63,7 @@ def upsample_to(df: DataFrame, keys: list[str], target: Column | int,
             .drop("__cnt", "__copies", "__dup", "__rn"))
 
 
-def balance_to_average(df: DataFrame, keys: list[str],
+def balance_to_average(df: DataFrame, keys: list[str],  # noqa: E501  (J3: per-combo target broadcast join, 5:144-213)
                        target_cap: int | None = 1000,
                        seed: int = 42) -> DataFrame:
     """Stage-05 balancer (5-balance.py:122-213): avg_target =
@@ -134,3 +134,29 @@ def top_n_per_group(df: DataFrame, keys: list[str], order: list[Column],
     w = Window.partitionBy(*keys).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+def prefer_downsample_balance(df: DataFrame, keys: list[str],
+                              band: float = 0.05,
+                              seed: int = 42) -> DataFrame:
+    """B4 (23-split.py:349-395): prefer-downsampling balancer.
+
+    Target band = avg rows/combo +- ``band`` (the reference's +-5%,
+    23:333-347): combos above ``max_c = floor(avg*(1+band))`` are
+    reservoir-downsampled to it; combos below ``min_c = max(1,
+    floor(avg*(1-band)))`` are upsampled to it; combos inside the
+    band are untouched — so the balancer prefers cutting over
+    cloning. One scalar aggregate broadcast back; the fact side
+    shuffles once per window pass on the combo keys."""
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__combos"))
+    avg = (F.col("__total").cast("double")
+           / F.greatest(F.col("__combos"), F.lit(1)))
+    min_c = F.greatest(F.lit(1), F.floor(avg * (1.0 - band))).cast("long")
+    max_c = F.greatest(F.floor(avg * (1.0 + band)).cast("long"), min_c)
+    stats = stats.select(min_c.alias("__min_c"), max_c.alias("__max_c"))
+    with_t = df.crossJoin(F.broadcast(stats))
+    down = downsample_to(with_t, keys, F.col("__max_c"), seed)
+    up = upsample_to(down, keys, F.col("__min_c"), seed)
+    return up.drop("__min_c", "__max_c")

@@ -54,7 +54,7 @@ def snapshot_signature(input_paths: list[str],
     return h.hexdigest()
 
 
-class Manifest:
+class Manifest:  # S8 manifest read/write (utils/manifest.py:12-29)
     """JSON lineage doc for one run: stage -> {signature, inputs,
     outputs, row_count, completed_at}. Atomic writes (tmp + rename)."""
 
@@ -94,6 +94,7 @@ class Manifest:
         os.replace(tmp, self.path)
 
     def discover_input(self, candidates: list[str]) -> str | None:
+        # J6: manifest input discovery (utils/io.py:93-134) - driver-side lookup
         """Ordered-fallback input discovery (utils/io.py:93-134): the
         first candidate stage with a recorded output wins."""
         for stage in candidates:

@@ -396,7 +396,7 @@ WITH f AS (
 SELECT f1, f2, round(r, 6) AS correlation FROM pairs ORDER BY f1, f2
 """)
 def q20_corr_matrix(spark, sf_dir):
-    """M8 (20:409-427): upper-triangle pairwise Pearson matrix over
+    """M8 + A10 (20:409-427, 4:304-312): upper-triangle pairwise Pearson matrix over
     the interaction features, ONE aggregate pass (all pairs as
     map-side-combinable corr aggregates, no per-pair jobs)."""
     feats = analytics.text_feature_table(_docs(spark, sf_dir), "text")

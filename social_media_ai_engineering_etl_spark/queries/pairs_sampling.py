@@ -356,3 +356,28 @@ def qe2e_training_mix(spark, sf_dir):
                  F.sum("prompt_len").alias("total_prompt_chars"),
                  F.count_distinct("doc_id").alias("n_docs"))
             .orderBy("prompt_type", "split"))
+
+
+@register("qb4_prefer_downsample", oracle="""
+WITH g AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY source
+), s AS (
+    SELECT greatest(1, floor(sum(n)::DOUBLE / count(*) * 0.95))::BIGINT
+               AS min_c,
+           greatest(floor(sum(n)::DOUBLE / count(*) * 1.05)::BIGINT,
+                    greatest(1, floor(sum(n)::DOUBLE / count(*) * 0.95))::BIGINT)
+               AS max_c
+    FROM g
+)
+SELECT g.source, least(greatest(g.n, s.min_c), s.max_c) AS n_balanced
+FROM g CROSS JOIN s ORDER BY g.source
+""")
+def qb4_prefer_downsample(spark, sf_dir):
+    """B4: prefer-downsampling balancer over per-source counts —
+    count contract (same stance as B1-B3: row identity is
+    reservoir-order-dependent, per-stratum size is the invariant)."""
+    balanced = sampling.prefer_downsample_balance(
+        _docs(spark, sf_dir), ["source"])
+    return (balanced.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_balanced"))
+            .orderBy("source"))

@@ -778,3 +778,47 @@ def q17_narrative_structure(spark, sf_dir):
         F.size(flow).alias("n_flow"),
         n17.pacing_17(t).alias("pacing"),
         n17.sentiment_arc_17(t).alias("arc"))
+
+
+@register("q26_topic_shifts", oracle="""
+SELECT doc_id, round(CASE WHEN n_paras < 2 THEN 0.5
+            ELSE 1.0 - abs(0.5 - avg_sim) END, 6) AS topic_shift_score
+FROM (
+    SELECT doc_id, len(toks) AS n_paras,
+        CASE WHEN len(toks) >= 2 THEN
+            list_aggregate(list_transform(range(1, len(toks)), i ->
+                CASE WHEN len(toks[i]) + len(toks[i+1])
+                          - len(list_intersect(toks[i], toks[i+1])) <= 0
+                     THEN 0.0
+                     ELSE len(list_intersect(toks[i], toks[i+1]))::DOUBLE
+                          / (len(toks[i]) + len(toks[i+1])
+                             - len(list_intersect(toks[i], toks[i+1])))
+                END), 'sum') / (len(toks) - 1)
+        END AS avg_sim
+    FROM (
+        SELECT doc_id,
+            list_transform(
+                list_filter(list_transform(
+                    string_split(substr(text, 1, 200) || chr(10) || chr(10)
+                                 || substr(text, 101, 200) || chr(10) || chr(10)
+                                 || substr(text, 301, 200),
+                                 chr(10) || chr(10)), p -> trim(p)),
+                    p -> p <> ''),
+                p -> list_distinct(string_split_regex(lower(p), '\s+'))) AS toks
+        FROM documents
+    )
+) ORDER BY doc_id
+""")
+def q26_topic_shifts(spark, sf_dir):
+    """R13: consecutive-paragraph similarity reward (token-Jaccard
+    stand-in for spaCy vectors; documented deviation). Paragraphs are
+    derived from overlapping text windows so the scoring path (not
+    just the <2-paragraph neutral branch) is value-checked."""
+    paras = F.concat(F.substring(F.col("text"), 1, 200), F.lit("\n\n"),
+                     F.substring(F.col("text"), 101, 200), F.lit("\n\n"),
+                     F.substring(F.col("text"), 301, 200))
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.round(rw.topic_shifts_score(paras), 6)
+                     .alias("topic_shift_score"))
+            .orderBy("doc_id"))

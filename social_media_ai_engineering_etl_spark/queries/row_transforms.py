@@ -665,3 +665,100 @@ def qv_record_validation(spark, sf_dir):
         required=("doc_id", "text"),
         non_empty=("text", "source"),
         domains={"lang": ("en", "de", "fr", "es")})
+
+
+@register("q23_from_chosen", oracle="""
+SELECT structure_label, first_tone, count(*) AS n FROM (
+    SELECT CASE
+        WHEN lower(trim(c_struct)) IN ('educational', 'inspirational',
+             'promotional', 'conversational', 'analytical', 'narrative',
+             'listicle', 'announcement', 'question')
+            THEN lower(trim(c_struct))
+        WHEN lower(trim(c_struct)) LIKE '%educational%' THEN 'educational'
+        WHEN lower(trim(c_struct)) LIKE '%inspirational%' THEN 'inspirational'
+        WHEN lower(trim(c_struct)) LIKE '%promotional%' THEN 'promotional'
+        WHEN lower(trim(c_struct)) LIKE '%conversational%' THEN 'conversational'
+        WHEN lower(trim(c_struct)) LIKE '%analytical%' THEN 'analytical'
+        WHEN lower(trim(c_struct)) LIKE '%narrative%' THEN 'narrative'
+        WHEN lower(trim(c_struct)) LIKE '%listicle%' THEN 'listicle'
+        WHEN lower(trim(c_struct)) LIKE '%announcement%' THEN 'announcement'
+        WHEN lower(trim(c_struct)) LIKE '%question%' THEN 'question'
+        ELSE NULL END AS structure_label,
+        CASE WHEN lower(trim(string_split(c_tones, ',')[1])) = '' THEN NULL
+             ELSE lower(trim(string_split(c_tones, ',')[1])) END AS first_tone
+    FROM (
+        SELECT CASE doc_id % 4
+                 WHEN 0 THEN 'educational'
+                 WHEN 1 THEN 'A Narrative piece about ' || source
+                 WHEN 2 THEN text
+                 ELSE '  Announcement  ' END AS c_struct,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'Optimistic, Bold, Warm'
+                 WHEN 1 THEN lang
+                 ELSE '' END AS c_tones
+        FROM documents
+    )
+) GROUP BY structure_label, first_tone
+ORDER BY structure_label NULLS FIRST, first_tone NULLS FIRST, n
+""")
+def q23_from_chosen(spark, sf_dir):
+    """P15 (23:133-166): structure + first-tone recovered from
+    chosen-completion shaped columns, aggregated to label counts."""
+    d = F.col("doc_id")
+    derived = _docs(spark, sf_dir).select(
+        (F.when(d % 4 == 0, F.lit("educational"))
+          .when(d % 4 == 1, F.concat(F.lit("A Narrative piece about "),
+                                     F.col("source")))
+          .when(d % 4 == 2, F.col("text"))
+          .otherwise(F.lit("  Announcement  "))).alias("c_struct"),
+        (F.when(d % 3 == 0, F.lit("Optimistic, Bold, Warm"))
+          .when(d % 3 == 1, F.col("lang"))
+          .otherwise(F.lit(""))).alias("c_tones"))
+    out = derived.select(
+        cleaning.structure_from_chosen(F.col("c_struct"))
+               .alias("structure_label"),
+        cleaning.first_tone(F.col("c_tones")).alias("first_tone"))
+    return (out.groupBy("structure_label", "first_tone")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("structure_label").asc_nulls_first(),
+                     F.col("first_tone").asc_nulls_first(), F.col("n")))
+
+
+@register("q15_clean_context", oracle="""
+SELECT semantics, n_kept FROM (
+    SELECT 'effective_bug' AS semantics,
+           count(*) FILTER (WHERE NOT contains(ctx, '650+')) AS n_kept
+    FROM (SELECT CASE WHEN doc_id % 11 = 0 THEN 'raised 650+ rounds'
+                      WHEN doc_id % 7 = 0 THEN 'unknown'
+                      ELSE text END AS ctx FROM documents)
+    UNION ALL
+    SELECT 'intended',
+           count(*) FILTER (WHERE NOT (
+               contains(ctx, '...') OR contains(ctx, '?')
+               OR contains(ctx, '_') OR contains(ctx, '{') OR contains(ctx, '}')
+               OR contains(ctx, '[') OR contains(ctx, ']')
+               OR contains(ctx, '<') OR contains(ctx, '>')
+               OR regexp_matches(ctx, '[一-鿿]')
+               OR lower(trim(ctx)) = 'unknown'))
+    FROM (SELECT CASE WHEN doc_id % 11 = 0 THEN 'raised 650+ rounds'
+                      WHEN doc_id % 7 = 0 THEN 'unknown'
+                      ELSE text END AS ctx FROM documents)
+) ORDER BY semantics
+""")
+def q15_clean_context(spark, sf_dir):
+    """P9: context cleaning under BOTH semantics — the reference's
+    shipped truthiness bug (only '650+' tested, SURVEY Q4) and the
+    intended stage-07 filter — so the deviation is itself
+    oracle-checked."""
+    d = F.col("doc_id")
+    ctx = (F.when(d % 11 == 0, F.lit("raised 650+ rounds"))
+            .when(d % 7 == 0, F.lit("unknown"))
+            .otherwise(F.col("text")))
+    base = _docs(spark, sf_dir).select(ctx.alias("ctx"))
+    eff = base.agg(F.lit("effective_bug").alias("semantics"),
+                   F.sum(F.when(~cleaning.is_disallowed_context_effective(
+                       F.col("ctx")), 1).otherwise(0)).alias("n_kept"))
+    intended = base.agg(F.lit("intended").alias("semantics"),
+                        F.sum(F.when(~cleaning.is_disallowed(F.col("ctx")),
+                                     1).otherwise(0)).alias("n_kept"))
+    return eff.unionByName(intended).orderBy("semantics")

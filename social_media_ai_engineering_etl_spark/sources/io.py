@@ -1,4 +1,6 @@
-"""Source/sink connectors (SURVEY §2.1).
+"""S10 report sinks (PNG/MD charts): out of engine scope per SURVEY §2.1 — driver-side rendering on collected summaries, no executor involvement.
+
+Source/sink connectors (SURVEY §2.1).
 
 S1 error-tolerant JSONL scan, S2 nested-posts unnest, S3 JSONL sink,
 S4/S5 CSV scan/sink, S6 parquet mirror. The reference streams files

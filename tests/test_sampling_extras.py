@@ -38,3 +38,31 @@ def test_surrogate_normalization(spark):
     assert out[0] == "plain"
     assert out[1] == astral
     assert out[2] is None
+
+
+def test_prefer_downsample_balance_clamps_to_band(spark):
+    """B4: skewed groups land inside [min_c, max_c]; in-band groups
+    are untouched."""
+    import pyspark.sql.functions as F
+    from social_media_ai_engineering_etl_spark.operators import sampling
+    rows = ([("big", i) for i in range(100)]
+            + [("mid", i) for i in range(40)]
+            + [("tiny", i) for i in range(2)])
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = (sampling.prefer_downsample_balance(df, ["grp"])
+           .groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+           .collect())
+    got = {r.grp: r.n for r in out}
+    # avg = 142/3 = 47.33 -> min_c = floor(44.97) = 44, max_c = 49
+    assert got["big"] == 49      # downsampled to max_c
+    assert got["mid"] == 44      # upsampled to min_c
+    assert got["tiny"] == 44     # upsampled to min_c
+
+
+def test_topic_transitions_disabled_is_empty(spark):
+    """T12: the main-path value is the typed empty array."""
+    from social_media_ai_engineering_etl_spark.functions import narrative17
+    df = spark.createDataFrame([("x",)], "text string")
+    row = df.select(narrative17.topic_transitions_disabled()
+                    .alias("t")).collect()[0]
+    assert row["t"] == []
