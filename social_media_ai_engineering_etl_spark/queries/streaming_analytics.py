@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..streaming import (sessionized_activity, sliding_event_rates,
                          tumbling_engagement)
+from ..streaming import windows
 from ..streaming.windows import load_events
 
 
@@ -108,3 +109,23 @@ def qs_event_tiering(spark, sf_dir):
          .otherwise("Tier B (Middle 40%)").alias("tier"))
         .groupBy("tier").agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("tier"))
+
+
+@register("qs_event_dedup", oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def qs_event_dedup(spark, sf_dir):
+    """Ingest-side exact dedup (dropDuplicates batch twin of the
+    dropDuplicatesWithinWatermark streaming path; state-bounding
+    tested in tests/test_streaming.py): duplicates planted by
+    unioning the feed with its own tail, dedup on event_id, counts
+    per type."""
+    ev = windows.load_events(spark,
+                             os.path.join(sf_dir, "events.parquet"))
+    dupes = ev.filter(F.col("event_id") % 3 == 0)
+    feed = ev.unionByName(dupes)
+    return (windows.dedup_events(feed)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+            .orderBy("event_type"))

@@ -116,3 +116,21 @@ def run_stream_to_memory(stream_df: DataFrame, table_name: str,
          .queryName(table_name).outputMode(output_mode)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                 watermark: str | None = None) -> DataFrame:
+    """Streaming-capable exact dedup on ``keys`` — the ingest-side
+    guard of the training-data dedup family (north-star §7.9, applied
+    at the stream boundary instead of corpus-wide).
+
+    Batch: plain ``dropDuplicates``. Streaming (``watermark`` set):
+    ``dropDuplicatesWithinWatermark`` — state holds one entry per key
+    only until the watermark passes, so at 100 TB/day the dedup state
+    is bounded by the late-data horizon, not by history. (The
+    unbounded-state streaming ``dropDuplicates`` is deliberately not
+    used.)"""
+    if watermark:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(list(keys)))
+    return events.dropDuplicates(list(keys))

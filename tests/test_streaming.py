@@ -165,3 +165,57 @@ def test_stateful_running_engagement_recovers_state(spark, tmp_path):
     assert r2[1] == (7.0, 3)          # state recovered: 3.0 + 4.0
     assert 2 not in r2                 # untouched user not re-emitted
     del out_dir
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: an in-horizon duplicate key is
+    dropped; after the watermark passes, state for old keys is
+    evicted (bounded state — the 100 TB property)."""
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        dedup_events, stream_events)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def write_phase(rows, fname):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tmp = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    def run():
+        stream = dedup_events(stream_events(spark, src),
+                              keys=("event_id",), watermark="10 minutes")
+        q = (stream.writeStream.format("parquet").option("path", out)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # phase 1: key 1 twice within the horizon -> one survivor
+    write_phase([(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+                 (1, "2024-01-01 00:12:00", 1, "click", 2.0, "{}"),
+                 (2, "2024-01-01 00:15:00", 2, "view", 1.0, "{}")],
+                "a.parquet")
+    r1 = run()
+    assert sorted(r.event_id for r in r1) == [1, 2]
+
+    # phase 2 advances the watermark far past key 1's expiry
+    # (00:10 + 10 min); its state is evicted at this batch's commit
+    write_phase([(3, "2024-01-01 05:01:00", 3, "view", 1.0, "{}")],
+                "b.parquet")
+    r2 = run()
+    assert sorted(r.event_id for r in r2) == [1, 2, 3]
+
+    # phase 3: key 1 re-occurs AFTER eviction -> re-admitted. That is
+    # the documented horizon contract: dedup is guaranteed only within
+    # the watermark delay, which is exactly what bounds state at scale
+    write_phase([(1, "2024-01-01 06:00:00", 1, "click", 3.0, "{}")],
+                "c.parquet")
+    r3 = run()
+    assert sorted(r.event_id for r in r3) == [1, 1, 2, 3]
