@@ -81,3 +81,16 @@ def write_csv_with_parquet_mirror(df: DataFrame, csv_path: str,
     replicated."""
     df.write.mode(mode).option("header", "true").csv(csv_path)
     df.write.mode(mode).parquet(parquet_path or csv_path + ".parquet")
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_cols: tuple[str, ...],
+                              mode: str = "overwrite") -> None:
+    """Hive-layout partitioned parquet sink — the run/stage artifact
+    layout for 100 TB (SURVEY §7.9 partition pruning): a reader that
+    filters on any ``partition_cols`` value scans ONLY the matching
+    directories (PartitionFilters, asserted in
+    tests/test_manifest_io.py), so per-language / per-stage reads
+    never touch the rest of the corpus. Low-cardinality keys only —
+    one directory per value combination."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

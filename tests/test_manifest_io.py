@@ -138,3 +138,28 @@ def test_contract_sidecar(spark, tmp_path):
     # signature is stable for identical bytes
     assert json.load(open(mf.write_contract(out, "v1", 5)))["signature"] \
         == doc["signature"]
+
+
+def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
+    """Partition pruning proof: a lang-filtered read of the
+    partitionBy(lang) layout shows the filter in PartitionFilters and
+    scans only the matching directory's rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from social_media_ai_engineering_etl_spark.sources.io import (
+        write_partitioned_parquet)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "by_lang")
+    write_partitioned_parquet(docs, out, ("lang",))
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate must land in PartitionFilters (directory
+    # pruning), not as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:160]
+    assert "lang" in pf and "en" in pf, pf
+    expected = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == expected
