@@ -319,3 +319,43 @@ def qx_similarity_topk_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb, queries, "vec_id", "embedding",
                                       k=5, n_centroids=16, n_probe=6
                                       ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# corpus statistics: exact (oracle) + sketch scale path
+# --------------------------------------------------------------------------
+
+@register("qx_corpus_stats", oracle="""
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       sum(n_chars) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def qx_corpus_stats(spark, sf_dir):
+    """Per-language corpus profile — exact distincts and exact median
+    (the oracle-checkable twin of qx_corpus_stats_sketch)."""
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("source").alias("n_sources"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.expr("percentile(n_chars, 0.5)"), 6)
+                  .alias("median_chars"))
+            .orderBy("lang"))
+
+
+@register("qx_corpus_stats_sketch")
+def qx_corpus_stats_sketch(spark, sf_dir):
+    """The 100 TB profile path: HLL++ approx_count_distinct (fixed
+    ~KB sketch per group instead of a distinct-shuffle of every
+    source value) and percentile_approx (one-pass mergeable
+    QuantileSummaries instead of a full sort). Rows-only for the
+    driver; tests/test_dedup.py bounds the relative error vs the
+    exact twin."""
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.approx_count_distinct("source", 0.02).alias("n_sources"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.percentile_approx("n_chars", 0.5, 1000)
+                  .alias("median_chars"))
+            .orderBy("lang"))

@@ -87,3 +87,21 @@ def test_gemm_topk_matches_bruteforce(emb):
         emb, queries, "vec_id", "embedding", k=5
     ).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in brute] == [tuple(r) for r in gemm]
+
+
+def test_corpus_stats_sketch_error_bounds(spark, sf_dir):
+    """HLL++/approx-percentile profile stays within documented error
+    of the exact twin (2% rsd sketch, 1000-weight quantile)."""
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+    exact = {r.lang: r for r in
+             QUERIES["qx_corpus_stats"](spark, sf_dir).collect()}
+    approx = {r.lang: r for r in
+              QUERIES["qx_corpus_stats_sketch"](spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_docs == e.n_docs
+        assert a.total_chars == e.total_chars
+        assert abs(a.n_sources - e.n_sources) <= max(1, 0.05 * e.n_sources)
+        assert abs(a.median_chars - e.median_chars) <= 0.1 * max(
+            e.median_chars, 1.0)
