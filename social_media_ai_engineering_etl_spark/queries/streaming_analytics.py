@@ -129,3 +129,26 @@ def qs_event_dedup(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_unique"))
             .orderBy("event_type"))
+
+
+@register("qs_conversion_join", oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       round(p.value, 6) AS amount,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id
+""")
+def qs_conversion_join(spark, sf_dir):
+    """Event-time interval join (click -> purchase attribution within
+    1 hour) — the batch twin of the watermarked stream-stream join
+    (state-bounding tested in tests/test_streaming.py)."""
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    out = windows.conversion_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"))
+    return (out.select("user_id", "purchase_id", "click_id",
+                       F.round("amount", 6).alias("amount"), "lag_micros")
+            .orderBy("purchase_id", "click_id"))

@@ -134,3 +134,38 @@ def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
         return (events.withWatermark("ts", watermark)
                 .dropDuplicatesWithinWatermark(list(keys)))
     return events.dropDuplicates(list(keys))
+
+
+def conversion_join(clicks: DataFrame, purchases: DataFrame,
+                    horizon: str = "1 hour",
+                    watermark: str | None = None) -> DataFrame:
+    """Event-time interval join: each purchase matched to the same
+    user's clicks in the preceding ``horizon`` (click-to-conversion
+    attribution).
+
+    Batch: plain range-predicate join. Streaming (``watermark``):
+    both sides watermarked and the time bound made explicit, so
+    Spark's stream-stream join keeps only ``horizon`` + delay of
+    per-user state on each side — bounded regardless of stream
+    length. Equi-key user_id keeps it a hash join (the range is a
+    post-filter on the time columns), never a broadcast-nested-loop.
+    """
+    c = clicks.select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("click_id"))
+    p = purchases.select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("amount"))
+    if watermark:
+        c = c.withWatermark("c_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                f"INTERVAL {horizon}")))
+    return (p.join(c, cond)
+            .select(F.col("p_user").alias("user_id"), "purchase_id",
+                    "click_id", "amount",
+                    (F.unix_micros(F.col("p_ts"))
+                     - F.unix_micros(F.col("c_ts"))).alias("lag_micros")))

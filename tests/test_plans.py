@@ -101,3 +101,14 @@ def test_feature_table_is_narrow_jvm_projection(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "doc_id", "text"}, plan
+
+
+def test_author_words_reuses_partitioning(spark, sf_dir):
+    """q17: the author window, text collection, word counts, and
+    final top-k must all ride ONE hash exchange on the author key
+    (plus the final presentation sort) — a refactor that adds a
+    shuffle between stages fails here."""
+    plan = QUERIES["q17_author_words"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
+    assert "WindowGroupLimit" in plan  # top-k pushed below the sort

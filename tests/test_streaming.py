@@ -219,3 +219,43 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
                 "c.parquet")
     r3 = run()
     assert sorted(r.event_id for r in r3) == [1, 1, 2, 3]
+
+
+def test_stream_stream_conversion_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases match only
+    same-user clicks within the 1h horizon."""
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        conversion_join, stream_events)
+    src_c = str(tmp_path / "clicks")
+    src_p = str(tmp_path / "purchases")
+    os.makedirs(src_c); os.makedirs(src_p)
+
+    def write(rows, d, fname):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tmp = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(d, fname))
+
+    write([(1, "2024-01-01 00:00:00", 7, "click", 0.0, "{}"),   # in horizon
+           (2, "2024-01-01 02:00:00", 7, "click", 0.0, "{}"),   # after purchase
+           (3, "2024-01-01 00:05:00", 8, "click", 0.0, "{}")],  # other user
+          src_c, "c.parquet")
+    write([(10, "2024-01-01 00:30:00", 7, "purchase", 9.5, "{}")],
+          src_p, "p.parquet")
+
+    joined = conversion_join(stream_events(spark, src_c),
+                             stream_events(spark, src_p),
+                             horizon="1 hour", watermark="10 minutes")
+    out = str(tmp_path / "out")
+    q = (joined.writeStream.format("parquet").option("path", out)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert [(r.purchase_id, r.click_id, r.lag_micros) for r in rows] == \
+        [(10, 1, 1800 * 1_000_000)]
