@@ -163,3 +163,15 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     assert "lang" in pf and "en" in pf, pf
     expected = docs.filter(F.col("lang") == "en").count()
     assert back.count() == expected
+
+
+def test_cli_list_and_run(tmp_path):
+    """The __main__ CLI lists queries and writes a sink artifact."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "social_media_ai_engineering_etl_spark",
+         "list"], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0
+    assert "q01_tier_counts\toracle" in r.stdout
