@@ -178,7 +178,10 @@ def validate_records(df, required: tuple[str, ...] = (),
     wide = df.agg(*aggs)
     pairs = []
     for c in wide.columns:
-        pairs.extend([F.lit(c), F.col(c).cast("long")])
+        # sum() over an empty input is NULL; a validation gate must
+        # read a vacuously-clean table as 0 violations, not unknown
+        pairs.extend([F.lit(c),
+                      F.coalesce(F.col(c).cast("long"), F.lit(0))])
     return (wide.select(F.explode(F.create_map(*pairs))
                         .alias("rule", "violations"))
             .orderBy("rule"))

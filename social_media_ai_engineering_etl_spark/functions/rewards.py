@@ -726,6 +726,8 @@ def topic_shifts_score(completion: Column) -> Column:
 
 
 def _pair_jaccard(a: Column, b: Column) -> Column:
+    # keep in sync with operators.dedup.jaccard (not imported here to
+    # avoid a functions -> operators layering cycle)
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return F.when(union <= 0, F.lit(0.0)) \

@@ -25,6 +25,13 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _safe_cosine(dot: Column) -> Column:
+    """dot/(cn*qn) with the zero-norm -> 0.0 ANSI guard, over the
+    projected norm columns cn/qn."""
+    denom = F.col("cn") * F.col("qn")
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
 def _norm(vec: Column) -> Column:
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -48,10 +55,7 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     scored = (c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-              .withColumn("cosine_sim",
-                          F.when(F.col("cn") * F.col("qn") > 0,
-                                 dot / (F.col("cn") * F.col("qn")))
-                           .otherwise(F.lit(0.0))))
+              .withColumn("cosine_sim", _safe_cosine(dot)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -127,10 +131,7 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
     scored = (c.join(F.broadcast(q), "tb")
               .filter(F.col("corpus_id") != F.col("query_id"))
               .dropDuplicates(["query_id", "corpus_id"])
-              .withColumn("cosine_sim",
-                          F.when(F.col("cn") * F.col("qn") > 0,
-                                 dot / (F.col("cn") * F.col("qn")))
-                           .otherwise(F.lit(0.0))))
+              .withColumn("cosine_sim", _safe_cosine(dot)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -200,10 +201,7 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
                       F.lit(0.0), lambda acc, v: acc + v)
     scored = (assigned.join(F.broadcast(probes), "cell")
               .filter(F.col("corpus_id") != F.col("query_id"))
-              .withColumn("cosine_sim",
-                          F.when(F.col("cn") * F.col("qn") > 0,
-                                 dot / (F.col("cn") * F.col("qn")))
-                           .otherwise(F.lit(0.0))))
+              .withColumn("cosine_sim", _safe_cosine(dot)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -236,6 +234,9 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
     qpd = (queries.select(F.col(id_col).alias("qid"),
                           _as_double(F.col(vec_col)).alias("qv"))
            .toPandas())
+    out_schema = "query_id long, rank int, corpus_id long, cosine_sim double"
+    if qpd.empty:    # np.stack needs >=1 row; empty queries -> empty result
+        return corpus.sparkSession.createDataFrame([], out_schema)
     qids = qpd["qid"].to_numpy()
     Q = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)

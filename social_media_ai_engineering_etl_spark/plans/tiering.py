@@ -51,7 +51,11 @@ def tier_counts(lineitem: DataFrame, orders: DataFrame,
     scan+agg+join subtree twice (no DAG-level CSE across actions).
     Persist is the two-pass-quantile idiom at any scale: the cached
     post-grain table is ~1 row per order, orders-of-magnitude smaller
-    than the lineitem input it replaces re-reading."""
+    than the lineitem input it replaces re-reading. The cache is
+    internal (callers get only the result plan), so it lives until
+    session end — acceptable because the storage level is evictable
+    (MEMORY_AND_DISK under unified memory) and the table is tiny
+    relative to the input."""
     scored = order_engagement(lineitem, orders, customer).persist()
     tiered = with_tiers(scored, keep_bottom=keep_bottom)
     return (tiered.groupBy("tier")

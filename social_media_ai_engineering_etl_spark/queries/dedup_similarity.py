@@ -102,8 +102,8 @@ def qx_dedup_ngram_jaccard(spark, sf_dir):
 
 @register("qx_dedup_minhash", bench=True)
 def qx_dedup_minhash(spark, sf_dir):
-    """MinHash(64)+LSH(16 bands) candidates verified at Jaccard >=
-    0.5. Rows-only for the driver (xxhash64 is engine-specific);
+    """MinHash(128)+LSH(32 bands, r=4) candidates verified at Jaccard
+    >= 0.5. Rows-only for the driver (xxhash64 is engine-specific);
     tests/test_dedup.py asserts recall == 1.0 vs the exact pairs at
     j >= 0.8 and precision via the verify step."""
     return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
@@ -325,6 +325,13 @@ def qx_similarity_topk_ivf(spark, sf_dir):
 # corpus statistics: exact (oracle) + sketch scale path
 # --------------------------------------------------------------------------
 
+def _docs_narrow(spark, sf_dir):
+    # cheap-aggregate consumers: no widen_scan (the repartition shuffle
+    # costs more than the agg it feeds — measured; see README)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+
 @register("qx_corpus_stats", oracle="""
 SELECT lang, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
@@ -335,7 +342,7 @@ FROM documents GROUP BY lang ORDER BY lang
 def qx_corpus_stats(spark, sf_dir):
     """Per-language corpus profile — exact distincts and exact median
     (the oracle-checkable twin of qx_corpus_stats_sketch)."""
-    return (_docs(spark, sf_dir).groupBy("lang")
+    return (_docs_narrow(spark, sf_dir).groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.count_distinct("source").alias("n_sources"),
                  F.sum("n_chars").alias("total_chars"),
@@ -352,7 +359,7 @@ def qx_corpus_stats_sketch(spark, sf_dir):
     QuantileSummaries instead of a full sort). Rows-only for the
     driver; tests/test_dedup.py bounds the relative error vs the
     exact twin."""
-    return (_docs(spark, sf_dir).groupBy("lang")
+    return (_docs_narrow(spark, sf_dir).groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.approx_count_distinct("source", 0.02).alias("n_sources"),
                  F.sum("n_chars").alias("total_chars"),

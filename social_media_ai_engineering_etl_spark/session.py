@@ -17,6 +17,7 @@ setting is chosen for a multi-executor cluster at ~100 TB:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -69,12 +70,30 @@ TABLES = (
 )
 
 
-def _scan_bytes(path: str) -> int:
-    if os.path.isdir(path):
-        return sum(os.path.getsize(os.path.join(r, f))
-                   for r, _, fs in os.walk(path) for f in fs
-                   if not f.startswith(("_", ".")))
-    return os.path.getsize(path)
+_SIZE_SUFFIXES = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                  "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_bytes(value: str, default: int = 134217728) -> int:
+    """Spark size-conf parser ('134217728', '128m', '256MB', ...)."""
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", value.strip())
+    if not m or m.group(2).lower() not in _SIZE_SUFFIXES:
+        return default
+    return int(m.group(1)) * _SIZE_SUFFIXES[m.group(2).lower()]
+
+
+def _scan_bytes(path: str) -> int | None:
+    """Local-filesystem size probe; None for remote schemes (s3://,
+    hdfs://, ...) or unreadable paths — callers treat unknown as
+    'large scan, do not repartition' (the safe cluster default)."""
+    try:
+        if os.path.isdir(path):
+            return sum(os.path.getsize(os.path.join(r, f))
+                       for r, _, fs in os.walk(path) for f in fs
+                       if not f.startswith(("_", ".")))
+        return os.path.getsize(path)
+    except OSError:
+        return None
 
 
 def widen_scan(df, path: str | None = None):
@@ -96,9 +115,12 @@ def widen_scan(df, path: str | None = None):
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if path is not None:
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                       "134217728").rstrip("b"))
-        est_splits = max(1, _scan_bytes(path) // max_split)
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        size = _scan_bytes(path)
+        if size is None:          # remote/unknown: assume already wide
+            return df
+        est_splits = max(1, size // max_split)
     else:
         est_splits = df.rdd.getNumPartitions()
     if est_splits < target:

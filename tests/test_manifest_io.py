@@ -166,7 +166,8 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
 
 
 def test_cli_list_and_run(tmp_path):
-    """The __main__ CLI lists queries and writes a sink artifact."""
+    """The __main__ CLI lists queries, writes a sink artifact, and
+    rejects unknown queries with exit code 2."""
     import subprocess
     import sys
 
@@ -175,3 +176,21 @@ def test_cli_list_and_run(tmp_path):
          "list"], capture_output=True, text=True, timeout=120)
     assert r.returncode == 0
     assert "q01_tier_counts\toracle" in r.stdout
+
+    out = str(tmp_path / "cli_out.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "social_media_ai_engineering_etl_spark",
+         "run", "q01_tier_counts", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+    rows = duckdb.connect().execute(
+        f"SELECT * FROM '{out}/*.parquet' ORDER BY tier").fetchall()
+    assert [t for t, _ in rows] == ["Tier A (Top 20%)",
+                                    "Tier B (Middle 40%)"]
+
+    r = subprocess.run(
+        [sys.executable, "-m", "social_media_ai_engineering_etl_spark",
+         "run", "no_such_query"], capture_output=True, text=True,
+        timeout=120)
+    assert r.returncode == 2

@@ -134,3 +134,37 @@ def test_cosine_zero_vector_is_zero_not_error(spark):
     assert [tuple(r) for r in brute] == [tuple(r) for r in gemm]
     assert all(r.cosine_sim == 0.0 for r in brute if 0 in
                (r.query_id, r.corpus_id))
+
+
+def test_widen_scan_parses_size_suffixes_and_remote_paths(spark):
+    """widen_scan must no-op (not crash) on remote paths and accept
+    suffixed maxPartitionBytes values."""
+    from social_media_ai_engineering_etl_spark.session import (_parse_bytes,
+                                                               widen_scan)
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("256MB") == 256 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("garbage") == 134217728
+    df = spark.range(3)
+    # remote scheme: size probe returns None -> unchanged plan
+    assert widen_scan(df, "s3://bucket/prefix/part.parquet") is df
+
+
+def test_validate_records_empty_input_reports_zero(spark):
+    from social_media_ai_engineering_etl_spark.functions import cleaning
+    df = spark.createDataFrame([], "a string, b string")
+    rows = cleaning.validate_records(df, required=("a",),
+                                     non_empty=("b",)).collect()
+    assert {r.rule: r.violations for r in rows} == \
+        {"required_a": 0, "non_empty_b": 0}
+
+
+def test_gemm_empty_queries_returns_empty(spark):
+    from social_media_ai_engineering_etl_spark.operators import similarity
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk_gemm(
+        emb, emb.filter("vec_id < 0"), "vec_id", "embedding", k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "corpus_id", "cosine_sim"]
