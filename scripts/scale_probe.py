@@ -1,0 +1,93 @@
+"""Scaling probe: run the heavy dedup/similarity operators at 1x/4x/16x
+corpus multiples and print the time-vs-size curve.
+
+The LSH paths are designed near-linear (candidates from equality joins,
+no O(n^2) stage); this probe is the evidence. Replicas are
+vowel-rotated so cross-replica texts are NOT near-duplicates — output
+pair counts grow ~linearly with the corpus, not quadratically, keeping
+the comparison fair.
+
+Usage: python scripts/scale_probe.py [sf_dir] [> SCALING.md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from social_media_ai_engineering_etl_spark.operators import (  # noqa: E402
+    dedup,
+    similarity,
+)
+from social_media_ai_engineering_etl_spark.session import (  # noqa: E402
+    get_spark,
+    widen_scan,
+)
+
+ROTATIONS = ["abcdefghij", "bcdefghija", "cdefghijab", "defghijabc",
+             "efghijabcd", "fghijabcde", "ghijabcdef", "hijabcdefg",
+             "ijabcdefgh", "jabcdefghi", "kabcdefghj", "lbcdefghij",
+             "mcdefghijb", "ndefghijbc", "oefghijbcd", "pfghijbcde"]
+
+
+def multiply_docs(docs, m: int):
+    """m deterministic dissimilar replicas: ids shifted, text
+    vowel-rotated per replica so shingle sets diverge."""
+    n = 1_000_000
+    parts = []
+    for i in range(m):
+        parts.append(docs.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            F.translate(F.col("text"), ROTATIONS[0], ROTATIONS[i])
+             .alias("text")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    path = os.path.join(sf, "documents.parquet")
+    base = widen_scan(spark.read.parquet(path), path).select("doc_id", "text")
+    n_base = base.count()
+
+    print(f"# Scaling probe ({sf}, base corpus {n_base} docs)\n")
+    print("| scale | docs | minhash_lsh s | minhash pairs |"
+          " inverted_jaccard s | simhash s |")
+    print("|---|---|---|---|---|---|")
+    for m in (1, 4, 16):
+        docs = multiply_docs(base, m).repartition(
+            spark.sparkContext.defaultParallelism).persist()
+        n = docs.count()
+
+        t0 = time.perf_counter()
+        mh = dedup.minhash_dedup_pairs(docs, "doc_id", "text",
+                                       threshold=0.5).count()
+        t_mh = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        dedup.ngram_jaccard_pairs_inverted(docs, "doc_id", "text",
+                                           threshold=0.2, max_df=200).count()
+        t_nj = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        dedup.simhash_dedup_pairs(docs, "doc_id", "text",
+                                  max_hamming=3).count()
+        t_sh = time.perf_counter() - t0
+
+        docs.unpersist()
+        spark.catalog.clearCache()
+        print(f"| {m}x | {n} | {t_mh:.1f} | {mh} | {t_nj:.1f} |"
+              f" {t_sh:.1f} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
