@@ -381,3 +381,62 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                                .otherwise(F.lit(0.0)))
             .filter(F.col("cosine_sim") >= threshold)
             .select("id1", "id2", F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (pairs -> components -> keep representative)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs (id1, id2) by min-label
+    propagation: every node's label converges to the smallest id in its
+    component, which IS the canonical representative.
+
+    Each iteration is one distributed join+agg (labels persist between
+    rounds, lineage truncated); the loop stops at fixpoint, detected by
+    the monotonically decreasing label sum — one scalar action per
+    round, no collect of the graph. Iterations needed = component
+    diameter; near-dup clusters are shallow (duplicates of a common
+    source), so the ``max_iter`` bound is a backstop, not a tuning
+    knob. Returns (id, label).
+    """
+    fwd = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    edges = (fwd.unionByName(fwd.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b"))).distinct()
+             .persist())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id")).persist())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.a == labels.id)
+                 .groupBy(F.col("b").alias("id"))
+                 .agg(F.min("label").alias("nl")))
+        new_labels = (labels.alias("l")
+                      .join(neigh.alias("n"), "id", "left")
+                      .select(F.col("id"),
+                              F.least(F.col("l.label"),
+                                      F.coalesce(F.col("n.nl"),
+                                                 F.col("l.label")))
+                               .alias("label"))
+                      .persist())
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
+                               id_col: str) -> DataFrame:
+    """Resolve near-dup ``pairs`` to duplicate clusters and keep ONE
+    row per cluster (the min-id representative) plus every row that
+    appears in no pair — the terminal operator of the dedup pipeline
+    (pairs are evidence; this produces the deduplicated corpus)."""
+    comp = duplicate_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("label")) \
+               .select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

@@ -366,3 +366,37 @@ def qx_corpus_stats_sketch(spark, sf_dir):
                  F.percentile_approx("n_chars", 0.5, 1000)
                   .alias("median_chars"))
             .orderBy("lang"))
+
+
+@register("qx_dedup_components", oracle="WITH RECURSIVE d AS ("
+          + _SHINGLE_CTE + """
+), pairs AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+), edges AS (
+    SELECT id1 AS a, id2 AS b FROM pairs
+    UNION SELECT id2, id1 FROM pairs
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+    SELECT id AS a, id AS b FROM nodes
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY a)
+SELECT label AS rep_id, count(*) AS cluster_size
+FROM labels GROUP BY label ORDER BY rep_id
+""")
+def qx_dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: exact near-dup pairs -> connected
+    components (min-label propagation) -> (representative, size) per
+    cluster. The oracle computes the same transitive closure with a
+    recursive CTE, so the iterative distributed algorithm is
+    value-checked end-to-end."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs_inverted(docs, "doc_id", "text",
+                                               n=3, threshold=0.2)
+    comp = dedup.duplicate_components(pairs)
+    return (comp.groupBy(F.col("label").alias("rep_id"))
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .orderBy("rep_id"))

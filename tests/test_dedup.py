@@ -105,3 +105,27 @@ def test_corpus_stats_sketch_error_bounds(spark, sf_dir):
         assert abs(a.n_sources - e.n_sources) <= max(1, 0.05 * e.n_sources)
         assert abs(a.median_chars - e.median_chars) <= 0.1 * max(
             e.median_chars, 1.0)
+
+
+def test_duplicate_components_chain_propagation(spark):
+    """A 6-node path graph needs multiple propagation rounds; every
+    node must still converge to the global min label."""
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (10, 11)],
+        "id1 long, id2 long")
+    comp = {r.id: r.label
+            for r in dedup.duplicate_components(pairs).collect()}
+    assert {k: v for k, v in comp.items() if k <= 5} == \
+        {i: 0 for i in range(6)}
+    assert comp[10] == comp[11] == 10
+
+
+def test_dedup_keep_representatives(spark, docs):
+    """Terminal dedup: pairs resolve to clusters; corpus keeps one
+    row per cluster plus all unpaired rows."""
+    base = docs.select("doc_id", "text").limit(10)
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 7)],
+                                  "id1 long, id2 long")
+    kept = dedup.dedup_keep_representatives(base, pairs, "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 3, 4, 5, 6, 8, 9]   # dropped 1, 2 (rep 0), 7 (rep 5)
