@@ -92,6 +92,7 @@ def test_gemm_topk_matches_bruteforce(emb):
 def test_corpus_stats_sketch_error_bounds(spark, sf_dir):
     """HLL++/approx-percentile profile stays within documented error
     of the exact twin (2% rsd sketch, 1000-weight quantile)."""
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
     from social_media_ai_engineering_etl_spark.registry import QUERIES
     exact = {r.lang: r for r in
              QUERIES["qx_corpus_stats"](spark, sf_dir).collect()}
