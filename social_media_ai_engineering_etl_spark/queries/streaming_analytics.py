@@ -152,3 +152,31 @@ def qs_conversion_join(spark, sf_dir):
     return (out.select("user_id", "purchase_id", "click_id",
                        F.round("amount", 6).alias("amount"), "lag_micros")
             .orderBy("purchase_id", "click_id"))
+
+
+@register("qs_engagement_rollup", oracle="""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       grouping(event_type) * 2 + grouping(date_trunc('hour', ts))
+           AS gid,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+ORDER BY gid, event_type NULLS FIRST, hour NULLS FIRST
+""")
+def qs_engagement_rollup(spark, sf_dir):
+    """Multi-granularity engagement rollup: (event_type, hour) ->
+    (event_type) -> grand total in ONE pass (ROLLUP grouping sets —
+    Spark expands to partial aggregates, no per-level re-scan);
+    grouping_id disambiguates aggregated-out levels from real NULLs."""
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                         "yyyy-MM-dd HH:mm:ss")
+    return (ev.rollup(F.col("event_type"), hour.alias("hour"))
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("event_type", "hour", "gid", "n_events", "sum_value")
+            .orderBy("gid", F.col("event_type").asc_nulls_first(),
+                     F.col("hour").asc_nulls_first()))
