@@ -400,3 +400,45 @@ def qx_dedup_components(spark, sf_dir):
     return (comp.groupBy(F.col("label").alias("rep_id"))
             .agg(F.count(F.lit(1)).alias("cluster_size"))
             .orderBy("rep_id"))
+
+
+@register("qx_semantic_dedup_keep", oracle="""
+WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.4
+), edges AS (
+    SELECT id1 AS a, id2 AS b FROM pairs
+    UNION SELECT id2, id1 FROM pairs
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+    SELECT id AS a, id AS b FROM nodes
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY a),
+dropped AS (SELECT id FROM labels WHERE id <> label)
+SELECT count(*) AS n_kept,
+       (SELECT count(*) FROM embeddings) AS n_total,
+       (SELECT count(*) FROM dropped) AS n_dropped
+FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dropped)
+""")
+def qx_semantic_dedup_keep(spark, sf_dir):
+    """Semantic (embedding-space) dedup END TO END: cosine >= 0.4
+    near-dup pairs -> connected components -> drop non-representative
+    rows — the corpus a training pipeline would actually keep. Same
+    resolution machinery as the text-level qx_dedup_components; the
+    pair generation swaps to the embedding path (LSH-bucketed at
+    scale)."""
+    emb = _emb(spark, sf_dir)
+    pairs = dedup.embedding_dedup_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.4)
+    kept = dedup.dedup_keep_representatives(
+        emb, pairs.select("id1", "id2"), "vec_id")
+    total = emb.count()
+    n_kept = kept.count()
+    return spark.createDataFrame(
+        [(n_kept, total, total - n_kept)],
+        "n_kept long, n_total long, n_dropped long")
