@@ -14,7 +14,6 @@ rand-keyed window sort is per-partition only.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
