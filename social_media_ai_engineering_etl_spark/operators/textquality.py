@@ -122,3 +122,60 @@ def keyword_candidates(text: Column,
                              F.lit(0)),
         lambda t: F.lower(t))
     return F.concat(words, ents)
+
+
+# Distinctive character trigrams per language (public knowledge: high-
+# frequency trigrams from common function words/orthography).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ent", "he ", " th", "nd ", "of ",
+           " to"),
+    "de": ("der", "ich", "sch", "ein", "die", "und", "en ", "ch ", " de",
+           "cht"),
+    "fr": ("les", "ent", "que", "ous", "ait", "es ", " le", " de", "nt ",
+           "our"),
+    "es": ("que", "ión", "los", "ado", "nte", "os ", " de", " la", "es ",
+           "ar "),
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct character 3-grams — one substring expression per
+    offset via transform over an index sequence (no UDF; stays in
+    codegen).
+
+    Pass a PLAIN COLUMN (pre-projected, already lowercased): any
+    computed expression here would be re-inlined into every lambda
+    element (no CSE across HOF lambdas — the word_shingles lesson),
+    turning one lower() per row into one per character."""
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    return F.array_distinct(F.transform(idx,
+                                        lambda i: F.substring(text, i, 3)))
+
+
+def trigram_lang_score(text: Column, trigrams: tuple[str, ...]) -> Column:
+    """Fraction of a language's marker trigrams present in the text
+    (profile-coverage scoring: length-invariant, unlike text-side
+    ratios which dilute with document size)."""
+    grams = char_trigrams(text)
+    hits = F.size(F.array_intersect(
+        grams, F.array(*[F.lit(g) for g in trigrams])))
+    return hits.cast("double") / len(trigrams)
+
+
+def language_id_ngram(text: Column,
+                      profiles: dict[str, tuple[str, ...]] = LANG_TRIGRAMS,
+                      min_score: float = 0.0) -> Column:
+    """Character-n-gram language ID (north-star 'language-ID (n-gram
+    heuristic)'): argmax profile coverage over per-language trigram
+    sets; deterministic tie order; 'unknown' when the best coverage
+    <= min_score. Word-marker variant: :func:`language_id`."""
+    langs = list(profiles)
+    scores = {lang: trigram_lang_score(text, profiles[lang])
+              for lang in langs}
+    best = F.greatest(*[scores[lang] for lang in langs]) if len(langs) > 1 \
+        else scores[langs[0]]
+    expr = F.lit("unknown")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= min_score, F.lit("unknown")).otherwise(expr)

@@ -442,3 +442,55 @@ def qx_semantic_dedup_keep(spark, sf_dir):
     return spark.createDataFrame(
         [(n_kept, total, total - n_kept)],
         "n_kept long, n_total long, n_dropped long")
+
+
+@register("qx_language_id_ngram", oracle="""
+SELECT lang_detected, count(*) AS n FROM (
+    SELECT CASE
+        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr >= s_es THEN 'fr'
+        ELSE 'es' END AS lang_detected
+    FROM (
+        SELECT len(list_intersect(grams, ['the','ing','and','ion','ent',
+                   'he ',' th','nd ','of ',' to']))::DOUBLE / 10 AS s_en,
+               len(list_intersect(grams, ['der','ich','sch','ein','die',
+                   'und','en ','ch ',' de','cht']))::DOUBLE / 10 AS s_de,
+               len(list_intersect(grams, ['les','ent','que','ous','ait',
+                   'es ',' le',' de','nt ','our']))::DOUBLE / 10 AS s_fr,
+               len(list_intersect(grams, ['que','ión','los','ado','nte',
+                   'os ',' de',' la','es ','ar ']))::DOUBLE / 10 AS s_es
+        FROM (
+            SELECT list_distinct([substr(lt, i, 3)
+                       for i in range(1, greatest(len(lt) - 2, 0) + 1)])
+                       AS grams
+            FROM (SELECT lower(CASE WHEN doc_id % 10 = 7
+                       THEN 'der nicht ich schon ein und ' || text
+                       WHEN doc_id % 10 = 8
+                       THEN 'les que vous est pour notre ' || text
+                       ELSE 'the thing and function of to ' || text END) AS lt
+                  FROM documents)
+        )
+    )
+) GROUP BY lang_detected ORDER BY lang_detected
+""")
+def qx_language_id_ngram(spark, sf_dir):
+    """Char-trigram language ID over marker-salted documents, counts
+    per detected language. Tie semantics mirrored exactly: the argmax
+    checks languages in profile-dict order (en, de, fr, es) and the
+    FIRST language matching the max wins; the oracle CASE follows the
+    same order with >= comparisons."""
+    d = F.col("doc_id") % 10
+    salted = _docs(spark, sf_dir).select(
+        F.lower(F.when(d == 7, F.concat(
+            F.lit("der nicht ich schon ein und "), F.col("text")))
+          .when(d == 8, F.concat(
+              F.lit("les que vous est pour notre "), F.col("text")))
+          .otherwise(F.concat(
+              F.lit("the thing and function of to "), F.col("text"))))
+        .alias("lt"))
+    out = salted.select(
+        textquality.language_id_ngram(F.col("lt")).alias("lang_detected"))
+    return (out.groupBy("lang_detected")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang_detected"))
