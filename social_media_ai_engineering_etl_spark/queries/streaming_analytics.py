@@ -180,3 +180,26 @@ def qs_engagement_rollup(spark, sf_dir):
             .select("event_type", "hour", "gid", "n_events", "sum_value")
             .orderBy("gid", F.col("event_type").asc_nulls_first(),
                      F.col("hour").asc_nulls_first()))
+
+
+@register("qsc_salted_agg", oracle="""
+SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def qsc_salted_agg(spark, sf_dir):
+    """Skew-salted two-phase aggregation — results identical to a
+    direct groupBy (the oracle IS the direct groupBy), while the plan
+    spreads any hot key over 32 salt buckets before the true-key
+    merge. The defense for 'one author with 10^8 posts'-shaped
+    skew."""
+    from ..operators import scale
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    out = scale.salted_aggregate(
+        ev, ["event_type"],
+        {"sum_value": ("value", "sum"), "n": ("value", "count"),
+         "min_value": ("value", "min"), "max_value": ("value", "max")})
+    return (out.select("event_type",
+                       F.round("sum_value", 6).alias("sum_value"),
+                       "n", "min_value", "max_value")
+            .orderBy("event_type"))
