@@ -393,40 +393,43 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     propagation: every node's label converges to the smallest id in its
     component, which IS the canonical representative.
 
-    Each iteration is one distributed join+agg (labels persist between
-    rounds, lineage truncated); the loop stops at fixpoint, detected by
-    the monotonically decreasing label sum — one scalar action per
-    round, no collect of the graph. Iterations needed = component
-    diameter; near-dup clusters are shallow (duplicates of a common
-    source), so the ``max_iter`` bound is a backstop, not a tuning
-    knob. Returns (id, label).
+    Each iteration is one distributed join+agg; the loop stops at
+    fixpoint, detected by the monotonically decreasing label sum —
+    one scalar action per round, no collect of the graph. Iterations
+    needed = component diameter; near-dup clusters are shallow
+    (duplicates of a common source), so the ``max_iter`` bound is a
+    backstop, not a tuning knob.
+
+    Lineage MUST be truncated each round (``localCheckpoint``): the
+    labels plan references the previous labels twice per iteration,
+    so the logical plan doubles every round and planning itself OOMs
+    by ~10 iterations (measured — the driver died building the plan
+    STRING). On a fault-tolerance-critical cluster swap for reliable
+    ``checkpoint`` with a checkpoint dir. Returns (id, label).
     """
     fwd = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     edges = (fwd.unionByName(fwd.select(F.col("b").alias("a"),
                                         F.col("a").alias("b"))).distinct()
-             .persist())
+             .localCheckpoint())
     labels = (edges.select(F.col("a").alias("id")).distinct()
-              .withColumn("label", F.col("id")).persist())
+              .withColumn("label", F.col("id")).localCheckpoint())
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.a == labels.id)
                  .groupBy(F.col("b").alias("id"))
                  .agg(F.min("label").alias("nl")))
-        new_labels = (labels.alias("l")
-                      .join(neigh.alias("n"), "id", "left")
-                      .select(F.col("id"),
-                              F.least(F.col("l.label"),
-                                      F.coalesce(F.col("n.nl"),
-                                                 F.col("l.label")))
-                               .alias("label"))
-                      .persist())
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        labels = (labels.alias("l")
+                  .join(neigh.alias("n"), "id", "left")
+                  .select(F.col("id"),
+                          F.least(F.col("l.label"),
+                                  F.coalesce(F.col("n.nl"),
+                                             F.col("l.label")))
+                           .alias("label"))
+                  .localCheckpoint())
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
     return labels
 
 

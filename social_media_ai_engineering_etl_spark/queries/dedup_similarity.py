@@ -26,6 +26,14 @@ def _emb(spark, sf_dir):
     return widen_scan(spark.read.parquet(p), p)
 
 
+def _emb_narrow(spark, sf_dir):
+    # the n^2 pair join plans a BroadcastNestedLoopJoin whose condition
+    # evaluates the interpreted HOF cosine; widening multiplies the
+    # concurrent interpreted tasks and OOMs — keep the stream side
+    # narrow (the GEMM variant is the wide/fast path)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -136,7 +144,7 @@ ORDER BY id1, id2
 """)
 def qx_embedding_dedup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (>= 0.4), exact self-join."""
-    return dedup.embedding_dedup_pairs(_emb(spark, sf_dir), "vec_id",
+    return dedup.embedding_dedup_pairs(_emb_narrow(spark, sf_dir), "vec_id",
                                        "embedding", threshold=0.4
                                        ).orderBy("id1", "id2")
 
@@ -432,9 +440,9 @@ def qx_semantic_dedup_keep(spark, sf_dir):
     resolution machinery as the text-level qx_dedup_components; the
     pair generation swaps to the embedding path (LSH-bucketed at
     scale)."""
-    emb = _emb(spark, sf_dir)
-    pairs = dedup.embedding_dedup_pairs(emb, "vec_id", "embedding",
-                                        threshold=0.4)
+    emb = _emb_narrow(spark, sf_dir)
+    pairs = similarity.embedding_pairs_gemm(emb, "vec_id", "embedding",
+                                            threshold=0.4)
     kept = dedup.dedup_keep_representatives(
         emb, pairs.select("id1", "id2"), "vec_id")
     total = emb.count()

@@ -130,3 +130,15 @@ def test_dedup_keep_representatives(spark, docs):
     kept = dedup.dedup_keep_representatives(base, pairs, "doc_id")
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [0, 3, 4, 5, 6, 8, 9]   # dropped 1, 2 (rep 0), 7 (rep 5)
+
+
+def test_embedding_pairs_gemm_matches_expression_path(emb):
+    """GEMM pair generator is value-identical to the expression-path
+    embedding_dedup_pairs."""
+    expr_pairs = dedup.embedding_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).orderBy("id1", "id2").collect()
+    gemm_pairs = similarity.embedding_pairs_gemm(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).orderBy("id1", "id2").collect()
+    assert [tuple(r) for r in expr_pairs] == [tuple(r) for r in gemm_pairs]
