@@ -300,7 +300,7 @@ def q17_author_words_grouped(spark, sf_dir):
 # §3.1 whole-pipeline composition: 22 fan-out -> 23 type+split -> mix
 # --------------------------------------------------------------------------
 
-@register("qe2e_training_mix", oracle="WITH posts AS (" + _PAIRS_CTE + """
+@register("qe2e_training_mix", bench=True, oracle="WITH posts AS (" + _PAIRS_CTE + """
 ), typed AS (
     SELECT doc_id, prompt, len(prompt) AS prompt_len,
         CASE

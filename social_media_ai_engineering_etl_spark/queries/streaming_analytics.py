@@ -131,7 +131,7 @@ def qs_event_dedup(spark, sf_dir):
             .orderBy("event_type"))
 
 
-@register("qs_conversion_join", oracle="""
+@register("qs_conversion_join", bench=True, oracle="""
 SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
        round(p.value, 6) AS amount,
        epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
