@@ -388,7 +388,7 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 
-def duplicate_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs (id1, id2) by min-label
     propagation: every node's label converges to the smallest id in its
     component, which IS the canonical representative.
@@ -424,6 +424,21 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                           F.least(F.col("l.label"),
                                   F.coalesce(F.col("n.nl"),
                                              F.col("l.label")))
+                           .alias("label")))
+        # pointer jumping (path halving): label <- label's label.
+        # Neighbor propagation alone needs diameter rounds — a
+        # 10^6-node duplicate chain would silently stop unconverged
+        # at max_iter; with the jump the distance to the root halves
+        # every round, so convergence is O(log diameter).
+        labels = (labels.alias("x")
+                  .join(labels.select(F.col("id").alias("jid"),
+                                      F.col("label").alias("jlabel"))
+                        .alias("j"),
+                        F.col("x.label") == F.col("j.jid"), "left")
+                  .select(F.col("x.id").alias("id"),
+                          F.least(F.col("x.label"),
+                                  F.coalesce(F.col("j.jlabel"),
+                                             F.col("x.label")))
                            .alias("label"))
                   .localCheckpoint())
         new_sum = labels.agg(F.sum("label")).collect()[0][0]

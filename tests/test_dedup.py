@@ -142,3 +142,13 @@ def test_embedding_pairs_gemm_matches_expression_path(emb):
         emb, "vec_id", "embedding", threshold=0.4
     ).orderBy("id1", "id2").collect()
     assert [tuple(r) for r in expr_pairs] == [tuple(r) for r in gemm_pairs]
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    """A 40-node path must converge well inside the iteration backstop
+    (pointer jumping makes rounds O(log diameter))."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "id1 long, id2 long")
+    comp = {r.id: r.label
+            for r in dedup.duplicate_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(41)}
