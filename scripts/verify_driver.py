@@ -39,12 +39,17 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     failed = []
     for name in sorted(qs):
-        if name not in oracles:
-            n = qs[name](spark, sf).count()
-            print(f"{name}: rows-only ({n} rows)")
+        try:
+            if name not in oracles:
+                n = qs[name](spark, sf).count()
+                print(f"{name}: rows-only ({n} rows)")
+                continue
+            got = qs[name](spark, sf).toPandas()
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # a raising query is a failure, not a crash
+            failed.append(name)
+            print(f"{name}: ERROR — {str(e)[:300]}")
             continue
-        got = qs[name](spark, sf).toPandas()
-        want = con.execute(oracles[name]).fetchdf()
         for df in (got, want):
             for c in df.columns:
                 if pd.api.types.is_float_dtype(df[c]):

@@ -780,7 +780,7 @@ def q17_narrative_structure(spark, sf_dir):
         n17.sentiment_arc_17(t).alias("arc"))
 
 
-@register("q26_topic_shifts", oracle="""
+@register("q26_topic_shifts", oracle=r"""
 SELECT doc_id, round(CASE WHEN n_paras < 2 THEN 0.5
             ELSE 1.0 - abs(0.5 - avg_sim) END, 6) AS topic_shift_score
 FROM (

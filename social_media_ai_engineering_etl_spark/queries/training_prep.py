@@ -48,7 +48,7 @@ _NEG_SQL = "WITH rp AS (" + _RP_CTE + r"""
         CASE WHEN emoji_usage IN ('none', 'infrequent')
              THEN t || chr(10) || chr(10) ||
                   list_aggregate(list_transform(range(0, 10), i ->
-                      """ + _EMOJI_SQL + f"""[
+                      """ + _EMOJI_SQL + rf"""[
                           ('0x' || substr(md5(t), 2*i + 1, 2))::BIGINT
                           % {len(neg.EMOJI_ALPHABET)} + 1]), 'string_agg', '')
              ELSE t END AS t

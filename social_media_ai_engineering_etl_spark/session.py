@@ -41,9 +41,11 @@ def get_spark(app_name: str = "social-media-ai-engineering-etl-spark",
         .config("spark.default.parallelism", str(max(n, 32)))
         # --- oracle parity -------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot
-        # map to its micros TimestampType; read as long and let
-        # loaders truncate to micros (same as DuckDB's coercion).
+        # events.parquet has carried TIMESTAMP(NANOS) in some driver
+        # generations (micros in others); with this flag nanos surface
+        # as bigint and load_events() truncates to micros (same as
+        # DuckDB's coercion). Micros-naive files surface as
+        # TIMESTAMP_NTZ and load_events() casts to session-tz (UTC).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python/arrow boundary -----------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -19,10 +19,14 @@ from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double, props string")
-# the driver's events.parquet stores TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong it surfaces as bigint nanos.
+# driver generations have stored events.ts as TIMESTAMP(NANOS) (surfaces
+# as bigint nanos under spark.sql.legacy.parquet.nanosAsLong) or as
+# micros-naive (surfaces as TIMESTAMP_NTZ); load_events/stream_events
+# normalize both to session-tz TimestampType.
 EVENTS_SCHEMA_NANOS = ("event_id bigint, ts bigint, user_id bigint, "
                        "event_type string, value double, props string")
+EVENTS_SCHEMA_NTZ = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                     "event_type string, value double, props string")
 
 
 def _nanos_to_ts(df: DataFrame) -> DataFrame:
@@ -35,25 +39,45 @@ def _nanos_to_ts(df: DataFrame) -> DataFrame:
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Batch read of an events parquet, normalizing nanos timestamps."""
+    """Batch read of an events parquet, normalizing ``ts`` to session-tz
+    TimestampType whatever the file stores: bigint nanos (TIMESTAMP(NANOS)
+    under nanosAsLong) or TIMESTAMP_NTZ (micros with isAdjustedToUTC=false,
+    which ``unix_micros``/watermarks reject). The session timezone is UTC,
+    so the NTZ cast is a pure reinterpretation — same wall-clock DuckDB
+    sees for naive timestamps."""
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = _nanos_to_ts(df)
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def stream_events(spark: SparkSession, path_or_dir: str,
                   max_files_per_trigger: int | None = None,
-                  nanos: bool = False) -> DataFrame:
-    """readStream over an events parquet directory. Explicit schema
-    (required by streaming file sources — no inference pass); pass
-    ``nanos=True`` for sources written with TIMESTAMP(NANOS)."""
-    reader = spark.readStream.schema(
-        EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA)
+                  ts_storage: str | None = None) -> DataFrame:
+    """readStream over an events parquet directory. Streaming file
+    sources require an explicit schema (no inference pass), so the
+    physical ``ts`` storage is probed from the existing files' footers
+    via a lazy batch read — metadata only, no scan. ``ts_storage``
+    overrides the probe for empty source dirs: one of ``"timestamp"``,
+    ``"nanos"`` (bigint nanos), ``"ntz"`` (micros-naive)."""
+    if ts_storage is None:
+        probed = dict(spark.read.parquet(path_or_dir).dtypes).get("ts")
+        ts_storage = {"bigint": "nanos", "timestamp_ntz": "ntz"}.get(
+            probed, "timestamp")
+    schema = {"nanos": EVENTS_SCHEMA_NANOS,
+              "ntz": EVENTS_SCHEMA_NTZ}.get(ts_storage, EVENTS_SCHEMA)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path_or_dir)
-    return _nanos_to_ts(df) if nanos else df
+    if ts_storage == "nanos":
+        return _nanos_to_ts(df)
+    if ts_storage == "ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_engagement(events: DataFrame, window: str = "1 hour",

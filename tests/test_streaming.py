@@ -32,7 +32,7 @@ def test_stream_matches_batch_for_closed_windows(spark, sf_dir, events_batch,
     shutil.copy(os.path.join(sf_dir, "events.parquet"),
                 os.path.join(src, "events.parquet"))
     stream = tumbling_engagement(
-        stream_events(spark, src, nanos=True),
+        stream_events(spark, src),  # ts storage auto-probed from footers
         "1 hour", watermark="10 minutes")
     name = "t_" + uuid.uuid4().hex[:8]
     run_stream_to_memory(stream, name)
