@@ -112,6 +112,35 @@ class HashToneBackend:
         return out
 
 
+class FreeJsonOpinionBackend:
+    """Opinion extractor stand-in (stages 11/14): exercises the FREE
+    JSON guided-decoding contract (11-extract-opinion.py:21-29,
+    14-extract-context.py:22-30) — unlike the choice/schema stages,
+    the decoder here is unconstrained, so outputs are not guaranteed
+    to parse. Deterministically, texts whose md5 bucket hits 0 mod
+    ``malformed_every`` get raw un-JSON output (the postprocess
+    fallback path); everything else gets {"opinion": first sentence,
+    trimmed, capped at ``max_chars``}."""
+
+    def __init__(self, max_chars: int = 120, malformed_every: int = 7,
+                 text_regex: str = r"\*\*Social Media Post\*\*\n\n(.*?)(?:<\|im_end\|>|\Z)"):
+        self.max_chars = max_chars
+        self.malformed_every = malformed_every
+        self.text_regex = re.compile(text_regex, re.DOTALL)
+
+    def generate(self, prompts: list[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            m = self.text_regex.search(p)
+            text = m.group(1) if m else p
+            sent = text.split(".", 1)[0].strip()[:self.max_chars]
+            if md5_bucket(text, self.malformed_every) == 0:
+                out.append(sent)  # free decode drifted off-format
+            else:
+                out.append(json.dumps({"opinion": sent}))
+        return out
+
+
 class VLLMBackend:  # pragma: no cover - real-inference path
     """Real vLLM engine, one per executor (import-gated: vLLM is not
     installed in this environment; SURVEY §3.2 maps the reference's

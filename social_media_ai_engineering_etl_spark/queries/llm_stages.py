@@ -105,6 +105,42 @@ def q06_extract_topic(spark, sf_dir):
         empty_label="unknown").select("doc_id", "topic")
 
 
+_OPINION_ORACLE = r"""
+WITH posts AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS post_text
+    FROM documents
+)
+SELECT doc_id,
+    CASE WHEN trim(post_text) = '' THEN 'unknown'
+         -- free-decode drift: md5 bucket 0 mod 7 emits raw (non-JSON)
+         WHEN ('0x' || substr(md5(post_text), 1, 6))::BIGINT % 7 = 0
+              THEN 'unknown'
+         WHEN substr(trim(string_split(post_text, '.')[1]), 1, 120) = ''
+              THEN 'unknown'
+         ELSE substr(trim(string_split(post_text, '.')[1]), 1, 120)
+    END AS opinion
+FROM posts
+"""
+
+
+@register("q11_extract_opinion", oracle=_OPINION_ORACLE)
+def q11_extract_opinion(spark, sf_dir):
+    """Stages 11/14: free-JSON guided-decoding contract
+    (11-extract-opinion.py:21-29, 14-extract-context.py:22-30) — the
+    backend's decode is unconstrained, so ~1/7 of outputs are
+    deterministically off-format and take the parse-fallback path;
+    the rest unwrap {"opinion": ...} (P7 shape, cleaned in stage 12)."""
+    posts = _posts(_docs(spark, sf_dir))
+    return inf.infer_column(
+        posts, "post_text", "opinion",
+        backend_factory=lambda: inf.FreeJsonOpinionBackend(),
+        prompt_builder=lambda t: inf.chat_prompt(
+            "Extract the author's core opinion from this post.", t),
+        postprocess=inf.parse_json_field("opinion", "unknown"),
+        empty_label="unknown").select("doc_id", "opinion")
+
+
 @register("q09_extract_tone")
 def q09_extract_tone(spark, sf_dir):
     """Stage 09: tone list via the JSON-array-of-enum guided-decoding
