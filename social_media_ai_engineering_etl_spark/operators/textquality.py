@@ -179,3 +179,51 @@ def language_id_ngram(text: Column,
     for lang in reversed(langs):
         expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
     return F.when(best <= min_score, F.lit("unknown")).otherwise(expr)
+
+
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 5,
+               min_len: int = 3):
+    """Top-``k`` TF-IDF terms per document (SURVEY M18 — imported but
+    never used in the reference, 21-embedding-and-clustering.py:20;
+    realized here as the text-analysis keyword-weighting operator).
+
+    Tokenization: lowercase alnum runs of length >= ``min_len``.
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style).
+    Ranking: ROUNDED tfidf desc then term asc — rounding first keeps
+    rank order identical across engines whose ln() differs in the
+    last ulp; the tie-break makes row_number deterministic.
+
+    Plan shape at scale: explode -> (doc, term) count (one shuffle,
+    map-side combined) -> term doc-frequency (second shuffle over the
+    much smaller distinct-(doc,term) set) -> join back on term (AQE
+    broadcasts when the vocabulary is small; shuffle-hash otherwise)
+    -> 1-row N crossjoin broadcast -> per-doc window top-k (third
+    shuffle, by doc). Nothing is collected to the driver and every
+    stage is partition-parallel, so vocabulary and corpus size scale
+    independently."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: F.length(t) >= min_len)).alias("term"))
+    # tf feeds BOTH docfreq and the scored join; without persist the
+    # explode + (doc,term) shuffle runs twice (no DAG CSE across
+    # branches — the tier_counts lesson). The persisted table is the
+    # distinct-(doc,term) set: far smaller than the raw token stream,
+    # evictable MEMORY_AND_DISK.
+    tf = (toks.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")).persist())
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(docfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * (F.log((F.col("n_docs") + 1.0)
+                                       / (F.col("df") + 1.0)) + 1.0), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "term", "tf", "df", "tfidf"))

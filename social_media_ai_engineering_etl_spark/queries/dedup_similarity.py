@@ -293,6 +293,38 @@ def qx_quality_tokens_fingerprint(spark, sf_dir):
         textquality.fingerprint(F.col("text")).alias("doc_fingerprint"))
 
 
+@register("qx_tfidf_topk", oracle="""
+WITH toks AS (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+          FROM documents)
+    WHERE len(t) >= 3
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
+""")
+def qx_tfidf_topk(spark, sf_dir):
+    """M18 realized: top-5 TF-IDF terms per document (smoothed idf,
+    rounded-rank determinism). See operators/textquality.tfidf_topk
+    for the 100 TB plan shape."""
+    return textquality.tfidf_topk(_docs(spark, sf_dir), "doc_id", "text",
+                                  k=5, min_len=3)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (rows-only: binary payloads + stubbed decode)
 # --------------------------------------------------------------------------
