@@ -227,3 +227,42 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 5,
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(id_col, "term", "tf", "df", "tfidf"))
+
+
+def gram_hashes(text: Column, k: int = 3) -> Column:
+    """60-bit hash per word k-gram — the hash stream winnowing selects
+    from (rolling-hash fingerprinting; Rabin-Karp's incremental update
+    is a single-CPU optimization, the *stream of k-gram hashes* is the
+    semantic object). Hash = first 15 md5 hex digits as bigint, chosen
+    to be bit-identical in DuckDB (('0x'||substr(md5(g),1,15))::BIGINT)
+    so fingerprints are oracle-checkable. Built with the shifted-slice
+    zip (word_shingles lesson: element_at-in-lambda would re-inline
+    split() per element)."""
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    m = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, 1 + j, m) for j in range(k)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15),
+                         16, 10).cast("bigint"))
+
+
+def winnow_fingerprint(hashes: Column, w: int = 4) -> Column:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): slide a
+    window of ``w`` over the k-gram hash stream, keep each window's
+    minimum, dedupe, sort. Guarantees any match of length >= w+k-1
+    shares a fingerprint while keeping ~2/(w+1) of the hashes — the
+    classic local document-fingerprint for plagiarism/near-dup
+    detection. Short streams (0 < m < w) yield one whole-stream
+    window (slice truncates identically in Spark and DuckDB); empty
+    streams yield an empty fingerprint.
+
+    Pass a PLAIN COLUMN (pre-projected hash array): HOF lambdas
+    re-inline computed expressions per element (no CSE)."""
+    m = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.when(m > 0, F.array_sort(F.array_distinct(mins))) \
+            .otherwise(F.array().cast("array<bigint>"))

@@ -325,6 +325,49 @@ def qx_tfidf_topk(spark, sf_dir):
                                   k=5, min_len=3)
 
 
+@register("qx_fingerprint_winnow", oracle=r"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+), hashes AS (
+    SELECT doc_id,
+        list_transform(
+            list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+            g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+    FROM words
+), fp AS (
+    SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+             ELSE list_sort(list_distinct(
+                 list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                i -> list_min(hs[i : i + 3]))))
+        END AS fps
+    FROM hashes
+)
+SELECT doc_id, len(fps) AS n_fp,
+       md5(array_to_string(fps, ',')) AS fp_sig
+FROM fp
+""")
+def qx_fingerprint_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprinting via winnowing (k=3 word
+    grams, window w=4): per-doc fingerprint count + md5 signature of
+    the sorted fingerprint set. See operators/textquality.gram_hashes
+    / winnow_fingerprint for the hash-stream + window-min contract."""
+    hashed = _docs(spark, sf_dir).select(
+        "doc_id",
+        textquality.gram_hashes(F.col("text"), k=3).alias("hs"))
+    fps = hashed.select(
+        "doc_id",
+        textquality.winnow_fingerprint(F.col("hs"), w=4).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fp"),
+        F.md5(F.array_join(F.transform(F.col("fps"),
+                                       lambda x: x.cast("string")), ",")
+              .cast("binary")).alias("fp_sig"))
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (rows-only: binary payloads + stubbed decode)
 # --------------------------------------------------------------------------

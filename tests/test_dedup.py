@@ -152,3 +152,28 @@ def test_duplicate_components_long_chain_converges(spark):
     comp = {r.id: r.label
             for r in dedup.duplicate_components(pairs).collect()}
     assert comp == {i: 0 for i in range(41)}
+
+
+def test_winnow_fingerprint_guarantee_and_edges(spark):
+    """Winnowing guarantee: any shared run of >= w + k - 1 = 6 words
+    produces at least one shared fingerprint; empty/short docs don't
+    error (empty -> empty fingerprint, short -> one whole-stream
+    window)."""
+    from social_media_ai_engineering_etl_spark.operators import textquality
+    from pyspark.sql import functions as F
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [(0, f"xx yy {shared} zz"),
+            (1, f"{shared} qq rr ss tt uu"),
+            (2, "totally different words here entirely"),
+            (3, "tiny doc"),        # < k words: no grams
+            (4, "")]                # empty
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set(r.fps) for r in df.select(
+        "doc_id",
+        textquality.winnow_fingerprint(
+            textquality.gram_hashes(F.col("text"), k=3), w=4).alias("fps")
+    ).collect()}
+    assert fps[0] & fps[1], "shared 6-word run must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    assert fps[3] == set() and fps[4] == set()
