@@ -458,3 +458,52 @@ def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
     drop = comp.filter(F.col("id") != F.col("label")) \
                .select(F.col("id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint matching (MOSS-style local fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 3, w: int = 4,
+                       threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
+    matching scheme on top of textquality.winnow_fingerprint).
+
+    Score = shared fingerprints / min(|fp1|, |fp2|) — the overlap
+    (containment) coefficient, which unlike Jaccard stays high when a
+    short document is embedded in a longer one; that asymmetry is the
+    point of local fingerprints.
+
+    Plan shape mirrors the inverted n-gram path: explode fingerprints,
+    equi-join on the fingerprint value (only docs sharing a
+    fingerprint ever meet — winnowing guarantees any shared run of
+    >= w + k - 1 words produces one), count per pair, broadcast-join
+    the tiny (id, n_fp) table. One shuffle on fingerprint + one on
+    the pair key; no cross product anywhere."""
+    from .textquality import gram_hashes, winnow_fingerprint
+
+    hashed = df.select(F.col(id_col).alias("id"),
+                       gram_hashes(F.col(text_col), k).alias("hs"))
+    fp = (hashed.select("id", winnow_fingerprint(F.col("hs"), w).alias("fps"))
+          .withColumn("n_fp", F.size("fps")).filter(F.col("n_fp") > 0))
+    sizes = fp.select("id", "n_fp")
+    tok = fp.select("id", F.explode("fps").alias("f"))
+    shared = (tok.alias("a")
+              .join(tok.alias("b"),
+                    (F.col("a.f") == F.col("b.f"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id1"),
+                       F.col("b.id").alias("id2"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    res = (shared
+           .join(sizes.select(F.col("id").alias("id1"),
+                              F.col("n_fp").alias("n1")), "id1")
+           .join(sizes.select(F.col("id").alias("id2"),
+                              F.col("n_fp").alias("n2")), "id2")
+           .withColumn("overlap",
+                       F.col("shared").cast("double")
+                       / F.least(F.col("n1"), F.col("n2"))))
+    return (res.filter(F.col("overlap") >= threshold)
+            .select("id1", "id2", F.round("overlap", 6).alias("overlap")))

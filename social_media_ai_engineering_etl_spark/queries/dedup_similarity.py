@@ -368,6 +368,47 @@ def qx_fingerprint_winnow(spark, sf_dir):
               .cast("binary")).alias("fp_sig"))
 
 
+@register("qx_dedup_winnow", oracle=r"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+), hashes AS (
+    SELECT doc_id,
+        list_transform(
+            list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+            g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+    FROM words
+), fp AS (
+    SELECT doc_id,
+        list_sort(list_distinct(
+            list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                           i -> list_min(hs[i : i + 3])))) AS fps
+    FROM hashes WHERE len(hs) > 0
+), tok AS (
+    SELECT doc_id, unnest(fps) AS f FROM fp
+), shared AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+    FROM tok a JOIN tok b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id1, s.id2,
+       round(s.shared::DOUBLE / least(len(f1.fps), len(f2.fps)), 6)
+           AS overlap
+FROM shared s
+JOIN fp f1 ON f1.doc_id = s.id1
+JOIN fp f2 ON f2.doc_id = s.id2
+WHERE s.shared::DOUBLE / least(len(f1.fps), len(f2.fps)) >= 0.5
+""")
+def qx_dedup_winnow(spark, sf_dir):
+    """Winnowing/MOSS near-dup pairs: fingerprint-overlap
+    (containment) >= 0.5 via fingerprint equi-join — the fifth dedup
+    family (exact / minhash-LSH / simhash / n-gram Jaccard /
+    winnowing local fingerprints)."""
+    return dedup.winnow_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                    k=3, w=4, threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (rows-only: binary payloads + stubbed decode)
 # --------------------------------------------------------------------------
