@@ -154,6 +154,35 @@ def qs_conversion_join(spark, sf_dir):
             .orderBy("purchase_id", "click_id"))
 
 
+@register("qs_last_touch", oracle="""
+WITH cand AS (
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           round(p.value, 6) AS amount,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT user_id, purchase_id, click_id, amount, lag_micros FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY purchase_id
+        ORDER BY lag_micros ASC, click_id ASC) AS rn
+    FROM cand
+) WHERE rn = 1
+""")
+def qs_last_touch(spark, sf_dir):
+    """As-of join (last-touch attribution): nearest preceding click
+    per purchase within 1 hour — interval join + WindowGroupLimit
+    top-1 (see streaming/windows.last_touch_attribution)."""
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    out = windows.last_touch_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"))
+    return out.select("user_id", "purchase_id", "click_id",
+                      F.round("amount", 6).alias("amount"), "lag_micros")
+
+
 @register("qs_engagement_rollup", oracle="""
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

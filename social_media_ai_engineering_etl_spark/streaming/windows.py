@@ -193,3 +193,25 @@ def conversion_join(clicks: DataFrame, purchases: DataFrame,
                     "click_id", "amount",
                     (F.unix_micros(F.col("p_ts"))
                      - F.unix_micros(F.col("c_ts"))).alias("lag_micros")))
+
+
+def last_touch_attribution(clicks: DataFrame, purchases: DataFrame,
+                           horizon: str = "1 hour") -> DataFrame:
+    """As-of join: each purchase attributed to its NEAREST preceding
+    click within ``horizon`` (last-touch attribution).
+
+    Spark has no native ASOF JOIN; the idiomatic composition is the
+    bounded interval join (equi-key + range predicate, so it stays a
+    hash join) followed by per-purchase top-1 — the rank-1 filter
+    compiles to WindowGroupLimit, which keeps only the current best
+    row per purchase inside each partial sort instead of
+    materializing all candidates, so the extra cost over the raw
+    interval join is one shuffle on purchase_id. Ties (two clicks at
+    the same instant) break on click_id for determinism."""
+    from pyspark.sql import Window
+
+    cand = conversion_join(clicks, purchases, horizon)
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("lag_micros").asc(), F.col("click_id").asc())
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
