@@ -22,6 +22,11 @@ def main(argv: list[str] | None = None) -> int:
         prog="social_media_ai_engineering_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list", help="list registered queries")
+    sqlp = sub.add_parser(
+        "sql", help="run ANSI SQL over the tables as temp views")
+    sqlp.add_argument("statement")
+    sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sqlp.add_argument("--explain", action="store_true")
     runp = sub.add_parser("run", help="run one query")
     runp.add_argument("query")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -41,6 +46,17 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(QUERIES):
             marker = "oracle" if name in ORACLES else "rows-only"
             print(f"{name}\t{marker}")
+        return 0
+
+    if args.cmd == "sql":
+        from .session import get_spark, register_views
+        spark = get_spark("cli-sql")
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        if args.explain:
+            df.explain("formatted")
+        df.show(20, truncate=80)
+        spark.stop()
         return 0
 
     if args.query not in QUERIES:

@@ -138,3 +138,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """
     return {t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
             for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view — the engine's ANSI SQL
+    surface (the reference has no SQL layer at all; here any query a
+    user writes against these views gets the full Catalyst treatment:
+    pushdown, pruning, join reordering, AQE). ``events`` goes through
+    ``load_events`` so ``ts`` is a session-tz timestamp whatever the
+    parquet stores; temp views are metadata-only (no scan, no copy)."""
+    from .streaming.windows import load_events
+
+    for t, df in load_tables(spark, sf_dir).items():
+        if t == "events":
+            df = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+        df.createOrReplaceTempView(t)
