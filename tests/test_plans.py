@@ -112,3 +112,30 @@ def test_author_words_reuses_partitioning(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
     assert "WindowGroupLimit" in plan  # top-k pushed below the sort
+
+
+def test_winnow_dedup_no_cartesian(spark, sf_dir):
+    """Winnowing pair generation must stay an equi-join on the
+    fingerprint value — never a cross/nested-loop join."""
+    plan = plan_of(QUERIES["qx_dedup_winnow"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-doc top-k must push the rank filter into the sort
+    (WindowGroupLimit) — without it every (doc, term) row survives to
+    the window."""
+    plan = plan_of(QUERIES["qx_tfidf_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_last_touch_is_hash_join_plus_group_limit(spark, sf_dir):
+    """As-of attribution: the interval join keeps its equi-key (user)
+    — a hash join, not nested-loop over time ranges — and the top-1
+    compiles to WindowGroupLimit."""
+    plan = plan_of(QUERIES["qs_last_touch"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
