@@ -27,6 +27,10 @@ def main(argv: list[str] | None = None) -> int:
     sqlp.add_argument("statement")
     sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sqlp.add_argument("--explain", action="store_true")
+    pipep = sub.add_parser(
+        "pipeline", help="staged e2e run with manifest memoization")
+    pipep.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pipep.add_argument("--run-dir", required=True)
     runp = sub.add_parser("run", help="run one query")
     runp.add_argument("query")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -56,6 +60,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         df.show(20, truncate=80)
+        spark.stop()
+        return 0
+
+    if args.cmd == "pipeline":
+        from .plans.pipeline import run_e2e
+        from .session import get_spark
+        spark = get_spark("cli-pipeline")
+        for entry in run_e2e(spark, args.sf_dir, args.run_dir):
+            state = "skipped (memoized)" if entry["skipped"] else "ran"
+            print(f"{entry['stage']}: {entry['rows']} rows [{state}]")
         spark.stop()
         return 0
 

@@ -194,3 +194,29 @@ def test_cli_list_and_run(tmp_path):
          "run", "no_such_query"], capture_output=True, text=True,
         timeout=120)
     assert r.returncode == 2
+
+
+def test_staged_e2e_pipeline_memoizes(spark, sf_dir, tmp_path):
+    """run_e2e materializes 4 stage snapshots + contract; a second
+    invocation with unchanged inputs skips every stage."""
+    import os
+
+    from social_media_ai_engineering_etl_spark.plans.pipeline import run_e2e
+
+    run_dir = str(tmp_path / "run")
+    first = run_e2e(spark, sf_dir, run_dir)
+    assert [e["stage"] for e in first] == [
+        "01-posts", "22-pairs", "23-split", "24-negatives"]
+    assert all(not e["skipped"] for e in first)
+    assert all(e["rows"] > 0 for e in first)
+    assert os.path.exists(os.path.join(run_dir,
+                                       "24-negatives.contract.json"))
+    # DPO rows carry a non-empty rejected distinct from chosen
+    negs = spark.read.parquet(os.path.join(run_dir, "24-negatives"))
+    assert negs.filter((negs.rejected == "")
+                       | negs.rejected.isNull()).count() == 0
+    assert negs.filter(negs.rejected == negs.chosen).count() == 0
+
+    second = run_e2e(spark, sf_dir, run_dir)
+    assert all(e["skipped"] for e in second)
+    assert [e["rows"] for e in second] == [e["rows"] for e in first]
