@@ -60,8 +60,8 @@ def main() -> None:
 
     print(f"# Scaling probe ({sf}, base corpus {n_base} docs)\n")
     print("| scale | docs | minhash_lsh s | minhash pairs |"
-          " inverted_jaccard s | simhash s |")
-    print("|---|---|---|---|---|---|")
+          " inverted_jaccard s | simhash s | winnow s |")
+    print("|---|---|---|---|---|---|---|")
     for m in (1, 4, 16):
         docs = multiply_docs(base, m).repartition(
             spark.sparkContext.defaultParallelism).persist()
@@ -82,10 +82,15 @@ def main() -> None:
                                   max_hamming=3).count()
         t_sh = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        dedup.winnow_dedup_pairs(docs, "doc_id", "text",
+                                 threshold=0.5, max_df=200).count()
+        t_wn = time.perf_counter() - t0
+
         docs.unpersist()
         spark.catalog.clearCache()
         print(f"| {m}x | {n} | {t_mh:.1f} | {mh} | {t_nj:.1f} |"
-              f" {t_sh:.1f} |")
+              f" {t_sh:.1f} | {t_wn:.1f} |")
     spark.stop()
 
 

@@ -467,7 +467,9 @@ def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
 
 def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                        k: int = 3, w: int = 4,
-                       threshold: float = 0.5) -> DataFrame:
+                       threshold: float = 0.5,
+                       max_df: int | None = None,
+                       mirrorable: bool = False) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
     matching scheme on top of textquality.winnow_fingerprint).
 
@@ -481,15 +483,31 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     fingerprint ever meet — winnowing guarantees any shared run of
     >= w + k - 1 words produces one), count per pair, broadcast-join
     the tiny (id, n_fp) table. One shuffle on fingerprint + one on
-    the pair key; no cross product anywhere."""
+    the pair key; no cross product anywhere.
+
+    Skew: a fingerprint shared by m docs yields C(m, 2) pair rows —
+    boilerplate phrases are the hot keys. ``max_df`` drops
+    fingerprints with document frequency > max_df from pair
+    generation (scale probe: flattens the curve at 16x corpus);
+    shared counts then UNDER-count for pairs relying on dropped
+    fingerprints. None keeps exact scoring."""
     from .textquality import gram_hashes, winnow_fingerprint
 
     hashed = df.select(F.col(id_col).alias("id"),
-                       gram_hashes(F.col(text_col), k).alias("hs"))
+                       gram_hashes(F.col(text_col), k,
+                                   mirrorable=mirrorable).alias("hs"))
+    # the fingerprint table feeds FOUR branches (both sides of the
+    # self-join + two size joins); without persist the whole
+    # hash+winnow pipeline recomputes per branch (no DAG CSE — the
+    # minhash shingle-table lesson; measured ~4x on the scale probe)
     fp = (hashed.select("id", winnow_fingerprint(F.col("hs"), w).alias("fps"))
-          .withColumn("n_fp", F.size("fps")).filter(F.col("n_fp") > 0))
+          .withColumn("n_fp", F.size("fps")).filter(F.col("n_fp") > 0)
+          .persist())
     sizes = fp.select("id", "n_fp")
     tok = fp.select("id", F.explode("fps").alias("f"))
+    if max_df is not None:
+        freq = tok.groupBy("f").agg(F.count(F.lit(1)).alias("fdf"))
+        tok = tok.join(freq.filter(F.col("fdf") <= max_df), "f", "leftsemi")
     shared = (tok.alias("a")
               .join(tok.alias("b"),
                     (F.col("a.f") == F.col("b.f"))

@@ -356,7 +356,8 @@ def qx_fingerprint_winnow(spark, sf_dir):
     / winnow_fingerprint for the hash-stream + window-min contract."""
     hashed = _docs(spark, sf_dir).select(
         "doc_id",
-        textquality.gram_hashes(F.col("text"), k=3).alias("hs"))
+        textquality.gram_hashes(F.col("text"), k=3,
+                                mirrorable=True).alias("hs"))
     fps = hashed.select(
         "doc_id",
         textquality.winnow_fingerprint(F.col("hs"), w=4).alias("fps"))
@@ -406,7 +407,8 @@ def qx_dedup_winnow(spark, sf_dir):
     family (exact / minhash-LSH / simhash / n-gram Jaccard /
     winnowing local fingerprints)."""
     return dedup.winnow_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                                    k=3, w=4, threshold=0.5)
+                                    k=3, w=4, threshold=0.5,
+                                    mirrorable=True)
 
 
 # --------------------------------------------------------------------------
