@@ -143,14 +143,18 @@ def char_trigrams(text: Column) -> Column:
     offset via transform over an index sequence (no UDF; stays in
     codegen).
 
-    Pass a PLAIN COLUMN (pre-projected, already lowercased): any
-    computed expression here would be re-inlined into every lambda
-    element (no CSE across HOF lambdas — the word_shingles lesson),
-    turning one lower() per row into one per character."""
-    n = F.length(text)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
-    return F.array_distinct(F.transform(idx,
-                                        lambda i: F.substring(text, i, 3)))
+    The text argument is LET-BOUND (``transform(array(text), t ->
+    ...)[0]``) so a computed input — lower(), concat(), a collapsed
+    upstream projection — evaluates once per row instead of once per
+    character position (no CSE across HOF lambda bodies; the
+    winnow_fingerprint lesson, measured ~20x there)."""
+    def body(t: Column) -> Column:
+        n = F.length(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(t, i, 3)))
+
+    return F.element_at(F.transform(F.array(text), body), 1)
 
 
 def trigram_lang_score(text: Column, trigrams: tuple[str, ...]) -> Column:
