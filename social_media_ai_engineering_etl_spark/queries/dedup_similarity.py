@@ -369,7 +369,7 @@ def qx_fingerprint_winnow(spark, sf_dir):
               .cast("binary")).alias("fp_sig"))
 
 
-@register("qx_dedup_winnow", oracle=r"""
+@register("qx_dedup_winnow", bench=True, oracle=r"""
 WITH words AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
     FROM documents
