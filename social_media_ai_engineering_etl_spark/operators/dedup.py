@@ -118,7 +118,12 @@ def ngram_jaccard_pairs_inverted(df: DataFrame, id_col: str, text_col: str,
     """
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), n).alias("sh"))
-    sh = sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+    # the shingle table feeds sizes (x2 joins), the explode, and both
+    # sides of the self-join — persist or the shingling (regex split +
+    # n-way zip + distinct) recomputes per branch (no DAG CSE; the
+    # minhash/winnow lesson — measured 15.3s -> 9.5s at 16x sf0.1)
+    sh = (sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+          .persist())
     sizes = sh.select("id", "sz")
     tok = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
@@ -310,7 +315,10 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     equi-join on (chunk_idx, chunk_value), then exact hamming filters.
     """
     width = 64 // chunks
-    sig = simhash_signatures(df, id_col, text_col)
+    # both sides of the chunk self-join consume the signature table;
+    # persist or the token explode + 64-vote shuffle runs twice
+    # (measured 15.5s -> ~5s at 16x sf0.1)
+    sig = simhash_signatures(df, id_col, text_col).persist()
     # chunks is a small constant: unroll Python-side (shift amount must
     # be a literal int for shiftrightunsigned)
     chunked = sig.select(
