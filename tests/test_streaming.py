@@ -259,3 +259,68 @@ def test_stream_stream_conversion_join(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [(r.purchase_id, r.click_id, r.lag_micros) for r in rows] == \
         [(10, 1, 1800 * 1_000_000)]
+
+
+def test_stream_last_touch_attribution_state(spark, tmp_path):
+    """Stateful as-of: purchases attribute to the user's latest click;
+    state (one click per user) survives a checkpointed restart and a
+    purchase in phase 2 attributes to the phase-1 click. Phase-1
+    results must equal the batch twin on the same rows."""
+    from social_media_ai_engineering_etl_spark.streaming.stateful import (
+        stream_last_touch)
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        last_touch_attribution)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = ("event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def write_phase(rows, fname):
+        df = (spark.createDataFrame(rows, schema)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+        tmp = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    def run():
+        emitted = []
+
+        def sink(batch_df, _):
+            emitted.extend(batch_df.collect())
+
+        q = (stream_last_touch(stream_events(spark, src))
+             .writeStream.foreachBatch(sink).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.user_id, r.purchase_id): (r.click_id, r.lag_micros)
+                for r in emitted}
+
+    phase1 = [(1, "2024-01-01 00:00:00", 1, "click", 0.0, "{}"),
+              (2, "2024-01-01 00:10:00", 1, "click", 0.0, "{}"),
+              (3, "2024-01-01 00:20:00", 1, "purchase", 9.5, "{}"),
+              (4, "2024-01-01 00:05:00", 2, "purchase", 1.0, "{}")]
+    write_phase(phase1, "a.parquet")
+    r1 = run()
+    # purchase 3 -> latest click 2 (lag 10 min); user 2 has no click
+    assert r1 == {(1, 3): (2, 600_000_000)}
+
+    ev = (spark.createDataFrame(phase1, schema)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    batch = last_touch_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"))
+    want = {(r.user_id, r.purchase_id): (r.click_id, r.lag_micros)
+            for r in batch.collect()}
+    assert r1 == want
+
+    # phase 2: purchase 30 min after the phase-1 click -> attributed
+    # from RECOVERED state; a >1h-later purchase is outside horizon
+    write_phase([(5, "2024-01-01 00:40:00", 1, "purchase", 2.0, "{}"),
+                 (6, "2024-01-01 02:00:00", 2, "purchase", 3.0, "{}")],
+                "b.parquet")
+    r2 = run()
+    assert r2 == {(1, 5): (2, 1_800_000_000)}
