@@ -168,3 +168,39 @@ def test_gemm_empty_queries_returns_empty(spark):
         emb, emb.filter("vec_id < 0"), "vec_id", "embedding", k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "rank", "corpus_id", "cosine_sim"]
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=TEXTS)
+def test_winnow_fingerprints_subset_sorted_distinct(spark, texts):
+    """Winnow invariants on arbitrary text: fingerprints are a sorted,
+    distinct, non-empty-iff-grams-exist SUBSET of the k-gram hash
+    stream (every fingerprint is some window's minimum)."""
+    rows = _df(spark, texts).select(
+        textquality.gram_hashes(F.col("text"), 3).alias("hs"),
+        textquality.winnow_fingerprint(
+            textquality.gram_hashes(F.col("text"), 3), 4).alias("fps"),
+    ).collect()
+    for r in rows:
+        assert r.fps == sorted(set(r.fps))
+        assert set(r.fps) <= set(r.hs)
+        assert (len(r.fps) > 0) == (len(r.hs) > 0)
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=TEXTS)
+def test_tfidf_topk_invariants(spark, texts):
+    """TF-IDF invariants: <= k rows per doc, tf/df positive, df <= n
+    docs, scores positive and non-increasing within a doc."""
+    out = textquality.tfidf_topk(_df(spark, texts), "id", "text",
+                                 k=5, min_len=3).collect()
+    n_docs = len(texts)
+    per_doc: dict = {}
+    for r in out:
+        per_doc.setdefault(r.id, []).append(r)
+        assert r.tf >= 1 and 1 <= r.df <= n_docs
+        assert r.tfidf > 0
+    for rows in per_doc.values():
+        assert len(rows) <= 5
+        scores = [r.tfidf for r in rows]
+        assert scores == sorted(scores, reverse=True)
