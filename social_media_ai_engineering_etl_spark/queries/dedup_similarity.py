@@ -411,6 +411,39 @@ def qx_dedup_winnow(spark, sf_dir):
                                     mirrorable=True)
 
 
+@register("qx_hll_mergeable")
+def qx_hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch distinct counting (rows-only: sketch estimates
+    have no DuckDB mirror; the error bound + mergeability identity are
+    asserted in tests/test_scale.py).
+
+    Datasketches HLL per source over the document fingerprint, then
+    the GLOBAL distinct estimated by UNIONING the per-source sketches
+    — never rescanning the documents. That artifact-mergeability is
+    the 100 TB pattern: persist per-partition/day sketches once,
+    answer corpus-wide distinct queries by merging kilobyte sketches
+    (approx_count_distinct gives a number; a sketch column gives a
+    reusable pre-aggregate)."""
+    docs = _docs(spark, sf_dir)
+    fp = textquality.fingerprint(F.col("text"))
+    per = (docs.select("source", fp.alias("fp"))
+           .groupBy("source")
+           .agg(F.hll_sketch_agg("fp").alias("sk"),
+                F.count_distinct("fp").alias("exact_distinct")))
+    per_source = per.select(
+        "source",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct")
+    merged = (per.agg(F.hll_union_agg("sk").alias("sk"))
+              .crossJoin(F.broadcast(
+                  docs.select(fp.alias("fp"))
+                      .agg(F.count_distinct("fp").alias("exact_distinct"))))
+              .select(F.lit("__ALL__").alias("source"),
+                      F.hll_sketch_estimate("sk").alias("est_distinct"),
+                      "exact_distinct"))
+    return per_source.unionByName(merged).orderBy("source")
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (rows-only: binary payloads + stubbed decode)
 # --------------------------------------------------------------------------

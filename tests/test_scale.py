@@ -75,3 +75,18 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     hits = sum(1 for qid, s in ivf_best.items()
                if abs(s - brute_best[qid]) < 1e-9)
     assert hits >= len(ivf_best) // 3           # non-trivial recall@1
+
+
+def test_hll_mergeable_error_bound_and_union(spark, sf_dir):
+    """Per-source sketch estimates within 5% of exact; the global row
+    (union of per-source sketches, no rescan) also within 5% — the
+    mergeability property that makes sketches reusable pre-aggregates."""
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+
+    rows = QUERIES["qx_hll_mergeable"](spark, sf_dir).collect()
+    total = [r for r in rows if r.source == "__ALL__"]
+    assert len(total) == 1 and total[0].exact_distinct > 0
+    for r in rows:
+        assert abs(r.est_distinct - r.exact_distinct) \
+            <= max(1, 0.05 * r.exact_distinct), r
