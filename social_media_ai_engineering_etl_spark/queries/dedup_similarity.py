@@ -369,7 +369,7 @@ def qx_fingerprint_winnow(spark, sf_dir):
               .cast("binary")).alias("fp_sig"))
 
 
-@register("qx_dedup_winnow", bench=True, oracle=r"""
+@register("qx_dedup_winnow", oracle=r"""
 WITH words AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
     FROM documents
@@ -409,6 +409,18 @@ def qx_dedup_winnow(spark, sf_dir):
     return dedup.winnow_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
                                     k=3, w=4, threshold=0.5,
                                     mirrorable=True)
+
+
+@register("qx_dedup_winnow_fast", bench=True)
+def qx_dedup_winnow_fast(spark, sf_dir):
+    """Production winnowing path (xxhash64 gram hashes) — the one a
+    100 TB run uses; benched instead of the md5 oracle twin, whose
+    hash exists only for DuckDB bit-parity. Pair semantics are
+    identical up to hash choice (same k/w/threshold; overlap scores
+    agree — the oracle twin plus the shared-run property test carry
+    correctness)."""
+    return dedup.winnow_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                    k=3, w=4, threshold=0.5)
 
 
 @register("qx_hll_mergeable")
