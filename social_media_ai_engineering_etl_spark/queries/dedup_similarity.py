@@ -438,10 +438,14 @@ def qx_hll_mergeable(spark, sf_dir):
     reusable pre-aggregate)."""
     docs = _docs(spark, sf_dir)
     fp = textquality.fingerprint(F.col("text"))
+    # `per` feeds both the per-source output and the sketch union;
+    # persist the (n_sources)-row table or the fingerprint scan of
+    # documents recomputes per branch
     per = (docs.select("source", fp.alias("fp"))
            .groupBy("source")
            .agg(F.hll_sketch_agg("fp").alias("sk"),
-                F.count_distinct("fp").alias("exact_distinct")))
+                F.count_distinct("fp").alias("exact_distinct"))
+           .persist())
     per_source = per.select(
         "source",
         F.hll_sketch_estimate("sk").alias("est_distinct"),
