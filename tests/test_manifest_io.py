@@ -220,3 +220,18 @@ def test_staged_e2e_pipeline_memoizes(spark, sf_dir, tmp_path):
     second = run_e2e(spark, sf_dir, run_dir)
     assert all(e["skipped"] for e in second)
     assert [e["rows"] for e in second] == [e["rows"] for e in first]
+
+
+def test_staged_e2e_pipeline_config_invalidates(spark, sf_dir, tmp_path):
+    """Changing the config re-runs the stages (signature covers
+    inputs + config + stage version), without touching the snapshots'
+    row counts."""
+    from social_media_ai_engineering_etl_spark.plans.pipeline import run_e2e
+
+    run_dir = str(tmp_path / "run")
+    first = run_e2e(spark, sf_dir, run_dir, config={"v": 1})
+    again = run_e2e(spark, sf_dir, run_dir, config={"v": 1})
+    assert all(e["skipped"] for e in again)
+    changed = run_e2e(spark, sf_dir, run_dir, config={"v": 2})
+    assert all(not e["skipped"] for e in changed)
+    assert [e["rows"] for e in changed] == [e["rows"] for e in first]
