@@ -9,3 +9,4 @@ from . import streaming_analytics  # noqa: F401
 from . import training_prep  # noqa: F401
 from . import rewards_scoring  # noqa: F401
 from . import row_transforms  # noqa: F401
+from . import star_rollups  # noqa: F401

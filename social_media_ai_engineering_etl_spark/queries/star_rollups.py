@@ -1,0 +1,98 @@
+"""Star-schema rollup queries exercising the full dimension chain
+(customer -> nation -> region; part / supplier -> nation): the
+reference has no relational joins at all (SURVEY §2.4), so these are
+the engine-native demonstrations of Catalyst's multi-dim broadcast
+join chain over the engagement semantics of stage 01.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..plans.tiering import order_engagement
+from ..registry import register
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@register("qg_engagement_by_geo", oracle="""
+WITH per_order AS (
+    SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS items
+    FROM lineitem GROUP BY l_orderkey
+), scored AS (
+    SELECT o.o_orderkey, c.c_nationkey,
+           CASE WHEN c.c_acctbal <= 0 THEN 0.0
+                ELSE least(0.05, (greatest(p.qty, 0) + greatest(p.items, 0))
+                                 / c.c_acctbal) END AS engagement_ratio
+    FROM orders o
+    JOIN per_order p ON o.o_orderkey = p.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT r.r_name, n.n_name, count(*) AS n_posts,
+       round(avg(s.engagement_ratio), 6) AS avg_ratio
+FROM scored s
+JOIN nation n ON s.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+""")
+def qg_engagement_by_geo(spark, sf_dir):
+    """Engagement by customer geography: the P1 post-grain ratio
+    rolled up through the customer -> nation -> region snowflake.
+    Every dimension is broadcast (both under the 64 MB threshold and
+    by AQE) — the fact side shuffles exactly once, for its orderkey
+    aggregate; the dim chain adds zero exchanges."""
+    scored = order_engagement(_t(spark, sf_dir, "lineitem"),
+                              _t(spark, sf_dir, "orders"),
+                              _t(spark, sf_dir, "customer"))
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (scored
+            .join(F.broadcast(nation),
+                  scored.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_posts"),
+                 F.round(F.avg("engagement_ratio"), 6).alias("avg_ratio"))
+            .orderBy("r_name", "n_name"))
+
+
+@register("qg_top_parts_by_nation", oracle="""
+SELECT n.n_name, p.p_brand,
+       sum(l.l_quantity) AS total_qty,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY n.n_name, p.p_brand
+HAVING sum(l.l_quantity) > 0
+ORDER BY n.n_name, p.p_brand
+""")
+def qg_top_parts_by_nation(spark, sf_dir):
+    """Supply-side rollup: discounted revenue and quantity per
+    (supplier nation, part brand). The two dims and their snowflake
+    hop broadcast; lineitem shuffles only for the final aggregate —
+    Catalyst prunes lineitem's 11-column schema to the 4 join/agg
+    columns (asserted in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    return (li
+            .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+            .join(F.broadcast(nation),
+                  supplier.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("n_name", "p_brand")
+            .agg(F.sum("l_quantity").alias("total_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .filter(F.col("total_qty") > 0)
+            .orderBy("n_name", "p_brand"))

@@ -139,3 +139,14 @@ def test_last_touch_is_hash_join_plus_group_limit(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_star_rollups_broadcast_dims_and_prune(spark, sf_dir):
+    """The dimension chain must broadcast (no sort-merge join of a
+    dim) and the 11-column lineitem scan must prune to the join/agg
+    columns."""
+    plan = plan_of(QUERIES["qg_top_parts_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 5, m.group(1)
