@@ -19,7 +19,7 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-@register("qg_engagement_by_geo", oracle="""
+@register("qg_engagement_by_geo", bench=True, oracle="""
 WITH per_order AS (
     SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS items
     FROM lineitem GROUP BY l_orderkey
