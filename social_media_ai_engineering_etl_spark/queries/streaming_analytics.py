@@ -183,6 +183,48 @@ def qs_last_touch(spark, sf_dir):
                       F.round("amount", 6).alias("amount"), "lag_micros")
 
 
+@register("qs_inter_event_gaps", oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+    FROM events
+)
+SELECT CASE WHEN gap_us < 60000000 THEN 'under_1m'
+            WHEN gap_us < 3600000000 THEN '1m_to_1h'
+            WHEN gap_us < 86400000000 THEN '1h_to_1d'
+            ELSE 'over_1d' END AS gap_bucket,
+       count(*) AS n,
+       round(avg(gap_us) / 1e6, 4) AS avg_gap_sec
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY gap_bucket ORDER BY gap_bucket
+""")
+def qs_inter_event_gaps(spark, sf_dir):
+    """Inter-event gap distribution per user: lag() over the per-user
+    event-time order (the engine-introduced Window surface, SURVEY
+    §2.7 — the reference has no window functions at all), bucketed
+    into human latency bands. One shuffle on user_id shared by the
+    lag window; the bucket rollup aggregates map-side."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag("ts").over(w)))
+    g = F.col("gap_us")
+    bucket = (F.when(g < 60_000_000, "under_1m")
+               .when(g < 3_600_000_000, "1m_to_1h")
+               .when(g < 86_400_000_000, "1h_to_1d")
+               .otherwise(F.lit("over_1d")))
+    return (ev.select("user_id", gap.alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull())
+            .withColumn("gap_bucket", bucket)
+            .groupBy("gap_bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_sec"))
+            .orderBy("gap_bucket"))
+
+
 @register("qs_engagement_rollup", oracle="""
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
