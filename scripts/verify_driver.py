@@ -2,7 +2,10 @@
 entry() smoke at sf0.001, then every queries()/oracle_sql() pair
 side-by-side against DuckDB at sf0.01 (order-insensitive compare).
 
-Usage: python scripts/verify_driver.py [sf_dir]
+Usage: python scripts/verify_driver.py [sf_dir] [--only q1,q2,...]
+
+``--only`` restricts the run to a comma-separated subset of query names
+(substring match allowed) — the fast loop when iterating on one oracle.
 """
 
 from __future__ import annotations
@@ -19,7 +22,13 @@ sys.path.insert(0, ROOT)
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = [s.strip() for s in argv[i + 1].split(",") if s.strip()]
+        del argv[i:i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(ROOT, "__spark_entry__.py"))
     mod = importlib.util.module_from_spec(spec)
@@ -28,9 +37,10 @@ def main() -> int:
     from social_media_ai_engineering_etl_spark.session import TABLES, get_spark
     spark = get_spark("driver-sim")
 
-    rows = mod.entry(spark).collect()
-    print(f"entry(): {len(rows)} rows :: {rows[:5]}")
-    assert rows, "entry() returned no rows"
+    if only is None:
+        rows = mod.entry(spark).collect()
+        print(f"entry(): {len(rows)} rows :: {rows[:5]}")
+        assert rows, "entry() returned no rows"
 
     con = duckdb.connect()
     for t in TABLES:
@@ -39,6 +49,8 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     failed = []
     for name in sorted(qs):
+        if only is not None and not any(pat in name for pat in only):
+            continue
         try:
             if name not in oracles:
                 n = qs[name](spark, sf).count()

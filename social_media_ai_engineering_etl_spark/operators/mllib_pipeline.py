@@ -62,30 +62,68 @@ def rf_importance(df: DataFrame, numeric_cols: list[str], target: str,
     return {"mse": mse, "r2": r2}, rows, model
 
 
+def with_random_index(df: DataFrame, seed: int,
+                      buckets: int = 64) -> DataFrame:
+    """Attach a dense random index ``__idx`` in [1, n] WITHOUT a global
+    single-partition sort: rows are salted into ``buckets`` random
+    buckets, numbered within each bucket by a PARTITIONED window (every
+    task sorts only its slice), and per-bucket offsets — a ``buckets``-row
+    aggregate collected as a scalar config map — make the index globally
+    dense. Returns a persisted frame (caller unpersists); the persist
+    also pins the rand() bucket assignment so the offset map and the
+    main plan agree."""
+    d = (df.withColumn("__s", (F.rand(seed) * buckets).cast("int"))
+         .persist())
+    counts = {r["__s"]: r["n"]
+              for r in d.groupBy("__s").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    args, acc = [], 0
+    for s in sorted(counts):
+        args += [F.lit(s), F.lit(acc)]
+        acc += counts[s]
+    off = F.create_map(*args)[F.col("__s")]
+    rn = F.row_number().over(
+        Window.partitionBy("__s").orderBy(F.rand(seed + 7919)))
+    return d.withColumn("__idx", off + rn).drop("__s")
+
+
 def permutation_importance(df: DataFrame, numeric_cols: list[str],
                            target: str, model, n_repeats: int = 3,
                            seed: int = 42) -> list[tuple[str, float]]:
     """M6 (20:361-382): baseline r2 minus r2 with one column shuffled.
-    The shuffle is distributed: re-key the column by rand(seed+r) via
-    a window, never collecting to the driver."""
-    data = assemble_features(df, numeric_cols)
+
+    Distributed shuffle of the feature columns: one random-index
+    construction per repeat (``with_random_index`` — salted, partitioned
+    windows only) pairs every row with a uniformly random donor row via
+    an equi-join on the dense int index. No unpartitioned
+    ``Window.orderBy(rand)`` anywhere (the r1 single-partition
+    bottleneck; plan-pinned in tests/test_plans.py), and the donor
+    permutation is shared across columns within a repeat — sklearn
+    scores each column independently, so reusing one permutation per
+    repeat changes nothing statistically while doing one join per
+    repeat instead of one per (column, repeat)."""
     evaluator = RegressionEvaluator(labelCol=target, metricName="r2")
-    base = evaluator.evaluate(model.transform(data))
-    out = []
-    for c in numeric_cols:
-        deltas = []
+    base = evaluator.evaluate(model.transform(
+        assemble_features(df, numeric_cols)))
+    shuf = {c: f"__shuf_{c}" for c in numeric_cols}
+    base_idx = with_random_index(df, seed)
+    donors = df.select([F.col(c).alias(shuf[c]) for c in numeric_cols])
+    deltas = {c: [] for c in numeric_cols}
+    cached = [base_idx]
+    try:
         for r in range(n_repeats):
-            w = Window.orderBy(F.rand(seed + r))
-            shuffled_vals = (df.select(F.col(c).alias("__v"))
-                             .withColumn("__rn", F.row_number().over(
-                                 Window.orderBy(F.rand(seed + r + 1000)))))
-            keyed = df.withColumn("__rn", F.row_number().over(w)).drop(c)
-            shuf = (keyed.join(shuffled_vals, "__rn")
-                    .withColumnRenamed("__v", c).drop("__rn"))
-            scored = model.transform(assemble_features(shuf, numeric_cols))
-            deltas.append(base - evaluator.evaluate(scored))
-        out.append((c, float(sum(deltas) / len(deltas))))
-    return out
+            donor_idx = with_random_index(donors, seed + 1009 * (r + 1))
+            joined = base_idx.join(donor_idx, "__idx").drop("__idx").persist()
+            cached += [donor_idx, joined]
+            for c in numeric_cols:
+                swapped = joined.withColumn(c, F.col(shuf[c]))
+                scored = model.transform(
+                    assemble_features(swapped, numeric_cols))
+                deltas[c].append(base - evaluator.evaluate(scored))
+    finally:
+        for d in cached:
+            d.unpersist()
+    return [(c, float(sum(v) / len(v))) for c, v in deltas.items()]
 
 
 def kmeans_sweep(df: DataFrame, vec_col: str, k_range=range(2, 9),

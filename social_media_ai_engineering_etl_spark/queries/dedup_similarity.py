@@ -143,10 +143,24 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 ORDER BY id1, id2
 """)
 def qx_embedding_dedup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (>= 0.4), exact self-join."""
-    return dedup.embedding_dedup_pairs(_emb_narrow(spark, sf_dir), "vec_id",
-                                       "embedding", threshold=0.4
-                                       ).orderBy("id1", "id2")
+    """Embedding-cosine near-dup pairs (>= 0.4) — EXACT, via the
+    distributed block-matrix GEMM (no BroadcastNestedLoopJoin, no
+    driver-side matrix; r1 VERDICT #3). The all-pairs form survives
+    only as the DuckDB oracle SQL."""
+    return similarity.embedding_pairs_blocked(
+        _emb_narrow(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.4).orderBy("id1", "id2")
+
+
+@register("qx_embedding_dedup_pairs_lsh")
+def qx_embedding_dedup_pairs_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane-LSH candidate buckets +
+    exact cosine verification of candidates — the sublinear scale path.
+    Rows-only by design (recall < 1 is the point); the recall-vs-exact
+    contract lives in tests/test_dedup.py."""
+    return similarity.embedding_pairs_lsh(
+        _emb_narrow(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.4).orderBy("id1", "id2")
 
 
 _TOPK_SQL = """
@@ -511,18 +525,25 @@ def _docs_narrow(spark, sf_dir):
 SELECT lang, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        sum(n_chars) AS total_chars,
-       round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+       CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS median_chars_x2
 FROM documents GROUP BY lang ORDER BY lang
 """)
 def qx_corpus_stats(spark, sf_dir):
     """Per-language corpus profile — exact distincts and exact median
-    (the oracle-checkable twin of qx_corpus_stats_sketch)."""
+    (the oracle-checkable twin of qx_corpus_stats_sketch).
+
+    The median is emitted as ``2*median`` cast to BIGINT: the 0.5-quantile
+    of integer data is either an integer or a half-integer (the midpoint
+    interpolation ``0.5*(a+b)`` is exact in binary for BIGINT-range
+    inputs), so doubling makes the value integer-exact on both engines and
+    no float interpolation ulp can reach the driver's value hash
+    (CORRECTNESS_r01's one red row)."""
     return (_docs_narrow(spark, sf_dir).groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.count_distinct("source").alias("n_sources"),
                  F.sum("n_chars").alias("total_chars"),
-                 F.round(F.expr("percentile(n_chars, 0.5)"), 6)
-                  .alias("median_chars"))
+                 F.expr("CAST(2 * percentile(n_chars, 0.5) AS BIGINT)")
+                  .alias("median_chars_x2"))
             .orderBy("lang"))
 
 
@@ -604,12 +625,13 @@ def qx_semantic_dedup_keep(spark, sf_dir):
     """Semantic (embedding-space) dedup END TO END: cosine >= 0.4
     near-dup pairs -> connected components -> drop non-representative
     rows — the corpus a training pipeline would actually keep. Same
-    resolution machinery as the text-level qx_dedup_components; the
-    pair generation swaps to the embedding path (LSH-bucketed at
-    scale)."""
+    resolution machinery as the text-level qx_dedup_components; pair
+    generation is the distributed blocked GEMM (exact, no full-corpus
+    driver collect — r1 VERDICT #4; swap in embedding_pairs_lsh to
+    trade recall for sublinearity at corpus scale)."""
     emb = _emb_narrow(spark, sf_dir)
-    pairs = similarity.embedding_pairs_gemm(emb, "vec_id", "embedding",
-                                            threshold=0.4)
+    pairs = similarity.embedding_pairs_blocked(emb, "vec_id", "embedding",
+                                               threshold=0.4)
     kept = dedup.dedup_keep_representatives(
         emb, pairs.select("id1", "id2"), "vec_id")
     total = emb.count()

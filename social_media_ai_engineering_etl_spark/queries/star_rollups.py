@@ -65,7 +65,8 @@ def qg_engagement_by_geo(spark, sf_dir):
 @register("qg_top_parts_by_nation", oracle="""
 SELECT n.n_name, p.p_brand,
        sum(l.l_quantity) AS total_qty,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -79,7 +80,13 @@ def qg_top_parts_by_nation(spark, sf_dir):
     (supplier nation, part brand). The two dims and their snowflake
     hop broadcast; lineitem shuffles only for the final aggregate —
     Catalyst prunes lineitem's 11-column schema to the 4 join/agg
-    columns (asserted in tests/test_plans.py)."""
+    columns (asserted in tests/test_plans.py).
+
+    Revenue is emitted in integer cents (``floor(price*(1-disc)*100)``
+    summed as BIGINT): the per-row double product is bit-identical on
+    both engines, so the floor is deterministic and the integer sum is
+    exact and order-independent — unlike ``round(sum(double), 4)``,
+    whose accumulated ulp error is a hash dice-roll on big groups."""
     li = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -91,8 +98,8 @@ def qg_top_parts_by_nation(spark, sf_dir):
             .join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .groupBy("n_name", "p_brand")
             .agg(F.sum("l_quantity").alias("total_qty"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
-                  .alias("revenue"))
+                 F.sum(F.floor(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100))
+                  .alias("revenue_cents"))
             .filter(F.col("total_qty") > 0)
             .orderBy("n_name", "p_brand"))

@@ -231,7 +231,8 @@ SELECT event_type,
        grouping(event_type) * 2 + grouping(date_trunc('hour', ts))
            AS gid,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micros
 FROM events
 GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
 ORDER BY gid, event_type NULLS FIRST, hour NULLS FIRST
@@ -240,21 +241,32 @@ def qs_engagement_rollup(spark, sf_dir):
     """Multi-granularity engagement rollup: (event_type, hour) ->
     (event_type) -> grand total in ONE pass (ROLLUP grouping sets —
     Spark expands to partial aggregates, no per-level re-scan);
-    grouping_id disambiguates aggregated-out levels from real NULLs."""
+    grouping_id disambiguates aggregated-out levels from real NULLs.
+
+    The value sum is emitted in integer micro-units: the grand-total
+    row sums the whole table, where a double sum's accumulated ulp
+    error can cross a round(·,6) boundary between engines —
+    floor(value*1e6) is computed on bit-identical doubles on both
+    sides, so the BIGINT sum is exact and order-independent."""
     ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
     hour = F.date_format(F.date_trunc("hour", F.col("ts")),
                          "yyyy-MM-dd HH:mm:ss")
     return (ev.rollup(F.col("event_type"), hour.alias("hour"))
             .agg(F.grouping_id().alias("gid"),
                  F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"))
-            .select("event_type", "hour", "gid", "n_events", "sum_value")
+                 F.sum(F.floor(F.col("value") * 1e6))
+                  .alias("sum_value_micros"))
+            .select("event_type", "hour", "gid", "n_events",
+                    "sum_value_micros")
             .orderBy("gid", F.col("event_type").asc_nulls_first(),
                      F.col("hour").asc_nulls_first()))
 
 
 @register("qsc_salted_agg", oracle="""
-SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n,
+SELECT event_type,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micros,
+       count(*) AS n,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """)
@@ -263,14 +275,17 @@ def qsc_salted_agg(spark, sf_dir):
     direct groupBy (the oracle IS the direct groupBy), while the plan
     spreads any hot key over 32 salt buckets before the true-key
     merge. The defense for 'one author with 10^8 posts'-shaped
-    skew."""
+    skew. The per-type sum covers ~1/5 of the whole table, so it is
+    hashed in integer micro-units (exact, order-independent) instead
+    of a round(sum(double)) whose ulp drift is engine-dependent."""
     from ..operators import scale
-    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = (load_events(spark, os.path.join(sf_dir, "events.parquet"))
+          .withColumn("value_micros", F.floor(F.col("value") * 1e6)))
     out = scale.salted_aggregate(
         ev, ["event_type"],
-        {"sum_value": ("value", "sum"), "n": ("value", "count"),
+        {"sum_value_micros": ("value_micros", "sum"),
+         "n": ("value", "count"),
          "min_value": ("value", "min"), "max_value": ("value", "max")})
-    return (out.select("event_type",
-                       F.round("sum_value", 6).alias("sum_value"),
+    return (out.select("event_type", "sum_value_micros",
                        "n", "min_value", "max_value")
             .orderBy("event_type"))

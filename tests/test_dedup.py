@@ -132,16 +132,35 @@ def test_dedup_keep_representatives(spark, docs):
     assert ids == [0, 3, 4, 5, 6, 8, 9]   # dropped 1, 2 (rep 0), 7 (rep 5)
 
 
-def test_embedding_pairs_gemm_matches_expression_path(emb):
-    """GEMM pair generator is value-identical to the expression-path
-    embedding_dedup_pairs."""
+def test_embedding_pairs_blocked_matches_expression_path(emb):
+    """The distributed blocked-GEMM pair generator is value-identical
+    to the expression-path semantic spec (embedding_dedup_pairs) — and
+    stays identical across block counts (the partitioning knob must
+    never change results)."""
     expr_pairs = dedup.embedding_dedup_pairs(
         emb, "vec_id", "embedding", threshold=0.4
     ).orderBy("id1", "id2").collect()
-    gemm_pairs = similarity.embedding_pairs_gemm(
-        emb, "vec_id", "embedding", threshold=0.4
-    ).orderBy("id1", "id2").collect()
-    assert [tuple(r) for r in expr_pairs] == [tuple(r) for r in gemm_pairs]
+    for n_blocks in (1, 3, 8):
+        blocked = similarity.embedding_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4, n_blocks=n_blocks
+        ).orderBy("id1", "id2").collect()
+        assert [tuple(r) for r in expr_pairs] == \
+            [tuple(r) for r in blocked], f"n_blocks={n_blocks}"
+
+
+def test_embedding_pairs_lsh_recall_contract(emb):
+    """The sublinear LSH path must recover nearly every exact pair at
+    threshold 0.4 with the default (P=2, L=24) tables, and every pair
+    it emits must be a true >=threshold pair (no false positives —
+    candidates are exactly verified)."""
+    exact = {(r.id1, r.id2) for r in similarity.embedding_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4).collect()}
+    approx = {(r.id1, r.id2) for r in similarity.embedding_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4).collect()}
+    assert approx <= exact          # verification step: zero false positives
+    assert exact, "fixture produced no near-dup pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
 
 
 def test_duplicate_components_long_chain_converges(spark):

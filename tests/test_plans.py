@@ -150,3 +150,38 @@ def test_star_rollups_broadcast_dims_and_prune(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 5, m.group(1)
+
+
+def test_random_index_windows_are_partitioned(spark, sf_dir):
+    """M6 permutation importance must never plan an unpartitioned
+    Window.orderBy(rand) — that moves the whole dataset to ONE task
+    (the r1 scale bug). with_random_index salts first, so every
+    windowspecdefinition must carry the __s partition key; aliased
+    sort-only specs (windowspecdefinition(_wN ...)) are the
+    single-partition shape and must be absent."""
+    import os
+
+    from social_media_ai_engineering_etl_spark.operators import (
+        mllib_pipeline)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    idx = mllib_pipeline.with_random_index(
+        docs.select("doc_id", "n_chars"), seed=7)
+    try:
+        plan = plan_of(idx)
+        assert "windowspecdefinition(__s#" in plan, plan
+        assert not re.search(r"windowspecdefinition\(_w\d", plan), plan
+    finally:
+        idx.unpersist()
+
+
+def test_embedding_pairs_blocked_plan_shape(spark, sf_dir):
+    """The exact embedding near-dup path must be the distributed
+    blocked GEMM: no BroadcastNestedLoopJoin with an interpreted HOF
+    condition, no CartesianProduct — the pair arithmetic lives in one
+    grouped-map (FlatMapGroupsInPandas) stage fed by a single
+    block-pair shuffle."""
+    plan = plan_of(QUERIES["qx_embedding_dedup_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
