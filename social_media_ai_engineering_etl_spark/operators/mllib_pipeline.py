@@ -165,3 +165,58 @@ def pca_project(df: DataFrame, vec_col: str, n_components: int = 2,
     return (model.transform(data)
             .withColumn(out, vector_to_array(F.col("__pca")))
             .drop("__vec", "__pca"))
+
+
+def _import_reducer(method: str):
+    """Import seam for the driver-side 2-D reducers (monkeypatched in
+    tests); raises ImportError when the library is absent."""
+    if method == "tsne":
+        from sklearn.manifold import TSNE
+        return lambda X, seed: TSNE(n_components=2, random_state=seed,
+                                    init="pca").fit_transform(X)
+    if method == "umap":
+        from umap import UMAP
+        return lambda X, seed: UMAP(n_components=2,
+                                    random_state=seed).fit_transform(X)
+    raise ValueError(f"unknown 2-D reduction method: {method}")
+
+
+def project_2d(df: DataFrame, id_col: str, vec_col: str,
+               method: str = "pca", sample_size: int = 2000,
+               seed: int = 42) -> DataFrame:
+    """M13 t-SNE/UMAP fallback chain (21-embedding-and-clustering.py:
+    275-313): 2-D projection for VISUALIZATION ONLY.
+
+    ``method='pca'`` (the default and the reference's own fallback) is
+    the distributed MLlib path over the full table. ``'tsne'``/
+    ``'umap'`` are inherently driver-side algorithms: a deterministic
+    bounded sample (first ``sample_size`` rows by id — a plot never
+    needs more points) is collected and reduced with sklearn /
+    umap-learn when importable; if the library is absent the call
+    degrades to PCA, mirroring the reference. The ``method`` output
+    column records which path actually ran, so the fallback is
+    observable. Never part of a data pipeline — viz-only scope."""
+    if method != "pca":
+        try:
+            reducer = _import_reducer(method)
+        except ImportError:
+            method = "pca"
+        else:
+            import numpy as np
+            import pandas as pd
+
+            sample = (df.select(F.col(id_col),
+                                F.col(vec_col).cast("array<double>")
+                                 .alias("__v"))
+                      .orderBy(id_col).limit(sample_size).toPandas())
+            X = np.stack(sample["__v"].to_numpy()).astype("float64")
+            Y = reducer(X, seed)
+            out = pd.DataFrame({id_col: sample[id_col],
+                                "x": Y[:, 0], "y": Y[:, 1]})
+            out["method"] = method
+            return df.sparkSession.createDataFrame(out)
+    proj = pca_project(df, vec_col, 2)
+    return proj.select(id_col,
+                       F.element_at("pca", 1).alias("x"),
+                       F.element_at("pca", 2).alias("y"),
+                       F.lit("pca").alias("method"))

@@ -184,10 +184,12 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
-@register("qx_similarity_topk", bench=True, oracle=_TOPK_SQL)
+@register("qx_similarity_topk", oracle=_TOPK_SQL)
 def qx_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query (every 25th vector as a
-    query), deterministic tie-break — the exact ANN baseline."""
+    query), deterministic tie-break — the exact ANN baseline.
+    Correctness twin only; the GEMM variant is the benched scale
+    path (r1 VERDICT #5: bench the plan you'd run at 100x)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.cosine_topk_bruteforce(emb, queries, "vec_id",
@@ -195,7 +197,7 @@ def qx_similarity_topk(spark, sf_dir):
                                              ).orderBy("query_id", "rank")
 
 
-@register("qx_similarity_topk_gemm", oracle=_TOPK_SQL)
+@register("qx_similarity_topk_gemm", bench=True, oracle=_TOPK_SQL)
 def qx_similarity_topk_gemm(spark, sf_dir):
     """Vectorized BLAS-matmul exact top-5 (mapInPandas GEMM) — same
     contract and oracle as qx_similarity_topk; the arithmetic path

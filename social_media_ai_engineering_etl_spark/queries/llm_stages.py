@@ -141,11 +141,53 @@ def q11_extract_opinion(spark, sf_dir):
         empty_label="unknown").select("doc_id", "opinion")
 
 
-@register("q09_extract_tone")
+_TONES_SQL = "[" + ", ".join(f"'{t}'" for t in inf.AVAILABLE_TONES) + "]"
+
+# The HashToneBackend is deterministic (md5-picked tones), so the whole
+# parse -> keep-known -> dedupe-preserving-order -> cap-3 -> join chain
+# is SQL-expressible: k = h%3+1 picks t0/t1/t2 = tones[(h // 7^i) % 10],
+# and the CASE ladder reproduces order-preserving dedupe exactly.
+_TONE_ORACLE = f"""
+WITH posts AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS post_text
+    FROM documents
+), h AS (
+    SELECT doc_id, post_text,
+           ('0x' || substr(md5(post_text), 1, 6))::BIGINT % 1048576 AS h
+    FROM posts
+), t AS (
+    SELECT doc_id, post_text, h % 3 + 1 AS k,
+           {_TONES_SQL}[(h % 10) + 1] AS t0,
+           {_TONES_SQL}[((h // 7) % 10) + 1] AS t1,
+           {_TONES_SQL}[((h // 49) % 10) + 1] AS t2
+    FROM h
+)
+SELECT doc_id,
+    CASE WHEN trim(post_text) = '' THEN 'Unknown'
+         WHEN k = 1 THEN t0
+         WHEN k = 2 THEN
+             CASE WHEN t1 = t0 THEN t0 ELSE t0 || ', ' || t1 END
+         ELSE
+             CASE WHEN t1 = t0 THEN
+                      CASE WHEN t2 = t0 THEN t0
+                           ELSE t0 || ', ' || t2 END
+                  ELSE
+                      CASE WHEN t2 = t0 OR t2 = t1 THEN t0 || ', ' || t1
+                           ELSE t0 || ', ' || t1 || ', ' || t2 END
+             END
+    END AS tone
+FROM t
+"""
+
+
+@register("q09_extract_tone", oracle=_TONE_ORACLE)
 def q09_extract_tone(spark, sf_dir):
     """Stage 09: tone list via the JSON-array-of-enum guided-decoding
-    contract (parse, dedupe preserving order, cap 3, join ', ').
-    Rows-only; the domain/cardinality contract is asserted in
+    contract (parse, dedupe preserving order, cap 3, join ', ')
+    (9-extract-tone.py:108-116,150-169). Hash-green: the deterministic
+    backend's md5 pick chain is mirrored in the DuckDB oracle; the
+    domain/cardinality contract is additionally asserted in
     tests/test_inference.py."""
     posts = _posts(_docs(spark, sf_dir))
     return inf.infer_column(

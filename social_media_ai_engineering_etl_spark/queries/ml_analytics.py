@@ -321,6 +321,19 @@ def qm_pca_projection(spark, sf_dir):
                       F.round(F.element_at("pca", 2), 6).alias("pc2"))
 
 
+@register("qm_projection_2d")
+def qm_projection_2d(spark, sf_dir):
+    """M13 fallback chain: request t-SNE; in this container sklearn is
+    absent so the call observably degrades to distributed PCA (the
+    reference's own fallback, 21:275-313) — the ``method`` column
+    records which reducer ran. Rows-only (viz-scope by design)."""
+    out = mllib_pipeline.project_2d(_emb(spark, sf_dir), "vec_id",
+                                    "embedding", method="tsne",
+                                    sample_size=500)
+    return out.select("vec_id", F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y"), "method")
+
+
 # --------------------------------------------------------------------------
 # M15 + A9: aligned cosine similarity and grouped mean/std/count
 # --------------------------------------------------------------------------

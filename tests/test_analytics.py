@@ -114,3 +114,35 @@ def test_embedding_operator_deterministic(spark, sf_dir):
     for v in rows.values():
         assert len(v) == 32
         assert abs(sum(x * x for x in v) - 1.0) < 1e-5   # unit norm
+
+
+def test_project_2d_dispatch_and_fallback(spark, sf_dir, monkeypatch):
+    """M13 dispatch: (a) an importable reducer gets the collected
+    bounded sample and its output becomes (id, x, y, method); (b) an
+    absent library degrades to the distributed PCA path with
+    method='pca'; (c) unknown methods raise."""
+    import os
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def fake_import(method):
+        assert method == "tsne"
+        return lambda X, seed: X[:, :2] * 0 + seed   # shape contract
+    monkeypatch.setattr(mllib_pipeline, "_import_reducer", fake_import)
+    out = mllib_pipeline.project_2d(emb, "vec_id", "embedding",
+                                    method="tsne", sample_size=50,
+                                    seed=7).collect()
+    assert len(out) == 50
+    assert all(r.method == "tsne" and r.x == 7.0 and r.y == 7.0
+               for r in out)
+
+    def absent_import(method):
+        raise ImportError("no sklearn in this container")
+    monkeypatch.setattr(mllib_pipeline, "_import_reducer", absent_import)
+    fb = mllib_pipeline.project_2d(emb, "vec_id", "embedding",
+                                   method="tsne", sample_size=50)
+    rows = fb.limit(5).collect()
+    assert rows and all(r.method == "pca" for r in rows)
+
+    monkeypatch.undo()
+    with pytest.raises(ValueError):
+        mllib_pipeline._import_reducer("nonsense")
