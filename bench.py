@@ -44,6 +44,11 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # cache ownership is centralized at the run loop: operators
+        # persist shared subtrees for their own plan, the harness
+        # releases them between queries so a 15-query run holds one
+        # query's caches, not fifteen (ADVICE r1)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

@@ -51,6 +51,9 @@ def main() -> int:
     for name in sorted(qs):
         if only is not None and not any(pat in name for pat in only):
             continue
+        # centralized cache ownership: release per-query persisted
+        # subtrees so a ~95-query session holds one query's caches
+        spark.catalog.clearCache()
         try:
             if name not in oracles:
                 n = qs[name](spark, sf).count()

@@ -34,24 +34,42 @@ def _iter_files(path: str):
                 yield os.path.join(root, f)
 
 
-def snapshot_signature(input_paths: list[str],
-                       config: dict | None = None,
-                       stage_version: str | None = None) -> str:
-    """sha256 over input file bytes (sorted) + canonical config JSON +
-    stage version (utils/manifest.py:32-49 semantics; version bump
-    invalidation per utils/version.py:1-4)."""
+def artifact_hasher(input_paths: list[str]) -> "hashlib._Hash":
+    """sha256 stream over the sorted file bytes of the given paths.
+    Returned un-finalized so one pass over an artifact can serve BOTH
+    its S9 contract signature (``.hexdigest()`` of a copy) and the
+    next stage's memoization signature (``signature_from_hasher``) —
+    the artifact is content-hashed exactly once per run."""
     h = hashlib.sha256()
     for p in sorted(input_paths):
         for f in _iter_files(p):
             with open(f, "rb") as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
                     h.update(chunk)
-    h.update(json.dumps(config or {}, sort_keys=True).encode())
+    return h
+
+
+def signature_from_hasher(h, config: dict | None = None,
+                          stage_version: str | None = None) -> str:
+    """Stage signature from a precomputed file-bytes hasher: copy the
+    stream state, fold in canonical config JSON + stage version."""
+    h2 = h.copy()
+    h2.update(json.dumps(config or {}, sort_keys=True).encode())
     # read the module global at call time so a STAGE_VERSION bump
     # invalidates (utils/version.py semantics)
-    h.update((stage_version if stage_version is not None
-              else STAGE_VERSION).encode())
-    return h.hexdigest()
+    h2.update((stage_version if stage_version is not None
+               else STAGE_VERSION).encode())
+    return h2.hexdigest()
+
+
+def snapshot_signature(input_paths: list[str],
+                       config: dict | None = None,
+                       stage_version: str | None = None) -> str:
+    """sha256 over input file bytes (sorted) + canonical config JSON +
+    stage version (utils/manifest.py:32-49 semantics; version bump
+    invalidation per utils/version.py:1-4)."""
+    return signature_from_hasher(artifact_hasher(input_paths), config,
+                                 stage_version)
 
 
 class Manifest:  # S8 manifest read/write (utils/manifest.py:12-29)
@@ -108,12 +126,18 @@ def run_stage(spark: SparkSession, manifest: Manifest, stage: str,
               input_paths: list[str], config: dict,
               fn: Callable[..., DataFrame],
               validate: Callable[[DataFrame], None] | None = None,
-              ) -> DataFrame:
+              signature: str | None = None) -> DataFrame:
     """Memoized stage execution: compute the signature; if unchanged
     and the snapshot exists, read it back (skip); otherwise run
     ``fn(spark, *input_paths)``, write the parquet snapshot, validate
-    (gating the manifest update, §1.3), then commit the manifest."""
-    sig = snapshot_signature(input_paths, config)
+    (gating the manifest update, §1.3), then commit the manifest.
+
+    ``signature`` lets a driver that already hashed the inputs (e.g.
+    run_e2e's skip report) pass it in — content-hashing a stage's
+    input snapshot is the expensive part of an incremental re-run, so
+    it must happen once per stage, not once per caller."""
+    sig = signature if signature is not None \
+        else snapshot_signature(input_paths, config)
     out = manifest.stage_output(stage)
     if manifest.should_skip(stage, sig):
         return spark.read.parquet(out)
@@ -127,17 +151,17 @@ def run_stage(spark: SparkSession, manifest: Manifest, stage: str,
 
 
 def write_contract(artifact_path: str, schema_version: str,
-                   row_count: int, extra: dict | None = None) -> str:
+                   row_count: int, extra: dict | None = None,
+                   signature: str | None = None) -> str:
     """S9 data-contract sidecar (utils/contracts.py:8-26):
-    {schema_version, sha256 signature of artifact files, counts}."""
-    h = hashlib.sha256()
-    for f in _iter_files(artifact_path):
-        with open(f, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                h.update(chunk)
+    {schema_version, sha256 signature of artifact files, counts}.
+    Pass ``signature`` when the artifact was already hashed (see
+    ``artifact_hasher``) to avoid a second read of every byte."""
+    if signature is None:
+        signature = artifact_hasher([artifact_path]).hexdigest()
     contract = {
         "schema_version": schema_version,
-        "signature": h.hexdigest(),
+        "signature": signature,
         "counts": {"rows": row_count},
         **(extra or {}),
     }

@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 from ..functions import cleaning
 from ..operators import fanout
 from ..operators import negatives as neg
-from .manifest import (STAGE_VERSION, Manifest, run_stage,
-                       snapshot_signature, write_contract)
+from ..sources.io import write_csv_with_parquet_mirror
+from .manifest import (STAGE_VERSION, Manifest, artifact_hasher, run_stage,
+                       signature_from_hasher, write_contract)
 
 
 def _stage_posts(spark: SparkSession, docs_path: str) -> DataFrame:
@@ -65,9 +66,13 @@ def _stage_negatives(spark: SparkSession, split_path: str) -> DataFrame:
 
 def _validate_split(df: DataFrame) -> None:
     """P18-style gate: every row must land in a known split bucket
-    with a non-empty prompt — raising aborts the manifest commit."""
-    bad = df.filter(~F.col("split").isin("sft", "dpo")
-                    | (F.trim(F.col("prompt")) == "")).count()
+    with a non-empty prompt — raising aborts the manifest commit.
+    Null-safe: a NULL split or NULL prompt makes both predicates NULL,
+    which a plain filter silently drops — exactly the rows the gate
+    exists to catch (ADVICE r1) — so both are coalesced first."""
+    bad = df.filter(
+        ~F.coalesce(F.col("split").isin("sft", "dpo"), F.lit(False))
+        | (F.coalesce(F.trim(F.col("prompt")), F.lit("")) == "")).count()
     if bad:
         raise ValueError(f"{bad} rows failed the split-domain gate")
 
@@ -90,15 +95,29 @@ def run_e2e(spark: SparkSession, sf_dir: str, run_dir: str,
     manifest = Manifest(run_dir)
     report = []
     inp = os.path.join(sf_dir, "documents.parquet")
+    # every artifact is content-hashed exactly ONCE per run: the same
+    # sha256 stream serves the stage's memoization signature AND the
+    # written stage's S9 contract sidecar (ADVICE r1: the double hash
+    # doubled incremental-rerun I/O)
+    inp_h = artifact_hasher([inp])
     for stage, fn, validate in STAGES:
-        sig = snapshot_signature([inp], config)
+        sig = signature_from_hasher(inp_h, config)
         skipped = manifest.should_skip(stage, sig)
         snap = run_stage(spark, manifest, stage, [inp], config, fn,
-                         validate=validate)
-        report.append({"stage": stage, "rows": snap.count(),
-                       "skipped": skipped})
-        inp = manifest.stage_output(stage)
-    # S9 contract sidecar on the terminal artifact
-    write_contract(inp, schema_version=STAGE_VERSION,
-                   row_count=report[-1]["rows"])
+                         validate=validate, signature=sig)
+        out = manifest.stage_output(stage)
+        out_h = artifact_hasher([out])
+        rows = snap.count()
+        # S9 contract sidecar per stage (deterministic content — a
+        # memoized re-run rewrites identical bytes)
+        write_contract(out, schema_version=STAGE_VERSION, row_count=rows,
+                       signature=out_h.hexdigest())
+        report.append({"stage": stage, "rows": rows, "skipped": skipped})
+        inp, inp_h = out, out_h
+    # S5/S6 terminal CSV + parquet mirror for downstream consumers;
+    # only rewritten when the terminal stage actually ran
+    csv_out = os.path.join(run_dir, "training-mix.csv")
+    if not report[-1]["skipped"] or not os.path.exists(csv_out):
+        write_csv_with_parquet_mirror(
+            spark.read.parquet(inp), csv_out)
     return report

@@ -75,12 +75,24 @@ def _attrib_update(key: tuple, pdfs, state: GroupState):
     out = []
     max_us = None
     for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+        # Deterministic in-batch order mirroring the batch twin
+        # (ADVICE r1): event-time ASC; at equal ts clicks process
+        # BEFORE purchases (the batch interval join's c.ts <= p.ts
+        # admits a simultaneous click), and equal-ts clicks process in
+        # event_id ASC so the tie-break below is stable, not
+        # whichever-row-sorted-last.
+        pdf = pdf.assign(__prio=(pdf["event_type"] != "click")) \
+                 .sort_values(["ts", "__prio", "event_id"])
         for row in pdf.itertuples(index=False):
             ts_us = int(row.ts.value) // 1000   # pandas ns -> micros
             max_us = ts_us if max_us is None else max(max_us, ts_us)
             if row.event_type == "click":
-                if click_us is None or ts_us >= click_us:
+                # batch-twin tie-break: lag ASC then click_id ASC ==
+                # newest click wins; among equal-ts clicks the SMALLER
+                # click_id wins
+                if (click_us is None or ts_us > click_us
+                        or (ts_us == click_us
+                            and int(row.event_id) < click_id)):
                     click_id, click_us = int(row.event_id), ts_us
             elif row.event_type == "purchase" and click_us is not None:
                 lag = ts_us - click_us

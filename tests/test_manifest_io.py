@@ -235,3 +235,73 @@ def test_staged_e2e_pipeline_config_invalidates(spark, sf_dir, tmp_path):
     changed = run_e2e(spark, sf_dir, run_dir, config={"v": 2})
     assert all(not e["skipped"] for e in changed)
     assert [e["rows"] for e in changed] == [e["rows"] for e in first]
+
+
+def test_e2e_written_artifacts_oracle_checked(tmp_path):
+    """Round-2 artifact gate: drive the staged pipeline through the
+    REAL CLI twice, then check the WRITTEN files (not in-memory
+    frames) with DuckDB — cross-stage invariants recomputed from the
+    parquet on disk, per-stage S9 contract sidecars whose sha256
+    matches an independent re-hash, the terminal CSV+parquet mirror
+    agreeing with each other, and byte-stable artifacts across the
+    memoized second run."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from social_media_ai_engineering_etl_spark.plans.manifest import (
+        artifact_hasher)
+
+    run_dir = str(tmp_path / "run")
+    cmd = [sys.executable, "-m", "social_media_ai_engineering_etl_spark",
+           "pipeline", "--sf-dir", "/root/testdata/sf0.001",
+           "--run-dir", run_dir]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert r1.stdout.count("[ran]") == 4, r1.stdout
+
+    con = duckdb.connect()
+    q = lambda sql: con.execute(sql).fetchone()[0]  # noqa: E731
+
+    # cross-stage invariants recomputed from the files themselves
+    n_posts = q(f"SELECT count(*) FROM '{run_dir}/01-posts/*.parquet'")
+    n_pairs = q(f"SELECT count(*) FROM '{run_dir}/22-pairs/*.parquet'")
+    n_split = q(f"SELECT count(*) FROM '{run_dir}/23-split/*.parquet'")
+    n_dpo = q(f"SELECT count(*) FROM '{run_dir}/23-split/*.parquet' "
+              "WHERE split = 'dpo'")
+    n_neg = q(f"SELECT count(*) FROM '{run_dir}/24-negatives/*.parquet'")
+    assert n_posts > 0 and n_posts <= n_pairs <= 5 * n_posts
+    assert n_split == n_pairs
+    assert n_neg == n_dpo > 0
+    assert q(f"SELECT count(*) FROM '{run_dir}/23-split/*.parquet' "
+             "WHERE split NOT IN ('sft','dpo') OR split IS NULL "
+             "OR prompt IS NULL OR trim(prompt) = ''") == 0
+    assert q(f"SELECT count(*) FROM '{run_dir}/24-negatives/*.parquet' "
+             "WHERE rejected IS NULL OR rejected = '' "
+             "OR rejected = chosen") == 0
+
+    # terminal CSV and its parquet mirror agree (S5/S6)
+    n_csv = q(f"SELECT count(*) FROM read_csv_auto("
+              f"'{run_dir}/training-mix.csv/*.csv', header=true)")
+    n_mirror = q("SELECT count(*) FROM "
+                 f"'{run_dir}/training-mix.csv.parquet/*.parquet'")
+    assert n_csv == n_mirror == n_neg
+
+    # per-stage S9 sidecars: recorded sha256 == independent re-hash
+    sigs = {}
+    for stage in ("01-posts", "22-pairs", "23-split", "24-negatives"):
+        with open(f"{run_dir}/{stage}.contract.json") as f:
+            contract = json.load(f)
+        rehash = artifact_hasher([f"{run_dir}/{stage}"]).hexdigest()
+        assert contract["signature"] == rehash, stage
+        sigs[stage] = rehash
+    assert len(set(sigs.values())) == 4  # distinct artifacts
+
+    # memoized second run: every stage skips, artifacts byte-stable
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.count("skipped (memoized)") == 4, r2.stdout
+    for stage, old in sigs.items():
+        assert artifact_hasher([f"{run_dir}/{stage}"]).hexdigest() == old

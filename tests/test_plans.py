@@ -185,3 +185,25 @@ def test_embedding_pairs_blocked_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_sampling_shuffles_never_single_partition(spark, sf_dir):
+    """B5/B6 guard (r1 VERDICT #10): the global shuffle must plan as a
+    distributed range sort (Exchange rangepartitioning + Sort), never
+    an unpartitioned row_number window; the grouped 80/20 split's
+    windows must all carry the group partition key."""
+    import os
+
+    from social_media_ai_engineering_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    shuf = sampling.global_shuffle(docs.select("doc_id", "lang"))
+    p = plan_of(shuf)
+    assert "rangepartitioning" in p
+    assert "windowspecdefinition" not in p
+
+    split = sampling.grouped_split(docs.select("doc_id", "lang"),
+                                   F.col("lang"))
+    p2 = plan_of(split)
+    assert "windowspecdefinition(__grp" in p2
+    assert not re.search(r"windowspecdefinition\(_w\d", p2), p2
