@@ -91,6 +91,53 @@ def main() -> None:
         spark.catalog.clearCache()
         print(f"| {m}x | {n} | {t_mh:.1f} | {mh} | {t_nj:.1f} |"
               f" {t_sh:.1f} | {t_wn:.1f} |")
+
+    # ------------------------------------------------------------------
+    # embedding near-dup pairs: exact blocked GEMM (O(n^2) FLOPs spread
+    # over block-pair tasks) vs hyperplane-LSH (sublinear candidates).
+    # Replicas get their dimensions circularly shifted so cross-replica
+    # cosines are ~0 — pair counts stay ~linear and the curve is fair.
+    # ------------------------------------------------------------------
+    epath = os.path.join(sf, "embeddings.parquet")
+    ebase = spark.read.parquet(epath).select("vec_id", "embedding")
+    dim = len(ebase.first()["embedding"])
+    print("\n| scale | vectors | blocked_gemm s | pairs |"
+          " lsh s | lsh pairs |")
+    print("|---|---|---|---|---|---|")
+    for m in (1, 4, 16):
+        parts = []
+        for i in range(m):
+            shift = (i * 7) % dim
+            rolled = F.concat(
+                F.slice(F.col("embedding"), shift + 1, dim - shift),
+                F.slice(F.col("embedding"), 1, shift)) if shift else \
+                F.col("embedding")
+            parts.append(ebase.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                rolled.alias("embedding")))
+        emb = parts[0]
+        for p in parts[1:]:
+            emb = emb.unionByName(p)
+        # n_blocks grows with the corpus so per-task block size is flat
+        n_blocks = 8 * (1 if m == 1 else 2 if m == 4 else 4)
+        emb = emb.repartition(
+            spark.sparkContext.defaultParallelism).persist()
+        nv = emb.count()
+
+        t0 = time.perf_counter()
+        bp = similarity.embedding_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4,
+            n_blocks=n_blocks).count()
+        t_bl = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        lp = similarity.embedding_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.4).count()
+        t_lsh = time.perf_counter() - t0
+
+        emb.unpersist()
+        spark.catalog.clearCache()
+        print(f"| {m}x | {nv} | {t_bl:.1f} | {bp} | {t_lsh:.1f} | {lp} |")
     spark.stop()
 
 

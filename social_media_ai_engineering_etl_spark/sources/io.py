@@ -12,6 +12,8 @@ dropped, and the drop is an explicit filter.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -70,6 +72,56 @@ def read_csv(spark: SparkSession, path: str,
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def load_grpo_training_set(spark: SparkSession, csv_fallback: str,
+                           run_dir: str | None = None,
+                           candidates: tuple[str, ...] = ("24-negatives",
+                                                          "23-split"),
+                           test_size: float = 0.2, seed: int = 42):
+    """S7: the HF-datasets training loader as a Spark source
+    (training/grpo/data.py:20-57): manifest-discovered CSV with an
+    ordered stage fallback (J6), else ``csv_fallback``; rows without a
+    prompt AND chosen are dropped; prompts are chat-templated (P20)
+    into (prompt, answer); deterministic train/test split (B7).
+
+    Returns (train_df, test_df). The reference materializes through
+    the `datasets` library — here the load stays a distributed scan +
+    narrow projection, so the 'training set' is a plan, not a
+    driver-side copy."""
+    from ..operators.sampling import train_test_split
+    from ..plans.manifest import Manifest
+
+    csv_path = csv_fallback
+    if run_dir is not None:
+        discovered = Manifest(run_dir).discover_input(list(candidates))
+        if discovered:
+            csv_path = discovered
+    df = (spark.read.parquet(csv_path) if _looks_parquet(csv_path)
+          else read_csv(spark, csv_path))
+    df = df.filter(F.col("prompt").isNotNull()
+                   & F.col("chosen").isNotNull())
+    # apply_chat_template(..., add_generation_prompt=True) analogue:
+    # user turn closed, assistant header open — NO assistant content
+    gen_prompt = F.concat(
+        F.lit("<|start_header_id|>user<|end_header_id|>\n\n"),
+        F.col("prompt"),
+        F.lit("<|eot_id|><|start_header_id|>assistant<|end_header_id|>"
+              "\n\n"))
+    mapped = df.select(gen_prompt.alias("prompt"),
+                       F.col("chosen").alias("answer"))
+    return train_test_split(mapped, test_frac=test_size, seed=seed)
+
+
+def _looks_parquet(path: str) -> bool:
+    """Manifest stage outputs are parquet directories; ad-hoc inputs
+    are CSV — sniff by directory contents."""
+    if not os.path.isdir(path):
+        return path.endswith(".parquet")
+    try:
+        return any(f.endswith(".parquet") for f in os.listdir(path))
+    except OSError:
+        return False
 
 
 def write_csv_with_parquet_mirror(df: DataFrame, csv_path: str,

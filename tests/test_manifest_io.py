@@ -305,3 +305,45 @@ def test_e2e_written_artifacts_oracle_checked(tmp_path):
     assert r2.stdout.count("skipped (memoized)") == 4, r2.stdout
     for stage, old in sigs.items():
         assert artifact_hasher([f"{run_dir}/{stage}"]).hexdigest() == old
+
+
+def test_grpo_loader_discovery_filter_template(spark, tmp_path):
+    """S7 (training/grpo/data.py:20-57): manifest discovery picks the
+    recorded 24-negatives output over the fallback; null prompt/chosen
+    rows drop; prompts get the add-generation-prompt chat template
+    (user turn closed, assistant header open, no assistant content);
+    the 80/20 split partitions the filtered rows exactly."""
+    from social_media_ai_engineering_etl_spark.plans.manifest import Manifest
+    from social_media_ai_engineering_etl_spark.sources.io import (
+        load_grpo_training_set)
+
+    run_dir = str(tmp_path / "run")
+    out = spark.createDataFrame(
+        [("write a post", "the post"), (None, "orphan"),
+         ("second", None)] + [(f"p{i}", f"c{i}") for i in range(20)],
+        "prompt string, chosen string")
+    m = Manifest(run_dir)
+    stage_out = m.stage_output("24-negatives")
+    out.write.mode("overwrite").parquet(stage_out)
+    m.update_stage("24-negatives", "sig", ["x"], 23)
+
+    # decoy fallback CSV that must NOT be read when discovery succeeds
+    fallback = str(tmp_path / "fallback.csv")
+    spark.createDataFrame([("FB", "FB")], "prompt string, chosen string"
+                          ).write.option("header", "true").csv(fallback)
+
+    train, test = load_grpo_training_set(spark, fallback, run_dir=run_dir)
+    rows = train.collect() + test.collect()
+    assert len(rows) == 21          # 23 minus the two null rows
+    assert all(r.prompt.startswith(
+        "<|start_header_id|>user<|end_header_id|>\n\n") for r in rows)
+    assert all(r.prompt.endswith(
+        "<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\n")
+        for r in rows)
+    assert not any("FB" in r.prompt for r in rows)
+    assert {r.answer for r in rows} >= {"the post"}
+
+    # fallback path: no manifest -> the CSV is the source
+    train2, test2 = load_grpo_training_set(spark, fallback)
+    rows2 = train2.collect() + test2.collect()
+    assert len(rows2) == 1 and rows2[0].answer == "FB"
