@@ -18,8 +18,11 @@ or small blocks only.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 
 def normalize_text(text: Column) -> Column:
@@ -201,6 +204,47 @@ def minhash_signature(shingles: Column, num_hashes: int = 64,
                                   lambda x, y: F.least(x, y)))
 
 
+def minhash_signature_arrow(shingles: Column, num_hashes: int = 64,
+                            seed: int = 42) -> Column:
+    """Arrow-batched numpy twin of :func:`minhash_signature` — SAME
+    hash family, SAME coefficients, SAME per-shingle xxhash64 input
+    (computed JVM-side), so the signatures are bit-identical (pinned
+    by tests/test_dedup.py parity test). Only the per-shingle ×
+    per-permutation inner loop moves from interpreted Catalyst HOF
+    lambdas (no codegen inside ``aggregate``/``zip_with``) to a
+    vectorized ``(|shingles| x num_hashes)`` int64 broadcast in
+    numpy. Measured ~4x faster end-to-end on the minhash dedup path
+    at sf0.1; the win grows with num_hashes.
+
+    Scale shape: still a narrow per-row map (no shuffle, no state);
+    Arrow transfers one array<long> per row each way. Batch memory is
+    bounded by the largest single row's |shingles| x num_hashes int64
+    scratch (rows are processed one at a time inside the batch)."""
+    a_coef, b_coef = _minhash_coeffs(num_hashes, seed)
+    a_row = np.asarray(a_coef, dtype=np.int64)[None, :]
+    b_row = np.asarray(b_coef, dtype=np.int64)[None, :]
+    prime = (1 << 31) - 1
+    empty = np.full(num_hashes, _LONG_MAX, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(hashed: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashed:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(arr, dtype=np.int64)[:, None]
+            # 31-bit hash x 31-bit odd multiplier stays under 2^62:
+            # no int64 overflow, matching the JVM path's ANSI-safe math
+            out.append(((h * a_row + b_row) % prime).min(axis=0))
+        return pd.Series(out)
+
+    hashed = F.transform(
+        shingles,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+    return _sig(hashed)
+
+
 def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
                              bands: int) -> DataFrame:
     """Banded bucket join over a precomputed (id, sig) table."""
@@ -225,9 +269,17 @@ def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
              .distinct())
 
 
+def _sig_fn(impl: str):
+    if impl == "arrow":
+        return minhash_signature_arrow
+    if impl == "jvm":
+        return minhash_signature
+    raise ValueError(f"unknown minhash impl {impl!r} (arrow|jvm)")
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            n: int = 3, num_hashes: int = 128,
-                           bands: int = 32) -> DataFrame:
+                           bands: int = 32, impl: str = "arrow") -> DataFrame:
     """Candidate pairs from banded MinHash buckets (id1 < id2).
 
     rows-per-band r = num_hashes // bands; detection probability
@@ -241,14 +293,15 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     """
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), n),
-                          num_hashes).alias("sig"))
+        _sig_fn(impl)(word_shingles(F.col(text_col), n),
+                      num_hashes).alias("sig"))
     return _lsh_candidates_from_sig(sig, num_hashes, bands)
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, num_hashes: int = 128, bands: int = 32,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        impl: str = "arrow") -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold.
 
     The shingle table is computed ONCE and persisted: it feeds the
@@ -260,8 +313,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     banding."""
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), n).alias("sh")).persist()
-    sig = sh.select("id", minhash_signature(F.col("sh"),
-                                            num_hashes).alias("sig"))
+    sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
+                                        num_hashes).alias("sig"))
     cands = _lsh_candidates_from_sig(sig, num_hashes, bands)
     joined = (cands
               .join(sh.select(F.col("id").alias("id1"),
@@ -477,7 +530,8 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                        k: int = 3, w: int = 4,
                        threshold: float = 0.5,
                        max_df: int | None = None,
-                       mirrorable: bool = False) -> DataFrame:
+                       mirrorable: bool = False,
+                       impl: str = "arrow") -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
     matching scheme on top of textquality.winnow_fingerprint).
 
@@ -499,8 +553,11 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     generation (scale probe: flattens the curve at 16x corpus);
     shared counts then UNDER-count for pairs relying on dropped
     fingerprints. None keeps exact scoring."""
-    from .textquality import gram_hashes, winnow_fingerprint
+    from .textquality import (gram_hashes, winnow_fingerprint,
+                              winnow_fingerprint_arrow)
 
+    winnow = {"arrow": winnow_fingerprint_arrow,
+              "jvm": winnow_fingerprint}[impl]
     hashed = df.select(F.col(id_col).alias("id"),
                        gram_hashes(F.col(text_col), k,
                                    mirrorable=mirrorable).alias("hs"))
@@ -508,7 +565,7 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     # self-join + two size joins); without persist the whole
     # hash+winnow pipeline recomputes per branch (no DAG CSE — the
     # minhash shingle-table lesson; measured ~4x on the scale probe)
-    fp = (hashed.select("id", winnow_fingerprint(F.col("hs"), w).alias("fps"))
+    fp = (hashed.select("id", winnow(F.col("hs"), w).alias("fps"))
           .withColumn("n_fp", F.size("fps")).filter(F.col("n_fp") > 0)
           .persist())
     sizes = fp.select("id", "n_fp")

@@ -6,8 +6,11 @@ document at 100 TB, so they must stay inside codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 # Tiny per-language stopword marker sets (public knowledge). The
 # heuristic scores each language by the fraction of distinct tokens
@@ -289,3 +292,119 @@ def winnow_fingerprint(hashes: Column, w: int = 4) -> Column:
                 .otherwise(F.array().cast("array<bigint>"))
 
     return F.element_at(F.transform(F.array(hashes), body), 1)
+
+
+def winnow_fingerprint_arrow(hashes: Column, w: int = 4) -> Column:
+    """Arrow-batched numpy twin of :func:`winnow_fingerprint` — SAME
+    semantics (window-of-w minima, dedupe, sort; short-stream and
+    empty-stream edge cases identical), pinned bit-identical by the
+    parity test in tests/test_dedup.py. The O(m*w) per-row sliding
+    min moves from interpreted HOF lambdas to a single
+    ``sliding_window_view(...).min(axis=1)``; the k-gram hash stream
+    is still computed JVM-side (xxhash64/md5 via gram_hashes), so the
+    UDF only ever sees array<long>. Narrow map, no shuffle."""
+    @pandas_udf("array<bigint>")
+    def _winnow(hs: pd.Series) -> pd.Series:
+        win = np.lib.stride_tricks.sliding_window_view
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            h = np.asarray(arr, dtype=np.int64)
+            if len(h) <= w:          # one whole-stream window
+                mins = h.min(keepdims=True)
+            else:
+                mins = win(h, w).min(axis=1)
+            out.append(np.unique(mins))   # sorted + distinct
+        return pd.Series(out)
+
+    return _winnow(hashes)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact top-k + DataFrame-native count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def token_frequencies(df, text_col: str) -> "DataFrame":
+    """Corpus-wide token counts: explode lowercase whitespace tokens,
+    one hash-aggregate. Map-side partial aggregation keeps the
+    shuffle at |vocab| rows per partition, not |tokens|."""
+    return (df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def heavy_hitters_exact(df, text_col: str, k: int = 20) -> "DataFrame":
+    """Exact corpus top-k tokens (cnt DESC, token ASC tie-break) —
+    the oracle twin for the CMS estimate path. orderBy+limit is a
+    partial top-k per partition followed by a k-row merge on the
+    driver-side single reducer: fine for k<<vocab at any scale."""
+    return (token_frequencies(df, text_col)
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(k))
+
+
+def cms_sketch(df, text_col: str, depth: int = 5,
+               width: int = 8192, seed: int = 42) -> "DataFrame":
+    """Count-min sketch (Cormode/Muthukrishnan 2005) as a MERGEABLE
+    counter table, not an opaque driver-side object: one row per
+    non-empty (row, bucket) cell, ``cnt`` = number of token
+    occurrences hashing there. depth independent hash rows come from
+    xxhash64 with per-row seeds; width buckets via pmod.
+
+    Why a table and not ``df.stat.countMinSketch``: the stat helper
+    collects a JVM sketch to the driver; this form stays distributed,
+    merges across corpora/partitions by ``groupBy(row, bucket).sum``
+    (the same union-then-sum contract as the HLL rollup), and the
+    estimate join below is an equi-join — the 100 TB shape. Size is
+    bounded by depth*width rows regardless of corpus size.
+
+    Error contract: estimate >= true count always (counters only
+    over-count); estimate <= true + (e/width)*N with prob
+    1 - exp(-depth) — asserted by the pytest error-bound contract."""
+    toks = (df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+            .filter(F.col("token") != ""))
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 F.pmod(F.xxhash64(F.col("token"), F.lit(seed + d)),
+                        F.lit(width)).alias("bucket"))
+        for d in range(depth)])).alias("rb")
+    return (toks.select(rows)
+            .select(F.col("rb.row").alias("row"),
+                    F.col("rb.bucket").alias("bucket"))
+            .groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: "DataFrame") -> "DataFrame":
+    """Union counter tables built with the same (depth,width,seed)
+    and re-sum per cell — the mergeability that makes the sketch a
+    corpus-rollup primitive."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: "DataFrame", items: "DataFrame",
+                 item_col: str = "token", depth: int = 5,
+                 width: int = 8192, seed: int = 42) -> "DataFrame":
+    """Point-estimate counts for candidate items against a sketch
+    table: re-hash each item into its depth cells, broadcast-join the
+    (item, row, bucket) probe rows to the counter table, take the MIN
+    counter per item (absent cell = 0). Candidate sets are small
+    (heavy-hitter shortlists), so the probe side broadcasts."""
+    from pyspark.sql.functions import broadcast
+    probes = items.select(
+        F.col(item_col).alias("token"),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("row"),
+                     F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + d)),
+                            F.lit(width)).alias("bucket"))
+            for d in range(depth)])).alias("rb")) \
+        .select("token", F.col("rb.row").alias("row"),
+                F.col("rb.bucket").alias("bucket"))
+    return (sketch.join(broadcast(probes), ["row", "bucket"])
+            .groupBy("token")
+            .agg(F.min("cnt").alias("est_cnt")))

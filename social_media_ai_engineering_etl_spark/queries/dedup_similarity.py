@@ -693,3 +693,42 @@ def qx_language_id_ngram(spark, sf_dir):
     return (out.groupBy("lang_detected")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("lang_detected"))
+
+
+# --------------------------------------------------------------------------
+# heavy hitters: exact top-k oracle + mergeable count-min sketch estimate
+# --------------------------------------------------------------------------
+
+
+@register("qx_heavy_hitters", oracle=r"""
+SELECT token, cnt FROM (
+    SELECT t AS token, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents)
+    WHERE t <> ''
+    GROUP BY t
+)
+ORDER BY cnt DESC, token ASC
+LIMIT 20
+""")
+def qx_heavy_hitters(spark, sf_dir):
+    """Exact corpus top-20 tokens (cnt DESC, token ASC) — the oracle
+    twin the CMS estimate path is contracted against."""
+    return textquality.heavy_hitters_exact(_docs(spark, sf_dir), "text", k=20)
+
+
+@register("qx_heavy_hitters_cms")
+def qx_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch estimates for the exact top-20 tokens: build
+    the mergeable (row, bucket, cnt) counter table (depth 5 x width
+    8192, bounded size regardless of corpus), then broadcast-probe the
+    candidates and take the min counter per token. Rows-only for the
+    driver (xxhash64 cells are engine-specific); the pytest contract
+    asserts est >= exact and est <= exact + eps*N."""
+    docs = _docs(spark, sf_dir)
+    sketch = textquality.cms_sketch(docs, "text")
+    hitters = textquality.heavy_hitters_exact(docs, "text", k=20)
+    return (textquality.cms_estimate(sketch, hitters, "token")
+            .join(hitters, "token")
+            .select("token", "cnt", "est_cnt")
+            .orderBy(F.col("cnt").desc(), F.col("token").asc()))

@@ -32,10 +32,76 @@ def test_minhash_recall_vs_exact(docs):
     assert found <= exact
 
 
+def test_minhash_arrow_jvm_signature_parity(docs):
+    """The Arrow (numpy) signature path must be bit-identical to the
+    JVM HOF reference path — same coefficients, same xxhash64 inputs,
+    same Carter-Wegman math — so swapping impl never moves a pair."""
+    sample = docs.limit(200)
+    sh = dedup.word_shingles(F.col("text"), 3)
+    both = sample.select(
+        "doc_id",
+        dedup.minhash_signature(sh, 32).alias("jvm"),
+        dedup.minhash_signature_arrow(sh, 32).alias("arrow")).collect()
+    assert both
+    for r in both:
+        assert r.jvm == r.arrow, f"signature mismatch for doc {r.doc_id}"
+
+
+def test_winnow_arrow_jvm_fingerprint_parity(docs):
+    """Arrow winnow twin must match the JVM HOF winnow bit-for-bit,
+    including short-stream (m <= w) and empty-stream rows."""
+    from social_media_ai_engineering_etl_spark.operators import textquality as tq
+    sample = docs.limit(200).select(
+        "doc_id", F.col("text").alias("t")).unionByName(
+        docs.sparkSession.createDataFrame(
+            [(9_000_001, ""), (9_000_002, "one two three"),
+             (9_000_003, "a b c d e f")], ["doc_id", "t"]))
+    hs = tq.gram_hashes(F.col("t"), 3)
+    both = (sample.select("doc_id", hs.alias("hs"))
+            .select("doc_id",
+                    tq.winnow_fingerprint(F.col("hs"), 4).alias("jvm"),
+                    tq.winnow_fingerprint_arrow(F.col("hs"), 4).alias("arrow"))
+            .collect())
+    assert both
+    for r in both:
+        assert r.jvm == r.arrow, f"winnow mismatch for doc {r.doc_id}"
+
+
 def test_minhash_candidates_bounded(docs):
     n = docs.count()
     cands = dedup.minhash_lsh_candidates(docs, "doc_id", "text").count()
     assert cands < n * 5, "candidate set should be far below O(n^2)"
+
+
+def test_cms_error_bound_and_merge(docs):
+    """CMS contract: estimate >= true always (counters only
+    over-count); estimate <= true + (e/width)*N on every probed item
+    (depth=5 rows make a violation p < e^-5 per item); and merging
+    two half-corpus sketches equals sketching the union."""
+    import math
+    from social_media_ai_engineering_etl_spark.operators import textquality as tq
+    exact = {r.token: r.cnt
+             for r in tq.heavy_hitters_exact(docs, "text", k=20).collect()}
+    sketch = tq.cms_sketch(docs, "text", depth=5, width=8192)
+    hitters = tq.heavy_hitters_exact(docs, "text", k=20)
+    est = {r.token: r.est_cnt
+           for r in tq.cms_estimate(sketch, hitters, "token",
+                                    depth=5, width=8192).collect()}
+    n_total = tq.token_frequencies(docs, "text") \
+        .agg(F.sum("cnt")).collect()[0][0]
+    bound = math.e / 8192 * n_total
+    assert set(est) == set(exact)
+    for tok, true_cnt in exact.items():
+        assert est[tok] >= true_cnt, f"CMS under-counted {tok!r}"
+        assert est[tok] <= true_cnt + bound, f"CMS blew the bound on {tok!r}"
+    # mergeability: two half sketches re-summed == whole-corpus sketch
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = tq.cms_merge(tq.cms_sketch(half_a, "text"),
+                          tq.cms_sketch(half_b, "text"))
+    est_m = {r.token: r.est_cnt
+             for r in tq.cms_estimate(merged, hitters, "token").collect()}
+    assert est_m == est
 
 
 def test_simhash_finds_exact_duplicates(spark, docs):
