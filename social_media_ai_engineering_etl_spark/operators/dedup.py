@@ -245,12 +245,16 @@ def minhash_signature_arrow(shingles: Column, num_hashes: int = 64,
     return _sig(hashed)
 
 
-def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
-                             bands: int) -> DataFrame:
-    """Banded bucket join over a precomputed (id, sig) table."""
+def banded_rows(sig: DataFrame, num_hashes: int, bands: int,
+                keep_sig: bool = False) -> DataFrame:
+    """Explode a (id, sig) table into one (id, band, bucket) row per
+    band — bucket = hash of the band's signature slice. The shared
+    front half of LSH candidate generation (batch self-join below,
+    per-bucket state keying in streaming.neardup)."""
     r = num_hashes // bands
-    banded = sig.select(
-        "id",
+    extra = ["sig"] if keep_sig else []
+    return (sig.select(
+        "id", *extra,
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
@@ -259,7 +263,13 @@ def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
                     ",", F.transform(F.slice(F.col("sig"), b * r + 1, r),
                                      lambda x: x.cast("string"))))
                  .alias("bucket")))).alias("bb"))
-    banded = banded.select("id", "bb.band", "bb.bucket")
+        .select("id", *extra, "bb.band", "bb.bucket"))
+
+
+def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
+                             bands: int) -> DataFrame:
+    """Banded bucket join over a precomputed (id, sig) table."""
+    banded = banded_rows(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -324,6 +334,37 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     return (joined.withColumn("jaccard_sim", jaccard(F.col("sh1"), F.col("sh2")))
             .filter(F.col("jaccard_sim") >= threshold)
             .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
+
+
+def minhash_agreement_pairs(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, num_hashes: int = 64,
+                            bands: int = 16, threshold: float = 0.5,
+                            impl: str = "arrow") -> DataFrame:
+    """LSH candidates scored by SIGNATURE AGREEMENT (fraction of equal
+    minhash positions — the unbiased MinHash estimate of Jaccard)
+    instead of the exact-Jaccard verify of minhash_dedup_pairs. This
+    is the batch twin of streaming.neardup.stream_neardup_pairs: same
+    signature, same banding, same score, so the streamed pair set must
+    equal this one on the same corpus (equivalence-tested). Cheaper
+    than the verify path at scale — no shingle re-join, just a
+    zip_with over two 64-long signatures per candidate."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    _sig_fn(impl)(word_shingles(F.col(text_col), n),
+                                  num_hashes).alias("sig")).persist()
+    cands = _lsh_candidates_from_sig(sig, num_hashes, bands)
+    joined = (cands
+              .join(sig.select(F.col("id").alias("id1"),
+                               F.col("sig").alias("s1")), "id1")
+              .join(sig.select(F.col("id").alias("id2"),
+                               F.col("sig").alias("s2")), "id2"))
+    agree = F.size(F.filter(F.zip_with("s1", "s2",
+                                       lambda a, b: a == b),
+                            lambda x: x))
+    return (joined.withColumn(
+                "est_sim",
+                F.round(agree.cast("double") / num_hashes, 6))
+            .filter(F.col("est_sim") >= threshold)
+            .select("id1", "id2", "est_sim"))
 
 
 # ---------------------------------------------------------------------------

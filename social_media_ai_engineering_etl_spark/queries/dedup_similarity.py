@@ -732,3 +732,15 @@ def qx_heavy_hitters_cms(spark, sf_dir):
             .join(hitters, "token")
             .select("token", "cnt", "est_cnt")
             .orderBy(F.col("cnt").desc(), F.col("token").asc()))
+
+
+@register("qs_neardup_pairs")
+def qs_neardup_pairs(spark, sf_dir):
+    """Batch twin of the STREAMING stateful near-dup operator
+    (streaming/neardup.py): MinHash(64)+LSH(16 bands) candidates
+    scored by signature agreement >= 0.5. Rows-only (engine-specific
+    hashing); the pytest contract asserts the streamed pair set
+    equals this twin on the same corpus and that cross-micro-batch
+    pairs survive checkpoint recovery."""
+    return dedup.minhash_agreement_pairs(_docs(spark, sf_dir), "doc_id",
+                                         "text").orderBy("id1", "id2")

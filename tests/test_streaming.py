@@ -324,3 +324,66 @@ def test_stream_last_touch_attribution_state(spark, tmp_path):
                 "b.parquet")
     r2 = run()
     assert r2 == {(1, 5): (2, 1_800_000_000)}
+
+
+def test_stream_neardup_detects_cross_batch_pairs(spark, tmp_path):
+    """Stateful MinHash/LSH near-dup: a document arriving in a LATER
+    micro-batch than its near-duplicate is still flagged (bucket state
+    is checkpointed and recovered), and unrelated docs never pair."""
+    from social_media_ai_engineering_etl_spark.streaming.neardup import (
+        stream_neardup_pairs)
+
+    src = str(tmp_path / "nd_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    os.makedirs(src)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain every single day "
+            "of the long and winding road that leads to your door")
+    near = base.replace("lazy dog", "sleepy dog")   # one-shingle edit
+    other = ("completely different text about spark catalyst planner "
+             "optimizations and shuffle partitioning strategies for "
+             "large scale distributed joins on columnar parquet data")
+
+    def write_phase(rows, fname):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        tmp = str(tmp_path / ("nd_stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    def run():
+        emitted = []
+
+        def sink(batch_df, _batch_id):
+            emitted.extend(batch_df.collect())
+
+        docs = (spark.readStream.schema("doc_id bigint, text string")
+                .parquet(src))
+        q = (stream_neardup_pairs(docs, threshold=0.5)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.id1, r.id2) for r in emitted}
+
+    write_phase([(1, base), (2, other)], "a.parquet")
+    assert run() == set()              # nothing to pair yet
+
+    write_phase([(3, near), (4, "tiny unrelated snippet here")],
+                "b.parquet")
+    pairs = run()
+    assert (1, 3) in pairs             # cross-batch near-dup found
+    assert all(p == (1, 3) for p in pairs), f"false pairs: {pairs}"
+
+    # stream == batch twin on the full corpus (same signature, same
+    # banding, same agreement score)
+    from social_media_ai_engineering_etl_spark.operators.dedup import (
+        minhash_agreement_pairs)
+    all_docs = spark.createDataFrame(
+        [(1, base), (2, other), (3, near), (4, "tiny unrelated snippet here")],
+        "doc_id bigint, text string")
+    twin = {(r.id1, r.id2)
+            for r in minhash_agreement_pairs(all_docs, "doc_id",
+                                             "text").collect()}
+    assert pairs == twin
