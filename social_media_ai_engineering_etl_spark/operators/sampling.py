@@ -116,6 +116,27 @@ def train_test_split(df: DataFrame, test_frac: float = 0.2,
     return train, test
 
 
+def hash_split(df: DataFrame, key: Column, test_pct: int = 20,
+               buckets: int = 100) -> DataFrame:
+    """B7 scale variant: DETERMINISTIC content-keyed split — bucket =
+    first-8-hex-digits of md5(key) mod buckets, 'test' below
+    ``test_pct``, else 'train'. Unlike seeded randomSplit (whose
+    assignment is partition-order-defined and shifts when the input
+    reshards), the hash split is a pure function of the key: stable
+    across repartitions, re-runs, engines, and incremental appends —
+    the property a 100 TB pipeline needs so yesterday's train rows
+    can't leak into today's test set. md5 (not xxhash64) so the
+    assignment is reproducible outside Spark (oracle-checked in
+    DuckDB bit-for-bit)."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(buckets))
+    return df.withColumn(
+        "split", F.when(bucket < test_pct, F.lit("test"))
+                  .otherwise(F.lit("train")))
+
+
 def percent_gate(df: DataFrame, sample_percent: float,
                  seed: int = 42) -> DataFrame:
     """B8: keep ~sample_percent% of rows (17:783-786); no-op at 100."""

@@ -11,7 +11,8 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators import analytics, mllib_pipeline, phrases, textquality
+from ..operators import (analytics, mllib_pipeline, phrases, sampling,
+                         textquality)
 from ..registry import register
 
 
@@ -464,6 +465,25 @@ def qb7_train_test_split(spark, sf_dir):
     return spark.createDataFrame(
         [("train", train.count()), ("test", test.count())],
         "split string, n long")
+
+
+@register("qb7_hash_split", oracle="""
+SELECT split, count(*) AS n FROM (
+    SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 100 < 20
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents)
+GROUP BY split ORDER BY split
+""")
+def qb7_hash_split(spark, sf_dir):
+    """B7 scale variant: deterministic md5-keyed 80/20 split —
+    reshard/append-stable assignment (pure function of doc_id), and
+    therefore oracle-checkable bit-for-bit where seeded randomSplit
+    (qb7_train_test_split) can only be rows-only."""
+    docs = _docs(spark, sf_dir)
+    out = sampling.hash_split(docs, F.col("doc_id"), test_pct=20)
+    return (out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("split"))
 
 
 @register("qb8_percent_sample")

@@ -66,3 +66,27 @@ def test_topic_transitions_disabled_is_empty(spark):
     row = df.select(narrative17.topic_transitions_disabled()
                     .alias("t")).collect()[0]
     assert row["t"] == []
+
+
+def test_hash_split_reshard_and_append_stable(spark):
+    """B7 hash split: assignment is a pure function of the key —
+    identical under repartition, and appending new rows never moves
+    an existing row's split (the anti-leak property randomSplit
+    lacks)."""
+    from social_media_ai_engineering_etl_spark.operators import sampling
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    base = {r.doc_id: r.split
+            for r in sampling.hash_split(df, F.col("doc_id")).collect()}
+    resharded = {r.doc_id: r.split
+                 for r in sampling.hash_split(
+                     df.repartition(13), F.col("doc_id")).collect()}
+    assert base == resharded
+    appended = spark.createDataFrame(
+        [(i,) for i in range(700)], "doc_id bigint")
+    after = {r.doc_id: r.split
+             for r in sampling.hash_split(
+                 appended, F.col("doc_id")).collect()}
+    assert all(after[k] == v for k, v in base.items())
+    # both classes present at sane proportions
+    n_test = sum(1 for v in base.values() if v == "test")
+    assert 50 <= n_test <= 150
