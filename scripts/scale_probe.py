@@ -130,9 +130,14 @@ def main() -> None:
             n_blocks=n_blocks).count()
         t_bl = time.perf_counter() - t0
 
+        # planes grow with the corpus to bound bucket width (the LSH
+        # scale knob, mirroring n_blocks); L=24 keeps recall >= 0.98
+        # at cos 0.4 for P <= 4
+        n_planes = {1: 2, 4: 3, 16: 4}[m]
         t0 = time.perf_counter()
         lp = similarity.embedding_pairs_lsh(
-            emb, "vec_id", "embedding", threshold=0.4).count()
+            emb, "vec_id", "embedding", threshold=0.4,
+            num_planes=n_planes).count()
         t_lsh = time.perf_counter() - t0
 
         emb.unpersist()
