@@ -68,3 +68,22 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     planner produces a shuffle-free sort-merge join (asserted in
     tests/test_scale.py)."""
     return spark.table(left_table).join(spark.table(right_table), keys)
+
+
+def compact_latest(df: DataFrame, keys: list[str], order: list[str],
+                   payload: list[str]) -> DataFrame:
+    """CDC/upsert compaction: keep each key's LATEST row (lexicographic
+    max over ``order`` columns). Implemented as ``max_by`` over a
+    struct — an ALGEBRAIC aggregate, so it partial-aggregates map-side
+    and needs one shuffle of (keys, one-struct) rows; the usual
+    row_number window alternative must instead shuffle every version
+    of every key into a per-key SORT. On a 100 TB changelog with
+    billions of versions, that difference is the job.
+
+    Ties on ``order`` resolve to the greater remaining order column
+    (pass a unique id last to make the winner deterministic)."""
+    ord_struct = F.struct(*[F.col(c) for c in order])
+    pay_struct = F.struct(*[F.col(c) for c in order + payload])
+    agg = df.groupBy(*keys).agg(F.max_by(pay_struct, ord_struct).alias("__w"))
+    return agg.select(*keys,
+                      *[F.col(f"__w.{c}").alias(c) for c in order + payload])

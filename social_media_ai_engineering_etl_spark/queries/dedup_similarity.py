@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, textquality
+from ..operators import dedup, scale, similarity, textquality
 from ..registry import register
 from ..session import widen_scan
 
@@ -744,3 +744,26 @@ def qs_neardup_pairs(spark, sf_dir):
     pairs survive checkpoint recovery."""
     return dedup.minhash_agreement_pairs(_docs(spark, sf_dir), "doc_id",
                                          "text").orderBy("id1", "id2")
+
+
+@register("qx_latest_event_per_user", oracle="""
+SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (
+    SELECT user_id, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+WHERE rn = 1 ORDER BY user_id
+""")
+def qx_latest_event_per_user(spark, sf_dir):
+    """CDC/upsert compaction: each user's latest event (ts, then
+    event_id as the deterministic tie-break) via the algebraic
+    max_by-over-struct operator — one partial-aggregating shuffle, no
+    per-key sort window (scale.compact_latest). The oracle expresses
+    the same semantics as the window form DuckDB can run."""
+    from ..streaming.windows import load_events
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    out = scale.compact_latest(ev, ["user_id"], ["ts", "event_id"],
+                               ["event_type", "value"])
+    return (out.select("user_id", "event_id", "event_type",
+                       F.round("value", 6).alias("value"))
+            .orderBy("user_id"))

@@ -36,6 +36,11 @@ def get_spark(app_name: str = "social-media-ai-engineering-etl-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom filters: a selective filter on one join side
+        # injects a bloom pre-filter into the other side's scan (the
+        # semi-join pruning pattern, planner-managed — `might_contain`
+        # isn't exposed to SQL in Spark 4, so this config IS the API)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # initial shuffle parallelism; AQE coalesces down at runtime.
         .config("spark.sql.shuffle.partitions", str(max(n, 32)))
         .config("spark.default.parallelism", str(max(n, 32)))

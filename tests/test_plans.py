@@ -207,3 +207,25 @@ def test_sampling_shuffles_never_single_partition(spark, sf_dir):
     p2 = plan_of(split)
     assert "windowspecdefinition(__grp" in p2
     assert not re.search(r"windowspecdefinition\(_w\d", p2), p2
+
+
+def test_compact_latest_plans_partial_agg_no_window(spark, sf_dir):
+    """CDC compaction must plan as a partial-aggregating max_by (one
+    shuffle of pre-combined rows), never a per-key sort window — the
+    difference between shuffling one struct per key per mapper and
+    shuffling every version of every key."""
+    plan = plan_of(QUERIES["qx_latest_event_per_user"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "max_by" in plan
+    assert "partial_max_by" in plan or "Partial" in plan, plan
+
+
+def test_embedding_lsh_has_no_join_of_vector_payloads(spark, sf_dir):
+    """The LSH near-dup verify runs in-bucket (applyInPandas GEMM);
+    the only join-like node allowed is the final narrow distinct —
+    no SortMergeJoin/BroadcastHashJoin carrying vector arrays, and
+    never a nested-loop."""
+    plan = plan_of(QUERIES["qx_embedding_dedup_pairs_lsh"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "mapInPandas" in plan, plan
