@@ -289,3 +289,51 @@ def qsc_salted_agg(spark, sf_dir):
     return (out.select("event_type", "sum_value_micros",
                        "n", "min_value", "max_value")
             .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# behavior analytics: funnel + cohort retention (operators/behavior.py)
+# --------------------------------------------------------------------------
+
+
+@register("qs_funnel_steps", oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+ORDER BY step
+""")
+def qs_funnel_steps(spark, sf_dir):
+    """view -> click -> purchase funnel with min-reach ordering
+    semantics (each step must occur strictly after the earliest reach
+    of the previous step). k shrinking equi-joins on user_id — no
+    per-user event sort."""
+    from ..operators.behavior import funnel_steps
+    return funnel_steps(_events(spark, sf_dir),
+                        ("view", "click", "purchase"))
+
+
+@register("qs_cohort_retention", oracle="""
+WITH firsts AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', cohort::DATE, w::DATE) / 7)::INT AS week_offset,
+       count(*) AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def qs_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: cohort = week of first event,
+    offset = weeks since cohort, n_users = cohort members active that
+    week. One min-agg + one distinct + one equi-join, all on
+    user_id."""
+    from ..operators.behavior import cohort_retention
+    return cohort_retention(_events(spark, sf_dir))
