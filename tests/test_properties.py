@@ -204,3 +204,56 @@ def test_tfidf_topk_invariants(spark, texts):
         assert len(rows) <= 5
         scores = [r.tfidf for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+@settings(**PROP_SETTINGS)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5),            # key
+              st.integers(0, 10),           # version
+              st.integers(-100, 100)),      # payload
+    min_size=1, max_size=24))
+def test_compact_latest_matches_window_reference(spark, rows):
+    """compact_latest (algebraic max_by) must pick exactly the row the
+    row_number-window formulation picks, for any keys/versions
+    including duplicate versions (unique row_id is the tie-break)."""
+    from pyspark.sql import Window
+    from social_media_ai_engineering_etl_spark.operators.scale import (
+        compact_latest)
+    df = spark.createDataFrame(
+        [(k, v, p, i) for i, (k, v, p) in enumerate(rows)],
+        "k long, ver long, payload long, row_id long")
+    got = {(r.k, r.ver, r.payload, r.row_id)
+           for r in compact_latest(df, ["k"], ["ver", "row_id"],
+                                   ["payload"]).collect()}
+    w = Window.partitionBy("k").orderBy(F.col("ver").desc(),
+                                        F.col("row_id").desc())
+    ref = {(r.k, r.ver, r.payload, r.row_id)
+           for r in df.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1).drop("rn").collect()}
+    assert got == ref
+
+
+@settings(**PROP_SETTINGS)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 4),                  # user
+              st.integers(0, 1000),               # seconds offset
+              st.sampled_from(["view", "click", "purchase", "error"])),
+    min_size=1, max_size=32))
+def test_funnel_counts_monotone_nonincreasing(spark, rows):
+    """A funnel can only narrow: n_users at step i+1 <= step i, and
+    every count is <= the number of distinct users."""
+    from social_media_ai_engineering_etl_spark.operators.behavior import (
+        funnel_steps)
+    df = spark.createDataFrame(
+        [(i, u, f"2024-01-01 00:{s // 60 % 60:02d}:{s % 60:02d}", t)
+         for i, (u, s, t) in enumerate(rows)],
+        "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.step: r.n_users
+           for r in funnel_steps(df, ("view", "click", "purchase")).collect()}
+    n_users = df.select("user_id").distinct().count()
+    prev = n_users
+    for step in (1, 2, 3):
+        cur = out.get(step, 0)
+        assert 0 <= cur <= prev, (out, n_users)
+        prev = cur
