@@ -336,6 +336,61 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
 
 
+def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
+                              id_col: str, text_col: str,
+                              n: int = 3, num_hashes: int = 128,
+                              bands: int = 32, threshold: float = 0.8,
+                              impl: str = "arrow") -> DataFrame:
+    """Daily-ingest dedup: flag NEW documents that near-duplicate the
+    EXISTING corpus or each other — without re-pairing the corpus
+    against itself. Returns (id1, id2, jaccard_sim) pairs oriented
+    id1 < id2; every pair touches at least one new doc.
+
+    Equivalence contract (tested): equals the full-batch
+    ``minhash_dedup_pairs(corpus ∪ new)`` restricted to pairs that
+    touch a new doc.
+
+    Scale shape: the corpus side is banded once (in production the
+    (id, band, bucket) + shingle tables are the checkpointed artifacts
+    a daily job reuses); the NEW side's banded rows are small and
+    BROADCAST into the candidate join, so each day's cost is one
+    corpus-side map plus joins sized by the new batch — the corpus
+    never self-joins. The exact-Jaccard verify fetches shingles for
+    candidate ids only (semi-join-sized, not corpus-sized)."""
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("__t"),
+                      F.lit(False).alias("is_new"))
+    nw = new_docs.select(F.col(id_col).alias("id"),
+                         F.col(text_col).alias("__t"),
+                         F.lit(True).alias("is_new"))
+    alld = c.unionByName(nw)
+    sh = alld.select("id", "is_new",
+                     word_shingles(F.col("__t"), n).alias("sh")).persist()
+    sig = sh.select("id", "is_new",
+                    _sig_fn(impl)(F.col("sh"), num_hashes).alias("sig"))
+    banded = banded_rows(sig.select("id", "sig"), num_hashes, bands) \
+        .join(sig.select("id", "is_new"), "id")
+    new_banded = banded.filter(F.col("is_new"))
+    cands = (banded.alias("a")
+             .join(F.broadcast(new_banded.alias("b")),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") != F.col("b.id")))
+             .select(F.least("a.id", "b.id").alias("id1"),
+                     F.greatest("a.id", "b.id").alias("id2"))
+             .distinct())
+    joined = (cands
+              .join(sh.select(F.col("id").alias("id1"),
+                              F.col("sh").alias("sh1")), "id1")
+              .join(sh.select(F.col("id").alias("id2"),
+                              F.col("sh").alias("sh2")), "id2"))
+    return (joined.withColumn("jaccard_sim",
+                              jaccard(F.col("sh1"), F.col("sh2")))
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id1", "id2",
+                    F.round("jaccard_sim", 6).alias("jaccard_sim")))
+
+
 def minhash_agreement_pairs(df: DataFrame, id_col: str, text_col: str,
                             n: int = 3, num_hashes: int = 64,
                             bands: int = 16, threshold: float = 0.5,

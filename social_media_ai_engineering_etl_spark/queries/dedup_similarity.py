@@ -767,3 +767,19 @@ def qx_latest_event_per_user(spark, sf_dir):
     return (out.select("user_id", "event_id", "event_type",
                        F.round("value", 6).alias("value"))
             .orderBy("user_id"))
+
+
+@register("qx_dedup_incremental")
+def qx_dedup_incremental(spark, sf_dir):
+    """Daily-ingest dedup: docs with doc_id % 10 == 0 play the 'new
+    batch' arriving against the rest as the existing corpus; pairs
+    touching a new doc at Jaccard >= 0.5. The corpus never self-joins
+    — the new side's banded rows broadcast into candidate generation.
+    Rows-only (engine-specific hashing); the pytest contract asserts
+    equality with the full-batch pair set restricted to new-doc
+    pairs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", threshold=0.5).orderBy("id1", "id2")

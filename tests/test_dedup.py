@@ -263,3 +263,22 @@ def test_winnow_fingerprint_guarantee_and_edges(spark):
     assert fps[0] & fps[1], "shared 6-word run must share a fingerprint"
     assert not (fps[0] & fps[2])
     assert fps[3] == set() and fps[4] == set()
+
+
+def test_incremental_minhash_equals_full_batch_restricted(docs):
+    """Daily-ingest dedup: incremental(corpus, new) must equal the
+    full-batch pair set restricted to pairs touching a new doc —
+    i.e. skipping the corpus self-join loses nothing about the new
+    batch."""
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    inc = {(r.id1, r.id2, r.jaccard_sim)
+           for r in dedup.incremental_minhash_dedup(
+               corpus, new, "doc_id", "text", threshold=0.5).collect()}
+    full = {(r.id1, r.id2, r.jaccard_sim)
+            for r in dedup.minhash_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.5).collect()
+            if r.id1 in new_ids or r.id2 in new_ids}
+    assert inc == full
+    assert all(a in new_ids or b in new_ids for a, b, _ in inc)
