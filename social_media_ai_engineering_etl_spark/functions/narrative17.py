@@ -159,7 +159,8 @@ def topic_transitions_disabled() -> Column:
     """T12 (17:175-218, disabled by default via PERFORMANCE_CONFIG
     17:31, 138-147, 689-693): BERT segment-shift scoring is OFF in the
     reference's main path, so the effective main-path value is the
-    empty array. The model-backed variant belongs in
-    operators.inference behind the pluggable backend; this literal is
+    empty array. The model-backed variant is
+    operators.inference.topic_shift_scores (pluggable embedding
+    backend, registered as q17_topic_shifts_model); this literal is
     what stage-17 actually emits."""
     return F.array().cast("array<struct<idx:int,score:double>>")

@@ -27,7 +27,8 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               StringType, StructField, StructType)
 
 
 def md5_bucket(s: str, n: int) -> int:
@@ -328,6 +329,57 @@ def embed_column(df: DataFrame, text_col: str, out_col: str,
             pdf = pdf.copy()
             pdf[out_col] = backend.embed(
                 [t if isinstance(t, str) else "" for t in pdf[text_col]])
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def topic_shift_scores(df: DataFrame, text_col: str, out_col: str,
+                       backend_factory: Callable[[], object],
+                       threshold: float = 0.5) -> DataFrame:
+    """T12 model-backed variant (17-writing-style.py:175-218; disabled
+    in the reference's main path — see narrative17.
+    topic_transitions_disabled for the main-path literal): score topic
+    shifts between ADJACENT SENTENCES as cosine distance of their
+    embeddings, emit ``array<struct<idx,score>>`` of boundaries whose
+    distance >= threshold (idx = index of the sentence the shift leads
+    into).
+
+    The reference scores segment shifts with a BERT next-segment
+    model; the pluggable backend stands in (SentenceTransformerBackend
+    when installed, DeterministicEmbeddingBackend in tests — same
+    substitution as M10). Plumbing is the production shape: one
+    backend per partition, ONE batched embed() call per row's
+    sentences, Arrow in/out, no per-sentence Python round-trips."""
+    import re as _re
+
+    import numpy as np
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StructType([
+            StructField("idx", IntegerType()),
+            StructField("score", DoubleType())])))])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()
+        for pdf in batches:
+            res = []
+            for t in pdf[text_col]:
+                sents = [s.strip()
+                         for s in _re.split(r"(?<=[.!?])\s+", t or "")
+                         if s.strip()]
+                if len(sents) < 2:
+                    res.append([])
+                    continue
+                E = np.asarray(backend.embed(sents), dtype=np.float64)
+                nn = np.linalg.norm(E, axis=1, keepdims=True)
+                En = E / np.where(nn == 0, 1.0, nn)
+                dist = 1.0 - (En[:-1] * En[1:]).sum(axis=1)
+                res.append([{"idx": i + 1, "score": round(float(d), 6)}
+                            for i, d in enumerate(dist) if d >= threshold])
+            pdf = pdf.copy()
+            pdf[out_col] = res
             yield pdf
 
     return df.mapInPandas(fn, out_schema)

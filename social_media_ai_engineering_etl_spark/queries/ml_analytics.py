@@ -650,3 +650,28 @@ def qm_keywords(spark, sf_dir):
     return (freq.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 15).drop("rk")
             .orderBy("doc_id", "kw"))
+
+
+@register("q17_topic_shifts_model")
+def q17_topic_shifts_model(spark, sf_dir):
+    """T12 model-backed variant (17-writing-style.py:175-218): topic
+    shifts as cosine distance between adjacent-sentence embeddings,
+    deterministic backend standing in for the reference's BERT model
+    (main path emits the disabled-default empty array —
+    narrative17.topic_transitions_disabled). Returns per-doc shift
+    count + max score. Rows-only (model-derived); determinism and
+    domain contracts in tests/test_inference.py."""
+    from ..operators.inference import (DeterministicEmbeddingBackend,
+                                       topic_shift_scores)
+    docs = _docs(spark, sf_dir)
+    out = topic_shift_scores(docs.select("doc_id", "text"), "text",
+                             "shifts",
+                             lambda: DeterministicEmbeddingBackend(dim=32),
+                             threshold=0.5)
+    return (out.select(
+        "doc_id",
+        F.size("shifts").alias("n_shifts"),
+        F.round(F.coalesce(
+            F.array_max(F.transform("shifts", lambda s: s["score"])),
+            F.lit(0.0)), 6).alias("max_shift"))
+        .orderBy("doc_id"))

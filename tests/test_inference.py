@@ -72,3 +72,33 @@ def test_deterministic_across_runs(spark, sf_dir):
     a = {(r.structure, r.n) for r in q03_extract_structure(spark, sf_dir).collect()}
     b = {(r.structure, r.n) for r in q03_extract_structure(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_topic_shift_scores_contracts(spark):
+    """T12 variant: deterministic across runs; idx addresses a real
+    sentence boundary (1..n_sents-1); scores in [threshold, 2];
+    one-sentence and empty rows emit the empty array."""
+    from social_media_ai_engineering_etl_spark.operators.inference import (
+        DeterministicEmbeddingBackend, topic_shift_scores)
+    df = spark.createDataFrame(
+        [(1, "Alpha beta gamma. Delta epsilon zeta! Eta theta iota? Kappa."),
+         (2, "One sentence only"),
+         (3, ""),
+         (4, None)],
+        "doc_id long, text string")
+    def run():
+        return {r.doc_id: [(s.idx, s.score) for s in r.shifts]
+                for r in topic_shift_scores(
+                    df, "text", "shifts",
+                    lambda: DeterministicEmbeddingBackend(dim=32),
+                    threshold=0.2).collect()}
+    a, b = run(), run()
+    assert a == b                      # deterministic backend, stable output
+    assert a[2] == [] and a[3] == [] and a[4] == []
+    n_sents = 4
+    for idx, score in a[1]:
+        assert 1 <= idx <= n_sents - 1
+        assert 0.2 <= score <= 2.0
+    # md5-stream embeddings are pairwise near-orthogonal, so every
+    # boundary clears a 0.2 distance threshold
+    assert len(a[1]) == n_sents - 1
