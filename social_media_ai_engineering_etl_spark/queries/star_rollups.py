@@ -103,3 +103,59 @@ def qg_top_parts_by_nation(spark, sf_dir):
                   .alias("revenue_cents"))
             .filter(F.col("total_qty") > 0)
             .orderBy("n_name", "p_brand"))
+
+
+@register("qg_monthly_revenue_trend", oracle="""
+WITH rev AS (
+    SELECT r.r_name AS region_name,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region_name, month, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY region_name ORDER BY month)
+            AS BIGINT) AS running_cents,
+       lag(rev_cents) OVER (PARTITION BY region_name ORDER BY month)
+           AS prev_cents
+FROM rev ORDER BY region_name, month
+""")
+def qg_monthly_revenue_trend(spark, sf_dir):
+    """Monthly revenue per region with running total and previous
+    month — the windowed-time-series rollup shape. Revenue is summed
+    as PER-ROW floor(price*(1-disc)*100) BIGINT cents, so the
+    aggregate is order-independent and bit-stable across engines
+    (a float sum of ~1e7-magnitude doubles is NOT — last-ulp summation
+    order differs). Fact shuffles once on (region, month) after the
+    broadcast dim chain; the trend window partitions by region over
+    the tiny aggregated frame."""
+    from pyspark.sql import Window
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # nation/region are always-tiny (hinted); customer is a LARGE dim
+    # at real scale — its join stays planner-chosen (broadcast under
+    # the threshold locally, shuffle hash at 100 TB)
+    rev = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("r_name").alias("region_name"),
+                    F.date_format(F.date_trunc("month", "o_orderdate"),
+                                  "yyyy-MM").alias("month"))
+           .agg(F.sum(F.floor(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100))
+                .cast("long").alias("rev_cents")))
+    w = Window.partitionBy("region_name").orderBy("month")
+    return (rev.select(
+        "region_name", "month", "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("running_cents"),
+        F.lag("rev_cents").over(w).alias("prev_cents"))
+        .orderBy("region_name", "month"))
