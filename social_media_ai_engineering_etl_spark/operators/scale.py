@@ -87,3 +87,43 @@ def compact_latest(df: DataFrame, keys: list[str], order: list[str],
     agg = df.groupBy(*keys).agg(F.max_by(pay_struct, ord_struct).alias("__w"))
     return agg.select(*keys,
                       *[F.col(f"__w.{c}").alias(c) for c in order + payload])
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_ts: str, start_ts: str, end_ts: str,
+               bin_width_s: int = 3600) -> DataFrame:
+    """Point-in-interval RANGE JOIN without an equi-key: Spark plans a
+    bare inequality join as BroadcastNestedLoopJoin (O(n*m) compares,
+    OOM-prone broadcast) — instead both sides map onto fixed-width
+    time bins, meet in a bin EQUI-join, and the true containment
+    predicate filters after. An interval spanning k bins replicates k
+    times; a point lives in exactly ONE bin, so each (point, interval)
+    pair meets at most once — no distinct needed.
+
+    ``bin_width_s`` is the skew/replication knob: ~the typical
+    interval length. Cost is |points| + sum(interval_len/bin_width)
+    shuffled rows and per-bin compare work — the standard interval-
+    join strategy Spark itself lacks. Timestamps compare at
+    microsecond precision (inclusive start, exclusive end)."""
+    p_us = F.unix_micros(F.col(point_ts))
+    s_us = F.unix_micros(F.col(start_ts))
+    e_us = F.unix_micros(F.col(end_ts))
+    bw = bin_width_s * 1_000_000
+    p = points.withColumn("__bin", F.floor(p_us / bw))
+    # degenerate intervals (end <= start) match nothing; dropping them
+    # also keeps the bin sequence ascending (Spark's sequence()
+    # auto-reverses on start > stop, which would fabricate bins)
+    iv = (intervals.filter(e_us > s_us)
+          .withColumn("__bin", F.explode(F.sequence(
+              F.floor(s_us / bw),
+              # exclusive end: an interval ending exactly on a bin
+              # edge contributes nothing to that bin
+              F.floor((e_us - 1) / bw))))
+          )
+    joined = p.join(iv, "__bin")
+    return (joined
+            .filter((F.unix_micros(F.col(point_ts))
+                     >= F.unix_micros(F.col(start_ts)))
+                    & (F.unix_micros(F.col(point_ts))
+                       < F.unix_micros(F.col(end_ts))))
+            .drop("__bin"))

@@ -337,3 +337,42 @@ def qs_cohort_retention(spark, sf_dir):
     user_id."""
     from ..operators.behavior import cohort_retention
     return cohort_retention(_events(spark, sf_dir))
+
+
+@register("qs_range_join_incidents", oracle="""
+WITH incidents AS (
+    SELECT event_id AS incident_id,
+           ts - INTERVAL 5 MINUTE AS w_start,
+           ts + INTERVAL 5 MINUTE AS w_end
+    FROM events WHERE event_type = 'error'
+), pts AS (SELECT * FROM events WHERE event_type <> 'error')
+SELECT i.incident_id, count(*) AS n_events,
+       count(DISTINCT p.user_id) AS n_users
+FROM pts p JOIN incidents i
+  ON epoch_us(p.ts) >= epoch_us(i.w_start)
+ AND epoch_us(p.ts) < epoch_us(i.w_end)
+GROUP BY i.incident_id ORDER BY i.incident_id
+""")
+def qs_range_join_incidents(spark, sf_dir):
+    """Pure RANGE JOIN (no equi-key): activity inside ±5-minute
+    incident windows around error events. Spark plans a bare
+    inequality join as a nested loop; scale.range_join bins both
+    sides (10-minute bins ~ the window length) so they meet in a bin
+    equi-join with the containment predicate as a post-filter —
+    each pair meets at most once, no distinct, no cartesian
+    (plan-asserted)."""
+    from ..operators import scale
+    ev = _events(spark, sf_dir)
+    incidents = (ev.filter(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("incident_id"),
+                         (F.col("ts") - F.expr("INTERVAL 5 MINUTES"))
+                         .alias("w_start"),
+                         (F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+                         .alias("w_end")))
+    pts = ev.filter(F.col("event_type") != "error")
+    joined = scale.range_join(pts, incidents, "ts", "w_start", "w_end",
+                              bin_width_s=600)
+    return (joined.groupBy("incident_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("incident_id"))

@@ -229,3 +229,13 @@ def test_embedding_lsh_has_no_join_of_vector_payloads(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan or "mapInPandas" in plan, plan
+
+
+def test_range_join_plans_equi_join_not_nested_loop(spark, sf_dir):
+    """The bin-bucketed range join must meet in a hash/sort-merge
+    equi-join on the bin key — a bare inequality join would plan a
+    BroadcastNestedLoopJoin (O(n*m) compares)."""
+    plan = plan_of(QUERIES["qs_range_join_incidents"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
