@@ -376,3 +376,28 @@ def qs_range_join_incidents(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"))
             .orderBy("incident_id"))
+
+
+@register("qs_hourly_type_pivot", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def qs_hourly_type_pivot(spark, sf_dir):
+    """Hour x event-type count matrix via pivot with an EXPLICIT value
+    list — without it Spark runs an extra distinct pass over the data
+    to discover columns, and the output schema becomes data-dependent
+    (a 100 TB anti-pattern: one bad value adds a column). One
+    aggregate, wide output."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH:00").alias("hour"))
+            .pivot("event_type",
+                   ["view", "click", "purchase", "signup", "error"])
+            .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+            .na.fill(0, ["view", "click", "purchase", "signup", "error"])
+            .orderBy("hour"))
