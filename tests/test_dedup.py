@@ -282,3 +282,29 @@ def test_incremental_minhash_equals_full_batch_restricted(docs):
             if r.id1 in new_ids or r.id2 in new_ids}
     assert inc == full
     assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+
+
+def test_pq_topk_recall_and_exact_scores(emb):
+    """PQ ANN contract: with exact reranking, recall@5 vs brute force
+    >= 0.9 on the fixture, and every reported score is the TRUE cosine
+    (the refinement step recomputes floats for the shortlist)."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = similarity.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5).collect()
+    pq = similarity.cosine_topk_pq(
+        emb, queries, "vec_id", "embedding", k=5, rerank_factor=4).collect()
+    exact_sets: dict = {}
+    for r in brute:
+        exact_sets.setdefault(r.query_id, set()).add(r.corpus_id)
+    pq_sets: dict = {}
+    for r in pq:
+        pq_sets.setdefault(r.query_id, set()).add(r.corpus_id)
+    total = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(exact_sets[q] & pq_sets.get(q, set()))
+               for q in exact_sets)
+    assert hits / total >= 0.9, f"recall {hits / total:.3f}"
+    true_score = {(r.query_id, r.corpus_id): r.cosine_sim for r in brute}
+    for r in pq:
+        key = (r.query_id, r.corpus_id)
+        if key in true_score:
+            assert abs(r.cosine_sim - true_score[key]) < 1e-6
