@@ -1,14 +1,18 @@
 """Similarity search over embedding columns (north-star extension).
 
-Two paths:
-  * brute-force cosine top-k — broadcast the (small) query set against
-    the corpus; exact, the correctness baseline;
-  * hyperplane-LSH bucketed top-k — deterministic seeded random
-    hyperplanes (literal plane matrix, no runtime randomness) bucket
-    the corpus; candidates only within matching buckets (+ optional
-    multi-probe). The 100 TB path: bucket join instead of cross join.
-
-All vector math is zip_with/aggregate (JVM, codegen) — no Python.
+Five paths, trading exactness for different scale bottlenecks:
+  * brute-force cosine top-k — interpreted JVM fold per pair; exact,
+    the correctness baseline;
+  * GEMM top-k — exact, one BLAS matmul per Arrow batch, per-batch
+    partial top-k (compute-bound scale path);
+  * hyperplane-LSH bucketed top-k — deterministic seeded planes,
+    candidates only within matching buckets (collision-bound path);
+  * IVF — KMeans cells + n_probe nearest-cell rerank (cluster-pruned
+    path);
+  * PQ + exact rerank — corpus as m centroid codes (16-32x memory
+    cut), lookup-table scan, shortlist reranked with true floats
+    (memory-bound path).
+Near-dup pair generation: exact blocked GEMM and in-bucket-GEMM LSH.
 """
 
 from __future__ import annotations
