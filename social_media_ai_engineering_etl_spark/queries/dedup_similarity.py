@@ -799,3 +799,61 @@ def qx_similarity_topk_pq(spark, sf_dir):
     return similarity.cosine_topk_pq(emb, queries, "vec_id", "embedding",
                                      k=5, rerank_factor=4
                                      ).orderBy("query_id", "rank")
+
+
+@register("qv_constraints_report", oracle="""
+SELECT * FROM (
+    SELECT 'in_range(o_totalprice)' AS rule,
+           CAST(sum(CASE WHEN NOT coalesce(o_totalprice >= 0
+                                           AND o_totalprice <= 1000000,
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           count(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           CAST(sum(CASE WHEN NOT coalesce(
+                             regexp_matches(o_orderpriority, '^[1-5]-'),
+                             FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'not_null(o_custkey)',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+               SELECT count(*) AS c FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1)),
+           count(*)
+    FROM orders)
+ORDER BY rule
+""")
+def qv_constraints_report(spark, sf_dir):
+    """Declarative data-quality report over orders: four scalar rules
+    evaluated in ONE aggregate pass (stack-pivoted to rows) plus a
+    uniqueness rule (one keyed aggregate). NULL-safe: a NULL value
+    fails its value rule instead of slipping through a
+    NULL-propagating predicate (the r1 ADVICE _validate_split trap,
+    now a framework guarantee)."""
+    from ..operators import validation
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    rules = [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "in_range", "col": "o_totalprice", "min": 0,
+         "max": 1_000_000},
+        {"rule": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"rule": "matches", "col": "o_orderpriority",
+         "pattern": "^[1-5]-"},
+        {"rule": "unique", "cols": ["o_orderkey"]},
+    ]
+    return validation.check(orders, rules)

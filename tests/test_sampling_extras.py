@@ -90,3 +90,28 @@ def test_hash_split_reshard_and_append_stable(spark):
     # both classes present at sane proportions
     n_test = sum(1 for v in base.values() if v == "test")
     assert 50 <= n_test <= 150
+
+
+def test_validation_check_and_gate_null_semantics(spark):
+    """Value rules fail NULLs (no NULL-propagating ~predicate slip);
+    gate() keeps exactly the all-rules-pass rows; unique reports every
+    row of a duplicated key."""
+    from social_media_ai_engineering_etl_spark.operators import validation
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, None, "O"), (3, -5.0, "X"),
+         (4, 20.0, None), (1, 30.0, "F")],
+        "k long, price double, status string")
+    rules = [
+        {"rule": "in_range", "col": "price", "min": 0, "max": 100},
+        {"rule": "in_set", "col": "status", "values": ["O", "F"]},
+        {"rule": "unique", "cols": ["k"]},
+    ]
+    rep = {r.rule: (r.n_violations, r.n_rows)
+           for r in validation.check(df, rules).collect()}
+    assert rep["in_range(price)"] == (2, 5)    # NULL + negative
+    assert rep["in_set(status)"] == (2, 5)     # NULL + 'X'
+    assert rep["unique(k)"] == (2, 5)          # both k=1 rows
+    kept = {r.k for r in validation.gate(df, rules).collect()}
+    assert kept == {1}                         # rows 1 and 5 share k=1...
+    n_kept = validation.gate(df, rules).count()
+    assert n_kept == 2                         # ...and both pass scalar rules
