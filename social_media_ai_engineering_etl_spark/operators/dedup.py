@@ -345,11 +345,28 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
 
 
+def minhash_artifact(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 3, num_hashes: int = 128,
+                     impl: str = "arrow") -> DataFrame:
+    """The checkpointable dedup artifact: (id, sh, sig) — shingle sets
+    and minhash signatures. A daily pipeline writes this table once
+    per corpus generation (parquet round-trips both array columns) and
+    every subsequent incremental run reads it instead of re-shingling
+    and re-hashing the whole corpus; artifact-reuse equivalence is
+    pinned in tests/test_dedup.py."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    return sh.select("id", "sh",
+                     _sig_fn(impl)(F.col("sh"), num_hashes).alias("sig"))
+
+
 def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
                               id_col: str, text_col: str,
                               n: int = 3, num_hashes: int = 128,
                               bands: int = 32, threshold: float = 0.8,
-                              impl: str = "arrow") -> DataFrame:
+                              impl: str = "arrow",
+                              corpus_artifact: DataFrame | None = None
+                              ) -> DataFrame:
     """Daily-ingest dedup: flag NEW documents that near-duplicate the
     EXISTING corpus or each other — without re-pairing the corpus
     against itself. Returns (id1, id2, jaccard_sim) pairs oriented
@@ -359,24 +376,25 @@ def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
     ``minhash_dedup_pairs(corpus ∪ new)`` restricted to pairs that
     touch a new doc.
 
-    Scale shape: the corpus side is banded once (in production the
-    (id, band, bucket) + shingle tables are the checkpointed artifacts
-    a daily job reuses); the NEW side's banded rows are small and
-    BROADCAST into the candidate join, so each day's cost is one
-    corpus-side map plus joins sized by the new batch — the corpus
-    never self-joins. The exact-Jaccard verify fetches shingles for
-    candidate ids only (semi-join-sized, not corpus-sized)."""
-    c = corpus.select(F.col(id_col).alias("id"),
-                      F.col(text_col).alias("__t"),
-                      F.lit(False).alias("is_new"))
-    nw = new_docs.select(F.col(id_col).alias("id"),
-                         F.col(text_col).alias("__t"),
-                         F.lit(True).alias("is_new"))
-    alld = c.unionByName(nw)
-    sh = alld.select("id", "is_new",
-                     word_shingles(F.col("__t"), n).alias("sh")).persist()
-    sig = sh.select("id", "is_new",
-                    _sig_fn(impl)(F.col("sh"), num_hashes).alias("sig"))
+    Scale shape: the corpus side is banded once — or, when
+    ``corpus_artifact`` (a :func:`minhash_artifact` table, typically
+    re-read from parquet) is passed, not even shingled/hashed again;
+    the NEW side's banded rows are small and BROADCAST into the
+    candidate join, so each day's cost is joins sized by the new
+    batch — the corpus never self-joins. The exact-Jaccard verify
+    fetches shingles for candidate ids only (semi-join-sized, not
+    corpus-sized)."""
+    if corpus_artifact is None:
+        corpus_artifact = minhash_artifact(corpus, id_col, text_col, n,
+                                           num_hashes, impl)
+    c_art = corpus_artifact.select("id", "sh", "sig",
+                                   F.lit(False).alias("is_new"))
+    n_art = minhash_artifact(new_docs, id_col, text_col, n,
+                             num_hashes, impl) \
+        .select("id", "sh", "sig", F.lit(True).alias("is_new"))
+    art = c_art.unionByName(n_art).persist()
+    sh = art.select("id", "is_new", "sh")
+    sig = art.select("id", "is_new", "sig")
     banded = banded_rows(sig.select("id", "sig"), num_hashes, bands) \
         .join(sig.select("id", "is_new"), "id")
     new_banded = banded.filter(F.col("is_new"))

@@ -284,6 +284,27 @@ def test_incremental_minhash_equals_full_batch_restricted(docs):
     assert all(a in new_ids or b in new_ids for a, b, _ in inc)
 
 
+def test_incremental_dedup_reuses_parquet_artifact(docs, tmp_path):
+    """The (id, sh, sig) artifact written to parquet and re-read must
+    drive the incremental run to the identical pair set — the daily
+    job never re-shingles the corpus."""
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    art_path = str(tmp_path / "corpus_artifact")
+    dedup.minhash_artifact(corpus, "doc_id", "text") \
+        .write.mode("overwrite").parquet(art_path)
+    art = docs.sparkSession.read.parquet(art_path)
+    via_artifact = {(r.id1, r.id2, r.jaccard_sim)
+                    for r in dedup.incremental_minhash_dedup(
+                        corpus, new, "doc_id", "text", threshold=0.5,
+                        corpus_artifact=art).collect()}
+    recomputed = {(r.id1, r.id2, r.jaccard_sim)
+                  for r in dedup.incremental_minhash_dedup(
+                      corpus, new, "doc_id", "text",
+                      threshold=0.5).collect()}
+    assert via_artifact == recomputed and via_artifact
+
+
 def test_pq_topk_recall_and_exact_scores(emb):
     """PQ ANN contract: with exact reranking, recall@5 vs brute force
     >= 0.9 on the fixture, and every reported score is the TRUE cosine
