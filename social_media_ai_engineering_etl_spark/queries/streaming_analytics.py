@@ -401,3 +401,31 @@ def qs_hourly_type_pivot(spark, sf_dir):
             .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
             .na.fill(0, ["view", "click", "purchase", "signup", "error"])
             .orderBy("hour"))
+
+
+@register("qs_props_json_stats", oracle="""
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+""")
+def qs_props_json_stats(spark, sf_dir):
+    """Semi-structured column analytics: parse the events.props JSON
+    with an EXPLICIT from_json schema — at 100 TB, schema-on-read
+    inference is a full extra pass and a silently drifting contract;
+    a declared struct schema parses in one codegen'd pass and turns
+    malformed rows into NULLs the aggregate can count."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.sum("k").alias("sum_k"))
+            .orderBy("event_type"))
