@@ -143,6 +143,37 @@ def main() -> None:
         emb.unpersist()
         spark.catalog.clearCache()
         print(f"| {m}x | {nv} | {t_bl:.1f} | {bp} | {t_lsh:.1f} | {lp} |")
+
+    # ------------------------------------------------------------------
+    # incremental (daily-ingest) dedup: a fixed 5% batch against a
+    # growing corpus, artifact precomputed — the cost that should stay
+    # FLAT as the corpus grows vs the full-batch re-pair that cannot
+    # ------------------------------------------------------------------
+    print("\n| corpus scale | corpus docs | full-batch s | incremental s |")
+    print("|---|---|---|---|")
+    for m in (1, 4, 16):
+        docs = multiply_docs(base, m).repartition(
+            spark.sparkContext.defaultParallelism).persist()
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        batch = docs.filter(F.col("doc_id") % 20 == 0)
+        nc = corpus.count()
+        art = dedup.minhash_artifact(corpus, "doc_id", "text").persist()
+        art.count()   # materialized, as a daily job's parquet read would be
+
+        t0 = time.perf_counter()
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text",
+                                  threshold=0.5).count()
+        t_full = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        dedup.incremental_minhash_dedup(corpus, batch, "doc_id", "text",
+                                        threshold=0.5,
+                                        corpus_artifact=art).count()
+        t_inc = time.perf_counter() - t0
+
+        docs.unpersist()
+        spark.catalog.clearCache()
+        print(f"| {m}x | {nc} | {t_full:.1f} | {t_inc:.1f} |")
     spark.stop()
 
 

@@ -387,17 +387,19 @@ def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
     if corpus_artifact is None:
         corpus_artifact = minhash_artifact(corpus, id_col, text_col, n,
                                            num_hashes, impl)
-    c_art = corpus_artifact.select("id", "sh", "sig",
-                                   F.lit(False).alias("is_new"))
+    c_art = corpus_artifact.select("id", "sh", "sig")
+    # the NEW side's artifact is persisted separately and banded from
+    # its OWN table: the broadcast subtree must never contain the
+    # corpus pipeline (broadcasting a filter-of-the-union re-runs
+    # corpus signatures inside the broadcast build — measured 2.5x
+    # slower than the full batch at 16x, the exact failure this
+    # operator exists to avoid)
     n_art = minhash_artifact(new_docs, id_col, text_col, n,
-                             num_hashes, impl) \
-        .select("id", "sh", "sig", F.lit(True).alias("is_new"))
+                             num_hashes, impl).persist()
     art = c_art.unionByName(n_art).persist()
-    sh = art.select("id", "is_new", "sh")
-    sig = art.select("id", "is_new", "sig")
-    banded = banded_rows(sig.select("id", "sig"), num_hashes, bands) \
-        .join(sig.select("id", "is_new"), "id")
-    new_banded = banded.filter(F.col("is_new"))
+    sh = art.select("id", "sh")
+    banded = banded_rows(art.select("id", "sig"), num_hashes, bands)
+    new_banded = banded_rows(n_art.select("id", "sig"), num_hashes, bands)
     cands = (banded.alias("a")
              .join(F.broadcast(new_banded.alias("b")),
                    (F.col("a.band") == F.col("b.band"))
