@@ -128,3 +128,66 @@ def stream_last_touch(events: DataFrame,
             .applyInPandasWithState(
                 _attrib_update, ATTRIB_SCHEMA, CLICK_STATE_SCHEMA,
                 "append", GroupStateTimeout.EventTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel: per-user ordered step tracking
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = "user_id bigint, step int, event_type string, ts timestamp"
+FUNNEL_STATE_SCHEMA = "step int, reach_us bigint"
+
+
+def _funnel_update_factory(steps: tuple[str, ...]):
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        step, reach_us = state.get if state.exists else (0, -1)
+        out_step, out_type, out_ts = [], [], []
+        for pdf in pdfs:
+            # deterministic in-batch order: ts, then event_id
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                if step >= len(steps):
+                    break
+                ts_us = int(ts.value // 1000)   # pandas ns -> micros
+                # min-reach semantics: the FIRST qualifying event
+                # strictly after the previous step's reach advances
+                if etype == steps[step] and ts_us > reach_us:
+                    step += 1
+                    reach_us = ts_us
+                    out_step.append(step)
+                    out_type.append(etype)
+                    out_ts.append(ts)
+        state.update((step, reach_us))
+        if out_step:
+            yield pd.DataFrame({"user_id": [key[0]] * len(out_step),
+                                "step": out_step,
+                                "event_type": out_type,
+                                "ts": out_ts})
+
+    return update
+
+
+def stream_funnel(events: DataFrame, steps: tuple[str, ...],
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.behavior.funnel_steps: per-user
+    (step, reach_time) group state; each user emits one advancement
+    row per step, at the FIRST qualifying event strictly after the
+    previous step's reach — so counting emitted (user, step) rows
+    reproduces the batch funnel's n_users per step (equivalence
+    pinned in tests/test_streaming.py across a checkpointed restart).
+
+    Assumes per-user event-time order across micro-batches (the
+    watermark bounds disorder, as for any streaming funnel): an event
+    older than the current step's reach time cannot retroactively
+    re-route an already-made advancement — the standard streaming
+    funnel tradeoff vs the batch recompute.
+
+    State is two scalars per user — O(users), checkpointed, the same
+    footprint class as the running-aggregate operator above."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_update_factory(tuple(steps)),
+                FUNNEL_SCHEMA, FUNNEL_STATE_SCHEMA, "update",
+                GroupStateTimeout.NoTimeout))

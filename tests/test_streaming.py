@@ -387,3 +387,78 @@ def test_stream_neardup_detects_cross_batch_pairs(spark, tmp_path):
             for r in minhash_agreement_pairs(all_docs, "doc_id",
                                              "text").collect()}
     assert pairs == twin
+
+
+def test_stream_funnel_matches_batch_across_restart(spark, tmp_path):
+    """Streaming funnel: per-user step state survives a checkpointed
+    restart (view in phase 1, click+purchase in phase 2 still walks
+    all three steps), and counting emitted (user, step) rows equals
+    the batch funnel's n_users per step on the full corpus."""
+    from social_media_ai_engineering_etl_spark.operators.behavior import (
+        funnel_steps)
+    from social_media_ai_engineering_etl_spark.streaming.stateful import (
+        stream_funnel)
+
+    src = str(tmp_path / "fn_src")
+    ckpt = str(tmp_path / "fn_ckpt")
+    os.makedirs(src)
+    steps = ("view", "click", "purchase")
+
+    rows_p1 = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 2, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 2, "click", 1.0, "{}"),
+        (4, "2024-01-01 00:03:00", 3, "click", 1.0, "{}"),  # no view: stuck
+    ]
+    rows_p2 = [
+        (5, "2024-01-01 01:00:00", 1, "click", 1.0, "{}"),
+        (6, "2024-01-01 01:05:00", 1, "purchase", 1.0, "{}"),
+        (7, "2024-01-01 01:10:00", 2, "purchase", 1.0, "{}"),
+        (8, "2024-01-01 01:15:00", 3, "view", 1.0, "{}"),
+    ]
+
+    def write_phase(rows, fname):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tmp = str(tmp_path / ("fn_stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    emitted = []
+
+    def run():
+        def sink(batch_df, _):
+            emitted.extend(batch_df.collect())
+        q = (stream_funnel(stream_events(spark, src), steps)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_phase(rows_p1, "a.parquet")
+    run()
+    write_phase(rows_p2, "b.parquet")
+    run()
+
+    reached = {(r.user_id, r.step) for r in emitted}
+    # user 1 walks all three (click/purchase arrive after restart);
+    # user 2 reaches view+click+purchase; user 3's click precedes its
+    # view, so it only ever reaches step 1
+    assert reached == {(1, 1), (1, 2), (1, 3),
+                       (2, 1), (2, 2), (2, 3),
+                       (3, 1)}
+    # stream == batch twin per-step counts on the full corpus
+    all_rows = spark.createDataFrame(
+        rows_p1 + rows_p2,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {r.step: r.n_users
+             for r in funnel_steps(all_rows, steps).collect()}
+    stream_counts: dict = {}
+    for _u, s in reached:
+        stream_counts[s] = stream_counts.get(s, 0) + 1
+    assert stream_counts == batch
