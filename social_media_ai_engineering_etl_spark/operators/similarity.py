@@ -593,3 +593,115 @@ def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "corpus_id",
                     F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, k: int = 5, n_centroids: int = 16,
+                      n_probe: int = 4, m: int = 32, kc: int = 64,
+                      rerank_factor: int = 4, seed: int = 42) -> DataFrame:
+    """IVF-PQ composition (the FAISS-style production ANN index):
+    IVF cells prune WHICH corpus rows are scanned (~n_probe/n_centroids
+    of the corpus per query), PQ codes shrink WHAT is scanned (m small
+    ints per row instead of the float vector), and the exact rerank of
+    the shortlist restores true cosines. The float corpus is touched
+    only for shortlist rows.
+
+    Plan: cell assignment + PQ codes are one narrow pass over the
+    corpus (the index build a daily job checkpoints); per query the
+    probed (query_id, cell) pairs broadcast into an equi-join against
+    the code table; scoring is LUT adds inside mapInPandas with
+    per-batch partial top-k — the same shuffle contract as
+    cosine_topk_gemm/pq."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc, seed=seed)
+    m_, kc_, dsub = codebooks.shape
+
+    c = corpus.select(F.col(id_col).cast("long").alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    data = c.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(data)
+    cells = model.transform(data).select(
+        "id", F.col("prediction").alias("cell"))
+    enc = pq_encode(corpus, id_col, vec_col, codebooks).join(cells, "id")
+
+    qpd = (queries.select(F.col(id_col).alias("qid"),
+                          _as_double(F.col(vec_col)).alias("qv"))
+           .toPandas())
+    out_schema = "query_id long, rank int, corpus_id long, cosine_sim double"
+    if qpd.empty:
+        return spark.createDataFrame([], out_schema)
+    qids = qpd["qid"].to_numpy()
+    Q = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m_, dsub),
+                    codebooks)
+    # probe cells driver-side: centroid matrix is tiny
+    cents = np.array([list(map(float, ct))
+                      for ct in model.clusterCenters()])
+    d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    probe_rows = [(int(qids[i]), int(cell))
+                  for i in range(len(qids))
+                  for cell in np.argsort(d2[i], kind="stable")[:n_probe]]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    qrow = {int(q): i for i, q in enumerate(qids)}
+    k_scan = k * rerank_factor if rerank_factor > 0 else k
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qi = pdf["query_id"].map(qrow).to_numpy()
+            s = np.zeros(len(pdf))
+            for j in range(m_):
+                s += lut[qi, j, codes[:, j]]
+            out = pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                "corpus_id": pdf["id"].to_numpy(),
+                                "approx_sim": s})
+            out = out[out.query_id != out.corpus_id]
+            out = (out.sort_values(["query_id", "approx_sim", "corpus_id"],
+                                   ascending=[True, False, True])
+                   .groupby("query_id").head(k_scan))
+            yield out
+
+    cand_codes = enc.join(F.broadcast(probes), "cell") \
+        .select("query_id", "id", "codes")
+    scored = cand_codes.mapInPandas(
+        scan, "query_id long, corpus_id long, approx_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("corpus_id"))
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_scan)
+                 .select("query_id", "corpus_id"))
+
+    def exact(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(cn == 0, 1.0, cn)
+            qi = pdf["query_id"].map(qrow).to_numpy()
+            sims = (Cn * Qn[qi]).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                "corpus_id": pdf["corpus_id"].to_numpy(),
+                                "cosine_sim": sims})
+
+    cand = shortlist.join(
+        corpus.select(F.col(id_col).alias("corpus_id"),
+                      _as_double(F.col(vec_col)).alias("cv")), "corpus_id")
+    rescored = cand.mapInPandas(
+        exact, "query_id long, corpus_id long, cosine_sim double")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -857,3 +857,20 @@ def qv_constraints_report(spark, sf_dir):
         {"rule": "unique", "cols": ["o_orderkey"]},
     ]
     return validation.check(orders, rules)
+
+
+@register("qx_similarity_topk_ivfpq")
+def qx_similarity_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (the FAISS-style composition): KMeans cells prune
+    WHICH rows are scanned (n_probe=6 of 16), PQ codes shrink WHAT is
+    scanned (m=32 small ints per row), exact rerank restores true
+    cosines for the shortlist only. Rows-only (model-derived);
+    tests/test_dedup.py pins recall >= 0.7 vs brute force and
+    true-cosine scores — recall is bounded by the IVF probe set (the
+    PQ layer loses nothing after rerank; measured equal to IVF-only
+    at the same n_probe)."""
+    emb = _emb_narrow(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_ivfpq(emb, queries, "vec_id", "embedding",
+                                        k=5, n_probe=6
+                                        ).orderBy("query_id", "rank")

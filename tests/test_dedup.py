@@ -329,3 +329,28 @@ def test_pq_topk_recall_and_exact_scores(emb):
         key = (r.query_id, r.corpus_id)
         if key in true_score:
             assert abs(r.cosine_sim - true_score[key]) < 1e-6
+
+
+def test_ivfpq_recall_and_exact_scores(emb):
+    """IVF-PQ contract: recall@5 >= 0.7 at n_probe=6 (bounded by the
+    IVF probe set), and every reported score is the true cosine."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = similarity.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5).collect()
+    out = similarity.cosine_topk_ivfpq(
+        emb, queries, "vec_id", "embedding", k=5, n_probe=6).collect()
+    exact_sets: dict = {}
+    for r in brute:
+        exact_sets.setdefault(r.query_id, set()).add(r.corpus_id)
+    got_sets: dict = {}
+    for r in out:
+        got_sets.setdefault(r.query_id, set()).add(r.corpus_id)
+    total = sum(len(s) for s in exact_sets.values())
+    hits = sum(len(exact_sets[q] & got_sets.get(q, set()))
+               for q in exact_sets)
+    assert hits / total >= 0.7, f"recall {hits / total:.3f}"
+    true_score = {(r.query_id, r.corpus_id): r.cosine_sim for r in brute}
+    for r in out:
+        key = (r.query_id, r.corpus_id)
+        if key in true_score:
+            assert abs(r.cosine_sim - true_score[key]) < 1e-6
