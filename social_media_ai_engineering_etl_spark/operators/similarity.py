@@ -11,7 +11,10 @@ Five paths, trading exactness for different scale bottlenecks:
     path);
   * PQ + exact rerank — corpus as m centroid codes (16-32x memory
     cut), lookup-table scan, shortlist reranked with true floats
-    (memory-bound path).
+    (memory-bound path);
+  * IVF-PQ — cells prune WHICH rows are scanned, codes shrink WHAT
+    is scanned, rerank restores true scores (the FAISS-style
+    production composition).
 Near-dup pair generation: exact blocked GEMM and in-bucket-GEMM LSH.
 """
 
