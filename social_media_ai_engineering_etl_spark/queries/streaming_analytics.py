@@ -429,3 +429,35 @@ def qs_props_json_stats(spark, sf_dir):
                  F.max("k").alias("max_k"),
                  F.sum("k").alias("sum_k"))
             .orderBy("event_type"))
+
+
+@register("qs_engagement_cube", oracle="""
+SELECT CASE WHEN event_type IS NOT NULL AND dow IS NULL THEN 1
+            WHEN event_type IS NULL AND dow IS NOT NULL THEN 2
+            WHEN event_type IS NULL AND dow IS NULL THEN 3
+            ELSE 0 END AS gid,
+       event_type, dow, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micros
+FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value
+      FROM events)
+GROUP BY CUBE (event_type, dow)
+ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST
+""")
+def qs_engagement_cube(spark, sf_dir):
+    """CUBE rollup: all four granularities of (event_type, weekday) in
+    ONE aggregate pass over the scan — the grouping-sets expansion
+    happens inside the aggregate, not as four jobs. Micros-integer
+    sums keep the hash stable (per-row floor, then BIGINT sum)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.col("value") * 1e6).alias("vm"))
+    return (ev.cube("event_type", "dow")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum("vm").cast("long").alias("sum_value_micros"))
+            .select("gid", "event_type", "dow", "n_events",
+                    "sum_value_micros")
+            .orderBy("gid", F.col("event_type").asc_nulls_first(),
+                     F.col("dow").asc_nulls_first()))
