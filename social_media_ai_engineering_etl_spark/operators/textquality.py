@@ -391,9 +391,12 @@ def cms_estimate(sketch: "DataFrame", items: "DataFrame",
                  item_col: str = "token", depth: int = 5,
                  width: int = 8192, seed: int = 42) -> "DataFrame":
     """Point-estimate counts for candidate items against a sketch
-    table: re-hash each item into its depth cells, broadcast-join the
+    table: re-hash each item into its depth cells, join the
     (item, row, bucket) probe rows to the counter table, take the MIN
-    counter per item (absent cell = 0). Candidate sets are small
+    counter per item. The join PRESERVES probe rows whose cell holds
+    no counter (right join + coalesce 0): an item the corpus never
+    touched estimates 0 instead of inheriting the min of whichever of
+    its cells other tokens happen to occupy. Candidate sets are small
     (heavy-hitter shortlists), so the probe side broadcasts."""
     from pyspark.sql.functions import broadcast
     probes = items.select(
@@ -405,6 +408,7 @@ def cms_estimate(sketch: "DataFrame", items: "DataFrame",
             for d in range(depth)])).alias("rb")) \
         .select("token", F.col("rb.row").alias("row"),
                 F.col("rb.bucket").alias("bucket"))
-    return (sketch.join(broadcast(probes), ["row", "bucket"])
+    return (sketch.join(broadcast(probes), ["row", "bucket"], "right")
             .groupBy("token")
-            .agg(F.min("cnt").alias("est_cnt")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_cnt")))

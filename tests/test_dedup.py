@@ -102,6 +102,14 @@ def test_cms_error_bound_and_merge(docs):
     est_m = {r.token: r.est_cnt
              for r in tq.cms_estimate(merged, hitters, "token").collect()}
     assert est_m == est
+    # an item the corpus never contained must estimate 0 whenever ANY
+    # of its cells is empty (probe rows survive the join, not just
+    # occupied cells) — with 20k cells and ~5k distinct tokens, an
+    # absent probe token has empty cells w.h.p.
+    ghost = docs.sparkSession.createDataFrame(
+        [("zzqj-not-a-real-token-zzqj",)], ["token"])
+    est_g = tq.cms_estimate(sketch, ghost, "token").collect()
+    assert len(est_g) == 1 and est_g[0].est_cnt == 0
 
 
 def test_simhash_finds_exact_duplicates(spark, docs):
