@@ -461,3 +461,23 @@ def qs_engagement_cube(spark, sf_dir):
                     "sum_value_micros")
             .orderBy("gid", F.col("event_type").asc_nulls_first(),
                      F.col("dow").asc_nulls_first()))
+
+
+@register("qs_hourly_type_unpivot", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def qs_hourly_type_unpivot(spark, sf_dir):
+    """Round-trip of the pivot: melt the wide hour x type matrix back
+    to long form with unpivot (ids/values declared — like the pivot's
+    explicit value list, the schema is part of the plan, not the
+    data). Zero cells are dropped to reproduce the original sparse
+    groupBy counts exactly."""
+    from ..registry import QUERIES
+    wide = QUERIES["qs_hourly_type_pivot"](spark, sf_dir)
+    long = wide.unpivot(
+        ["hour"], ["view", "click", "purchase", "signup", "error"],
+        "event_type", "n_events")
+    return (long.filter(F.col("n_events") > 0)
+            .orderBy("hour", "event_type"))
