@@ -159,3 +159,56 @@ def qg_monthly_revenue_trend(spark, sf_dir):
         F.sum("rev_cents").over(w).cast("long").alias("running_cents"),
         F.lag("rev_cents").over(w).alias("prev_cents"))
         .orderBy("region_name", "month"))
+
+
+@register("qg_revenue_moving_sum", oracle="""
+WITH rev AS (
+    SELECT r.r_name AS region_name,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region_name, month,
+       CAST(sum(rev_cents) OVER (PARTITION BY region_name ORDER BY month
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS mov3_cents,
+       CAST(count(*) OVER (PARTITION BY region_name ORDER BY month
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS mov3_n
+FROM rev ORDER BY region_name, month
+""")
+def qg_revenue_moving_sum(spark, sf_dir):
+    """3-month moving revenue per region with an explicit ROWS frame
+    (2 PRECEDING..CURRENT). Sum + count emitted instead of the
+    average so the output stays pure BIGINT — hash-stable — and the
+    consumer divides. Same per-row-cents integer encoding as
+    qg_monthly_revenue_trend."""
+    from pyspark.sql import Window
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("r_name").alias("region_name"),
+                    F.date_format(F.date_trunc("month", "o_orderdate"),
+                                  "yyyy-MM").alias("month"))
+           .agg(F.sum(F.floor(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100))
+                .cast("long").alias("rev_cents")))
+    w = (Window.partitionBy("region_name").orderBy("month")
+         .rowsBetween(-2, 0))
+    return (rev.select(
+        "region_name", "month",
+        F.sum("rev_cents").over(w).cast("long").alias("mov3_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("mov3_n"))
+        .orderBy("region_name", "month"))

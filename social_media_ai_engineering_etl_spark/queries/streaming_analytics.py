@@ -481,3 +481,39 @@ def qs_hourly_type_unpivot(spark, sf_dir):
         "event_type", "n_events")
     return (long.filter(F.col("n_events") > 0)
             .orderBy("hour", "event_type"))
+
+
+@register("qs_hourly_anomalies", oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+    FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.n,
+       round((h.n - s.mu) / s.sigma, 6) AS z
+FROM hourly h JOIN stats s USING (event_type)
+WHERE abs((h.n - s.mu) / s.sigma) >= 2.5
+ORDER BY event_type, hour
+""")
+def qs_hourly_anomalies(spark, sf_dir):
+    """Volume-anomaly flags: hourly counts per event type z-scored
+    against that type's own distribution, |z| >= 2.5 flagged. Two
+    map-side-combinable aggregates + a broadcast stats join — the
+    monitoring query an ops team runs over the same events table."""
+    hourly = (_events(spark, sf_dir)
+              .groupBy("event_type",
+                       F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH:00").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.avg("n").alias("mu"),
+                  F.stddev_samp("n").alias("sigma")))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (hourly.join(F.broadcast(stats), "event_type")
+            .filter(F.abs(z) >= 2.5)
+            .select("event_type", "hour", "n", F.round(z, 6).alias("z"))
+            .orderBy("event_type", "hour"))
