@@ -257,3 +257,34 @@ def test_funnel_counts_monotone_nonincreasing(spark, rows):
         cur = out.get(step, 0)
         assert 0 <= cur <= prev, (out, n_users)
         prev = cur
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    pts=st.lists(st.integers(0, 7200), min_size=1, max_size=12),
+    ivs=st.lists(st.tuples(st.integers(0, 7200), st.integers(-600, 7800)),
+                 min_size=1, max_size=8))
+def test_range_join_matches_naive_filter(spark, pts, ivs):
+    """Bin-bucketed range join == the naive cross-join + containment
+    filter, for arbitrary points/intervals including bin-edge hits,
+    intervals spanning many bins, and degenerate (end <= start)
+    intervals."""
+    from social_media_ai_engineering_etl_spark.operators.scale import (
+        range_join)
+    base = 1_700_000_000  # seconds epoch, away from zero
+    p = spark.createDataFrame(
+        [(i, s + base) for i, s in enumerate(pts)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("pts_ts"))
+    iv = spark.createDataFrame(
+        [(j, s + base, e + base) for j, (s, e) in enumerate(ivs)],
+        "iid long, s long, e long"
+    ).select("iid", F.timestamp_seconds("s").alias("w_start"),
+             F.timestamp_seconds("e").alias("w_end"))
+    got = {(r.pid, r.iid)
+           for r in range_join(p, iv, "pts_ts", "w_start", "w_end",
+                               bin_width_s=600).collect()}
+    want = {(i, j)
+            for i, s in enumerate(pts)
+            for j, (a, b) in enumerate(ivs)
+            if a <= s < b}
+    assert got == want
