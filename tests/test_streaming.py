@@ -462,3 +462,39 @@ def test_stream_funnel_matches_batch_across_restart(spark, tmp_path):
     for _u, s in reached:
         stream_counts[s] = stream_counts.get(s, 0) + 1
     assert stream_counts == batch
+
+
+def test_max_files_per_trigger_bounds_micro_batches(spark, tmp_path):
+    """Source rate limiting: with maxFilesPerTrigger=1, an availableNow
+    run over 3 files processes them as 3 micro-batches (bounded
+    per-batch input — the backpressure knob for file-source replay),
+    and the union of batch outputs equals the batch read."""
+    src = str(tmp_path / "rl_src")
+    os.makedirs(src)
+
+    def write_file(rows, fname):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tmp = str(tmp_path / ("rl_stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    for i in range(3):
+        write_file([(i * 10 + j, f"2024-01-01 0{i}:0{j}:00", j, "click",
+                     1.0, "{}") for j in range(4)], f"f{i}.parquet")
+
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    q = (stream_events(spark, src, max_files_per_trigger=1)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(batches) == 3, batches
+    assert all(n == 4 for _, n in batches), batches
