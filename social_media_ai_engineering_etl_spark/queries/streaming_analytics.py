@@ -517,3 +517,36 @@ def qs_hourly_anomalies(spark, sf_dir):
             .filter(F.abs(z) >= 2.5)
             .select("event_type", "hour", "n", F.round(z, 6).alias("z"))
             .orderBy("event_type", "hour"))
+
+
+@register("qs_expanding_zscore", oracle="""
+SELECT event_id, user_id, round(z, 6) AS z FROM (
+    SELECT event_id, user_id,
+           (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z,
+           count(*) OVER w AS n_prior
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+) WHERE n_prior >= 2 AND z IS NOT NULL
+ORDER BY event_id
+""")
+def qs_expanding_zscore(spark, sf_dir):
+    """Per-event anomaly score against the user's OWN history: z of
+    each event's value vs the expanding mean/stddev of all PRIOR
+    events (rows unbounded preceding .. 1 preceding — no leakage of
+    the scored event into its baseline). The batch twin of the
+    streaming Welford operator (streaming/stateful.py
+    stream_expanding_zscore; equivalence pinned in
+    tests/test_streaming.py)."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    scored = ev.select(
+        "event_id", "user_id",
+        ((F.col("value") - F.avg("value").over(w))
+         / F.stddev_samp("value").over(w)).alias("z"),
+        F.count(F.lit(1)).over(w).alias("n_prior"))
+    return (scored.filter((F.col("n_prior") >= 2) & F.col("z").isNotNull())
+            .select("event_id", "user_id", F.round("z", 6).alias("z"))
+            .orderBy("event_id"))

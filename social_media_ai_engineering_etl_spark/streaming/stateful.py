@@ -191,3 +191,54 @@ def stream_funnel(events: DataFrame, steps: tuple[str, ...],
                 _funnel_update_factory(tuple(steps)),
                 FUNNEL_SCHEMA, FUNNEL_STATE_SCHEMA, "update",
                 GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming expanding z-score: per-user Welford running moments
+# ---------------------------------------------------------------------------
+
+ZSCORE_SCHEMA = "event_id bigint, user_id bigint, z double"
+ZSCORE_STATE_SCHEMA = "n bigint, mean double, m2 double"
+
+
+def _zscore_update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out_id, out_z = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            v = float(v) if v == v else 0.0     # NaN guard
+            # score against PRIOR state only (no self-leakage), THEN
+            # fold the event in — mirrors the batch twin's
+            # unbounded-preceding .. 1-preceding frame
+            if n >= 2:
+                var = m2 / (n - 1)
+                if var > 0:
+                    out_id.append(int(eid))
+                    out_z.append((v - mean) / var ** 0.5)
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+    state.update((n, mean, m2))
+    if out_id:
+        yield pd.DataFrame({"event_id": out_id,
+                            "user_id": [key[0]] * len(out_id),
+                            "z": out_z})
+
+
+def stream_expanding_zscore(events: DataFrame,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of qs_expanding_zscore: per-user Welford
+    (n, mean, M2) group state; each event is scored against the PRIOR
+    moments, then folded in — numerically stable single-pass variance,
+    O(users) state of three scalars, exact same semantics as the batch
+    expanding window when events arrive in order (equivalence pinned
+    in tests, values agree to 1e-9 despite the different summation
+    orders)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _zscore_update, ZSCORE_SCHEMA, ZSCORE_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))

@@ -498,3 +498,52 @@ def test_max_files_per_trigger_bounds_micro_batches(spark, tmp_path):
     q.awaitTermination()
     assert len(batches) == 3, batches
     assert all(n == 4 for _, n in batches), batches
+
+
+def test_stream_expanding_zscore_matches_batch(spark, tmp_path, sf_dir):
+    """Welford streaming z == batch expanding-window z for every
+    event, across a checkpointed two-phase run (running moments
+    recovered from state, not recomputed)."""
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+    from social_media_ai_engineering_etl_spark.streaming.stateful import (
+        stream_expanding_zscore)
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        load_events)
+
+    batch = {r.event_id: r.z
+             for r in QUERIES["qs_expanding_zscore"](spark, sf_dir).collect()}
+
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    mid_us = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "z_src")
+    os.makedirs(src)
+
+    def write_phase(df, fname):
+        tmp = str(tmp_path / ("z_stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    emitted = []
+
+    def run():
+        def sink(batch_df, _):
+            emitted.extend(batch_df.collect())
+        q = (stream_expanding_zscore(stream_events(spark, src))
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "z_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_phase(ev.filter(F.unix_micros("ts") <= mid_us), "a.parquet")
+    run()
+    write_phase(ev.filter(F.unix_micros("ts") > mid_us), "b.parquet")
+    run()
+
+    got = {r.event_id: r.z for r in emitted}
+    assert got.keys() == batch.keys()
+    for eid, z in batch.items():
+        assert abs(got[eid] - z) < 1e-6, (eid, got[eid], z)
