@@ -15,6 +15,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, total_value double, n_events bigint"
@@ -241,4 +242,60 @@ def stream_expanding_zscore(events: DataFrame,
             .groupBy("user_id")
             .applyInPandasWithState(
                 _zscore_update, ZSCORE_SCHEMA, ZSCORE_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming cohort retention: per-user (cohort week, weeks seen) state
+# ---------------------------------------------------------------------------
+
+COHORT_SCHEMA = "user_id bigint, cohort_days bigint, week_offset int"
+COHORT_STATE_SCHEMA = "cohort_days bigint, seen array<bigint>"
+
+
+def _cohort_update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        cohort_days, seen = state.get
+        seen = set(seen)
+    else:
+        cohort_days, seen = None, set()
+    out_off = []
+    for pdf in pdfs:
+        for wd in sorted(int(w) for w in pdf["week_days"]):
+            if cohort_days is None:
+                cohort_days = wd
+            if wd not in seen:
+                seen.add(wd)
+                out_off.append((wd - cohort_days) // 7)
+    state.update((cohort_days, sorted(seen)))
+    if out_off:
+        yield pd.DataFrame({"user_id": [key[0]] * len(out_off),
+                            "cohort_days": [cohort_days] * len(out_off),
+                            "week_offset": out_off})
+
+
+def stream_cohort_retention(events: DataFrame,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.behavior.cohort_retention: per-user
+    state is (cohort week, set of active weeks); each NEW active week
+    emits one (user, cohort, offset) row, so counting emissions per
+    (cohort, offset) reproduces the batch retention triangle
+    (equivalence pinned in tests across a checkpointed restart).
+    State is O(weeks-per-user) longs — bounded by the stream's age in
+    weeks, not its event count. Assumes per-user event-time order
+    across micro-batches for the cohort assignment (watermark bounds
+    disorder), same contract as the streaming funnel."""
+    weeks = events.select(
+        "user_id",
+        F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                   F.lit("1970-01-05").cast("date")).cast("long")
+        .alias("week_days"),
+        F.col("ts"))
+    # week_days is DAYS since epoch Monday (1970-01-05), always a
+    # multiple of 7 apart between distinct weeks
+    return (weeks.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _cohort_update, COHORT_SCHEMA, COHORT_STATE_SCHEMA,
                 "update", GroupStateTimeout.NoTimeout))

@@ -547,3 +547,59 @@ def test_stream_expanding_zscore_matches_batch(spark, tmp_path, sf_dir):
     assert got.keys() == batch.keys()
     for eid, z in batch.items():
         assert abs(got[eid] - z) < 1e-6, (eid, got[eid], z)
+
+
+def test_stream_cohort_retention_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming cohort retention == the batch triangle: counting
+    emitted (user, cohort, offset) rows per (cohort_week, offset)
+    reproduces cohort_retention() exactly, across a checkpointed
+    two-phase run (per-user cohort/weeks state recovered, a week
+    already emitted in phase 1 is not re-emitted in phase 2)."""
+    from social_media_ai_engineering_etl_spark.operators.behavior import (
+        cohort_retention)
+    from social_media_ai_engineering_etl_spark.streaming.stateful import (
+        stream_cohort_retention)
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        load_events)
+
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    batch = {(r.cohort_week, r.week_offset): r.n_users
+             for r in cohort_retention(ev).collect()}
+
+    mid_us = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "co_src")
+    os.makedirs(src)
+
+    def write_phase(df, fname):
+        tmp = str(tmp_path / ("co_stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    emitted = []
+
+    def run():
+        def sink(batch_df, _):
+            emitted.extend(batch_df.collect())
+        q = (stream_cohort_retention(stream_events(spark, src))
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "co_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_phase(ev.filter(F.unix_micros("ts") <= mid_us), "a.parquet")
+    run()
+    write_phase(ev.filter(F.unix_micros("ts") > mid_us), "b.parquet")
+    run()
+
+    import datetime
+    stream_counts: dict = {}
+    epoch_monday = datetime.date(1970, 1, 5)
+    for r in emitted:
+        week = (epoch_monday
+                + datetime.timedelta(days=int(r.cohort_days))).isoformat()
+        stream_counts[(week, r.week_offset)] = \
+            stream_counts.get((week, r.week_offset), 0) + 1
+    assert stream_counts == batch
