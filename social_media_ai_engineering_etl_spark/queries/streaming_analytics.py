@@ -550,3 +550,30 @@ def qs_expanding_zscore(spark, sf_dir):
     return (scored.filter((F.col("n_prior") >= 2) & F.col("z").isNotNull())
             .select("event_id", "user_id", F.round("z", 6).alias("z"))
             .orderBy("event_id"))
+
+
+@register("qs_daily_active_users", oracle="""
+WITH dau AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+)
+SELECT day, dau,
+       lag(dau, 7) OVER (ORDER BY day) AS dau_week_ago
+FROM dau ORDER BY day
+""")
+def qs_daily_active_users(spark, sf_dir):
+    """Daily active users with the week-ago comparison column (the
+    single most-queried product metric). count(DISTINCT) per day is a
+    two-phase hash aggregate (partial distinct per mapper); the lag-7
+    window runs over the ~30-row daily frame. The sketch-based
+    mergeable variant of the same shape is qx_hll_mergeable."""
+    from pyspark.sql import Window
+    dau = (_events(spark, sf_dir)
+           .groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                  "yyyy-MM-dd").alias("day"))
+           .agg(F.countDistinct("user_id").alias("dau")))
+    w = Window.orderBy("day")
+    return (dau.select("day", "dau",
+                       F.lag("dau", 7).over(w).alias("dau_week_ago"))
+            .orderBy("day"))
