@@ -1,0 +1,311 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(north-star extension, beyond the reference's own surface): Gopher/C4
+style quality gates, repetition filters, benchmark decontamination,
+domain-mixture rebalancing, token-window chunking, sequence packing,
+and PII scrubbing.
+
+All rule thresholds are the published public heuristics (Rae et al.
+2021 "Scaling Language Models: ... Gopher" §A1.1.2 repetition/quality
+filters; Raffel et al. 2020 C4 heuristics); the implementations are
+native Spark expressions or equi-joins — no Python in the 100 TB hot
+path except the per-group sequential packing loop, which is the
+genuinely order-dependent step (and is Arrow-batched per shard).
+
+Every emitted metric is **integer-valued** (counts, not ratios) so the
+driver's value hash can never trip over cross-engine float formatting:
+thresholds like "mean word length in [3,10]" are evaluated as
+``3*n_words <= sum_chars AND sum_chars <= 10*n_words``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared token helpers
+# ---------------------------------------------------------------------------
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (the corpus-wide tokenization convention —
+    must match the oracle's ``string_split(text, ' ')``)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """ALL n-word grams in order (non-distinct — repetition counting
+    needs multiplicity, unlike dedup.word_shingles). Same zip-slice
+    construction as dedup.word_shingles:49 to keep split() evaluation
+    O(n) per row instead of O(words^2)."""
+    ws = words(text)
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(ws, 1 + j, m) for j in range(n)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str,
+                   min_words: int = 20, max_words: int = 100_000,
+                   min_mean_wlen: int = 3, max_mean_wlen: int = 10,
+                   max_top_frac_num: int = 1, max_top_frac_den: int = 5,
+                   min_stopword_hits: int = 1) -> DataFrame:
+    """Per-document Gopher-style quality metrics + keep flag.
+
+    One explode + hash-agg pipeline (two-level: (doc, token) counts
+    then per-doc rollup) — both aggregations partial-combine map-side,
+    so the shuffle carries one row per distinct (doc, token), not one
+    per token occurrence. The keep rule is pure integer arithmetic:
+
+      * word count in [min_words, max_words]
+      * mean word length in [min_mean_wlen, max_mean_wlen]
+        (as min*n <= sum_chars <= max*n)
+      * most-frequent-token fraction <= num/den (as den*top <= num*n)
+      * at least ``min_stopword_hits`` stopword occurrences
+    """
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    tok = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(words(F.col(text_col))).alias("token"))
+             .groupBy("doc_id", "token")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    per_doc = (tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum(F.length("token") * F.col("cnt")).alias("sum_word_chars"),
+        F.max("cnt").alias("top_token_count"),
+        F.sum(F.when(F.array_contains(sw, F.col("token")),
+                     F.col("cnt")).otherwise(F.lit(0)))
+         .alias("stopword_hits")))
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("sum_word_chars") >= min_mean_wlen * F.col("n_words"))
+            & (F.col("sum_word_chars") <= max_mean_wlen * F.col("n_words"))
+            & (max_top_frac_den * F.col("top_token_count")
+               <= max_top_frac_num * F.col("n_words"))
+            & (F.col("stopword_hits") >= min_stopword_hits))
+    return per_doc.withColumn("keep", keep.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# repetition filter (Gopher A1.1.2: duplicate n-gram fractions)
+# ---------------------------------------------------------------------------
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str,
+                       ) -> DataFrame:
+    """Per-document repetition counts: distinct-vs-total unigrams,
+    2-grams and 3-grams, plus a ``repetitive`` flag (top-heavy docs:
+    duplicate unigrams > 1/2 of tokens OR duplicate 3-gram slots >
+    1/5 of 3-grams — integer-compared Gopher-style thresholds).
+
+    Entirely higher-order functions on the row — no explode, no
+    shuffle; the whole profile is one narrow projection that pipelines
+    inside the scan stage at any corpus size."""
+    ws = words(F.col(text_col))
+    g2 = word_ngrams(F.col(text_col), 2)
+    g3 = word_ngrams(F.col(text_col), 3)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+        F.size(g2).alias("n_2grams"),
+        F.size(F.array_distinct(g2)).alias("n_distinct_2grams"),
+        F.size(g3).alias("n_3grams"),
+        F.size(F.array_distinct(g3)).alias("n_distinct_3grams"))
+    rep = ((2 * (F.col("n_words") - F.col("n_distinct_words"))
+            > F.col("n_words"))
+           | (5 * (F.col("n_3grams") - F.col("n_distinct_3grams"))
+              > F.col("n_3grams")))
+    return out.withColumn("repetitive", rep.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Training docs sharing >= 1 distinct n-gram with any benchmark
+    doc — the standard n-gram decontamination sweep (GPT-3 appendix C
+    / Gopher §A1.2 use 8-13-gram overlap; n is a parameter).
+
+    Shape for 100 TB: the benchmark side is small by definition (an
+    eval set), so its exploded distinct n-grams broadcast; the corpus
+    side explodes distinct n-grams and broadcast-joins — no shuffle of
+    corpus text at all, and the per-doc rollup partial-aggregates
+    map-side. Returns (doc_id, n_shared_grams, n_bench_docs_hit).
+    """
+    from .dedup import word_shingles  # distinct n-grams
+    bench = (benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")))
+    corp = (corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")))
+    hits = corp.join(F.broadcast(bench), "gram")
+    return (hits.groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n_shared_grams"),
+                 F.count_distinct("bench_id").alias("n_bench_docs_hit")))
+
+
+# ---------------------------------------------------------------------------
+# domain mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+def mixture_plan(df: DataFrame, domain_col: str) -> DataFrame:
+    """Per-domain downsampling plan toward a uniform target mixture:
+    natural counts, parts-per-million natural share (integer DIV — no
+    float reaches the result), the per-domain keep target (the
+    smallest domain's count, i.e. downsample-to-min) and the excess to
+    drop. One groupBy + a broadcast of two scalars (total, min) —
+    scale-free."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    scalars = counts.agg(F.sum("n_docs").alias("total"),
+                         F.min("n_docs").alias("keep_target"))
+    return (counts.join(F.broadcast(scalars))
+            .select("domain", "n_docs",
+                    F.expr("n_docs * 1000000 DIV total")
+                     .alias("ppm_share"),
+                    F.col("keep_target"),
+                    (F.col("n_docs") - F.col("keep_target"))
+                     .alias("drop_excess")))
+
+
+def mixture_downsample(df: DataFrame, domain_col: str, id_col: str,
+                       ) -> DataFrame:
+    """Apply the uniform-mixture plan deterministically: keep the
+    ``keep_target`` lowest-hash docs per domain (hash-ordered so the
+    choice is uniform-ish but reproducible). Window per domain —
+    one shuffle on the domain key; skew-safe because every group is
+    cut to the same size."""
+    from pyspark.sql import Window
+    plan = mixture_plan(df, domain_col).select(
+        F.col("domain").alias(domain_col), "keep_target")
+    w = (Window.partitionBy(domain_col)
+         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)))
+    return (df.join(F.broadcast(plan), domain_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("keep_target"))
+            .drop("__rn", "keep_target"))
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
+                 window: int = 32, stride: int = 24) -> DataFrame:
+    """Split each document into overlapping token windows: starts at
+    0, stride, 2*stride, ... while start < n_tokens. Pure
+    sequence+posexplode — a narrow per-row fan-out with no shuffle;
+    emits (doc_id, chunk_idx, start_tok, n_tokens, first_token,
+    last_token)."""
+    assert 0 < stride <= window
+    ws = words(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.size(ws) - 1, F.lit(stride))
+    return (df.select(F.col(id_col).alias("doc_id"), ws.alias("__ws"),
+                      F.posexplode(starts).alias("chunk_idx", "start_tok"))
+            .select("doc_id", "chunk_idx", "start_tok",
+                    F.least(F.lit(window),
+                            F.size("__ws") - F.col("start_tok"))
+                     .alias("n_tokens"),
+                    F.element_at("__ws", F.col("start_tok") + 1)
+                     .alias("first_token"),
+                    F.element_at(
+                        "__ws",
+                        F.col("start_tok")
+                        + F.least(F.lit(window),
+                                  F.size("__ws") - F.col("start_tok")))
+                     .alias("last_token")))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch construction)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(df: DataFrame, group_cols: list[str], id_col: str,
+                   token_count_col: Column, budget: int = 512,
+                   ) -> DataFrame:
+    """Greedy next-fit sequence packing into ``budget``-token bins,
+    per group, in ``id_col`` order (deterministic). Packing is
+    inherently order-sequential, so the distributed shape is
+    pack-per-shard: callers include a shard key in ``group_cols``
+    (e.g. ``doc_id % n_shards``) and each Arrow batch packs one shard
+    — the per-bin waste vs a global sequential pack is at most one
+    partially-filled tail bin per shard, which is the standard
+    trade every distributed packer (e.g. T5 / packed-BERT pipelines)
+    makes. An oversize doc (> budget) gets its own bin.
+
+    Returns one row per (group, bin): group_cols + (bin_id, n_docs,
+    sum_tokens)."""
+    base = df.select(*group_cols, F.col(id_col).alias("__id"),
+                     token_count_col.cast("long").alias("__tok"))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema if f.name in group_cols)
+    schema += ", bin_id long, n_docs long, sum_tokens long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        bins: list[list[int]] = []  # [n_docs, sum_tokens]
+        fill = budget + 1
+        for tok in pdf["__tok"]:
+            if fill + tok <= budget:
+                bins[-1][0] += 1
+                bins[-1][1] += tok
+                fill += tok
+            else:
+                bins.append([1, int(tok)])
+                fill = int(tok)
+        out = pd.DataFrame(bins, columns=["n_docs", "sum_tokens"])
+        out.insert(0, "bin_id", range(len(bins)))
+        for c in reversed(group_cols):
+            out.insert(0, c, pdf[c].iloc[0])
+        return out
+
+    return base.groupBy(*group_cols).applyInPandas(_pack, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b — no lookaround.
+# Order matters: most-specific first, so an SSN or IP is claimed by
+# its own class before the general phone rule can half-eat it.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII detection + redaction: counts per PII class
+    and the text with every match replaced by ``[CLASS]``. Straight
+    regexp_count/regexp_replace column expressions — fully codegen'd,
+    no shuffle. Each class counts matches in the text AFTER the
+    previous (more specific) classes were redacted, so an SSN never
+    double-counts as a phone number."""
+    red = F.col(text_col)
+    counts = []
+    for cls, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(red, F.lit(pat)).alias(f"n_{cls}"))
+        red = F.regexp_replace(red, pat, f"[{cls.upper()}]")
+    return df.select(F.col(id_col).alias("doc_id"), *counts,
+                     red.alias("redacted"))

@@ -16,4 +16,5 @@ from . import streaming_analytics  # noqa: F401
 from . import star_rollups  # noqa: F401
 from . import llm_stages  # noqa: F401
 from . import ml_analytics  # noqa: F401
-from . import dedup_similarity  # noqa: F401  (extension queries last)
+from . import curation  # noqa: F401  (extension families last)
+from . import dedup_similarity  # noqa: F401

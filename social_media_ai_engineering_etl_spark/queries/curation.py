@@ -1,0 +1,295 @@
+"""Corpus-curation queries (north-star extension: the operations a
+large-scale LLM training-data pipeline runs between raw scrape and
+training batches): quality gating, repetition filtering, benchmark
+decontamination, domain-mixture rebalancing, chunking, sequence
+packing, PII scrubbing.
+
+Every metric is integer-valued by construction (see operators/
+curation.py) so no float interpolation can reach the driver's value
+hash. Tokenization convention on both engines: split on whitespace of
+the trimmed text (the corpus is single-space separated).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import curation
+from ..registry import register
+from ..session import widen_scan
+
+
+def _docs(spark, sf_dir):
+    p = os.path.join(sf_dir, "documents.parquet")
+    return widen_scan(spark.read.parquet(p), p)
+
+
+def _docs_narrow(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_WS = "string_split(trim(text), ' ')"
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality gate
+# --------------------------------------------------------------------------
+
+@register("qx_gopher_quality", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, t.token AS token, count(*) AS cnt
+    FROM documents, unnest({_WS}) AS t(token)
+    GROUP BY doc_id, t.token
+), per_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           count(*) AS n_distinct_words,
+           CAST(sum(length(token) * cnt) AS BIGINT) AS sum_word_chars,
+           CAST(max(cnt) AS BIGINT) AS top_token_count,
+           CAST(sum(CASE WHEN token IN
+                ('the','a','of','to','and','in','is','that')
+                THEN cnt ELSE 0 END) AS BIGINT) AS stopword_hits
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct_words, sum_word_chars,
+       top_token_count, stopword_hits,
+       CASE WHEN n_words BETWEEN 20 AND 100000
+             AND sum_word_chars BETWEEN 3 * n_words AND 10 * n_words
+             AND 5 * top_token_count <= n_words
+             AND stopword_hits >= 1
+            THEN 1 ELSE 0 END AS keep
+FROM per_doc ORDER BY doc_id
+""")
+def qx_gopher_quality(spark, sf_dir):
+    """Per-document Gopher-style quality metrics and keep flag
+    (published public heuristics; integer-compared thresholds)."""
+    return curation.gopher_quality(_docs(spark, sf_dir), "doc_id",
+                                   "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# repetition filter
+# --------------------------------------------------------------------------
+
+@register("qx_repetition_filter", oracle=f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+g AS (
+    SELECT doc_id, ws,
+           [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS g2,
+           [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+            for i in range(1, len(ws) - 1)] AS g3
+    FROM w)
+SELECT doc_id,
+       len(ws) AS n_words,
+       len(list_distinct(ws)) AS n_distinct_words,
+       len(g2) AS n_2grams,
+       len(list_distinct(g2)) AS n_distinct_2grams,
+       len(g3) AS n_3grams,
+       len(list_distinct(g3)) AS n_distinct_3grams,
+       CASE WHEN 2 * (len(ws) - len(list_distinct(ws))) > len(ws)
+              OR 5 * (len(g3) - len(list_distinct(g3))) > len(g3)
+            THEN 1 ELSE 0 END AS repetitive
+FROM g ORDER BY doc_id
+""")
+def qx_repetition_filter(spark, sf_dir):
+    """Duplicate unigram/2-gram/3-gram profile per document — the
+    Gopher repetition filters as pure higher-order functions (no
+    explode, no shuffle)."""
+    df = curation.repetition_profile(_docs(spark, sf_dir), "doc_id", "text")
+    longs = [c for c in df.columns if c not in ("doc_id", "repetitive")]
+    return df.select("doc_id",
+                     *[F.col(c).cast("long").alias(c) for c in longs],
+                     "repetitive").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+_G5 = ("list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || "
+       "ws[i+3] || ' ' || ws[i+4] for i in range(1, len(ws) - 3)])")
+
+@register("qx_decontamination", oracle=f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+g AS (SELECT doc_id, unnest({_G5}) AS gram FROM w),
+bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 20 = 0),
+corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+SELECT c.doc_id,
+       count(DISTINCT c.gram) AS n_shared_grams,
+       count(DISTINCT b.bench_id) AS n_bench_docs_hit
+FROM corp c JOIN bench b USING (gram)
+GROUP BY c.doc_id ORDER BY doc_id
+""")
+def qx_decontamination(spark, sf_dir):
+    """Training docs sharing a distinct 5-gram with the held-out
+    benchmark slice (doc_id % 20 = 0) — the GPT-3/Gopher n-gram
+    decontamination sweep. The benchmark gram table broadcasts."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    return curation.decontaminate(corp, bench, "doc_id", "text",
+                                  n=5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# domain mixture
+# --------------------------------------------------------------------------
+
+@register("qx_domain_mixture", oracle="""
+WITH counts AS (SELECT lang AS domain, count(*) AS n_docs
+                FROM documents GROUP BY lang)
+SELECT domain, n_docs,
+       CAST(n_docs * 1000000 //
+            CAST((SELECT sum(n_docs) FROM counts) AS BIGINT)
+            AS BIGINT) AS ppm_share,
+       (SELECT min(n_docs) FROM counts) AS keep_target,
+       n_docs - (SELECT min(n_docs) FROM counts) AS drop_excess
+FROM counts ORDER BY domain
+""")
+def qx_domain_mixture(spark, sf_dir):
+    """Per-language downsample-to-uniform mixture plan: natural
+    counts, integer ppm share, keep target and excess."""
+    return (curation.mixture_plan(_docs_narrow(spark, sf_dir), "lang")
+            .orderBy("domain"))
+
+
+@register("qx_mixture_downsample", oracle="""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+SELECT lang, (SELECT min(n) FROM counts) AS n_kept
+FROM counts ORDER BY lang
+""")
+def qx_mixture_downsample(spark, sf_dir):
+    """Apply the uniform plan: every domain ends at exactly the
+    smallest domain's count (the per-doc choice is hash-ordered and
+    engine-specific, so the oracle checks the per-domain counts — the
+    contract the plan guarantees)."""
+    kept = curation.mixture_downsample(_docs_narrow(spark, sf_dir),
+                                       "lang", "doc_id")
+    return (kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("lang"))
+
+
+# --------------------------------------------------------------------------
+# token-window chunking
+# --------------------------------------------------------------------------
+
+@register("qx_token_chunks", oracle=f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+s AS (SELECT doc_id, ws, u.s AS start_tok
+      FROM w, unnest(range(0, len(ws), 24)) AS u(s))
+SELECT doc_id,
+       start_tok // 24 AS chunk_idx,
+       start_tok,
+       least(32, len(ws) - start_tok) AS n_tokens,
+       ws[start_tok + 1] AS first_token,
+       ws[start_tok + least(32, len(ws) - start_tok)] AS last_token
+FROM s ORDER BY doc_id, chunk_idx
+""")
+def qx_token_chunks(spark, sf_dir):
+    """Overlapping 32-token windows at stride 24 (RAG / context-window
+    prep) — sequence + posexplode, no shuffle."""
+    df = curation.chunk_tokens(_docs(spark, sf_dir), "doc_id", "text",
+                               window=32, stride=24)
+    return (df.select("doc_id",
+                      F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                      F.col("start_tok").cast("long").alias("start_tok"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "first_token", "last_token")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+@register("qx_pack_sequences", oracle=f"""
+WITH RECURSIVE base AS (
+    SELECT lang, doc_id % 8 AS shard, doc_id,
+           len({_WS}) AS tok,
+           row_number() OVER (PARTITION BY lang, doc_id % 8
+                              ORDER BY doc_id) AS rn
+    FROM documents
+), walk AS (
+    SELECT lang, shard, rn, tok, tok AS fill, 0 AS bin_id
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.lang, b.shard, b.rn, b.tok,
+           CASE WHEN w.fill + b.tok <= 512
+                THEN w.fill + b.tok ELSE b.tok END,
+           CASE WHEN w.fill + b.tok <= 512
+                THEN w.bin_id ELSE w.bin_id + 1 END
+    FROM base b
+    JOIN walk w ON b.lang = w.lang AND b.shard = w.shard
+               AND b.rn = w.rn + 1
+)
+SELECT lang, shard, CAST(bin_id AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+FROM walk GROUP BY lang, shard, bin_id
+ORDER BY lang, shard, bin_id
+""")
+def qx_pack_sequences(spark, sf_dir):
+    """Greedy next-fit packing of documents into 512-token training
+    bins, sharded per (lang, doc_id % 8) — packing is inherently
+    order-sequential, so the distributed shape packs per shard; the
+    oracle replays the identical walk with a recursive CTE."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "shard", (F.col("doc_id") % 8).cast("long"))
+    packed = curation.pack_sequences(
+        docs, ["lang", "shard"], "doc_id",
+        F.size(curation.words(F.col("text"))), budget=512)
+    return packed.orderBy("lang", "shard", "bin_id")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+@register("qx_pii_scrub", oracle=r"""
+WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                  AS n_email,
+              regexp_replace(t,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                  '[EMAIL]', 'g') AS t
+       FROM s0),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t,
+                  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+              regexp_replace(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+                             '[SSN]', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ssn,
+              len(regexp_extract_all(t,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                  AS n_ipv4,
+              regexp_replace(t,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                  '[IPV4]', 'g') AS t
+       FROM s2),
+s4 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+              len(regexp_extract_all(t,
+                  '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS n_phone,
+              regexp_replace(t, '\+?[0-9][0-9()\- ]{6,}[0-9]',
+                             '[PHONE]', 'g') AS t
+       FROM s3)
+SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone,
+       md5(t) AS redacted_md5
+FROM s4 ORDER BY doc_id
+""")
+def qx_pii_scrub(spark, sf_dir):
+    """PII counts per class + md5 of the redacted text. The synthetic
+    corpus contains no PII, so the oracle here pins the identity path
+    (counts 0, redaction is a no-op); the redaction semantics on real
+    PII are pinned by tests/test_curation.py unit fixtures."""
+    df = curation.pii_scrub(_docs_narrow(spark, sf_dir), "doc_id", "text")
+    return (df.select("doc_id",
+                      F.col("n_email").cast("long").alias("n_email"),
+                      F.col("n_ssn").cast("long").alias("n_ssn"),
+                      F.col("n_ipv4").cast("long").alias("n_ipv4"),
+                      F.col("n_phone").cast("long").alias("n_phone"),
+                      F.md5(F.col("redacted")).alias("redacted_md5"))
+            .orderBy("doc_id"))

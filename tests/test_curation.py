@@ -1,0 +1,241 @@
+"""Corpus-curation operator tests: real-semantics fixtures the
+synthetic corpus can't exercise (actual PII strings, crafted
+repetition, planted contamination) plus packing/chunking invariants
+and plan-shape regressions."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators import curation
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the unit fixtures carry the real semantics (the
+# driver corpus has no PII, its oracle pins the identity path)
+# ---------------------------------------------------------------------------
+
+PII_DOCS = [
+    (1, "contact me at alice.smith+work@example.co.uk for details"),
+    (2, "call +1 (555) 123-4567 or 555 867 5309 tomorrow"),
+    (3, "server at 192.168.1.254 timed out"),
+    (4, "ssn 123-45-6789 leaked"),
+    (5, "nothing sensitive here at all"),
+]
+
+
+def test_pii_scrub_redacts_each_class(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 1
+    assert "alice" not in out[1]["redacted"]
+    assert "[EMAIL]" in out[1]["redacted"]
+    assert out[2]["n_phone"] == 2
+    assert "4567" not in out[2]["redacted"]
+    assert out[3]["n_ipv4"] == 1
+    assert "[IPV4]" in out[3]["redacted"]
+    assert out[4]["n_ssn"] == 1
+    assert "[SSN]" in out[4]["redacted"]
+    assert out[5]["redacted"] == PII_DOCS[4][1]  # untouched
+    assert all(out[5][f"n_{c}"] == 0
+               for c in ("email", "phone", "ipv4", "ssn"))
+
+
+def test_pii_email_wins_over_phone_digits(spark):
+    # digits inside an email must be consumed by the email rule, not
+    # half-eaten by the phone rule
+    df = spark.createDataFrame([(1, "mail 12345678901@example.com now")],
+                               "doc_id long, text string")
+    r = curation.pii_scrub(df, "doc_id", "text").collect()[0]
+    assert r["n_email"] == 1
+    assert r["redacted"] == "mail [EMAIL] now"
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gate
+# ---------------------------------------------------------------------------
+
+def test_gopher_quality_rules(spark):
+    long_ok = "the quick brown fox jumps over lazy dogs " * 4  # 32 words
+    short = "too short"
+    no_stop = "lorem ipsum dolor sit amet " * 6
+    top_heavy = "the " * 39 + "end"
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, no_stop), (4, top_heavy)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0          # < 20 words
+    assert out[3]["stopword_hits"] == 0
+    assert out[3]["keep"] == 0          # no stopwords
+    assert out[4]["top_token_count"] == 39
+    assert out[4]["keep"] == 0          # top-token fraction > 1/5
+    assert out[1]["n_words"] == 32
+    assert out[1]["sum_word_chars"] == sum(
+        len(w) for w in long_ok.split())
+
+
+# ---------------------------------------------------------------------------
+# repetition profile
+# ---------------------------------------------------------------------------
+
+def test_repetition_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),        # heavy dup unigrams + 2-grams
+         (2, "one two three four")],  # all distinct
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.repetition_profile(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_distinct_words"]) == (6, 2)
+    assert (r1["n_2grams"], r1["n_distinct_2grams"]) == (5, 2)
+    assert (r1["n_3grams"], r1["n_distinct_3grams"]) == (4, 2)
+    assert r1["repetitive"] == 1
+    r2 = out[2]
+    assert r2["n_distinct_words"] == r2["n_words"] == 4
+    assert r2["repetitive"] == 0
+
+
+def test_repetition_profile_is_shuffle_free(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.curation import _docs_narrow
+    df = curation.repetition_profile(
+        _docs_narrow(spark, sf_dir), "doc_id", "text")
+    assert "Exchange" not in plan_of(df)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta epsilon zeta y"),  # shares 2 5-grams
+         (2, "totally unrelated words only here now")],
+        "doc_id long, text string")
+    rows = curation.decontaminate(corpus, bench, "doc_id", "text",
+                                  n=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1
+    assert r["n_shared_grams"] == 2  # the two interior 5-grams
+    assert r["n_bench_docs_hit"] == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.curation import _docs_narrow
+    docs = _docs_narrow(spark, sf_dir)
+    df = curation.decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", n=5)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mixture
+# ---------------------------------------------------------------------------
+
+def test_mixture_downsample_hits_uniform_counts(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.curation import _docs_narrow
+    docs = _docs_narrow(spark, sf_dir)
+    mins = docs.groupBy("lang").count().agg(F.min("count")).collect()[0][0]
+    kept = curation.mixture_downsample(docs, "lang", "doc_id")
+    counts = {r["lang"]: r["count"]
+              for r in kept.groupBy("lang").count().collect()}
+    assert all(v == mins for v in counts.values())
+    # deterministic: same selection both runs
+    again = curation.mixture_downsample(docs, "lang", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_tokens_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40))),  # 40 toks: 2 chunks
+         (2, " ".join(f"w{i}" for i in range(32))),  # exactly one window
+         (3, "a b c")],                              # shorter than window
+        "doc_id long, text string")
+    out = curation.chunk_tokens(df, "doc_id", "text",
+                                window=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_tok"], r["n_tokens"]) for r in c1] == [(0, 32), (24, 16)]
+    assert (c1[0]["first_token"], c1[0]["last_token"]) == ("w0", "w31")
+    assert (c1[1]["first_token"], c1[1]["last_token"]) == ("w24", "w39")
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[2]] \
+        == [(0, 32), (24, 8)]  # stride 24 < 32 tokens -> tail overlap chunk
+    assert [(r["start_tok"], r["n_tokens"], r["first_token"],
+             r["last_token"]) for r in by_doc[3]] == [(0, 3, "a", "c")]
+
+
+def test_chunk_tokens_is_shuffle_free(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.curation import _docs_narrow
+    df = curation.chunk_tokens(_docs_narrow(spark, sf_dir),
+                               "doc_id", "text")
+    assert "Exchange" not in plan_of(df)
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def _brute_next_fit(toks, budget):
+    bins, fill = [], budget + 1
+    for t in toks:
+        if fill + t <= budget:
+            bins[-1].append(t)
+            fill += t
+        else:
+            bins.append([t])
+            fill = t
+    return bins
+
+
+@pytest.mark.parametrize("budget", [64, 512])
+def test_pack_sequences_matches_brute_force(spark, budget):
+    toks = [30, 40, 10, 64, 65, 1, 1, 1, 63, 2]
+    rows = [(i, "g", " ".join("w" * 1 for _ in range(t)))
+            for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = curation.pack_sequences(
+        df, ["grp"], "doc_id",
+        F.size(curation.words(F.col("text"))), budget=budget
+    ).orderBy("bin_id").collect()
+    want = _brute_next_fit(toks, budget)
+    assert [(r["n_docs"], r["sum_tokens"]) for r in out] \
+        == [(len(b), sum(b)) for b in want]
+
+
+def test_pack_sequences_conservation_and_budget(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.curation import (
+        qx_pack_sequences)
+    out = qx_pack_sequences(spark, sf_dir).collect()
+    assert all(r["sum_tokens"] <= 512 for r in out)  # no doc exceeds budget
+    from social_media_ai_engineering_etl_spark.queries.curation import _docs_narrow
+    total = (_docs_narrow(spark, sf_dir)
+             .select(F.size(curation.words(F.col("text"))).alias("n"))
+             .agg(F.sum("n")).collect()[0][0])
+    assert sum(r["sum_tokens"] for r in out) == total
+    assert len({(r["lang"], r["shard"], r["bin_id"]) for r in out}) == len(out)
