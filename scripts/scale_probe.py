@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from social_media_ai_engineering_etl_spark.operators import (  # noqa: E402
+    curation,
     dedup,
     similarity,
 )
@@ -174,6 +175,47 @@ def main() -> None:
         docs.unpersist()
         spark.catalog.clearCache()
         print(f"| {m}x | {nc} | {t_full:.1f} | {t_inc:.1f} |")
+
+    # ------------------------------------------------------------------
+    # curation family: the quality gate / repetition profile are
+    # shuffle-free narrow projections (expect ~flat wall clock until
+    # the scan dominates); decontamination is a broadcast inverted
+    # index against a FIXED benchmark (expect linear in the corpus);
+    # packing is one shuffle to the shard key + a linear Arrow walk
+    # ------------------------------------------------------------------
+    print("\n| scale | docs | gopher s | repetition s |"
+          " decontam s | hits | pack s | bins |")
+    print("|---|---|---|---|---|---|---|---|")
+    bench_grams = base.filter(F.col("doc_id") % 20 == 0)
+    for m in (1, 4, 16):
+        docs = multiply_docs(base, m).repartition(
+            spark.sparkContext.defaultParallelism).persist()
+        n = docs.count()
+
+        t0 = time.perf_counter()
+        curation.gopher_quality(docs, "doc_id", "text").count()
+        t_gq = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        curation.repetition_profile(docs, "doc_id", "text").count()
+        t_rp = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        dh = curation.decontaminate(docs, bench_grams, "doc_id", "text",
+                                    n=5).count()
+        t_dc = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        nb = curation.pack_sequences(
+            docs.withColumn("shard", (F.col("doc_id") % 64).cast("long")),
+            ["shard"], "doc_id",
+            F.size(curation.words(F.col("text"))), budget=512).count()
+        t_pk = time.perf_counter() - t0
+
+        docs.unpersist()
+        spark.catalog.clearCache()
+        print(f"| {m}x | {n} | {t_gq:.1f} | {t_rp:.1f} | {t_dc:.1f} |"
+              f" {dh} | {t_pk:.1f} | {nb} |")
     spark.stop()
 
 

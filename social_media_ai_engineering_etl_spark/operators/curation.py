@@ -60,10 +60,9 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
                    min_stopword_hits: int = 1) -> DataFrame:
     """Per-document Gopher-style quality metrics + keep flag.
 
-    One explode + hash-agg pipeline (two-level: (doc, token) counts
-    then per-doc rollup) — both aggregations partial-combine map-side,
-    so the shuffle carries one row per distinct (doc, token), not one
-    per token occurrence. The keep rule is pure integer arithmetic:
+    A single narrow projection of higher-order functions — no explode,
+    no shuffle; the whole gate pipelines inside the scan stage at any
+    corpus size. The keep rule is pure integer arithmetic:
 
       * word count in [min_words, max_words]
       * mean word length in [min_mean_wlen, max_mean_wlen]
@@ -72,18 +71,35 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
       * at least ``min_stopword_hits`` stopword occurrences
     """
     sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    tok = (df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(words(F.col(text_col))).alias("token"))
-             .groupBy("doc_id", "token")
-             .agg(F.count(F.lit(1)).alias("cnt")))
-    per_doc = (tok.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-        F.sum(F.length("token") * F.col("cnt")).alias("sum_word_chars"),
-        F.max("cnt").alias("top_token_count"),
-        F.sum(F.when(F.array_contains(sw, F.col("token")),
-                     F.col("cnt")).otherwise(F.lit(0)))
-         .alias("stopword_hits")))
+    ws = words(F.col(text_col))
+    srt = F.array_sort(ws)
+    # max token multiplicity = longest equal-run in the sorted array,
+    # folded with a (prev, run, best) struct — O(n log n) per row, no
+    # explode: the exploded (doc, token) hash-agg alternative shuffles
+    # one row per distinct token per doc, which at corpus scale is the
+    # single biggest exchange in the whole quality pass
+    run = lambda acc, t: F.when(t == acc["prev"], acc["run"] + 1) \
+                          .otherwise(F.lit(1).cast("long"))
+    top = F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"), run(acc, t).alias("run"),
+            F.greatest(acc["best"], run(acc, t)).alias("best")),
+        lambda acc: acc["best"])
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long")
+         .alias("n_distinct_words"),
+        F.aggregate(ws, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t))
+         .alias("sum_word_chars"),
+        top.alias("top_token_count"),
+        F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
+         .cast("long").alias("stopword_hits"))
     keep = ((F.col("n_words") >= min_words)
             & (F.col("n_words") <= max_words)
             & (F.col("sum_word_chars") >= min_mean_wlen * F.col("n_words"))
@@ -309,3 +325,62 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         red = F.regexp_replace(red, pat, f"[{cls.upper()}]")
     return df.select(F.col(id_col).alias("doc_id"), *counts,
                      red.alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplication profile (suffix-array-style dedup)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_profile(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 10) -> DataFrame:
+    """Per-document substring-duplication profile: for every position
+    emit its k-token gram, flag grams appearing in MORE THAN ONE
+    document, then collapse flagged positions into consecutive runs —
+    the distributed re-expression of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": cross-document repeats of >= k tokens are the
+    spans to cut).
+
+    Shape: positional gram explode -> two-level hash agg for the
+    cross-doc gram set -> semi-join back -> per-doc run collapse via
+    the pos - row_number island trick. Every join is an equi-join on
+    the gram; the run collapse windows partition by doc (bounded by
+    doc length). A 100 TB run would join on xxhash64(gram) longs
+    (same trick as dedup.ngram_jaccard_pairs_inverted); the string
+    form here is the oracle-checkable twin.
+
+    Returns (doc_id, n_grams, n_dup_grams, max_dup_run) where
+    max_dup_run is the longest consecutive flagged-position run —
+    i.e. the longest shared substring's gram count (its token length
+    is max_dup_run + k - 1)."""
+    from pyspark.sql import Window
+    ws = words(F.col(text_col))
+    grams = (df.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(word_ngrams(F.col(text_col), k))
+                        .alias("pos", "gram")))
+    cross_doc = (grams.groupBy("gram")
+                 .agg(F.count_distinct("doc_id").alias("nd"))
+                 .filter(F.col("nd") > 1)
+                 .select("gram"))
+    flagged = grams.join(cross_doc, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (flagged
+            .withColumn("island", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_id", "island")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        F.sum("run_len").alias("n_dup_grams"),
+        F.max("run_len").alias("max_dup_run"))
+    totals = df.select(F.col(id_col).alias("doc_id"),
+                       F.greatest(F.size(ws) - (k - 1), F.lit(0))
+                        .cast("long").alias("n_grams"))
+    return (totals.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_dup_runs", F.lit(0)).cast("long")
+                     .alias("n_dup_runs"),
+                    F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+                     .alias("n_dup_grams"),
+                    F.coalesce("max_dup_run", F.lit(0)).cast("long")
+                     .alias("max_dup_run")))

@@ -1,0 +1,75 @@
+"""Python UDTF surface (SURVEY §2.13): genuinely table-generating /
+order-dependent logic exposed through Spark SQL's lateral
+``fn(TABLE(...) PARTITION BY ... ORDER BY ...)`` form.
+
+The engine's hot paths stay native (explode compositions,
+applyInPandas) — a Python UDTF is row-at-a-time across the Python
+worker boundary, so it is the right tool only where SQL callers need
+the operator *from SQL* or where per-row streaming state doesn't fit
+the grouped-map shape. Both UDTFs here are equivalence-pinned against
+their native twins in tests/test_curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType=("lang string, shard bigint, doc_id bigint, "
+                  "bin_id bigint, tok bigint"))
+class NextFitPackUDTF:
+    """Next-fit sequence packing as a SQL table function — the SQL
+    surface of operators/curation.py::pack_sequences. One instance
+    per PARTITION BY group; rows arrive in ORDER BY order, so the
+    running (fill, bin) state replays the identical greedy walk.
+
+    Usage::
+
+        spark.udtf.register("next_fit_pack", NextFitPackUDTF)
+        SELECT * FROM next_fit_pack(
+            TABLE(docs) PARTITION BY (lang, shard) ORDER BY doc_id)
+    """
+
+    BUDGET = 512
+
+    def __init__(self):
+        self.fill: int | None = None
+        self.bin = -1
+
+    def eval(self, row):
+        t = int(row["tok"])
+        if self.fill is not None and self.fill + t <= self.BUDGET:
+            self.fill += t
+        else:
+            self.bin += 1
+            self.fill = t
+        yield row["lang"], row["shard"], row["doc_id"], self.bin, t
+
+
+@udtf(returnType=("user_id bigint, k bigint, valid_from timestamp, "
+                  "valid_to timestamp, is_current int"))
+class Scd2IntervalsUDTF:
+    """SCD2 validity intervals as a SQL table function: per user (in
+    event-time order) emit one row per *change* of the tracked
+    attribute, with [valid_from, valid_to) and an is_current marker —
+    the classic slowly-changing-dimension type-2 build. The native
+    twin (two window functions) is qx_scd2_intervals; this is the SQL
+    surface for callers who want it lateral."""
+
+    def __init__(self):
+        self.user = None
+        self.k = None
+        self.since = None
+        self.last_rowtime = None
+
+    def eval(self, row):
+        k = row["k"]
+        if self.since is None:
+            self.user, self.k, self.since = row["user_id"], k, row["ts"]
+        elif k != self.k:
+            yield self.user, self.k, self.since, row["ts"], 0
+            self.k, self.since = k, row["ts"]
+
+    def terminate(self):
+        if self.since is not None:
+            yield self.user, self.k, self.since, None, 1

@@ -37,7 +37,7 @@ _WS = "string_split(trim(text), ' ')"
 # Gopher-style quality gate
 # --------------------------------------------------------------------------
 
-@register("qx_gopher_quality", oracle=f"""
+@register("qx_gopher_quality", bench=True, oracle=f"""
 WITH tok AS (
     SELECT doc_id, t.token AS token, count(*) AS cnt
     FROM documents, unnest({_WS}) AS t(token)
@@ -111,7 +111,7 @@ def qx_repetition_filter(spark, sf_dir):
 _G5 = ("list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || "
        "ws[i+3] || ' ' || ws[i+4] for i in range(1, len(ws) - 3)])")
 
-@register("qx_decontamination", oracle=f"""
+@register("qx_decontamination", bench=True, oracle=f"""
 WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
 g AS (SELECT doc_id, unnest({_G5}) AS gram FROM w),
 bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 20 = 0),
@@ -204,7 +204,7 @@ def qx_token_chunks(spark, sf_dir):
 # sequence packing
 # --------------------------------------------------------------------------
 
-@register("qx_pack_sequences", oracle=f"""
+@register("qx_pack_sequences", bench=True, oracle=f"""
 WITH RECURSIVE base AS (
     SELECT lang, doc_id % 8 AS shard, doc_id,
            len({_WS}) AS tok,
@@ -293,3 +293,97 @@ def qx_pii_scrub(spark, sf_dir):
                       F.col("n_phone").cast("long").alias("n_phone"),
                       F.md5(F.col("redacted")).alias("redacted_md5"))
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# packing via the SQL UDTF surface
+# --------------------------------------------------------------------------
+
+@register("qx_pack_udtf", oracle=f"""
+WITH RECURSIVE base AS (
+    SELECT lang, doc_id % 8 AS shard, doc_id,
+           len({_WS}) AS tok,
+           row_number() OVER (PARTITION BY lang, doc_id % 8
+                              ORDER BY doc_id) AS rn
+    FROM documents
+), walk AS (
+    SELECT lang, shard, doc_id, rn, tok, tok AS fill, 0 AS bin_id
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.lang, b.shard, b.doc_id, b.rn, b.tok,
+           CASE WHEN w.fill + b.tok <= 512
+                THEN w.fill + b.tok ELSE b.tok END,
+           CASE WHEN w.fill + b.tok <= 512
+                THEN w.bin_id ELSE w.bin_id + 1 END
+    FROM base b
+    JOIN walk w ON b.lang = w.lang AND b.shard = w.shard
+               AND b.rn = w.rn + 1
+)
+SELECT lang, shard, doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(tok AS BIGINT) AS tok
+FROM walk ORDER BY lang, shard, doc_id
+""")
+def qx_pack_udtf(spark, sf_dir):
+    """Per-document bin assignments from the NextFitPackUDTF SQL
+    surface (SURVEY §2.13): ``next_fit_pack(TABLE(...) PARTITION BY
+    lang, shard ORDER BY doc_id)`` — the same greedy walk as
+    qx_pack_sequences, exposed lateral to SQL callers and pinned to
+    the same recursive-CTE oracle (here at per-doc grain)."""
+    from ..operators.udtfs import NextFitPackUDTF
+    spark.udtf.register("next_fit_pack", NextFitPackUDTF)
+    (_docs_narrow(spark, sf_dir)
+     .select("lang", (F.col("doc_id") % 8).cast("long").alias("shard"),
+             "doc_id",
+             F.size(curation.words(F.col("text"))).cast("long")
+              .alias("tok"))
+     .createOrReplaceTempView("__pack_udtf_input"))
+    return spark.sql("""
+        SELECT * FROM next_fit_pack(
+            TABLE(__pack_udtf_input)
+            PARTITION BY (lang, shard) ORDER BY doc_id)
+        ORDER BY lang, shard, doc_id""")
+
+
+# --------------------------------------------------------------------------
+# substring-level duplication profile (suffix-array-style dedup)
+# --------------------------------------------------------------------------
+
+@register("qx_substring_dup_spans", oracle=f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+g AS (
+    SELECT doc_id, u.i - 1 AS pos,
+           array_to_string(ws[u.i:u.i+9], ' ') AS gram
+    FROM w, unnest(range(1, greatest(len(ws) - 8, 1))) AS u(i)
+), cross_doc AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+), flagged AS (
+    SELECT doc_id, pos FROM g
+    WHERE gram IN (SELECT gram FROM cross_doc)
+), runs AS (
+    SELECT doc_id,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+    FROM flagged
+), islands AS (
+    SELECT doc_id, island, count(*) AS run_len
+    FROM runs GROUP BY doc_id, island
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_dup_runs,
+           CAST(sum(run_len) AS BIGINT) AS n_dup_grams,
+           max(run_len) AS max_dup_run
+    FROM islands GROUP BY doc_id
+)
+SELECT w.doc_id,
+       greatest(len(ws) - 9, 0) AS n_grams,
+       coalesce(n_dup_runs, 0) AS n_dup_runs,
+       coalesce(n_dup_grams, 0) AS n_dup_grams,
+       coalesce(max_dup_run, 0) AS max_dup_run
+FROM w LEFT JOIN per_doc USING (doc_id) ORDER BY doc_id
+""")
+def qx_substring_dup_spans(spark, sf_dir):
+    """Suffix-array-style substring dedup profile (Lee et al. 2022):
+    per document, how many 10-token gram positions are shared with
+    another document and the longest consecutive shared run (the span
+    a substring-dedup pass would cut)."""
+    return curation.substring_dup_profile(
+        _docs(spark, sf_dir), "doc_id", "text", k=10).orderBy("doc_id")

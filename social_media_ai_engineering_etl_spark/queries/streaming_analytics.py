@@ -577,3 +577,56 @@ def qs_daily_active_users(spark, sf_dir):
     return (dau.select("day", "dau",
                        F.lag("dau", 7).over(w).alias("dau_week_ago"))
             .orderBy("day"))
+
+
+@register("qx_scd2_intervals", oracle="""
+WITH k AS (
+    SELECT user_id, ts, event_id,
+           json_extract(props, '$.k')::BIGINT AS k
+    FROM events
+), changes AS (
+    SELECT user_id, ts, event_id, k,
+           lag(k) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_k
+    FROM k
+), scd AS (
+    SELECT user_id, k, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM changes WHERE prev_k IS NULL OR k <> prev_k
+)
+SELECT user_id, k,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM scd ORDER BY user_id, valid_from
+""")
+def qx_scd2_intervals(spark, sf_dir):
+    """SCD type-2 validity intervals for each user's tracked attribute
+    (props.k): keep only *change* events (lag filter), then close each
+    interval with the next change's timestamp (lead), NULL-open for
+    the current value. Two window passes over the SAME (user_id ->
+    ts) sort order — Catalyst plans one Sort + one Exchange, the
+    second Window reuses the partitioning. The lateral-SQL twin is
+    operators/udtfs.py::Scd2IntervalsUDTF (equivalence-pinned in
+    tests/test_curation.py)."""
+    from pyspark.sql import Window
+    k = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (k.withColumn("prev_k", F.lag("k").over(w))
+               .filter(F.col("prev_k").isNull()
+                       | (F.col("k") != F.col("prev_k"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (changes.select(
+        "user_id", "k", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"))
+        .withColumn("is_current",
+                    F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .select("user_id", "k",
+                F.date_format("valid_from", fmt).alias("valid_from"),
+                F.date_format("valid_to", fmt).alias("valid_to"),
+                "is_current")
+        .orderBy("user_id", "valid_from"))

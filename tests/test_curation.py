@@ -115,6 +115,13 @@ def test_repetition_profile_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan_of(df)
 
 
+def test_gopher_quality_is_shuffle_free(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.curation import _docs_narrow
+    df = curation.gopher_quality(
+        _docs_narrow(spark, sf_dir), "doc_id", "text")
+    assert "Exchange" not in plan_of(df)
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
@@ -239,3 +246,70 @@ def test_pack_sequences_conservation_and_budget(spark, sf_dir):
              .agg(F.sum("n")).collect()[0][0])
     assert sum(r["sum_tokens"] for r in out) == total
     assert len({(r["lang"], r["shard"], r["bin_id"]) for r in out}) == len(out)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (SURVEY §2.13) — SQL twins of native operators
+# ---------------------------------------------------------------------------
+
+def test_pack_udtf_matches_grouped_map_path(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.curation import (
+        qx_pack_sequences, qx_pack_udtf)
+    per_doc = qx_pack_udtf(spark, sf_dir)
+    rolled = (per_doc.groupBy("lang", "shard", "bin_id")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("tok").alias("sum_tokens")))
+    got = sorted(map(tuple, rolled.collect()))
+    want = sorted(map(tuple, qx_pack_sequences(spark, sf_dir).collect()))
+    assert got == want
+
+
+def test_scd2_udtf_matches_window_path(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.operators.udtfs import (
+        Scd2IntervalsUDTF)
+    from social_media_ai_engineering_etl_spark.queries.streaming_analytics import (
+        qx_scd2_intervals)
+    spark.udtf.register("scd2_intervals", Scd2IntervalsUDTF)
+    import os
+    (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+     .select("user_id", "ts", "event_id",
+             F.from_json("props", "k BIGINT").getField("k").alias("k"))
+     .createOrReplaceTempView("__scd2_input"))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    got = sorted(map(tuple, spark.sql("""
+        SELECT * FROM scd2_intervals(
+            TABLE(__scd2_input)
+            PARTITION BY user_id ORDER BY (ts, event_id))
+    """).select("user_id", "k",
+                F.date_format("valid_from", fmt).alias("valid_from"),
+                F.date_format("valid_to", fmt).alias("valid_to"),
+                "is_current").collect()))
+    want = sorted(map(tuple, qx_scd2_intervals(spark, sf_dir).collect()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# substring duplication profile
+# ---------------------------------------------------------------------------
+
+def test_substring_dup_profile_planted_span(spark):
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    docs = [
+        (1, "a b c " + shared + " x y z"),
+        (2, "p q " + shared + " r"),
+        (3, " ".join(f"u{i}" for i in range(15))),  # unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.substring_dup_profile(df, "doc_id", "text",
+                                          k=10).collect()}
+    # a 12-token shared span yields 3 shared 10-gram positions in a row
+    assert out[1]["max_dup_run"] == 3
+    assert out[2]["max_dup_run"] == 3
+    assert out[1]["n_dup_grams"] == 3
+    assert out[3]["n_dup_grams"] == 0 and out[3]["max_dup_run"] == 0
+    # longest shared substring length = max_dup_run + k - 1 = 12
+    assert out[1]["max_dup_run"] + 10 - 1 == 12
+    # doc lengths: 18 -> 9 grams; 15 -> 6 grams; 15 -> 6 grams
+    assert out[1]["n_grams"] == 9
+    assert out[2]["n_grams"] == 6
