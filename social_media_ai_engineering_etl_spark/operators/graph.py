@@ -1,0 +1,78 @@
+"""Graph analytics over DataFrames (north-star extension, joining the
+connected-components resolver in operators/dedup.py): PageRank via
+iterative join/aggregate rounds.
+
+Why not GraphX/GraphFrames: GraphX is RDD/Scala-only and GraphFrames
+is an external package — the DataFrame join-agg formulation below is
+the standard Spark-native equivalent (each round is one equi-join on
+the edge source + one hash aggregate on the destination, both
+map-side combinable), and AQE handles hub-vertex skew the same way it
+handles any skewed join key.
+
+Iterative plans grow lineage exponentially if left alone; every
+``checkpoint_interval`` rounds the rank frame is localCheckpoint'ed
+(eager) to cut the DAG — the same discipline as the pointer-jumping
+loop in dedup.connected_components (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Undirected customer-supplier edge list from the purchase fact:
+    distinct (customer, supplier) pairs via the orderkey join, emitted
+    in both directions (node ids are disjoint: customers are even
+    2*custkey, suppliers odd 2*suppkey+1)."""
+    pairs = (lineitem.select("l_orderkey", "l_suppkey")
+             .join(orders.select("o_orderkey", "o_custkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .select((2 * F.col("o_custkey")).alias("cust"),
+                     (2 * F.col("l_suppkey") + 1).alias("supp"))
+             .distinct())
+    return (pairs.select(F.col("cust").alias("src"),
+                         F.col("supp").alias("dst"))
+            .unionByName(pairs.select(F.col("supp").alias("src"),
+                                      F.col("cust").alias("dst"))))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85,
+             checkpoint_interval: int = 4) -> DataFrame:
+    """PageRank over an edge list (src, dst) with no dangling nodes
+    (callers emit undirected edges, so every node has out-degree).
+
+    Per round: contributions = ranks ⋈ edges on src (one shuffle,
+    partitioning reused across rounds because the join key never
+    changes), then sum per dst (map-side partial agg). Rank scale is
+    the "sum = N" convention: rank = (1-d) + d * inflow. Returns
+    (node, rank)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges annotated with the source degree once, persisted: the loop
+    # re-reads this table every round
+    ed = (edges.join(deg, "src")
+          .select("src", "dst", "deg").persist())
+    nodes = ed.select(F.col("src").alias("node")).distinct().persist()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for i in range(iterations):
+        contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow")))
+        ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"),
+                            "node", "left")
+                 .select("node",
+                         (F.lit(1.0 - damping)
+                          + F.lit(damping)
+                          * F.coalesce("inflow", F.lit(0.0))).alias("rank")))
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node degree from an undirected edge list — the cheap graph
+    profile (one hash agg)."""
+    return (edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree")))

@@ -1,0 +1,72 @@
+"""Graph-analytics queries over the purchase graph (north-star
+extension; joins the pairs->connected-components resolver that ships
+in the dedup family): degree profile (oracle-checked) and PageRank
+(rows-only — float power iteration has engine-specific summation
+order; the numeric contract is pinned against a NumPy power-iteration
+twin in tests/test_graph.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import graph
+from ..registry import register
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_EDGES_CTE = """
+pairs AS (
+    SELECT DISTINCT 2 * o.o_custkey AS cust, 2 * l.l_suppkey + 1 AS supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM pairs
+)
+"""
+
+
+@register("qx_degree_distribution", oracle=f"""
+WITH {_EDGES_CTE},
+deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src)
+SELECT degree, count(*) AS n_nodes,
+       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers
+FROM deg GROUP BY degree ORDER BY degree
+""")
+def qx_degree_distribution(spark, sf_dir):
+    """Degree histogram of the undirected customer-supplier purchase
+    graph (how many nodes have each degree, suppliers counted
+    separately) — the one-pass graph profile before any iterative
+    algorithm is worth running."""
+    edges = graph.purchase_edges(_t(spark, sf_dir, "lineitem"),
+                                 _t(spark, sf_dir, "orders"))
+    deg = graph.degree_stats(edges)
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+                  .cast("long").alias("n_suppliers"))
+            .orderBy("degree"))
+
+
+@register("qx_pagerank_suppliers")
+def qx_pagerank_suppliers(spark, sf_dir):
+    """Top-20 suppliers by PageRank over the purchase graph (10
+    rounds, d=0.85). Rows-only: the rank is a float power iteration
+    whose partial-sum order is engine-specific; tests/test_graph.py
+    pins the values against a NumPy power-iteration twin at 1e-6 and
+    the sum-of-ranks = N invariant."""
+    edges = graph.purchase_edges(_t(spark, sf_dir, "lineitem"),
+                                 _t(spark, sf_dir, "orders"))
+    ranks = graph.pagerank(edges, iterations=10, damping=0.85)
+    return (ranks.filter(F.col("node") % 2 == 1)
+            .select(((F.col("node") - 1) / 2).cast("long")
+                    .alias("supp_key"),
+                    F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), "supp_key").limit(20))

@@ -1,0 +1,72 @@
+"""Graph-analytics tests: PageRank pinned against a NumPy power
+iteration on the same graph, plus structural invariants and the
+bounded-lineage discipline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators import graph
+
+
+def _numpy_pagerank(edges, iterations=10, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.ones(n)
+    for _ in range(iterations):
+        inflow = np.zeros(n)
+        for u, v in edges:
+            inflow[idx[v]] += r[idx[u]] / deg[idx[u]]
+        r = (1 - d) + d * inflow
+    return {n_: r[idx[n_]] for n_ in nodes}
+
+
+EDGES = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (3, 4), (4, 3)]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(df, iterations=10).collect()}
+    want = _numpy_pagerank(EDGES, iterations=10)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+    # well-connected triangle nodes outrank the pendant node
+    assert got[4] < min(got[1], got[2], got[3])
+
+
+def test_pagerank_sum_is_node_count(spark, sf_dir):
+    import os
+    edges = graph.purchase_edges(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")))
+    ranks = graph.pagerank(edges, iterations=6)
+    n = ranks.count()
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(n, rel=1e-9)  # no dangling mass lost
+
+
+def test_purchase_edges_are_symmetric_bipartite(spark, sf_dir):
+    import os
+    edges = graph.purchase_edges(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")))
+    # every edge crosses the bipartition (even customer <-> odd supplier)
+    bad = edges.filter((F.col("src") % 2) == (F.col("dst") % 2)).count()
+    assert bad == 0
+    # symmetric: reversed set equals the set
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert fwd.exceptAll(rev).count() == 0
+
+
+def test_degree_distribution_query_runs(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.graph_analytics import (
+        qx_degree_distribution)
+    rows = qx_degree_distribution(spark, sf_dir).collect()
+    assert rows and all(r["n_nodes"] >= r["n_suppliers"] >= 0 for r in rows)
