@@ -70,3 +70,41 @@ def qx_pagerank_suppliers(spark, sf_dir):
                     .alias("supp_key"),
                     F.round("rank", 6).alias("rank"))
             .orderBy(F.desc("rank"), "supp_key").limit(20))
+
+
+# --------------------------------------------------------------------------
+# market-basket analytics
+# --------------------------------------------------------------------------
+
+@register("qx_copurchase_pairs", oracle="""
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       count(DISTINCT a.l_orderkey) AS n_orders
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 3
+ORDER BY p1, p2
+""")
+def qx_copurchase_pairs(spark, sf_dir):
+    """Exact part-pair co-occurrence across orders (>= 3 shared
+    baskets) — the oracle-checkable twin of the FPGrowth pair
+    itemsets (equivalence-pinned in tests/test_graph.py)."""
+    from ..operators import baskets as bk
+    return bk.copurchase_pairs(_t(spark, sf_dir, "lineitem"),
+                               min_orders=3).orderBy("p1", "p2")
+
+
+@register("qm_fpgrowth_itemsets")
+def qm_fpgrowth_itemsets(spark, sf_dir):
+    """MLlib FPGrowth frequent itemsets (minSupport 3/|baskets|):
+    all sizes, counts exact. Rows-only (MLlib model output); the
+    size-2 slice must equal qx_copurchase_pairs exactly — pinned in
+    tests/test_graph.py."""
+    from ..operators import baskets as bk
+    b = bk.baskets(_t(spark, sf_dir, "lineitem"))
+    n = b.count()
+    model = bk.fpgrowth_itemsets(b, min_support=3.0 / n)
+    return (model.freqItemsets
+            .select(F.array_sort("items").alias("items"),
+                    F.col("freq").alias("n_orders"))
+            .orderBy(F.size("items"), "items"))

@@ -70,3 +70,35 @@ def test_degree_distribution_query_runs(spark, sf_dir):
         qx_degree_distribution)
     rows = qx_degree_distribution(spark, sf_dir).collect()
     assert rows and all(r["n_nodes"] >= r["n_suppliers"] >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# market-basket analytics
+# ---------------------------------------------------------------------------
+
+def test_fpgrowth_pairs_equal_exact_copurchase(spark, sf_dir):
+    """FPGrowth's size-2 frequent itemsets must match the exact
+    self-join pair counts — same support threshold, same data."""
+    from social_media_ai_engineering_etl_spark.queries.graph_analytics import (
+        qm_fpgrowth_itemsets, qx_copurchase_pairs)
+    fp = {tuple(r["items"]): r["n_orders"]
+          for r in qm_fpgrowth_itemsets(spark, sf_dir).collect()
+          if len(r["items"]) == 2}
+    exact = {(r["p1"], r["p2"]): r["n_orders"]
+             for r in qx_copurchase_pairs(spark, sf_dir).collect()}
+    assert fp == exact
+
+
+def test_fpgrowth_singletons_are_part_frequencies(spark, sf_dir):
+    import os
+    from social_media_ai_engineering_etl_spark.queries.graph_analytics import (
+        qm_fpgrowth_itemsets)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    want = {(r["l_partkey"],): r["n"] for r in
+            li.groupBy("l_partkey")
+              .agg(F.count_distinct("l_orderkey").alias("n"))
+              .filter(F.col("n") >= 3).collect()}
+    got = {tuple(r["items"]): r["n_orders"]
+           for r in qm_fpgrowth_itemsets(spark, sf_dir).collect()
+           if len(r["items"]) == 1}
+    assert got == want
