@@ -127,3 +127,21 @@ def range_join(points: DataFrame, intervals: DataFrame,
                     & (F.unix_micros(F.col(point_ts))
                        < F.unix_micros(F.col(end_ts))))
             .drop("__bin"))
+
+
+def merge_rollups(old: DataFrame, delta: DataFrame, keys: list[str],
+                  aggs: dict[str, str]) -> DataFrame:
+    """Incremental aggregate maintenance: combine yesterday's
+    materialized rollup with today's delta rollup WITHOUT touching the
+    full history — the refresh pattern that keeps a 100 TB fact's
+    daily rollup O(delta) instead of O(history).
+
+    ``aggs`` maps measure column -> merge fn name; only algebraic
+    aggregates merge (sum/count by re-summing, min/max by re-min/max —
+    the same _MERGE table the salted aggregation uses). avg/distinct
+    must be carried as (sum, count) / sketch parts by the caller.
+    Equality with the full recompute is oracle-checked by
+    qx_incremental_rollup."""
+    merged = old.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        *[_MERGE[fn](c).alias(c) for c, fn in aggs.items()])

@@ -630,3 +630,45 @@ def qx_scd2_intervals(spark, sf_dir):
                 F.date_format("valid_to", fmt).alias("valid_to"),
                 "is_current")
         .orderBy("user_id", "valid_from"))
+
+
+@register("qx_incremental_rollup", oracle="""
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS max_value_cents
+FROM events GROUP BY 1, 2 ORDER BY event_type, day
+""")
+def qx_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance, value-checked against the
+    full recompute: the history slice (first 80% of days) is rolled
+    up once, the delta slice separately, and scale.merge_rollups
+    combines the partials — O(delta) daily refresh instead of
+    re-scanning the fact. Measures are integer cents (per-row round
+    BEFORE summing) so partial-merge reordering cannot produce a
+    float ulp vs the oracle's single-pass sum."""
+    from ..operators import scale
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_format(F.date_trunc("day", "ts"),
+                                    "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    cutoff = ev.agg(F.expr("percentile_approx(unix_date(to_date(day)), 0.8)")
+                    ).collect()[0][0]
+    cutoff_day = ev.select(F.date_from_unix_date(F.lit(int(cutoff)))
+                           .cast("string").alias("d")).first()["d"]
+
+    def rollup(part):
+        return part.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+            F.max("cents").alias("max_value_cents"))
+
+    old = rollup(ev.filter(F.col("day") < cutoff_day))
+    delta = rollup(ev.filter(F.col("day") >= cutoff_day))
+    merged = scale.merge_rollups(
+        old, delta, ["event_type", "day"],
+        {"n_events": "count", "sum_value_cents": "sum",
+         "max_value_cents": "max"})
+    return merged.orderBy("event_type", "day")

@@ -90,3 +90,35 @@ def test_hll_mergeable_error_bound_and_union(spark, sf_dir):
     for r in rows:
         assert abs(r.est_distinct - r.exact_distinct) \
             <= max(1, 0.05 * r.exact_distinct), r
+
+
+def test_merge_rollups_equals_full_recompute_nontrivially(spark, sf_dir):
+    """The incremental refresh must combine two NON-empty partials
+    (otherwise the query degenerates to a full recompute and proves
+    nothing) and match the direct aggregate exactly."""
+    import os
+    from pyspark.sql import functions as F
+    from social_media_ai_engineering_etl_spark.operators import scale
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select("event_type",
+                  F.date_format(F.date_trunc("day", "ts"),
+                                "yyyy-MM-dd").alias("day"),
+                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cutoff = days[len(days) * 4 // 5]
+
+    def rollup(part):
+        return part.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"),
+            F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+
+    old_part = ev.filter(F.col("day") < cutoff)
+    new_part = ev.filter(F.col("day") >= cutoff)
+    assert old_part.count() > 0 and new_part.count() > 0
+    merged = scale.merge_rollups(
+        rollup(old_part), rollup(new_part), ["event_type", "day"],
+        {"n": "count", "s": "sum", "mn": "min", "mx": "max"})
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, rollup(ev).collect()))
+    assert got == want
