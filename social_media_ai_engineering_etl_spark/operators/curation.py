@@ -57,7 +57,8 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
                    min_words: int = 20, max_words: int = 100_000,
                    min_mean_wlen: int = 3, max_mean_wlen: int = 10,
                    max_top_frac_num: int = 1, max_top_frac_den: int = 5,
-                   min_stopword_hits: int = 1) -> DataFrame:
+                   min_stopword_hits: int = 1,
+                   passthrough: list[str] | None = None) -> DataFrame:
     """Per-document Gopher-style quality metrics + keep flag.
 
     A single narrow projection of higher-order functions — no explode,
@@ -91,6 +92,7 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
         lambda acc: acc["best"])
     per_doc = df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in (passthrough or [])],
         F.size(ws).cast("long").alias("n_words"),
         F.size(F.array_distinct(ws)).cast("long")
          .alias("n_distinct_words"),

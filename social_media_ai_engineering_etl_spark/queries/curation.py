@@ -387,3 +387,63 @@ def qx_substring_dup_spans(spark, sf_dir):
     a substring-dedup pass would cut)."""
     return curation.substring_dup_profile(
         _docs(spark, sf_dir), "doc_id", "text", k=10).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# curated-ingest gate (batch twin of streaming/sinks.curated_document_stream)
+# --------------------------------------------------------------------------
+
+@register("qs_curated_ingest", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, t.token AS token, count(*) AS cnt
+    FROM documents, unnest({_WS}) AS t(token)
+    GROUP BY doc_id, t.token
+), per_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           count(*) AS n_distinct_words,
+           CAST(sum(length(token) * cnt) AS BIGINT) AS sum_word_chars,
+           CAST(max(cnt) AS BIGINT) AS top_token_count,
+           CAST(sum(CASE WHEN token IN
+                ('the','a','of','to','and','in','is','that')
+                THEN cnt ELSE 0 END) AS BIGINT) AS stopword_hits
+    FROM tok GROUP BY doc_id
+), w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+g AS (SELECT doc_id, unnest({_G5}) AS gram FROM w),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+hits AS (SELECT DISTINCT doc_id FROM g WHERE gram IN
+         (SELECT gram FROM bench))
+SELECT p.doc_id,
+       CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated,
+       n_words, n_distinct_words, sum_word_chars,
+       top_token_count, stopword_hits,
+       CASE WHEN n_words BETWEEN 20 AND 100000
+             AND sum_word_chars BETWEEN 3 * n_words AND 10 * n_words
+             AND 5 * top_token_count <= n_words
+             AND stopword_hits >= 1
+            THEN 1 ELSE 0 END AS keep
+FROM per_doc p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id
+""")
+def qs_curated_ingest(spark, sf_dir):
+    """Batch twin of the streaming ingest curation gate
+    (streaming/sinks.py::curated_document_stream): Gopher quality
+    metrics + keep flag + benchmark-contamination flag in one pass.
+    The batch side computes the flag with the native semi-join (the
+    streaming side probes the broadcast gram set per Arrow batch;
+    equivalence pinned in tests/test_streaming.py)."""
+    from ..operators.dedup import word_shingles
+    docs = _docs(spark, sf_dir)
+    bench = (docs.filter(F.col("doc_id") % 20 == 0)
+             .select(F.explode(word_shingles(F.col("text"), 5))
+                     .alias("gram")).distinct())
+    hits = (docs.select("doc_id",
+                        F.explode(word_shingles(F.col("text"), 5))
+                        .alias("gram"))
+            .join(F.broadcast(bench), "gram", "left_semi")
+            .select("doc_id").distinct().withColumn("__c", F.lit(1)))
+    flagged = (docs.join(hits, "doc_id", "left")
+               .withColumn("contaminated", F.coalesce("__c", F.lit(0)))
+               .drop("__c"))
+    return (curation.gopher_quality(flagged, "doc_id", "text",
+                                    passthrough=["contaminated"])
+            .orderBy("doc_id"))

@@ -1,0 +1,116 @@
+"""Streaming sinks and stream-static enrichment (SURVEY §2.12
+green-field surface).
+
+``foreachBatch`` + a deterministic keyed upsert is the standard
+exactly-once-ish sink recipe for stores without transactional MERGE:
+the micro-batch id is recorded with the write, so a replayed batch
+(checkpoint recovery re-runs the last uncommitted batch) overwrites
+itself instead of duplicating. On a parquet directory the merge is a
+read-modify-write of the key partition — O(table) per batch, which is
+the file-format's limit, documented here because the PATTERN (keyed
+idempotent upsert inside foreachBatch) is what carries to Delta/
+Iceberg MERGE INTO at 100 TB.
+
+The stream-side curation gate shows the other §2.12 staple: a
+streaming DataFrame enriched against a small static reference set
+(benchmark n-grams) — stateless, no watermark needed. The membership
+set is broadcast to every executor once and probed per Arrow batch
+(the same shape a broadcast bloom filter takes at 100 TB benchmark
+sizes); a two-streams-joined formulation is NOT used because joining
+two derivations of the same stream is a stream-stream join, which
+Spark rejects without watermarked keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..operators.curation import gopher_quality
+from ..operators.dedup import word_shingles
+
+
+def contamination_flagger(spark: SparkSession, bench_grams: DataFrame,
+                          n: int = 5):
+    """Column builder: 1 when any of the text's distinct n-word grams
+    is in the (broadcast) benchmark gram set. The eval-set grams are
+    small by definition — collected once, broadcast once, probed per
+    Arrow batch. Gram construction mirrors dedup.word_shingles (same
+    whitespace tokens, space-joined)."""
+    grams = frozenset(r["gram"] for r in bench_grams.collect())
+    bc = spark.sparkContext.broadcast(grams)
+
+    @pandas_udf("int")
+    def contaminated(text: pd.Series) -> pd.Series:
+        s = bc.value
+
+        def hit(t: str) -> int:
+            ws = t.strip().split()
+            return int(any(
+                " ".join(ws[i:i + n]) in s
+                for i in range(len(ws) - n + 1)))
+
+        return text.map(hit)
+
+    return contaminated
+
+
+def curated_document_stream(stream_docs: DataFrame,
+                            bench_grams: DataFrame,
+                            n: int = 5) -> DataFrame:
+    """Streaming ingest curation gate: per incoming document, the
+    Gopher quality metrics + keep flag (stateless HOF projection —
+    identical code path as batch: operators/curation.py) and a
+    ``contaminated`` flag probed against the broadcast benchmark gram
+    set. One stateless projection per micro-batch; batch-equivalence
+    is pinned in tests/test_streaming.py."""
+    flag = contamination_flagger(stream_docs.sparkSession, bench_grams, n)
+    flagged = stream_docs.withColumn("contaminated", flag(F.col("text")))
+    return gopher_quality(flagged, "doc_id", "text",
+                          passthrough=["contaminated"])
+
+
+def upsert_parquet_sink(path: str, keys: list[str]):
+    """Build a ``foreachBatch`` function performing a keyed
+    latest-wins upsert into a parquet directory, idempotent under
+    micro-batch replay: rows carry the writing batch id, and a
+    replayed batch's rows REPLACE the rows the failed attempt wrote
+    (same keys, same batch id) instead of stacking.
+
+    Returns ``sink(batch_df, batch_id)`` for
+    ``writeStream.foreachBatch(...)``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (batch_df.dropDuplicates(keys)
+               .withColumn("__batch_id", F.lit(int(batch_id))))
+        if os.path.exists(path):
+            old = spark.read.parquet(path)
+            # drop old rows superseded by this batch's keys OR written
+            # by a previous attempt of this same batch id (replay)
+            merged = (old.join(new.select(*keys), keys, "left_anti")
+                      .filter(F.col("__batch_id") != int(batch_id))
+                      .unionByName(new))
+        else:
+            merged = new
+        # parquet has no transactional MERGE: stage then swap
+        tmp = path + ".__staging__"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+
+    return sink
+
+
+def benchmark_gram_table(spark: SparkSession, docs_path: str,
+                         n: int = 5) -> DataFrame:
+    """Static benchmark gram side for the curation gate: distinct
+    n-grams of the held-out slice (doc_id % 20 = 0), small by
+    construction — the broadcast side of the stream-static join."""
+    docs = spark.read.parquet(docs_path).filter(F.col("doc_id") % 20 == 0)
+    return (docs.select(F.explode(word_shingles(F.col("text"), n))
+                        .alias("gram")).distinct())

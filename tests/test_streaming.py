@@ -603,3 +603,70 @@ def test_stream_cohort_retention_matches_batch(spark, tmp_path, sf_dir):
         stream_counts[(week, r.week_offset)] = \
             stream_counts.get((week, r.week_offset), 0) + 1
     assert stream_counts == batch
+
+
+def test_streaming_curation_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static curation gate (quality HOFs + benchmark-gram
+    LEFT SEMI broadcast join) over a two-batch document stream,
+    upserted by doc_id via the foreachBatch keyed sink, equals the
+    batch twin computed directly."""
+    from social_media_ai_engineering_etl_spark.operators.curation import (
+        gopher_quality)
+    from social_media_ai_engineering_etl_spark.operators.dedup import (
+        word_shingles)
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        benchmark_gram_table, curated_document_stream, upsert_parquet_sink)
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(docs_path)
+    src = str(tmp_path / "docs_src")
+    # two micro-batch files
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    bench = benchmark_gram_table(spark, docs_path, n=5)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "curated")
+    q = (curated_document_stream(stream, bench, n=5)
+         .writeStream.foreachBatch(upsert_parquet_sink(out, ["doc_id"]))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["doc_id"]: (r["keep"], r["contaminated"])
+           for r in spark.read.parquet(out).collect()}
+
+    bench_hits = (docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id").distinct())
+    want_df = (gopher_quality(docs, "doc_id", "text")
+               .join(bench_hits.withColumn("c", F.lit(1)), "doc_id", "left")
+               .select("doc_id", "keep", F.coalesce("c", F.lit(0))
+                       .alias("contaminated")))
+    want = {r["doc_id"]: (r["keep"], r["contaminated"])
+            for r in want_df.collect()}
+    assert got == want
+    assert sum(c for _, c in got.values()) > 0  # gate actually fired
+
+
+def test_upsert_sink_is_idempotent_under_replay(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        upsert_parquet_sink)
+    out = str(tmp_path / "tbl")
+    sink = upsert_parquet_sink(out, ["k"])
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink(b0, 0)
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    sink(b1, 1)
+    after_first = sorted(map(tuple, spark.read.parquet(out)
+                             .select("k", "v").collect()))
+    assert after_first == [(1, "a"), (2, "B"), (3, "c")]  # latest wins
+    sink(b1, 1)  # checkpoint-recovery replay of the same batch
+    after_replay = sorted(map(tuple, spark.read.parquet(out)
+                              .select("k", "v").collect()))
+    assert after_replay == after_first
