@@ -672,3 +672,133 @@ def qx_incremental_rollup(spark, sf_dir):
         {"n_events": "count", "sum_value_cents": "sum",
          "max_value_cents": "max"})
     return merged.orderBy("event_type", "day")
+
+
+@register("qx_stickiness_exact", oracle="""
+WITH du AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM du)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN u.day = d.day
+                           THEN u.user_id END) AS dau,
+       count(DISTINCT u.user_id) AS mau
+FROM days d
+JOIN du u ON u.day > d.day - INTERVAL 30 DAY AND u.day <= d.day
+GROUP BY d.day ORDER BY day
+""")
+def qx_stickiness_exact(spark, sf_dir):
+    """DAU and trailing-30-day MAU per day (the stickiness ratio's
+    numerator and denominator), EXACT. Spark windows cannot do
+    count(DISTINCT) over a range frame, so the plan pre-shrinks to
+    the distinct (day, user) grain — tiny compared to the fact — and
+    range-joins that against the day frame. The 100 TB path with no
+    re-join is the HLL twin qx_stickiness_hll."""
+    du = (_events(spark, sf_dir)
+          .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+          .distinct())
+    days = du.select(F.col("day").alias("d")).distinct()
+    joined = du.join(days, (F.col("day") > F.col("d") - F.expr(
+        "INTERVAL 30 DAYS")) & (F.col("day") <= F.col("d")))
+    return (joined.groupBy("d")
+            .agg(F.count_distinct(
+                     F.when(F.col("day") == F.col("d"), F.col("user_id")))
+                 .alias("dau"),
+                 F.count_distinct("user_id").alias("mau"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dau", "mau")
+            .orderBy("day"))
+
+
+@register("qx_stickiness_hll")
+def qx_stickiness_hll(spark, sf_dir):
+    """The mergeable-sketch twin: one HLL sketch per day (one pass
+    over the fact), then each day's trailing-30 MAU is a union of at
+    most 30 pre-built KB-sized sketches — no re-scan, no re-join of
+    the fact, and the per-day sketch table is the artifact a daily
+    job checkpoints. Rows-only; the relative-error contract vs the
+    exact twin is pinned in tests/test_streaming.py."""
+    per_day = (_events(spark, sf_dir)
+               .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+               .groupBy("day")
+               .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                    F.count_distinct("user_id").alias("dau")))
+    days = per_day.select(F.col("day").alias("d"),
+                          F.col("dau").alias("d_dau"))
+    joined = per_day.select("day", "sk").join(
+        days, (F.col("day") > F.col("d") - F.expr("INTERVAL 30 DAYS"))
+        & (F.col("day") <= F.col("d")))
+    return (joined.groupBy("d", "d_dau")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("mau_approx"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("d_dau").alias("dau"), "mau_approx")
+            .orderBy("day"))
+
+
+@register("qx_multitouch_attribution", oracle="""
+WITH ev AS (
+    SELECT event_id, ts, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'purchase')
+), clicks AS (
+    SELECT e.event_id AS click_id, e.user_id, e.ts,
+           min(struct_pack(ts := p.ts, id := p.event_id)) AS np
+    FROM ev e
+    JOIN ev p ON p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+    WHERE e.event_type = 'click'
+    GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT user_id, np.id AS purchase_id, click_id,
+           row_number() OVER (PARTITION BY user_id, np.id
+                              ORDER BY ts, click_id) AS rn,
+           count(*) OVER (PARTITION BY user_id, np.id) AS n_clicks
+    FROM clicks
+)
+SELECT user_id, purchase_id, click_id, rn, n_clicks,
+       CASE WHEN n_clicks = 1 THEN 10000
+            WHEN rn = 1 OR rn = n_clicks
+                 THEN CASE WHEN n_clicks = 2 THEN 5000 ELSE 4000 END
+            ELSE 2000 // (n_clicks - 2) END AS credit_bp
+FROM ranked ORDER BY user_id, purchase_id, rn
+""")
+def qx_multitouch_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: each click
+    credits the user's NEXT purchase — first and last touch get 40%
+    each, middles split 20% (integer basis points, DIV) — the
+    many-touch generalization of qs_last_touch.
+
+    The next-purchase assignment is windowed, not joined: events
+    sorted descending per user, running min of purchase (ts, id) over
+    strictly-later rows — one shuffle on user_id, no click x purchase
+    pair blow-up for heavy users (the oracle uses the equivalent
+    pair-join form, fine at sf0.01)."""
+    from pyspark.sql import Window
+    ev = (_events(spark, sf_dir)
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "ts", "user_id", "event_type"))
+    w_desc = (Window.partitionBy("user_id")
+              .orderBy(F.desc("ts"), F.desc("event_id"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    np_ = F.min(F.when(F.col("event_type") == "purchase",
+                       F.struct(F.col("ts").alias("ts"),
+                                F.col("event_id").alias("id")))).over(w_desc)
+    clicks = (ev.withColumn("np", np_)
+              .filter((F.col("event_type") == "click")
+                      & F.col("np").isNotNull()))
+    ranked = (clicks.select(
+        "user_id", F.col("np.id").alias("purchase_id"),
+        F.col("event_id").alias("click_id"), "ts")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "purchase_id")
+            .orderBy("ts", "click_id")))
+        .withColumn("n_clicks", F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "purchase_id"))))
+    credit = (F.when(F.col("n_clicks") == 1, 10000)
+              .when((F.col("rn") == 1) | (F.col("rn") == F.col("n_clicks")),
+                    F.when(F.col("n_clicks") == 2, 5000).otherwise(4000))
+              .otherwise(F.expr("2000 DIV (n_clicks - 2)")))
+    return (ranked.select("user_id", "purchase_id", "click_id",
+                          F.col("rn").cast("long").alias("rn"),
+                          F.col("n_clicks").cast("long").alias("n_clicks"),
+                          credit.cast("long").alias("credit_bp"))
+            .orderBy("user_id", "purchase_id", "rn"))

@@ -670,3 +670,20 @@ def test_upsert_sink_is_idempotent_under_replay(spark, tmp_path):
     after_replay = sorted(map(tuple, spark.read.parquet(out)
                               .select("k", "v").collect()))
     assert after_replay == after_first
+
+
+def test_stickiness_hll_tracks_exact_within_error(spark, sf_dir):
+    """Trailing-MAU sketch union must stay within HLL++ error of the
+    exact count (2% sketches, generous 6% gate) and DAU columns must
+    be identical (DAU is exact in both)."""
+    from social_media_ai_engineering_etl_spark.queries.streaming_analytics import (
+        qx_stickiness_exact, qx_stickiness_hll)
+    exact = {r["day"]: (r["dau"], r["mau"])
+             for r in qx_stickiness_exact(spark, sf_dir).collect()}
+    approx = {r["day"]: (r["dau"], r["mau_approx"])
+              for r in qx_stickiness_hll(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for day, (dau, mau) in exact.items():
+        a_dau, a_mau = approx[day]
+        assert a_dau == dau
+        assert abs(a_mau - mau) <= max(2, 0.06 * mau)
