@@ -76,6 +76,32 @@ NOTES = {
         "Count-min sketch: counter table bounded at depth*width rows "
         "regardless of corpus; candidate probes broadcast into the "
         "estimate join; min-per-token is a tiny aggregate."),
+    "qx_gopher_quality": (
+        "Quality gate: ONE narrow HOF projection — no Exchange, no "
+        "explode; the top-token count folds a sorted-array run-length "
+        "instead of a (doc, token) shuffle."),
+    "qx_decontamination": (
+        "Benchmark grams BROADCAST (the eval set is small by "
+        "definition); corpus grams explode map-side and never "
+        "shuffle as text; per-doc rollup partial-aggregates."),
+    "qx_pack_sequences": (
+        "Next-fit packing: one Exchange to the (lang, shard) key, "
+        "then a linear Arrow walk per shard "
+        "(FlatMapGroupsInPandas) — shard count is the parallelism "
+        "knob."),
+    "qx_substring_dup_spans": (
+        "Substring dedup: positional gram equi-join machinery only — "
+        "cross-doc gram set via left-semi, run collapse windows "
+        "partition by doc (bounded by doc length); no pair join of "
+        "documents."),
+    "qx_multitouch_attribution": (
+        "Next-purchase assignment is a per-user descending-window "
+        "running min — no click x purchase pair join; position "
+        "credits are window functions over the same user partition."),
+    "qx_stickiness_hll": (
+        "Trailing MAU: per-day HLL sketches (KB each) union over a "
+        "30-row day frame — the fact is scanned once; no distinct "
+        "re-count per day."),
 }
 
 

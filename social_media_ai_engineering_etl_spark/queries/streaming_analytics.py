@@ -802,3 +802,72 @@ def qx_multitouch_attribution(spark, sf_dir):
                           F.col("n_clicks").cast("long").alias("n_clicks"),
                           credit.cast("long").alias("credit_bp"))
             .orderBy("user_id", "purchase_id", "rn"))
+
+
+@register("qx_value_percentile_bands", oracle="""
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(quantile_cont(cents, 0.50) * 10) AS BIGINT) AS p50_x10,
+       CAST(round(quantile_cont(cents, 0.90) * 10) AS BIGINT) AS p90_x10,
+       CAST(round(quantile_cont(cents, 0.99) * 10) AS BIGINT) AS p99_x10
+FROM c GROUP BY event_type ORDER BY event_type
+""")
+def qx_value_percentile_bands(spark, sf_dir):
+    """Exact p50/p90/p99 value bands per event type (the SLO-style
+    percentile rollup). Integer-stable emission: values become cents
+    per row, and the interpolated quantile is scaled x10 — 0.9*(n-1)
+    interpolation fractions have denominator 10, so the scaled value
+    is an integer and round() only strips the float ulp, never moves
+    a boundary. One hash-agg pass; the mergeable sketch variant of
+    the same shape is percentile_approx (see qx_corpus_stats_sketch)."""
+    c = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return (c.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.expr(f"CAST(round(percentile(cents, {q}) * 10)"
+                          f" AS BIGINT)").alias(f"p{int(q*100)}_x10")
+                   for q in (0.50, 0.90, 0.99)])
+            .orderBy("event_type"))
+
+
+@register("qx_event_transitions", oracle="""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS next_ts
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n_transitions
+FROM o
+WHERE next_type IS NOT NULL
+  AND next_ts <= ts + INTERVAL 30 MINUTE
+GROUP BY 1, 2 ORDER BY from_type, to_type
+""")
+def qx_event_transitions(spark, sf_dir):
+    """Markov transition counts between consecutive events of the
+    same user within a 30-minute session gap — the first-order
+    behavior model behind next-action prediction. One window pass on
+    the (user, time) sort the session/funnel operators already use,
+    then a tiny hash agg on the 5x5 type matrix."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (_events(spark, sf_dir)
+         .select("user_id", "ts", "event_id", "event_type")
+         .withColumn("next_type", F.lead("event_type").over(w))
+         .withColumn("next_ts", F.lead("ts").over(w)))
+    return (o.filter(F.col("next_type").isNotNull()
+                     & (F.col("next_ts")
+                        <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")))
+            .groupBy(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+            .orderBy("from_type", "to_type"))
