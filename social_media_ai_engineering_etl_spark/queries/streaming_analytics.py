@@ -871,3 +871,66 @@ def qx_event_transitions(spark, sf_dir):
                      F.col("next_type").alias("to_type"))
             .agg(F.count(F.lit(1)).alias("n_transitions"))
             .orderBy("from_type", "to_type"))
+
+
+@register("qx_value_histogram", oracle="""
+SELECT event_type,
+       CAST(floor(value / 25.0) + 1 AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+""")
+def qx_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (width_bucket into
+    20 bins over [0, 500)) — the one-pass distribution profile; bin
+    ids are integers so the hash is boundary-exact on both engines."""
+    return (_events(spark, sf_dir)
+            .groupBy("event_type",
+                     F.width_bucket("value", F.lit(0.0), F.lit(500.0),
+                                    F.lit(20)).cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type", "bucket"))
+
+
+@register("qx_ab_test_welch", oracle="""
+WITH assigned AS (
+    SELECT user_id % 2 AS bucket, value FROM events
+    WHERE event_type = 'purchase'
+), stats AS (
+    SELECT bucket, count(*) AS n,
+           round(avg(value), 6) AS mean_value,
+           round(var_samp(value), 6) AS var_value
+    FROM assigned GROUP BY bucket
+)
+SELECT a.n AS n_a, b.n AS n_b, a.mean_value AS mean_a,
+       b.mean_value AS mean_b,
+       round((a.mean_value - b.mean_value) /
+             sqrt(a.var_value / a.n + b.var_value / b.n), 6) AS welch_z
+FROM stats a, stats b WHERE a.bucket = 0 AND b.bucket = 1
+""")
+def qx_ab_test_welch(spark, sf_dir):
+    """Two-sample Welch z statistic for purchase value between
+    deterministic experiment buckets (user_id % 2) — the A/B readout
+    every experimentation pipeline computes. One aggregate per bucket
+    (count/mean/variance partial-combine map-side), then a 1x1 cross
+    of the two stat rows; the statistic is computed from the
+    6-rounded moments on BOTH engines so the division amplifies
+    identical inputs."""
+    assigned = (_events(spark, sf_dir)
+                .filter(F.col("event_type") == "purchase")
+                .select((F.col("user_id") % 2).alias("bucket"), "value"))
+    stats = (assigned.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("value"), 6).alias("mean_value"),
+                  F.round(F.var_samp("value"), 6).alias("var_value")))
+    a = stats.filter(F.col("bucket") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean_value").alias("mean_a"),
+        F.col("var_value").alias("var_a"))
+    b = stats.filter(F.col("bucket") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean_value").alias("mean_b"),
+        F.col("var_value").alias("var_b"))
+    return (a.join(b)
+            .select("n_a", "n_b", "mean_a", "mean_b",
+                    F.round((F.col("mean_a") - F.col("mean_b"))
+                            / F.sqrt(F.col("var_a") / F.col("n_a")
+                                     + F.col("var_b") / F.col("n_b")), 6)
+                     .alias("welch_z")))
