@@ -288,3 +288,73 @@ def test_range_join_matches_naive_filter(spark, pts, ivs):
             for j, (a, b) in enumerate(ivs)
             if a <= s < b}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# curation-family invariants
+# ---------------------------------------------------------------------------
+
+WORDS = st.lists(st.sampled_from(
+    ["the", "a", "spark", "row", "table", "scan", "fast", "merge",
+     "value", "key"]), min_size=1, max_size=60)
+
+
+@settings(**PROP_SETTINGS)
+@given(docs=st.lists(WORDS, min_size=1, max_size=8))
+def test_chunking_covers_every_token_once_per_window(spark, docs):
+    """Chunk invariants for arbitrary docs: starts advance by the
+    stride, the final chunk reaches the last token, chunk sizes never
+    exceed the window, and consecutive chunks overlap by
+    window - stride (except a short tail)."""
+    from social_media_ai_engineering_etl_spark.operators import curation
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    out = curation.chunk_tokens(df, "doc_id", "text",
+                                window=8, stride=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, ws in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [c["start_tok"] for c in chunks] == \
+            list(range(0, len(ws), 5))
+        assert all(1 <= c["n_tokens"] <= 8 for c in chunks)
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tokens"] == len(ws)
+
+
+@settings(**PROP_SETTINGS)
+@given(toks=st.lists(st.integers(min_value=1, max_value=40),
+                     min_size=1, max_size=30))
+def test_packing_conserves_and_respects_budget(spark, toks):
+    from social_media_ai_engineering_etl_spark.operators import curation
+    df = spark.createDataFrame(
+        [(i, "g", " ".join(["w"] * t)) for i, t in enumerate(toks)],
+        "doc_id long, grp string, text string")
+    out = curation.pack_sequences(
+        df, ["grp"], "doc_id",
+        F.size(curation.words(F.col("text"))), budget=32).collect()
+    assert sum(r["n_docs"] for r in out) == len(toks)
+    assert sum(r["sum_tokens"] for r in out) == sum(toks)
+    # a bin exceeds the budget only when a single oversize doc owns it
+    assert all(r["sum_tokens"] <= 32 or r["n_docs"] == 1 for r in out)
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=TEXTS)
+def test_pii_scrub_is_idempotent(spark, texts):
+    """Redacting already-redacted text changes nothing and finds no
+    further PII — for arbitrary (including unicode) input."""
+    from social_media_ai_engineering_etl_spark.operators import curation
+    df = _df(spark, texts)
+    once = curation.pii_scrub(df, "id", "text")
+    twice = curation.pii_scrub(
+        once.select("doc_id", F.col("redacted").alias("text")),
+        "doc_id", "text")
+    rows = {r["doc_id"]: r for r in twice.collect()}
+    first = {r["doc_id"]: r for r in once.collect()}
+    for i in rows:
+        assert rows[i]["redacted"] == first[i]["redacted"]
+        assert all(rows[i][f"n_{c}"] == 0
+                   for c in ("email", "ssn", "ipv4", "phone"))
