@@ -145,3 +145,35 @@ def merge_rollups(old: DataFrame, delta: DataFrame, keys: list[str],
     merged = old.unionByName(delta)
     return merged.groupBy(*keys).agg(
         *[_MERGE[fn](c).alias(c) for c, fn in aggs.items()])
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  fingerprint_col: str) -> DataFrame:
+    """Change-data-feed generation by diffing two table snapshots:
+    full outer join on the key, rows classified insert / delete /
+    update (fingerprint mismatch); unchanged rows drop out. One
+    co-partitioned shuffle join on the key — the pattern that turns
+    nightly full snapshots into an incremental feed when the source
+    system cannot emit CDC itself."""
+    o = old.select(F.col(key).alias("k"),
+                   F.col(fingerprint_col).alias("old_fp"))
+    n = new.select(F.col(key).alias("k"),
+                   F.col(fingerprint_col).alias("new_fp"))
+    j = o.join(n, "k", "full_outer")
+    return (j.withColumn(
+        "change_type",
+        F.when(F.col("old_fp").isNull(), F.lit("insert"))
+         .when(F.col("new_fp").isNull(), F.lit("delete"))
+         .when(F.col("old_fp") != F.col("new_fp"), F.lit("update")))
+        .filter(F.col("change_type").isNotNull())
+        .select(F.col("k").alias(key), "change_type"))
+
+
+def erase_users(df: DataFrame, tombstones: DataFrame,
+                user_col: str) -> DataFrame:
+    """Right-to-be-forgotten erasure: drop every row belonging to a
+    tombstoned user via a broadcast anti-join (the tombstone list is
+    tiny next to the fact). Callers write the result table and the
+    audit counts; qx_gdpr_erasure value-checks both."""
+    return df.join(F.broadcast(tombstones.select(user_col).distinct()),
+                   user_col, "left_anti")

@@ -934,3 +934,73 @@ def qx_ab_test_welch(spark, sf_dir):
                             / F.sqrt(F.col("var_a") / F.col("n_a")
                                      + F.col("var_b") / F.col("n_b")), 6)
                      .alias("welch_z")))
+
+
+@register("qx_snapshot_diff", oracle="""
+WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+new AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 10 = 0 THEN text || ' amended'
+                    ELSE text END) AS fp
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, md5('fresh row') AS fp
+    FROM documents WHERE doc_id % 50 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN n.doc_id IS NULL THEN 'delete'
+            WHEN o.fp <> n.fp THEN 'update' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp)
+ORDER BY doc_id
+""")
+def qx_snapshot_diff(spark, sf_dir):
+    """Change-data-feed generation from two snapshots (the nightly
+    full-dump -> incremental-feed pattern): the 'new' snapshot plants
+    deterministic updates (doc_id%10 amended), deletes (doc_id%7
+    gone) and inserts (doc_id%50 cloned high); the diff classifies
+    each via one full-outer key join on md5 fingerprints."""
+    from ..operators import scale
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    old = docs.select("doc_id", F.md5("text").alias("fp"))
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.md5(F.when(F.col("doc_id") % 10 == 0,
+                                F.concat(F.col("text"),
+                                         F.lit(" amended")))
+                         .otherwise(F.col("text"))).alias("fp"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 50 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.md5(F.lit("fresh row")).alias("fp"))))
+    return scale.snapshot_diff(old, new, "doc_id", "fp").orderBy("doc_id")
+
+
+@register("qx_gdpr_erasure", oracle="""
+WITH ts AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+SELECT (SELECT count(*) FROM events) AS n_before,
+       (SELECT count(*) FROM events
+        WHERE user_id IN (SELECT user_id FROM ts)) AS n_dropped,
+       (SELECT count(*) FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM ts)) AS n_after,
+       (SELECT count(*) FROM ts) AS n_tombstoned_users
+""")
+def qx_gdpr_erasure(spark, sf_dir):
+    """Right-to-be-forgotten audit: erase tombstoned users
+    (user_id % 97 = 0) from the fact via a broadcast anti-join and
+    emit the before/dropped/after counts — the verifiable receipt an
+    erasure job must produce. The erased frame itself is the
+    operator's output; this query value-checks the accounting."""
+    from ..operators import scale
+    ev = _events(spark, sf_dir)
+    ts = ev.filter(F.col("user_id") % 97 == 0) \
+           .select("user_id").distinct()
+    erased = scale.erase_users(ev, ts, "user_id")
+    n_before = ev.count()
+    n_after = erased.count()
+    n_ts = ts.count()
+    return spark.createDataFrame(
+        [(n_before, n_before - n_after, n_after, n_ts)],
+        "n_before long, n_dropped long, n_after long, "
+        "n_tombstoned_users long")

@@ -122,3 +122,29 @@ def test_merge_rollups_equals_full_recompute_nontrivially(spark, sf_dir):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, rollup(ev).collect()))
     assert got == want
+
+
+def test_erase_users_leaves_no_trace(spark, sf_dir):
+    import os
+    from pyspark.sql import functions as F
+    from social_media_ai_engineering_etl_spark.operators import scale
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    n_ts = ts.count()
+    assert n_ts > 0  # the tombstone list must be non-trivial
+    erased = scale.erase_users(ev, ts, "user_id")
+    assert erased.join(ts, "user_id", "left_semi").count() == 0
+    assert erased.count() + ev.join(
+        ts, "user_id", "left_semi").count() == ev.count()
+
+
+def test_snapshot_diff_classifies_planted_changes(spark):
+    from pyspark.sql import functions as F
+    from social_media_ai_engineering_etl_spark.operators import scale
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, fp string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, fp string")
+    got = {r["k"]: r["change_type"]
+           for r in scale.snapshot_diff(old, new, "k", "fp").collect()}
+    assert got == {2: "update", 3: "delete", 4: "insert"}
