@@ -697,8 +697,14 @@ def qx_stickiness_exact(spark, sf_dir):
           .select(F.date_trunc("day", "ts").alias("day"), "user_id")
           .distinct())
     days = du.select(F.col("day").alias("d")).distinct()
-    joined = du.join(days, (F.col("day") > F.col("d") - F.expr(
-        "INTERVAL 30 DAYS")) & (F.col("day") <= F.col("d")))
+    # equi fan-out instead of a range join: each (day, user) row
+    # contributes to exactly the 30 trailing target days, so explode
+    # those targets and hash-join/aggregate on the target day — no
+    # BroadcastNestedLoopJoin anywhere (plan-asserted)
+    contrib = du.withColumn(
+        "d", F.explode(F.expr(
+            "sequence(day, day + interval 29 days, interval 1 day)")))
+    joined = contrib.join(F.broadcast(days), "d", "left_semi")
     return (joined.groupBy("d")
             .agg(F.count_distinct(
                      F.when(F.col("day") == F.col("d"), F.col("user_id")))
@@ -724,9 +730,13 @@ def qx_stickiness_hll(spark, sf_dir):
                     F.count_distinct("user_id").alias("dau")))
     days = per_day.select(F.col("day").alias("d"),
                           F.col("dau").alias("d_dau"))
-    joined = per_day.select("day", "sk").join(
-        days, (F.col("day") > F.col("d") - F.expr("INTERVAL 30 DAYS"))
-        & (F.col("day") <= F.col("d")))
+    # same equi fan-out as the exact twin: a day's KB-sized sketch is
+    # exploded to its <= 30 target days and unioned per target
+    contrib = (per_day.select("day", "sk")
+               .withColumn("d", F.explode(F.expr(
+                   "sequence(day, day + interval 29 days,"
+                   " interval 1 day)"))))
+    joined = contrib.join(F.broadcast(days), "d")
     return (joined.groupBy("d", "d_dau")
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("mau_approx"))

@@ -239,3 +239,12 @@ def test_range_join_plans_equi_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_stickiness_has_no_nested_loop_join(spark, sf_dir):
+    """Trailing-MAU uses the equi fan-out (explode to target days),
+    never a range-condition BroadcastNestedLoopJoin."""
+    for q in ("qx_stickiness_exact", "qx_stickiness_hll"):
+        plan = plan_of(QUERIES[q](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
