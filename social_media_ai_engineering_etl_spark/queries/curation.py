@@ -447,3 +447,37 @@ def qs_curated_ingest(spark, sf_dir):
     return (curation.gopher_quality(flagged, "doc_id", "text",
                                     passthrough=["contaminated"])
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# inverted-index (posting list) construction
+# --------------------------------------------------------------------------
+
+@register("qx_posting_lists", oracle=f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, t.token AS term
+    FROM documents, unnest({_WS}) AS t(token)
+), pl AS (
+    SELECT term, count(*) AS doc_freq,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tok GROUP BY term
+)
+SELECT term, doc_freq, postings FROM pl
+WHERE doc_freq >= 10 ORDER BY term
+""")
+def qx_posting_lists(spark, sf_dir):
+    """Search-index construction: per term, the sorted posting list
+    of documents containing it (df >= 10). Distinct (doc, term) then
+    one hash agg with sort_array(collect_list(...)) — the artifact a
+    distributed index build writes per term shard; postings emitted
+    comma-joined so the value hash is representation-stable."""
+    tok = (_docs(spark, sf_dir)
+           .select("doc_id",
+                   F.explode(F.array_distinct(
+                       curation.words(F.col("text")))).alias("term")))
+    return (tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("doc_freq"),
+                 F.array_join(F.sort_array(F.collect_list("doc_id")),
+                              ",").alias("postings"))
+            .filter(F.col("doc_freq") >= 10)
+            .orderBy("term"))

@@ -1014,3 +1014,63 @@ def qx_gdpr_erasure(spark, sf_dir):
         [(n_before, n_before - n_after, n_after, n_ts)],
         "n_before long, n_dropped long, n_after long, "
         "n_tombstoned_users long")
+
+
+@register("qx_rfm_segments", oracle="""
+WITH p AS (
+    SELECT user_id,
+           max(ts) AS last_ts,
+           count(*) AS frequency,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+    SELECT user_id, frequency, monetary_cents,
+           ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+    FROM p
+)
+SELECT user_id, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored ORDER BY user_id
+""")
+def qx_rfm_segments(spark, sf_dir):
+    """RFM (recency-frequency-monetary) segmentation: per-user
+    purchase stats -> ntile(5) quintile scores (ties broken by
+    user_id so both engines bucket identically) -> rule-based segment
+    label. The global ntile sorts run over the per-user grain (tiny
+    next to the fact); monetary is integer cents."""
+    from pyspark.sql import Window
+    p = (_events(spark, sf_dir)
+         .filter(F.col("event_type") == "purchase")
+         .groupBy("user_id")
+         .agg(F.max("ts").alias("last_ts"),
+              F.count(F.lit(1)).alias("frequency"),
+              F.sum(F.round(F.col("value") * 100).cast("long"))
+               .alias("monetary_cents")))
+    scored = (p
+              .withColumn("r_score", F.ntile(5).over(
+                  Window.orderBy("last_ts", "user_id")))
+              .withColumn("f_score", F.ntile(5).over(
+                  Window.orderBy("frequency", "user_id")))
+              .withColumn("m_score", F.ntile(5).over(
+                  Window.orderBy("monetary_cents", "user_id"))))
+    seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
+                  "champion")
+           .when(F.col("r_score") >= 4, "recent")
+           .when(F.col("f_score") >= 4, "loyal")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+                 "at_risk")
+           .otherwise("regular"))
+    return (scored.select("user_id", "frequency", "monetary_cents",
+                          F.col("r_score").cast("long").alias("r_score"),
+                          F.col("f_score").cast("long").alias("f_score"),
+                          F.col("m_score").cast("long").alias("m_score"),
+                          seg.alias("segment"))
+            .orderBy("user_id"))
