@@ -16,6 +16,7 @@ from . import streaming_analytics  # noqa: F401
 from . import star_rollups  # noqa: F401
 from . import llm_stages  # noqa: F401
 from . import ml_analytics  # noqa: F401
+from . import warehouse_patterns  # noqa: F401
 from . import curation  # noqa: F401  (extension families last)
 from . import graph_analytics  # noqa: F401
 from . import dedup_similarity  # noqa: F401

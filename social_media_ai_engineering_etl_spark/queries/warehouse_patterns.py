@@ -1,0 +1,518 @@
+"""Warehouse-pattern queries (north-star extension): SCD2 intervals,
+incremental rollup maintenance, stickiness, multi-touch attribution,
+percentile bands, event transitions, histograms, A/B readouts,
+snapshot-diff CDC, GDPR erasure, RFM segmentation. All over the
+events fact; every metric integer-stable or 6-rounded from identical
+inputs on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming.windows import load_events
+
+
+def _events(spark, sf_dir):
+    return load_events(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+
+@register("qx_scd2_intervals", oracle="""
+WITH k AS (
+    SELECT user_id, ts, event_id,
+           json_extract(props, '$.k')::BIGINT AS k
+    FROM events
+), changes AS (
+    SELECT user_id, ts, event_id, k,
+           lag(k) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_k
+    FROM k
+), scd AS (
+    SELECT user_id, k, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM changes WHERE prev_k IS NULL OR k <> prev_k
+)
+SELECT user_id, k,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM scd ORDER BY user_id, valid_from
+""")
+def qx_scd2_intervals(spark, sf_dir):
+    """SCD type-2 validity intervals for each user's tracked attribute
+    (props.k): keep only *change* events (lag filter), then close each
+    interval with the next change's timestamp (lead), NULL-open for
+    the current value. Two window passes over the SAME (user_id ->
+    ts) sort order — Catalyst plans one Sort + one Exchange, the
+    second Window reuses the partitioning. The lateral-SQL twin is
+    operators/udtfs.py::Scd2IntervalsUDTF (equivalence-pinned in
+    tests/test_curation.py)."""
+    from pyspark.sql import Window
+    k = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (k.withColumn("prev_k", F.lag("k").over(w))
+               .filter(F.col("prev_k").isNull()
+                       | (F.col("k") != F.col("prev_k"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (changes.select(
+        "user_id", "k", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"))
+        .withColumn("is_current",
+                    F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .select("user_id", "k",
+                F.date_format("valid_from", fmt).alias("valid_from"),
+                F.date_format("valid_to", fmt).alias("valid_to"),
+                "is_current")
+        .orderBy("user_id", "valid_from"))
+
+
+@register("qx_incremental_rollup", oracle="""
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS max_value_cents
+FROM events GROUP BY 1, 2 ORDER BY event_type, day
+""")
+def qx_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance, value-checked against the
+    full recompute: the history slice (first 80% of days) is rolled
+    up once, the delta slice separately, and scale.merge_rollups
+    combines the partials — O(delta) daily refresh instead of
+    re-scanning the fact. Measures are integer cents (per-row round
+    BEFORE summing) so partial-merge reordering cannot produce a
+    float ulp vs the oracle's single-pass sum."""
+    from ..operators import scale
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_format(F.date_trunc("day", "ts"),
+                                    "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    cutoff = ev.agg(F.expr("percentile_approx(unix_date(to_date(day)), 0.8)")
+                    ).collect()[0][0]
+    cutoff_day = ev.select(F.date_from_unix_date(F.lit(int(cutoff)))
+                           .cast("string").alias("d")).first()["d"]
+
+    def rollup(part):
+        return part.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+            F.max("cents").alias("max_value_cents"))
+
+    old = rollup(ev.filter(F.col("day") < cutoff_day))
+    delta = rollup(ev.filter(F.col("day") >= cutoff_day))
+    merged = scale.merge_rollups(
+        old, delta, ["event_type", "day"],
+        {"n_events": "count", "sum_value_cents": "sum",
+         "max_value_cents": "max"})
+    return merged.orderBy("event_type", "day")
+
+
+@register("qx_stickiness_exact", oracle="""
+WITH du AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM du)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN u.day = d.day
+                           THEN u.user_id END) AS dau,
+       count(DISTINCT u.user_id) AS mau
+FROM days d
+JOIN du u ON u.day > d.day - INTERVAL 30 DAY AND u.day <= d.day
+GROUP BY d.day ORDER BY day
+""")
+def qx_stickiness_exact(spark, sf_dir):
+    """DAU and trailing-30-day MAU per day (the stickiness ratio's
+    numerator and denominator), EXACT. Spark windows cannot do
+    count(DISTINCT) over a range frame, so the plan pre-shrinks to
+    the distinct (day, user) grain — tiny compared to the fact — and
+    range-joins that against the day frame. The 100 TB path with no
+    re-join is the HLL twin qx_stickiness_hll."""
+    du = (_events(spark, sf_dir)
+          .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+          .distinct())
+    days = du.select(F.col("day").alias("d")).distinct()
+    # equi fan-out instead of a range join: each (day, user) row
+    # contributes to exactly the 30 trailing target days, so explode
+    # those targets and hash-join/aggregate on the target day — no
+    # BroadcastNestedLoopJoin anywhere (plan-asserted)
+    contrib = du.withColumn(
+        "d", F.explode(F.expr(
+            "sequence(day, day + interval 29 days, interval 1 day)")))
+    joined = contrib.join(F.broadcast(days), "d", "left_semi")
+    return (joined.groupBy("d")
+            .agg(F.count_distinct(
+                     F.when(F.col("day") == F.col("d"), F.col("user_id")))
+                 .alias("dau"),
+                 F.count_distinct("user_id").alias("mau"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dau", "mau")
+            .orderBy("day"))
+
+
+@register("qx_stickiness_hll")
+def qx_stickiness_hll(spark, sf_dir):
+    """The mergeable-sketch twin: one HLL sketch per day (one pass
+    over the fact), then each day's trailing-30 MAU is a union of at
+    most 30 pre-built KB-sized sketches — no re-scan, no re-join of
+    the fact, and the per-day sketch table is the artifact a daily
+    job checkpoints. Rows-only; the relative-error contract vs the
+    exact twin is pinned in tests/test_streaming.py."""
+    per_day = (_events(spark, sf_dir)
+               .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+               .groupBy("day")
+               .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                    F.count_distinct("user_id").alias("dau")))
+    days = per_day.select(F.col("day").alias("d"),
+                          F.col("dau").alias("d_dau"))
+    # same equi fan-out as the exact twin: a day's KB-sized sketch is
+    # exploded to its <= 30 target days and unioned per target
+    contrib = (per_day.select("day", "sk")
+               .withColumn("d", F.explode(F.expr(
+                   "sequence(day, day + interval 29 days,"
+                   " interval 1 day)"))))
+    joined = contrib.join(F.broadcast(days), "d")
+    return (joined.groupBy("d", "d_dau")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("mau_approx"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("d_dau").alias("dau"), "mau_approx")
+            .orderBy("day"))
+
+
+@register("qx_multitouch_attribution", oracle="""
+WITH ev AS (
+    SELECT event_id, ts, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'purchase')
+), clicks AS (
+    SELECT e.event_id AS click_id, e.user_id, e.ts,
+           min(struct_pack(ts := p.ts, id := p.event_id)) AS np
+    FROM ev e
+    JOIN ev p ON p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+    WHERE e.event_type = 'click'
+    GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT user_id, np.id AS purchase_id, click_id,
+           row_number() OVER (PARTITION BY user_id, np.id
+                              ORDER BY ts, click_id) AS rn,
+           count(*) OVER (PARTITION BY user_id, np.id) AS n_clicks
+    FROM clicks
+)
+SELECT user_id, purchase_id, click_id, rn, n_clicks,
+       CASE WHEN n_clicks = 1 THEN 10000
+            WHEN rn = 1 OR rn = n_clicks
+                 THEN CASE WHEN n_clicks = 2 THEN 5000 ELSE 4000 END
+            ELSE 2000 // (n_clicks - 2) END AS credit_bp
+FROM ranked ORDER BY user_id, purchase_id, rn
+""")
+def qx_multitouch_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: each click
+    credits the user's NEXT purchase — first and last touch get 40%
+    each, middles split 20% (integer basis points, DIV) — the
+    many-touch generalization of qs_last_touch.
+
+    The next-purchase assignment is windowed, not joined: events
+    sorted descending per user, running min of purchase (ts, id) over
+    strictly-later rows — one shuffle on user_id, no click x purchase
+    pair blow-up for heavy users (the oracle uses the equivalent
+    pair-join form, fine at sf0.01)."""
+    from pyspark.sql import Window
+    ev = (_events(spark, sf_dir)
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "ts", "user_id", "event_type"))
+    w_desc = (Window.partitionBy("user_id")
+              .orderBy(F.desc("ts"), F.desc("event_id"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    np_ = F.min(F.when(F.col("event_type") == "purchase",
+                       F.struct(F.col("ts").alias("ts"),
+                                F.col("event_id").alias("id")))).over(w_desc)
+    clicks = (ev.withColumn("np", np_)
+              .filter((F.col("event_type") == "click")
+                      & F.col("np").isNotNull()))
+    ranked = (clicks.select(
+        "user_id", F.col("np.id").alias("purchase_id"),
+        F.col("event_id").alias("click_id"), "ts")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "purchase_id")
+            .orderBy("ts", "click_id")))
+        .withColumn("n_clicks", F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "purchase_id"))))
+    credit = (F.when(F.col("n_clicks") == 1, 10000)
+              .when((F.col("rn") == 1) | (F.col("rn") == F.col("n_clicks")),
+                    F.when(F.col("n_clicks") == 2, 5000).otherwise(4000))
+              .otherwise(F.expr("2000 DIV (n_clicks - 2)")))
+    return (ranked.select("user_id", "purchase_id", "click_id",
+                          F.col("rn").cast("long").alias("rn"),
+                          F.col("n_clicks").cast("long").alias("n_clicks"),
+                          credit.cast("long").alias("credit_bp"))
+            .orderBy("user_id", "purchase_id", "rn"))
+
+
+@register("qx_value_percentile_bands", oracle="""
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(quantile_cont(cents, 0.50) * 10) AS BIGINT) AS p50_x10,
+       CAST(round(quantile_cont(cents, 0.90) * 10) AS BIGINT) AS p90_x10,
+       CAST(round(quantile_cont(cents, 0.99) * 10) AS BIGINT) AS p99_x10
+FROM c GROUP BY event_type ORDER BY event_type
+""")
+def qx_value_percentile_bands(spark, sf_dir):
+    """Exact p50/p90/p99 value bands per event type (the SLO-style
+    percentile rollup). Integer-stable emission: values become cents
+    per row, and the interpolated quantile is scaled x10 — 0.9*(n-1)
+    interpolation fractions have denominator 10, so the scaled value
+    is an integer and round() only strips the float ulp, never moves
+    a boundary. One hash-agg pass; the mergeable sketch variant of
+    the same shape is percentile_approx (see qx_corpus_stats_sketch)."""
+    c = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return (c.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.expr(f"CAST(round(percentile(cents, {q}) * 10)"
+                          f" AS BIGINT)").alias(f"p{int(q*100)}_x10")
+                   for q in (0.50, 0.90, 0.99)])
+            .orderBy("event_type"))
+
+
+@register("qx_event_transitions", oracle="""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS next_ts
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n_transitions
+FROM o
+WHERE next_type IS NOT NULL
+  AND next_ts <= ts + INTERVAL 30 MINUTE
+GROUP BY 1, 2 ORDER BY from_type, to_type
+""")
+def qx_event_transitions(spark, sf_dir):
+    """Markov transition counts between consecutive events of the
+    same user within a 30-minute session gap — the first-order
+    behavior model behind next-action prediction. One window pass on
+    the (user, time) sort the session/funnel operators already use,
+    then a tiny hash agg on the 5x5 type matrix."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (_events(spark, sf_dir)
+         .select("user_id", "ts", "event_id", "event_type")
+         .withColumn("next_type", F.lead("event_type").over(w))
+         .withColumn("next_ts", F.lead("ts").over(w)))
+    return (o.filter(F.col("next_type").isNotNull()
+                     & (F.col("next_ts")
+                        <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")))
+            .groupBy(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+            .orderBy("from_type", "to_type"))
+
+
+@register("qx_value_histogram", oracle="""
+SELECT event_type,
+       CAST(floor(value / 25.0) + 1 AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+""")
+def qx_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (width_bucket into
+    20 bins over [0, 500)) — the one-pass distribution profile; bin
+    ids are integers so the hash is boundary-exact on both engines."""
+    return (_events(spark, sf_dir)
+            .groupBy("event_type",
+                     F.width_bucket("value", F.lit(0.0), F.lit(500.0),
+                                    F.lit(20)).cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type", "bucket"))
+
+
+@register("qx_ab_test_welch", oracle="""
+WITH assigned AS (
+    SELECT user_id % 2 AS bucket, value FROM events
+    WHERE event_type = 'purchase'
+), stats AS (
+    SELECT bucket, count(*) AS n,
+           round(avg(value), 6) AS mean_value,
+           round(var_samp(value), 6) AS var_value
+    FROM assigned GROUP BY bucket
+)
+SELECT a.n AS n_a, b.n AS n_b, a.mean_value AS mean_a,
+       b.mean_value AS mean_b,
+       round((a.mean_value - b.mean_value) /
+             sqrt(a.var_value / a.n + b.var_value / b.n), 6) AS welch_z
+FROM stats a, stats b WHERE a.bucket = 0 AND b.bucket = 1
+""")
+def qx_ab_test_welch(spark, sf_dir):
+    """Two-sample Welch z statistic for purchase value between
+    deterministic experiment buckets (user_id % 2) — the A/B readout
+    every experimentation pipeline computes. One aggregate per bucket
+    (count/mean/variance partial-combine map-side), then a 1x1 cross
+    of the two stat rows; the statistic is computed from the
+    6-rounded moments on BOTH engines so the division amplifies
+    identical inputs."""
+    assigned = (_events(spark, sf_dir)
+                .filter(F.col("event_type") == "purchase")
+                .select((F.col("user_id") % 2).alias("bucket"), "value"))
+    stats = (assigned.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("value"), 6).alias("mean_value"),
+                  F.round(F.var_samp("value"), 6).alias("var_value")))
+    a = stats.filter(F.col("bucket") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean_value").alias("mean_a"),
+        F.col("var_value").alias("var_a"))
+    b = stats.filter(F.col("bucket") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean_value").alias("mean_b"),
+        F.col("var_value").alias("var_b"))
+    return (a.join(b)
+            .select("n_a", "n_b", "mean_a", "mean_b",
+                    F.round((F.col("mean_a") - F.col("mean_b"))
+                            / F.sqrt(F.col("var_a") / F.col("n_a")
+                                     + F.col("var_b") / F.col("n_b")), 6)
+                     .alias("welch_z")))
+
+
+@register("qx_snapshot_diff", oracle="""
+WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+new AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 10 = 0 THEN text || ' amended'
+                    ELSE text END) AS fp
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, md5('fresh row') AS fp
+    FROM documents WHERE doc_id % 50 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN n.doc_id IS NULL THEN 'delete'
+            WHEN o.fp <> n.fp THEN 'update' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp)
+ORDER BY doc_id
+""")
+def qx_snapshot_diff(spark, sf_dir):
+    """Change-data-feed generation from two snapshots (the nightly
+    full-dump -> incremental-feed pattern): the 'new' snapshot plants
+    deterministic updates (doc_id%10 amended), deletes (doc_id%7
+    gone) and inserts (doc_id%50 cloned high); the diff classifies
+    each via one full-outer key join on md5 fingerprints."""
+    from ..operators import scale
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    old = docs.select("doc_id", F.md5("text").alias("fp"))
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.md5(F.when(F.col("doc_id") % 10 == 0,
+                                F.concat(F.col("text"),
+                                         F.lit(" amended")))
+                         .otherwise(F.col("text"))).alias("fp"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 50 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.md5(F.lit("fresh row")).alias("fp"))))
+    return scale.snapshot_diff(old, new, "doc_id", "fp").orderBy("doc_id")
+
+
+@register("qx_gdpr_erasure", oracle="""
+WITH ts AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+SELECT (SELECT count(*) FROM events) AS n_before,
+       (SELECT count(*) FROM events
+        WHERE user_id IN (SELECT user_id FROM ts)) AS n_dropped,
+       (SELECT count(*) FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM ts)) AS n_after,
+       (SELECT count(*) FROM ts) AS n_tombstoned_users
+""")
+def qx_gdpr_erasure(spark, sf_dir):
+    """Right-to-be-forgotten audit: erase tombstoned users
+    (user_id % 97 = 0) from the fact via a broadcast anti-join and
+    emit the before/dropped/after counts — the verifiable receipt an
+    erasure job must produce. The erased frame itself is the
+    operator's output; this query value-checks the accounting."""
+    from ..operators import scale
+    ev = _events(spark, sf_dir)
+    ts = ev.filter(F.col("user_id") % 97 == 0) \
+           .select("user_id").distinct()
+    erased = scale.erase_users(ev, ts, "user_id")
+    n_before = ev.count()
+    n_after = erased.count()
+    n_ts = ts.count()
+    return spark.createDataFrame(
+        [(n_before, n_before - n_after, n_after, n_ts)],
+        "n_before long, n_dropped long, n_after long, "
+        "n_tombstoned_users long")
+
+
+@register("qx_rfm_segments", oracle="""
+WITH p AS (
+    SELECT user_id,
+           max(ts) AS last_ts,
+           count(*) AS frequency,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+    SELECT user_id, frequency, monetary_cents,
+           ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+    FROM p
+)
+SELECT user_id, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored ORDER BY user_id
+""")
+def qx_rfm_segments(spark, sf_dir):
+    """RFM (recency-frequency-monetary) segmentation: per-user
+    purchase stats -> ntile(5) quintile scores (ties broken by
+    user_id so both engines bucket identically) -> rule-based segment
+    label. The global ntile sorts run over the per-user grain (tiny
+    next to the fact); monetary is integer cents."""
+    from pyspark.sql import Window
+    p = (_events(spark, sf_dir)
+         .filter(F.col("event_type") == "purchase")
+         .groupBy("user_id")
+         .agg(F.max("ts").alias("last_ts"),
+              F.count(F.lit(1)).alias("frequency"),
+              F.sum(F.round(F.col("value") * 100).cast("long"))
+               .alias("monetary_cents")))
+    scored = (p
+              .withColumn("r_score", F.ntile(5).over(
+                  Window.orderBy("last_ts", "user_id")))
+              .withColumn("f_score", F.ntile(5).over(
+                  Window.orderBy("frequency", "user_id")))
+              .withColumn("m_score", F.ntile(5).over(
+                  Window.orderBy("monetary_cents", "user_id"))))
+    seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
+                  "champion")
+           .when(F.col("r_score") >= 4, "recent")
+           .when(F.col("f_score") >= 4, "loyal")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+                 "at_risk")
+           .otherwise("regular"))
+    return (scored.select("user_id", "frequency", "monetary_cents",
+                          F.col("r_score").cast("long").alias("r_score"),
+                          F.col("f_score").cast("long").alias("f_score"),
+                          F.col("m_score").cast("long").alias("m_score"),
+                          seg.alias("segment"))
+            .orderBy("user_id"))

@@ -267,7 +267,7 @@ def test_pack_udtf_matches_grouped_map_path(spark, sf_dir):
 def test_scd2_udtf_matches_window_path(spark, sf_dir):
     from social_media_ai_engineering_etl_spark.operators.udtfs import (
         Scd2IntervalsUDTF)
-    from social_media_ai_engineering_etl_spark.queries.streaming_analytics import (
+    from social_media_ai_engineering_etl_spark.queries.warehouse_patterns import (
         qx_scd2_intervals)
     spark.udtf.register("scd2_intervals", Scd2IntervalsUDTF)
     import os

@@ -676,7 +676,7 @@ def test_stickiness_hll_tracks_exact_within_error(spark, sf_dir):
     """Trailing-MAU sketch union must stay within HLL++ error of the
     exact count (2% sketches, generous 6% gate) and DAU columns must
     be identical (DAU is exact in both)."""
-    from social_media_ai_engineering_etl_spark.queries.streaming_analytics import (
+    from social_media_ai_engineering_etl_spark.queries.warehouse_patterns import (
         qx_stickiness_exact, qx_stickiness_hll)
     exact = {r["day"]: (r["dau"], r["mau"])
              for r in qx_stickiness_exact(spark, sf_dir).collect()}
