@@ -578,3 +578,39 @@ def qs_daily_active_users(spark, sf_dir):
                        F.lag("dau", 7).over(w).alias("dau_week_ago"))
             .orderBy("day"))
 
+
+
+@register("qs_windowed_topk", oracle="""
+WITH c AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+), r AS (
+    SELECT hour, event_type, n,
+           row_number() OVER (PARTITION BY hour
+                              ORDER BY n DESC, event_type) AS rnk
+    FROM c
+)
+SELECT hour, event_type, n, rnk FROM r
+WHERE rnk <= 3 ORDER BY hour, rnk
+""")
+def qs_windowed_topk(spark, sf_dir):
+    """Top-3 event types per hour (trending-now): hourly hash-agg
+    then a per-window rank with a deterministic event_type tiebreak.
+    Catalyst plans the rank as WindowGroupLimit (top-k pushed below
+    the full sort — plan-asserted), so only 3 rows per hour survive
+    the window exchange. The streaming form is the same aggregate
+    under a watermark with the rank applied per micro-batch in
+    foreachBatch (rank-over-stream is not incremental by design)."""
+    from pyspark.sql import Window
+    c = (_events(spark, sf_dir)
+         .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                "yyyy-MM-dd HH:00").alias("hour"),
+                  "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), "event_type")
+    return (c.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("hour", "event_type", "n",
+                    F.col("rnk").cast("long").alias("rnk"))
+            .orderBy("hour", "rnk"))

@@ -248,3 +248,10 @@ def test_stickiness_has_no_nested_loop_join(spark, sf_dir):
         plan = plan_of(QUERIES[q](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_windowed_topk_uses_group_limit(spark, sf_dir):
+    """Hourly top-3 must push the rank filter below the window sort
+    (WindowGroupLimit), not materialize every (hour, type) row."""
+    plan = plan_of(QUERIES["qs_windowed_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
