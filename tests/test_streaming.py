@@ -687,3 +687,51 @@ def test_stickiness_hll_tracks_exact_within_error(spark, sf_dir):
         a_dau, a_mau = approx[day]
         assert a_dau == dau
         assert abs(a_mau - mau) <= max(2, 0.06 * mau)
+
+
+def test_streaming_windowed_topk_matches_batch(spark, sf_dir, tmp_path):
+    """The trending top-k recipe the qs_windowed_topk docstring
+    describes: watermarked hourly counts stream in append mode, the
+    rank applies per micro-batch in foreachBatch; emitted (closed)
+    hours must carry exactly the batch query's top-3."""
+    from social_media_ai_engineering_etl_spark.queries.streaming_analytics import (
+        qs_windowed_topk)
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        load_events, stream_events)
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+
+    counts = (stream_events(spark, src)
+              .withWatermark("ts", "10 minutes")
+              .groupBy(F.window("ts", "1 hour"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    emitted = []
+
+    def sink(batch_df, _bid):
+        w = Window.partitionBy("hour").orderBy(F.desc("n"), "event_type")
+        ranked = (batch_df.select(
+            F.date_format("window.start", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type", "n")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3))
+        emitted.extend(ranked.collect())
+
+    q = (counts.writeStream.foreachBatch(sink).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["hour"], r["rnk"]): (r["event_type"], r["n"])
+           for r in emitted}
+    assert got  # some windows closed
+    want = {(r["hour"], r["rnk"]): (r["event_type"], r["n"])
+            for r in qs_windowed_topk(spark, sf_dir).collect()}
+    # every emitted (closed) hour matches the batch top-3 exactly
+    hours = {h for h, _ in got}
+    assert got == {k: v for k, v in want.items() if k[0] in hours}
+    # no hour ever emits more than k rows
+    assert all(len([1 for (h, _) in got if h == hr]) <= 3 for hr in hours)
