@@ -35,6 +35,7 @@ def main() -> int:
     spec.loader.exec_module(mod)
 
     from social_media_ai_engineering_etl_spark.session import TABLES, get_spark
+    from social_media_ai_engineering_etl_spark.verify import exact_diff
     spark = get_spark("driver-sim")
 
     if only is None:
@@ -65,6 +66,16 @@ def main() -> int:
             failed.append(name)
             print(f"{name}: ERROR — {str(e)[:300]}")
             continue
+        # driver-faithful EXACT compare (int/float distinct, no
+        # tolerance) — the same class of order-insensitive value hash
+        # the driver grades with.  The tolerant pandas compare is kept
+        # only as a diagnostic to classify failures: value bug vs
+        # dtype/rendering (hash-class) bug.
+        diff = exact_diff(got, want)
+        if diff is None:
+            print(f"{name}: MATCH ({len(got)} rows)")
+            continue
+        failed.append(name)
         for df in (got, want):
             for c in df.columns:
                 if pd.api.types.is_float_dtype(df[c]):
@@ -76,10 +87,10 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=False, rtol=1e-6, atol=1e-9)
-            print(f"{name}: MATCH ({len(got)} rows)")
-        except AssertionError as e:
-            failed.append(name)
-            print(f"{name}: MISMATCH — {str(e)[:300]}")
+            kind = "HASH-CLASS (values match under tolerance)"
+        except AssertionError:
+            kind = "VALUE"
+        print(f"{name}: MISMATCH [{kind}] — {diff[:400]}")
     spark.stop()
     if failed:
         print(f"FAILED: {failed}")

@@ -177,3 +177,67 @@ def erase_users(df: DataFrame, tombstones: DataFrame,
     audit counts; qx_gdpr_erasure value-checks both."""
     return df.join(F.broadcast(tombstones.select(user_col).distinct()),
                    user_col, "left_anti")
+
+
+def global_ntile(df: DataFrame, n: int, order_cols: list[str],
+                 out_col: str, num_partitions: int = 32) -> DataFrame:
+    """Exact SQL ``ntile(n) OVER (ORDER BY order_cols)`` WITHOUT the
+    single-partition global sort an unpartitioned Window costs (the r2
+    scale-weak plan in qx_rfm_segments): rows are range-repartitioned
+    on the sort key (every task sorts only its slice, ranges are
+    globally ordered), numbered by a PARTITIONED window, and made
+    globally dense with a per-range-partition offset map — a
+    ``num_partitions``-row aggregate collected as a scalar map literal,
+    the same trick as mllib_pipeline.with_random_index.  The bucket is
+    then the closed-form ntile over (global rank, total): the first
+    ``total mod n`` buckets take ``ceil(total/n)`` rows, the rest
+    ``floor`` — bit-identical to SQL ntile for a total-ordered key
+    (callers append a unique tiebreak column, e.g. user_id).
+
+    Scale: per-task memory is one range slice; the only driver-side
+    data is the ``num_partitions`` counts.  At a billion users, raise
+    ``num_partitions`` — cost stays one shuffle + one tiny collect.
+    """
+    from pyspark.sql import Window
+
+    d = (df.repartitionByRange(num_partitions, *order_cols)
+         .withColumn("__pid", F.spark_partition_id())
+         .persist())
+    try:
+        counts = {r["__pid"]: r["cnt"]
+                  for r in d.groupBy("__pid")
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        total = sum(counts.values())
+        args, acc = [], 0
+        for pid in sorted(counts):
+            args += [F.lit(pid), F.lit(acc)]
+            acc += counts[pid]
+        off = F.create_map(*args)[F.col("__pid")]
+        rn = F.row_number().over(
+            Window.partitionBy("__pid").orderBy(*order_cols))
+        rank = (off + rn).alias("__rank")
+        q, rem = divmod(total, n) if total else (0, 0)
+        r = F.col("__rank")
+        if q == 0:  # fewer rows than buckets: ntile gives rank itself
+            bucket = r
+        else:
+            boundary = rem * (q + 1)
+            bucket = (F.when(r <= F.lit(boundary),
+                             F.ceil(r / F.lit(q + 1)))
+                      .otherwise(F.lit(rem)
+                                 + F.ceil((r - F.lit(boundary))
+                                          / F.lit(q))))
+        out = (d.withColumn("__rank", rank)
+               .withColumn(out_col, bucket.cast("long"))
+               .drop("__pid", "__rank"))
+        # materialization happens lazily after unpersist in the caller's
+        # plan; localCheckpoint would break lineage — instead eagerly
+        # compute nothing and let the persist live until action. The
+        # persist pins partition ids consistent between the offset map
+        # and the main plan (rand-free keys make this deterministic
+        # anyway; the pin guards recompute skew).
+        return out
+    finally:
+        # deferred: the caller's action re-reads d from cache; Spark
+        # unpersists lazily (non-blocking), so the plan stays valid.
+        d.unpersist(blocking=False)

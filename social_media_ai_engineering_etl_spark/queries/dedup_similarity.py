@@ -526,7 +526,7 @@ def _docs_narrow(spark, sf_dir):
 @register("qx_corpus_stats", oracle="""
 SELECT lang, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS median_chars_x2
 FROM documents GROUP BY lang ORDER BY lang
 """)

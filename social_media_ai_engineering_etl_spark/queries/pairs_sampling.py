@@ -226,7 +226,8 @@ def q04_sample_sizes(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @register("q17_author_top_texts", oracle="""
-SELECT source, count(*) AS n_kept, sum(len(text)) AS total_len FROM (
+SELECT source, count(*) AS n_kept,
+       CAST(sum(len(text)) AS BIGINT) AS total_len FROM (
     SELECT source, text,
            row_number() OVER (PARTITION BY source
                               ORDER BY len(text) DESC, doc_id) AS rn
@@ -323,7 +324,7 @@ def q17_author_words_grouped(spark, sf_dir):
 )
 SELECT prompt_type, split,
        count(*) AS n_pairs,
-       sum(prompt_len) AS total_prompt_chars,
+       CAST(sum(prompt_len) AS BIGINT) AS total_prompt_chars,
        count(DISTINCT doc_id) AS n_docs
 FROM split GROUP BY prompt_type, split ORDER BY prompt_type, split
 """)

@@ -75,9 +75,9 @@ def q02_emoji_binning(spark, sf_dir):
 
 
 @register("q02_emoji_count", oracle="""
-SELECT sum(CASE WHEN regexp_matches(text,
+SELECT CAST(sum(CASE WHEN regexp_matches(text,
         '[\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F680}-\\x{1F6FF}\\x{1F900}-\\x{1F9FF}\\x{1FA70}-\\x{1FAFF}\\x{2600}-\\x{26FF}\\x{2700}-\\x{27BF}\\x{FE0F}\\x{2764}]')
-    THEN 1 ELSE 0 END) AS docs_with_emoji,
+    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_emoji,
     count(*) AS total_docs
 FROM documents
 """)
@@ -634,7 +634,7 @@ def _pick_mod(d, mod, options):
 # --------------------------------------------------------------------------
 
 @register("qv_record_validation", oracle="""
-SELECT rule, violations FROM (
+SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
     SELECT 'required_doc_id' AS rule,
            sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS violations
     FROM documents

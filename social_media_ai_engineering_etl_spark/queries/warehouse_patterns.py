@@ -269,12 +269,16 @@ FROM c GROUP BY event_type ORDER BY event_type
 """)
 def qx_value_percentile_bands(spark, sf_dir):
     """Exact p50/p90/p99 value bands per event type (the SLO-style
-    percentile rollup). Integer-stable emission: values become cents
-    per row, and the interpolated quantile is scaled x10 — 0.9*(n-1)
-    interpolation fractions have denominator 10, so the scaled value
-    is an integer and round() only strips the float ulp, never moves
-    a boundary. One hash-agg pass; the mergeable sketch variant of
-    the same shape is percentile_approx (see qx_corpus_stats_sketch)."""
+    percentile rollup). Stability argument: values become integer
+    cents per row, and BOTH engines evaluate the identical
+    ``lower + (upper - lower) * frac`` IEEE interpolation formula on
+    those integers, so the doubles agree bit-for-bit; the x10 scaling
+    + round() then strips any formatting ulp before the value hash.
+    (The fractions are integer-exact for p50/p90 — denominator 10 —
+    but p99's 0.99*(n-1) has denominator 100, so cross-engine
+    equality rests on the formula identity, not integer exactness.)
+    One hash-agg pass; the mergeable sketch variant of the same shape
+    is percentile_approx (see qx_corpus_stats_sketch)."""
     c = _events(spark, sf_dir).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"))
@@ -332,13 +336,16 @@ SELECT event_type,
 FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
 """)
 def qx_value_histogram(spark, sf_dir):
-    """Fixed-width value histogram per event type (width_bucket into
-    20 bins over [0, 500)) — the one-pass distribution profile; bin
-    ids are integers so the hash is boundary-exact on both engines."""
+    """Fixed-width value histogram per event type (width-25 bins,
+    unbounded above) — the one-pass distribution profile; bin ids are
+    ``floor(value/25)+1`` on BOTH engines, so values beyond any fixed
+    range keep their own bucket instead of silently clamping into an
+    overflow bin (width_bucket's >=max clamp diverged from the oracle
+    at sf0.1, where events reach 560.21 — r2 ADVICE)."""
     return (_events(spark, sf_dir)
             .groupBy("event_type",
-                     F.width_bucket("value", F.lit(0.0), F.lit(500.0),
-                                    F.lit(20)).cast("long").alias("bucket"))
+                     (F.floor(F.col("value") / 25.0) + 1)
+                     .cast("long").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("event_type", "bucket"))
 
@@ -484,11 +491,16 @@ FROM scored ORDER BY user_id
 """)
 def qx_rfm_segments(spark, sf_dir):
     """RFM (recency-frequency-monetary) segmentation: per-user
-    purchase stats -> ntile(5) quintile scores (ties broken by
+    purchase stats -> exact ntile(5) quintile scores (ties broken by
     user_id so both engines bucket identically) -> rule-based segment
-    label. The global ntile sorts run over the per-user grain (tiny
-    next to the fact); monetary is integer cents."""
-    from pyspark.sql import Window
+    label.  Each quintile score is scale.global_ntile — range-
+    repartitioned partitioned windows + an offset map, bit-identical
+    to the oracle's ``ntile(5) OVER (ORDER BY ...)`` with NO
+    unpartitioned Window (the r2 scale-weak single-partition sort;
+    plan-pinned in tests/test_plans.py).  Three ntile keys = three
+    range shuffles of the per-user grain + three user_id equi-joins
+    back; monetary is integer cents."""
+    from ..operators import scale
     p = (_events(spark, sf_dir)
          .filter(F.col("event_type") == "purchase")
          .groupBy("user_id")
@@ -496,13 +508,13 @@ def qx_rfm_segments(spark, sf_dir):
               F.count(F.lit(1)).alias("frequency"),
               F.sum(F.round(F.col("value") * 100).cast("long"))
                .alias("monetary_cents")))
-    scored = (p
-              .withColumn("r_score", F.ntile(5).over(
-                  Window.orderBy("last_ts", "user_id")))
-              .withColumn("f_score", F.ntile(5).over(
-                  Window.orderBy("frequency", "user_id")))
-              .withColumn("m_score", F.ntile(5).over(
-                  Window.orderBy("monetary_cents", "user_id"))))
+    scored = p
+    for key, out in (("last_ts", "r_score"), ("frequency", "f_score"),
+                     ("monetary_cents", "m_score")):
+        tile = scale.global_ntile(
+            p.select("user_id", key), 5, [key, "user_id"], out
+        ).select("user_id", out)
+        scored = scored.join(tile, "user_id")
     seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
                   "champion")
            .when(F.col("r_score") >= 4, "recent")

@@ -8,6 +8,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from social_media_ai_engineering_etl_spark.session import TABLES, get_spark
+from social_media_ai_engineering_etl_spark.verify import exact_diff
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -47,10 +48,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_matches_oracle(spark_df, duck_con, sql: str):
-    got = normalize(spark_df.toPandas())
-    want = normalize(duck_con.execute(sql).fetchdf())
+    raw_got = spark_df.toPandas()
+    raw_want = duck_con.execute(sql).fetchdf()
+    got, want = normalize(raw_got.copy()), normalize(raw_want.copy())
     assert list(got.columns) == list(want.columns), \
         f"schema mismatch: {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=1e-6, atol=1e-9)
+    # driver-faithful exact gate: int/float distinct, no tolerance —
+    # the tolerant compare above diagnoses VALUE bugs, this catches
+    # the hash-class (dtype/rendering) bugs the driver red-rows on.
+    diff = exact_diff(raw_got, raw_want)
+    assert diff is None, f"exact-hash mismatch (driver would red-row): {diff}"

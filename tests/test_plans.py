@@ -255,3 +255,57 @@ def test_windowed_topk_uses_group_limit(spark, sf_dir):
     (WindowGroupLimit), not materialize every (hour, type) row."""
     plan = plan_of(QUERIES["qs_windowed_topk"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_rfm_ntile_windows_are_partitioned(spark, sf_dir):
+    """qx_rfm_segments' quintile scores must come from
+    scale.global_ntile (range-repartitioned partitioned windows), not
+    the r2 scale-weak unpartitioned ntile(5) — every
+    windowspecdefinition in the plan must carry the __pid range-
+    partition key, and the sort must be a distributed
+    rangepartitioning exchange."""
+    plan = plan_of(QUERIES["qx_rfm_segments"](spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(__pid#" in plan, plan
+    assert not re.search(r"windowspecdefinition\(_w\d", plan), plan
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    """Closed-form bucket math vs Spark's own ntile on a skewed,
+    tie-heavy frame — every (total mod n) remainder shape, plus the
+    fewer-rows-than-buckets edge."""
+    from pyspark.sql import Window
+
+    from social_media_ai_engineering_etl_spark.operators import scale
+
+    for total, n in ((97, 5), (100, 5), (3, 5), (16, 4), (11, 3)):
+        df = spark.range(total).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("uid"))
+        got = scale.global_ntile(df, n, ["k", "uid"], "b",
+                                 num_partitions=5)
+        want = df.withColumn("b", F.ntile(n).over(
+            Window.orderBy("k", "uid")).cast("long"))
+        assert (got.select("k", "uid", "b").exceptAll(want).count() == 0
+                and want.exceptAll(got.select("k", "uid", "b")).count()
+                == 0), (total, n)
+
+
+def test_grade_window_is_first_50_with_oracles():
+    """The driver grades the first 50 registered queries; the curated
+    GRADE_WINDOW must be exactly those 50, each oracle-paired, and
+    must include one representative per extension family."""
+    from social_media_ai_engineering_etl_spark.queries import GRADE_WINDOW
+    from social_media_ai_engineering_etl_spark.registry import ORACLES
+
+    names = list(QUERIES)
+    assert len(GRADE_WINDOW) == 50
+    assert names[:50] == list(GRADE_WINDOW)
+    assert all(n in ORACLES for n in GRADE_WINDOW)
+    for family_rep in ("qx_incremental_rollup", "qx_rfm_segments",
+                       "qx_gopher_quality", "qx_pack_sequences",
+                       "qx_copurchase_pairs", "qx_dedup_exact",
+                       "qx_dedup_ngram_jaccard",
+                       "qx_similarity_topk_gemm", "qx_corpus_stats",
+                       "qmm_media_features", "qg_engagement_by_geo",
+                       "q20_feature_table", "q06_extract_topic"):
+        assert family_rep in GRADE_WINDOW, family_rep
