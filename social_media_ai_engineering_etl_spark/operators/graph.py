@@ -55,20 +55,36 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     ed = (edges.join(deg, "src")
           .select("src", "dst", "deg").persist())
     nodes = ed.select(F.col("src").alias("node")).distinct().persist()
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for i in range(iterations):
-        contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
-                   .groupBy("dst")
-                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow")))
-        ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"),
-                            "node", "left")
-                 .select("node",
-                         (F.lit(1.0 - damping)
-                          + F.lit(damping)
-                          * F.coalesce("inflow", F.lit(0.0))).alias("rank")))
-        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    cached = [ed, nodes]
+    try:
+        ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+        for i in range(iterations):
+            contrib = (ed.join(ranks.withColumnRenamed("node", "src"),
+                               "src")
+                       .groupBy("dst")
+                       .agg(F.sum(F.col("rank") / F.col("deg"))
+                            .alias("inflow")))
+            ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"),
+                                "node", "left")
+                     .select("node",
+                             (F.lit(1.0 - damping)
+                              + F.lit(damping)
+                              * F.coalesce("inflow", F.lit(0.0)))
+                             .alias("rank")))
+            if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+                # materialized persist, NOT localCheckpoint: checkpoint
+                # RDD blocks bypass the catalog cache manager, so they
+                # leak past clearCache until a JVM GC (r2 ADVICE);
+                # catalog-managed persists are released right below.
+                ranks = ranks.persist()
+                ranks.count()
+                cached.append(ranks)
+        final = ranks.persist()
+        final.count()  # materialize before the intermediates unpersist
+        return final
+    finally:
+        for c in cached:
+            c.unpersist(blocking=False)
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:

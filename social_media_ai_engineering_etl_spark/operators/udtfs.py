@@ -54,22 +54,34 @@ class Scd2IntervalsUDTF:
     attribute, with [valid_from, valid_to) and an is_current marker —
     the classic slowly-changing-dimension type-2 build. The native
     twin (two window functions) is qx_scd2_intervals; this is the SQL
-    surface for callers who want it lateral."""
+    surface for callers who want it lateral.
+
+    NULL semantics match the native twin's ``prev_k IS NULL OR
+    k <> prev_k`` filter under SQL three-valued logic (r2 ADVICE —
+    Python ``!=`` diverged on NULLs): a row is a change point when its
+    IMMEDIATE predecessor's k is NULL (including the first row per
+    user) or when both ks are non-NULL and differ; a non-NULL -> NULL
+    transition is never a change.  The open interval's value is
+    therefore tracked separately from the previous row's k."""
 
     def __init__(self):
         self.user = None
-        self.k = None
-        self.since = None
-        self.last_rowtime = None
+        self.cur_k = None      # value of the open interval
+        self.since = None      # valid_from of the open interval
+        self.prev_k = None     # IMMEDIATE predecessor row's k
+        self.started = False
 
     def eval(self, row):
         k = row["k"]
-        if self.since is None:
-            self.user, self.k, self.since = row["user_id"], k, row["ts"]
-        elif k != self.k:
-            yield self.user, self.k, self.since, row["ts"], 0
-            self.k, self.since = k, row["ts"]
+        if not self.started:
+            self.started = True
+            self.user, self.cur_k, self.since = row["user_id"], k, row["ts"]
+        elif self.prev_k is None or (k is not None and self.prev_k is not None
+                                     and k != self.prev_k):
+            yield self.user, self.cur_k, self.since, row["ts"], 0
+            self.cur_k, self.since = k, row["ts"]
+        self.prev_k = k
 
     def terminate(self):
-        if self.since is not None:
-            yield self.user, self.k, self.since, None, 1
+        if self.started:
+            yield self.user, self.cur_k, self.since, None, 1

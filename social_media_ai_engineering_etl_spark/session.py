@@ -12,6 +12,20 @@ setting is chosen for a multi-executor cluster at ~100 TB:
   DuckDB oracle (DuckDB timestamps are UTC-naive),
 - broadcast threshold raised: every dimension table in the star
   schema (region/nation/customer/supplier/part) is broadcastable.
+
+Cache ownership contract: operators that ``persist()`` an
+intermediate they re-read (dedup candidate tables, pagerank's edge
+frame, global_ntile's range slices) either unpersist it themselves
+before returning (pagerank, global_ntile, permutation importance) or
+— when the returned DataFrame's lazy plan still reads the cache —
+leave release to the QUERY BOUNDARY: harness code that runs many
+registered queries in one session (scripts/verify_driver.py, bench.py)
+calls ``spark.catalog.clearCache()`` between queries, so a long
+session holds at most one query's caches.  tests/test_scale.py pins
+this with a 20-query leak test (no net growth of cached blocks across
+a simulated session).  Library callers embedding single operators own
+the same choice: wrap in try/finally unpersist or clear at their own
+batch boundaries.
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ Spark rejects without watermarked keys.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -97,11 +98,35 @@ def upsert_parquet_sink(path: str, keys: list[str]):
                       .unionByName(new))
         else:
             merged = new
-        # parquet has no transactional MERGE: stage then swap
-        tmp = path + ".__staging__"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+        # parquet has no transactional MERGE: crash-safe snapshot +
+        # atomic repoint (r2 ADVICE — the old stage-then-swap left a
+        # truncated live table if the process died mid-overwrite).
+        # Each merged snapshot is written to a batch-id-suffixed dir
+        # and `path` is an os.replace()'d symlink: a crash before the
+        # repoint leaves the previous snapshot live (replay rebuilds
+        # the partial dir), a crash after it is already durable.
+        snap_root = path + ".__snapshots__"
+        snap = os.path.join(snap_root, f"b{int(batch_id)}")
+        merged.write.mode("overwrite").parquet(snap)
+        if os.path.exists(path) and not os.path.islink(path):
+            # legacy real-directory table: migrate to the symlink
+            # scheme (the one remaining non-atomic window, first
+            # flip only)
+            shutil.rmtree(path)
+        tmp_link = path + ".__repoint__"
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
+        os.symlink(os.path.abspath(snap), tmp_link)
+        os.replace(tmp_link, path)
+        # prune superseded snapshots (keep the live target only)
+        live = os.path.realpath(path)
+        for d in os.listdir(snap_root):
+            full = os.path.join(snap_root, d)
+            if os.path.realpath(full) != live:
+                shutil.rmtree(full, ignore_errors=True)
+        legacy = path + ".__staging__"
+        if os.path.exists(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
 
     return sink
 

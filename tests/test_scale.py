@@ -148,3 +148,34 @@ def test_snapshot_diff_classifies_planted_changes(spark):
     got = {r["k"]: r["change_type"]
            for r in scale.snapshot_diff(old, new, "k", "fp").collect()}
     assert got == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_twenty_query_session_leaks_no_cached_blocks(spark, sf_dir):
+    """Cache-ownership contract (session.py docstring): a harness-style
+    session running many registered queries with clearCache at each
+    query boundary must end with zero cached RDD blocks — catches any
+    operator whose persist() escapes both its own unpersist and the
+    boundary clear (r1/r2 ADVICE persist-leak class)."""
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+
+    # mix of persist-using families: dedup, similarity, graph, ntile,
+    # sampling, curation — 20 distinct queries
+    names = [
+        "q01_tier_counts", "q05_balance_counts", "q17_author_words",
+        "q23_split_counts", "qb4_prefer_downsample", "qe2e_training_mix",
+        "qx_rfm_segments", "qx_incremental_rollup", "qx_gopher_quality",
+        "qx_pack_sequences", "qx_dedup_exact", "qx_dedup_ngram_jaccard",
+        "qx_dedup_minhash", "qx_dedup_winnow_fast", "qx_similarity_topk_gemm",
+        "qx_embedding_dedup_pairs", "qx_copurchase_pairs",
+        "qx_pagerank_suppliers", "qx_corpus_stats", "qx_heavy_hitters",
+    ]
+    assert len(names) == 20 and all(n in QUERIES for n in names)
+    for n in names:
+        spark.catalog.clearCache()
+        QUERIES[n](spark, sf_dir).limit(5).collect()
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    # getPersistentRDDs is the authoritative leak census
+    leaked = dict(sc._jsc.getPersistentRDDs())
+    assert not leaked, f"leaked cached RDDs: {list(leaked)[:5]}"

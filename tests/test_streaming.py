@@ -672,6 +672,42 @@ def test_upsert_sink_is_idempotent_under_replay(spark, tmp_path):
     assert after_replay == after_first
 
 
+def test_upsert_sink_crash_windows_never_truncate_live_table(spark,
+                                                             tmp_path):
+    """r2 ADVICE: a failure between the snapshot write and the repoint
+    must leave the previous snapshot live (readable, complete), and a
+    replay must recover — the live table is only ever moved by an
+    atomic symlink replace, never deleted first."""
+    import os
+
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        upsert_parquet_sink)
+    out = str(tmp_path / "tbl")
+    sink = upsert_parquet_sink(out, ["k"])
+    sink(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+    assert os.path.islink(out)
+
+    # simulate a crashed attempt of batch 1: partial snapshot dir
+    # exists, repoint never happened
+    part = out + ".__snapshots__/b1"
+    os.makedirs(part, exist_ok=True)
+    with open(os.path.join(part, "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+    live = sorted(map(tuple, spark.read.parquet(out)
+                      .select("k", "v").collect()))
+    assert live == [(1, "a")]  # previous snapshot untouched
+
+    # replay of batch 1 overwrites the partial dir and repoints
+    sink(spark.createDataFrame([(2, "b")], "k long, v string"), 1)
+    after = sorted(map(tuple, spark.read.parquet(out)
+                       .select("k", "v").collect()))
+    assert after == [(1, "a"), (2, "b")]
+    # superseded snapshot pruned, temp link gone
+    assert not os.path.lexists(out + ".__repoint__")
+    snaps = os.listdir(out + ".__snapshots__")
+    assert snaps == ["b1"]
+
+
 def test_stickiness_hll_tracks_exact_within_error(spark, sf_dir):
     """Trailing-MAU sketch union must stay within HLL++ error of the
     exact count (2% sketches, generous 6% gate) and DAU columns must
