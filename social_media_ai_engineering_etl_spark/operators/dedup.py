@@ -180,8 +180,26 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[in
 _LONG_MAX = (1 << 63) - 1
 
 
+def _xxhash31(s: Column) -> Column:
+    """Default per-shingle base hash: xxhash64 truncated to 31 bits
+    (fast, JVM-native; engine-specific, so pair sets built on it are
+    rows-only for the driver)."""
+    return F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
+
+
+def portable_hash31(s: Column) -> Column:
+    """Cross-engine 31-bit base hash: first 8 hex chars of md5, masked
+    to 31 bits.  DuckDB computes the identical value as
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT & 2147483647`` — the seam
+    that makes a MinHash pair set ORACLE-CHECKABLE (qs_neardup_pairs_
+    portable) instead of rows-only.  ~2x the per-shingle cost of
+    xxhash64; the default stays xxhash31 for production paths."""
+    return (F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long").bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64,
-                      seed: int = 42) -> Column:
+                      seed: int = 42, base_hash=None) -> Column:
     """MinHash signature via multiply-shift permutations of ONE
     xxhash64 per shingle: element i = min over shingles of
     (a_i * (xxhash64(s) & 0x7FFFFFFF) + b_i) mod (2^31 - 1), the
@@ -200,9 +218,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 64,
     a_coef, b_coef = _minhash_coeffs(num_hashes, seed)
     a_arr = F.array(*[F.lit(a).cast("long") for a in a_coef])
     b_arr = F.array(*[F.lit(b).cast("long") for b in b_coef])
-    hashed = F.transform(
-        shingles,
-        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+    hashed = F.transform(shingles, base_hash or _xxhash31)
     init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
     prime = F.lit((1 << 31) - 1).cast("long")   # Mersenne prime 2^31-1
     perm = lambda h: F.zip_with(  # noqa: E731 - permuted-h vector
@@ -214,7 +230,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 64,
 
 
 def minhash_signature_arrow(shingles: Column, num_hashes: int = 64,
-                            seed: int = 42) -> Column:
+                            seed: int = 42, base_hash=None) -> Column:
     """Arrow-batched numpy twin of :func:`minhash_signature` — SAME
     hash family, SAME coefficients, SAME per-shingle xxhash64 input
     (computed JVM-side), so the signatures are bit-identical (pinned
@@ -248,9 +264,7 @@ def minhash_signature_arrow(shingles: Column, num_hashes: int = 64,
             out.append(((h * a_row + b_row) % prime).min(axis=0))
         return pd.Series(out)
 
-    hashed = F.transform(
-        shingles,
-        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")))
+    hashed = F.transform(shingles, base_hash or _xxhash31)
     return _sig(hashed)
 
 
@@ -482,7 +496,8 @@ def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
 def minhash_agreement_pairs(df: DataFrame, id_col: str, text_col: str,
                             n: int = 3, num_hashes: int = 64,
                             bands: int = 16, threshold: float = 0.5,
-                            impl: str = "arrow") -> DataFrame:
+                            impl: str = "arrow",
+                            base_hash=None) -> DataFrame:
     """LSH candidates scored by SIGNATURE AGREEMENT (fraction of equal
     minhash positions — the unbiased MinHash estimate of Jaccard)
     instead of the exact-Jaccard verify of minhash_dedup_pairs. This
@@ -491,9 +506,10 @@ def minhash_agreement_pairs(df: DataFrame, id_col: str, text_col: str,
     equal this one on the same corpus (equivalence-tested). Cheaper
     than the verify path at scale — no shingle re-join, just a
     zip_with over two 64-long signatures per candidate."""
+    kw = {} if base_hash is None else {"base_hash": base_hash}
     sig = df.select(F.col(id_col).alias("id"),
                     _sig_fn(impl)(word_shingles(F.col(text_col), n),
-                                  num_hashes).alias("sig")).persist()
+                                  num_hashes, **kw).alias("sig")).persist()
     cands = _lsh_candidates_from_sig(sig, num_hashes, bands)
     joined = (cands
               .join(sig.select(F.col("id").alias("id1"),

@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import re
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -296,6 +298,53 @@ class DeterministicEmbeddingBackend:
             norm = sum(v * v for v in vals) ** 0.5 or 1.0
             out.append([v / norm for v in vals])
         return out
+
+
+class HashedNgramEmbeddingBackend:
+    """Content-SENSITIVE deterministic embedder: signed feature-hashed
+    character n-grams (3..5) -> ``dim`` buckets, L2-normalized — the
+    classic hashing-trick featurizer (torch/ONNX-free, zlib.crc32 so
+    it is stable across processes and executors, unlike salted
+    ``hash()``).
+
+    Unlike :class:`DeterministicEmbeddingBackend` (md5 stream — every
+    distinct text is an independent random point, so all cosine
+    distances cluster near 1), texts sharing vocabulary land near each
+    other, which makes downstream cosine semantics REAL: topic-shift
+    scores (T12) dip within-topic and spike at topic changes, and
+    embedding clustering (M10) groups lexically similar docs.  This is
+    the default backend for q17_topic_shifts_model / qm_text_embeddings;
+    the env-gated sentence-transformers seam stays for the true model
+    path (21-embedding-and-clustering.py:252-273)."""
+
+    def __init__(self, dim: int = 64, ngram_min: int = 3,
+                 ngram_max: int = 5):
+        self.dim, self.lo, self.hi = dim, ngram_min, ngram_max
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        import numpy as np
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for r, t in enumerate(texts):
+            s = " " + (t or "").lower() + " "
+            row = out[r]
+            for n in range(self.lo, self.hi + 1):
+                for i in range(len(s) - n + 1):
+                    h = zlib.crc32(s[i:i + n].encode("utf-8"))
+                    row[h % self.dim] += 1.0 if h & 0x80000000 else -1.0
+            norm = float(np.sqrt((row * row).sum()))
+            if norm > 0:
+                row /= norm
+        return [list(map(float, v)) for v in out]
+
+
+def default_embedding_backend(dim: int = 64):
+    """Backend seam: ``SPARK_GRAFT_EMBED_BACKEND=st`` selects the real
+    sentence-transformers model (import-gated); anything else (and the
+    default) the hashed char-ngram featurizer — deterministic, content-
+    sensitive, dependency-free."""
+    if os.environ.get("SPARK_GRAFT_EMBED_BACKEND") == "st":
+        return SentenceTransformerBackend()
+    return HashedNgramEmbeddingBackend(dim=dim)
 
 
 class SentenceTransformerBackend:  # pragma: no cover - real path

@@ -53,9 +53,13 @@ GRADE_WINDOW: tuple[str, ...] = (
     "q26_fabrication", "q26_topic_shifts",
     # whole-pipeline e2e composition (F1+P13+B6-hash+R20)
     "qe2e_training_mix",
-    # streaming §2.12 (window agg, session windows, as-of join, stateful)
-    "qs_tumbling_engagement", "qs_session_windows", "qs_conversion_join",
-    "qs_last_touch",
+    # streaming §2.12 (window agg, session windows, stateful; as-of
+    # join coverage rides qs_last_touch — conversion_join is its
+    # interval-join front half)
+    "qs_tumbling_engagement", "qs_session_windows", "qs_last_touch",
+    # streaming near-dup: oracle-checked portable-hash twin of the
+    # stateful MinHash/LSH operator (streaming/neardup.py)
+    "qs_neardup_pairs_portable",
     # LLM stages (P11, A3, §2.13)
     "q06_extract_topic",
     # ML analytics §2.10 (M1/T2/A16; A11)

@@ -734,6 +734,79 @@ def qx_heavy_hitters_cms(spark, sf_dir):
             .orderBy(F.col("cnt").desc(), F.col("token").asc()))
 
 
+_MINHASH_A, _MINHASH_B = dedup._minhash_coeffs(64, 42)
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B)))
+
+# The full MinHash+LSH candidate/agreement pipeline transcribed to
+# ANSI-ish SQL with the PORTABLE base hash (md5-prefix 31-bit — both
+# engines compute the identical value), so the pair set is exactly
+# reproducible in DuckDB: same shingles, same Carter-Wegman
+# permutations (coefficient literals generated from the same LCG),
+# same 16-band blocking (slice equality — Spark buckets by xxhash64 of
+# the slice, collision probability ~n^2/2^64 below any fixture size),
+# same agreement >= 0.5 score.
+_NEARDUP_PORTABLE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]))
+               AS s
+    FROM toks
+), hashed AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT & 2147483647 AS h
+    FROM sh
+), params(i, a, b) AS (
+    VALUES {_MINHASH_PARAMS_SQL}
+), mh AS (
+    SELECT hashed.doc_id, params.i,
+           min((params.a * hashed.h + params.b) % 2147483647) AS v
+    FROM hashed CROSS JOIN params GROUP BY 1, 2
+), bands AS (
+    SELECT doc_id, i // 4 AS band,
+           string_agg(v::VARCHAR, ',' ORDER BY i) AS slice
+    FROM mh GROUP BY 1, 2
+), cand AS (
+    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.slice = r.slice AND l.doc_id < r.doc_id
+)
+SELECT c.id1, c.id2,
+       round(sum(CASE WHEN m1.v = m2.v THEN 1 ELSE 0 END) / 64.0, 6)
+           AS est_sim
+FROM cand c
+JOIN mh m1 ON m1.doc_id = c.id1
+JOIN mh m2 ON m2.doc_id = c.id2 AND m2.i = m1.i
+GROUP BY c.id1, c.id2
+HAVING sum(CASE WHEN m1.v = m2.v THEN 1 ELSE 0 END) / 64.0 >= 0.5
+ORDER BY id1, id2
+"""
+
+
+@register("qs_neardup_pairs_portable", oracle=_NEARDUP_PORTABLE_SQL)
+def qs_neardup_pairs_portable(spark, sf_dir):
+    """The MinHash(64)+LSH(16 bands) agreement pair set with the
+    PORTABLE md5-prefix base hash — the ORACLE-CHECKED twin of the
+    rows-only qs_neardup_pairs (r2 VERDICT #8): same shingling, same
+    permutations, same banding, same >= 0.5 agreement score, only the
+    per-shingle base hash swaps from xxhash64 (engine-specific) to the
+    md5 prefix both engines can compute.  tests/test_streaming.py pins
+    the STREAMING stateful operator to this same pair set under the
+    portable hash, closing the chain driver-oracle -> batch twin ->
+    streaming state machine."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 3)
+    return dedup.minhash_agreement_pairs(
+        docs, "doc_id", "text",
+        base_hash=dedup.portable_hash31).orderBy("id1", "id2")
+
+
 @register("qs_neardup_pairs")
 def qs_neardup_pairs(spark, sf_dir):
     """Batch twin of the STREAMING stateful near-dup operator

@@ -575,17 +575,18 @@ def qm_importance_merged(spark, sf_dir):
 
 @register("qm_text_embeddings")
 def qm_text_embeddings(spark, sf_dir):
-    """M10: batched text embedding (deterministic test backend; real
-    path is sentence-transformers, import-gated) concatenated with
-    scaled numeric features — the stage-21 combined-vector input.
-    Rows-only; determinism + shape asserted in tests."""
-    from ..operators.inference import (DeterministicEmbeddingBackend,
-                                       embed_column)
+    """M10: batched text embedding (hashed char-ngram featurizer by
+    default — content-sensitive and deterministic; the real
+    sentence-transformers path stays env-gated behind
+    SPARK_GRAFT_EMBED_BACKEND=st) concatenated with scaled numeric
+    features — the stage-21 combined-vector input.  Rows-only;
+    determinism + shape + content-sensitivity asserted in tests."""
+    from ..operators.inference import default_embedding_backend, embed_column
     feats = analytics.standard_scale(
         analytics.text_feature_table(_docs(spark, sf_dir), "text"),
         ["text_length", "word_count"])
     embedded = embed_column(feats, "text", "emb",
-                            lambda: DeterministicEmbeddingBackend(dim=32))
+                            lambda: default_embedding_backend(dim=32))
     combined = embedded.withColumn(
         "combined",
         F.concat(F.col("emb").cast("array<double>"),
@@ -655,18 +656,20 @@ def qm_keywords(spark, sf_dir):
 @register("q17_topic_shifts_model")
 def q17_topic_shifts_model(spark, sf_dir):
     """T12 model-backed variant (17-writing-style.py:175-218): topic
-    shifts as cosine distance between adjacent-sentence embeddings,
-    deterministic backend standing in for the reference's BERT model
-    (main path emits the disabled-default empty array —
-    narrative17.topic_transitions_disabled). Returns per-doc shift
-    count + max score. Rows-only (model-derived); determinism and
-    domain contracts in tests/test_inference.py."""
-    from ..operators.inference import (DeterministicEmbeddingBackend,
+    shifts as cosine distance between adjacent-sentence embeddings.
+    Default backend is the hashed char-ngram featurizer — content-
+    sensitive, so scores dip within-topic and spike at real topic
+    changes (pinned in tests/test_inference.py); the reference's BERT
+    stays behind the env-gated seam (main path emits the disabled-
+    default empty array — narrative17.topic_transitions_disabled).
+    Returns per-doc shift count + max score. Rows-only
+    (model-derived)."""
+    from ..operators.inference import (default_embedding_backend,
                                        topic_shift_scores)
     docs = _docs(spark, sf_dir)
     out = topic_shift_scores(docs.select("doc_id", "text"), "text",
                              "shifts",
-                             lambda: DeterministicEmbeddingBackend(dim=32),
+                             lambda: default_embedding_backend(dim=64),
                              threshold=0.5)
     return (out.select(
         "doc_id",

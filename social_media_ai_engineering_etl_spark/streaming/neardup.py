@@ -92,7 +92,8 @@ def stream_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 3,
                          num_hashes: int = 64, bands: int = 16,
                          threshold: float = 0.5,
-                         max_per_bucket: int = 256) -> DataFrame:
+                         max_per_bucket: int = 256,
+                         base_hash=None) -> DataFrame:
     """Near-dup pairs over a streaming document frame (file/Kafka
     source; batch frames can't host group state — the batch twin is
     ``operators.dedup.minhash_dedup_pairs``). ``threshold`` applies to
@@ -102,7 +103,7 @@ def stream_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     sig = docs.select(F.col(id_col).alias("id"),
                       minhash_signature_arrow(
                           word_shingles(F.col(text_col), n),
-                          num_hashes).alias("sig"))
+                          num_hashes, base_hash=base_hash).alias("sig"))
     banded = banded_rows(sig, num_hashes, bands, keep_sig=True)
     return (banded.groupBy("band", "bucket")
             .applyInPandasWithState(

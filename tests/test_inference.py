@@ -102,3 +102,75 @@ def test_topic_shift_scores_contracts(spark):
     # md5-stream embeddings are pairwise near-orthogonal, so every
     # boundary clears a 0.2 distance threshold
     assert len(a[1]) == n_sents - 1
+
+
+def test_hashed_ngram_backend_is_content_sensitive(spark):
+    """The default (hashed char-ngram) backend must be deterministic,
+    unit-norm, and SEMANTIC in the hashing-trick sense: texts sharing
+    vocabulary are far more cosine-similar than unrelated texts —
+    the property the md5 stand-in lacked (r2 VERDICT #7)."""
+    import numpy as np
+
+    from social_media_ai_engineering_etl_spark.operators.inference import (
+        HashedNgramEmbeddingBackend)
+    b = HashedNgramEmbeddingBackend(dim=64)
+    texts = [
+        "the quarterly revenue grew and the revenue forecast improved",
+        "quarterly revenue growth beat the revenue forecast again",
+        "penguins huddle on antarctic ice through polar winters",
+    ]
+    e1 = np.asarray(b.embed(texts))
+    e2 = np.asarray(HashedNgramEmbeddingBackend(dim=64).embed(texts))
+    assert np.array_equal(e1, e2)                    # deterministic
+    assert np.allclose(np.linalg.norm(e1, axis=1), 1.0)
+    sim_related = float(e1[0] @ e1[1])
+    sim_unrelated = float(e1[0] @ e1[2])
+    assert sim_related > 0.5
+    assert sim_related > sim_unrelated + 0.3
+
+
+def test_topic_shift_scores_spike_at_real_topic_change(spark):
+    """With the content-sensitive backend, a document whose sentences
+    stay on one topic then jump to another must score a shift ONLY at
+    the jump — within-topic boundaries stay under threshold."""
+    from social_media_ai_engineering_etl_spark.operators.inference import (
+        default_embedding_backend, topic_shift_scores)
+    text = ("The revenue grew this quarter. Revenue growth beat the "
+            "quarterly forecast. The revenue forecast improves further. "
+            "Penguins huddle on antarctic ice through polar winter storms.")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r.doc_id: [(s.idx, s.score) for s in r.shifts]
+            for r in topic_shift_scores(
+                df, "text", "shifts",
+                lambda: default_embedding_backend(dim=64),
+                threshold=0.8).collect()}
+    idxs = [i for i, _ in rows[1]]
+    assert idxs == [3]   # shift INTO sentence 3 (the penguin jump) only
+    # and the jump boundary carries the LARGEST distance of all three
+    all_scores = {r.doc_id: [(s.idx, s.score) for s in r.shifts]
+                  for r in topic_shift_scores(
+                      df, "text", "shifts",
+                      lambda: default_embedding_backend(dim=64),
+                      threshold=0.0).collect()}
+    best_idx = max(all_scores[1], key=lambda t: t[1])[0]
+    assert best_idx == 3
+
+
+def test_text_embeddings_query_nonempty_and_deterministic(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.ml_analytics import (
+        qm_text_embeddings)
+    a = sorted(map(tuple, qm_text_embeddings(spark, sf_dir).collect()))
+    b = sorted(map(tuple, qm_text_embeddings(spark, sf_dir).collect()))
+    assert a and a == b
+    dims = {d for _, d, _ in a}
+    assert dims == {34}           # 32 emb + 2 scaled features
+    assert all(sq > 0 for _, _, sq in a)
+
+
+def test_topic_shifts_model_query_nonempty_and_deterministic(spark, sf_dir):
+    from social_media_ai_engineering_etl_spark.queries.ml_analytics import (
+        q17_topic_shifts_model)
+    a = [tuple(r) for r in q17_topic_shifts_model(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q17_topic_shifts_model(spark, sf_dir).collect()]
+    assert a and a == b
+    assert all(n >= 0 and 0.0 <= mx <= 2.0 for _, n, mx in a)
