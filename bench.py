@@ -3,8 +3,16 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = full query wall time to a count-materializing action (the
-result sets are small aggregates; the cost is the scan/shuffle work).
+Timing = full query wall time to a CHECKSUM action:
+``agg(count(1), sum(xxhash64(all output columns)))``.  A bare
+``count()`` is NOT a valid benchmark action for this engine — Catalyst
+column-prunes unreferenced projection expressions, so a pure-projection
+query (the reward scorers, row transforms, negatives) would be timed as
+scan+count with ALL its expression work optimized away (verified:
+q26_rewards_scalar's count() plan is ``Aggregate [count(1)] <- Project
+[] <- Relation``).  Hashing every output column forces every output
+cell of every row to be computed while transferring one scalar to the
+driver.
 """
 
 from __future__ import annotations
@@ -21,6 +29,15 @@ from social_media_ai_engineering_etl_spark.registry import BENCH, QUERIES  # noq
 from social_media_ai_engineering_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def materialize(df) -> int:
+    """Checksum action: rows processed with no projection pruning."""
+    from pyspark.sql import functions as F
+    h = F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+    row = df.select(h).agg(F.count(F.lit(1)).alias("n"),
+                           F.expr("bit_xor(__h)")).collect()[0]
+    return row["n"]
 
 
 def _sf_from_dir(d: str) -> float:
@@ -41,7 +58,7 @@ def main() -> None:
     # 200ms of Janino per query.  clearCache after each so the timed
     # passes still pay their own scans.
     for name in names:
-        QUERIES[name](spark, SF_DIR).count()
+        materialize(QUERIES[name](spark, SF_DIR))
         spark.catalog.clearCache()
 
     # per-query min of two passes: single-shot wall times on a shared
@@ -52,7 +69,7 @@ def main() -> None:
         for name in names:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
-            n = df.count()
+            n = materialize(df)
             took = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, float("inf")), took)
             print(f"# {name}: {took:.3f}s ({n} rows)", file=sys.stderr)

@@ -63,10 +63,14 @@ def _banded_length_score(length: Column, lo: int, hi: int) -> Column:
              .otherwise(F.lit(0.0)))
 
 
-def precise_post_length(prompt: Column, completion: Column) -> Column:
+def precise_post_length(prompt: Column, completion: Column,
+                        req: Column | None = None) -> Column:
     """R1 (length.py:6-88): parse '**Suggested Post Length**', score
-    piecewise per bucket; generic 'up to N characters' fallback R2."""
-    req = F.trim(style_field(prompt, "Suggested Post Length"))
+    piecewise per bucket; generic 'up to N characters' fallback R2.
+    ``req`` lets callers pass the extracted+trimmed field (computed
+    once in a primitives projection — see q26_rewards_scalar)."""
+    if req is None:
+        req = F.trim(style_field(prompt, "Suggested Post Length"))
     rl = F.lower(req)
     length = F.length(completion)
     # up-to-750 bucket (length.py:11-22)
@@ -112,10 +116,13 @@ _PUNCT_THRESHOLDS: dict[str, tuple[str, str, float, float, float]] = {
 }
 
 
-def punctuation_usage(prompt: Column, completion: Column) -> Column:
+def punctuation_usage(prompt: Column, completion: Column,
+                      field: Column | None = None) -> Column:
     """R6: requested heavy/normal per mark vs actual per-char
-    frequency; mean of the five per-type scores."""
-    field = F.lower(style_field(prompt, "Punctuation"))
+    frequency; mean of the five per-type scores. ``field`` = the
+    pre-lowered extracted style field, optional."""
+    if field is None:
+        field = F.lower(style_field(prompt, "Punctuation"))
     n = F.length(completion)
     type_scores = []
     for _name, (ch, heavy_sub, low, normal, heavy) in _PUNCT_THRESHOLDS.items():
@@ -141,9 +148,12 @@ def punctuation_usage(prompt: Column, completion: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def line_break_usage(prompt: Column, completion: Column) -> Column:
-    """R7: line-break ratio per 100 chars vs the requested style."""
-    t = F.lower(style_field(prompt, "Line Break Usage"))
+def line_break_usage(prompt: Column, completion: Column,
+                     field: Column | None = None) -> Column:
+    """R7: line-break ratio per 100 chars vs the requested style.
+    ``field`` = the pre-lowered extracted style field, optional."""
+    t = (F.lower(style_field(prompt, "Line Break Usage"))
+         if field is None else field)
     style = (F.when(t.contains("frequent"), F.lit("frequent"))
               .when(t.contains("fewer") | t.contains("compact"), F.lit("fewer"))
               .when(t.contains("no ") | t.contains("continuous"), F.lit("none"))
@@ -182,15 +192,20 @@ def _alpha_tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), 0)
 
 
-def vocabulary_usage(prompt: Column, completion: Column) -> Column:
-    """R15: unique/total alpha-token ratio vs requested richness."""
-    t = F.lower(style_field(prompt, "Vocabulary Usage"))
+def vocabulary_usage(prompt: Column, completion: Column,
+                     field: Column | None = None,
+                     words: Column | None = None) -> Column:
+    """R15: unique/total alpha-token ratio vs requested richness.
+    ``field``/``words`` = precomputed primitives, optional."""
+    t = (F.lower(style_field(prompt, "Vocabulary Usage"))
+         if field is None else field)
     req = (F.when(t.contains("rich"), F.lit("rich"))
             .when(t.contains("developed"), F.lit("developed"))
             .when(t.contains("normal"), F.lit("normal"))
             .when(t.contains("conservative") | t.contains("narrow"),
                   F.lit("conservative")))
-    words = _alpha_tokens(completion)
+    if words is None:
+        words = _alpha_tokens(completion)
     total = F.size(words)
     ratio = F.size(F.array_distinct(words)).cast("double") / total
     rich = (F.when(ratio > 0.5, 1.0).when(ratio > 0.4, 0.8)
@@ -248,17 +263,24 @@ def _emoji_cat_index(cat: Column) -> Column:
     return expr
 
 
-def enhanced_emoji_usage(prompt: Column, completion: Column) -> Column:
+def enhanced_emoji_usage(prompt: Column, completion: Column,
+                         field: Column | None = None,
+                         emoji_count: Column | None = None) -> Column:
     """R3 (emoji.py:38-63): bin distance between required and actual
-    emoji-frequency category -> 1.0/0.7/0.4/0.0."""
-    req = F.lower(F.trim(style_field(prompt, "Emoji Usage")))
+    emoji-frequency category -> 1.0/0.7/0.4/0.0. ``field`` = the
+    pre-lowered Emoji Usage style field; ``emoji_count`` = precomputed
+    emoji-regex match count (shared with R4/R5 so the giant codepoint
+    class runs ONCE per row, not three times)."""
+    req = (F.lower(F.trim(style_field(prompt, "Emoji Usage")))
+           if field is None else F.trim(field))
     required_cat = (F.when(req.isin(*_EMOJI_ORDER), req)
                      .when(req == "infrequent", F.lit("low"))
                      .when(req == "frequent", F.lit("high"))
                      .otherwise(F.lit("medium")))
     n = F.length(completion)
-    freq = F.when(n > 0, F.regexp_count(completion, F.lit(EMOJI_CLASS))
-                  .cast("double") / n).otherwise(F.lit(0.0))
+    ec = (F.regexp_count(completion, F.lit(EMOJI_CLASS))
+          if emoji_count is None else emoji_count)
+    freq = F.when(n > 0, ec.cast("double") / n).otherwise(F.lit(0.0))
     actual_cat = bin_label(freq)
     d = F.abs(_emoji_cat_index(required_cat) - _emoji_cat_index(actual_cat))
     return (F.when(req == "", F.lit(0.5))
@@ -268,9 +290,13 @@ def enhanced_emoji_usage(prompt: Column, completion: Column) -> Column:
              .otherwise(F.lit(0.0)))
 
 
-def emoji_usage_coarse(prompt: Column, completion: Column) -> Column:
-    """R4 (emoji.py:66-102): coarse none/infrequent/frequent matrix."""
-    req = F.lower(style_field(prompt, "Emoji Usage"))
+def emoji_usage_coarse(prompt: Column, completion: Column,
+                       field: Column | None = None,
+                       emoji_count: Column | None = None) -> Column:
+    """R4 (emoji.py:66-102): coarse none/infrequent/frequent matrix.
+    ``field``/``emoji_count``: see enhanced_emoji_usage."""
+    req = (F.lower(style_field(prompt, "Emoji Usage"))
+           if field is None else field)
     simple_req = (F.when(req == "none", F.lit("none"))
                    .when(req.isin("infrequent", "very low", "low"),
                          F.lit("infrequent"))
@@ -278,8 +304,9 @@ def emoji_usage_coarse(prompt: Column, completion: Column) -> Column:
                          F.lit("frequent"))
                    .otherwise(F.lit("infrequent")))
     n = F.length(completion)
-    freq = F.when(n > 0, F.regexp_count(completion, F.lit(EMOJI_CLASS))
-                  .cast("double") / n).otherwise(F.lit(0.0))
+    ec = (F.regexp_count(completion, F.lit(EMOJI_CLASS))
+          if emoji_count is None else emoji_count)
+    freq = F.when(n > 0, ec.cast("double") / n).otherwise(F.lit(0.0))
     actual = bin_label(freq)
     simple_actual = (F.when(actual == "none", F.lit("none"))
                       .when(actual.isin("very low", "low"), F.lit("infrequent"))
@@ -294,9 +321,12 @@ def emoji_usage_coarse(prompt: Column, completion: Column) -> Column:
                  F.when(simple_actual == "infrequent", 0.7).otherwise(F.lit(0.0))))
 
 
-def emoji_variety(completion: Column) -> Column:
-    """R5 (emoji_variety.py:6-21): unique/total emoji ratio bins."""
-    all_emoji = F.regexp_extract_all(completion, F.lit(EMOJI_CLASS), 0)
+def emoji_variety(completion: Column,
+                  emojis: Column | None = None) -> Column:
+    """R5 (emoji_variety.py:6-21): unique/total emoji ratio bins.
+    ``emojis`` = the precomputed emoji match array, optional."""
+    all_emoji = (F.regexp_extract_all(completion, F.lit(EMOJI_CLASS), 0)
+                 if emojis is None else emojis)
     total = F.size(all_emoji)
     ratio = F.size(F.array_distinct(all_emoji)).cast("double") / total
     return (F.when(total == 0, F.lit(0.0))

@@ -22,10 +22,17 @@ from pyspark.sql import functions as F
 from ..functions import rewards as rw
 from ..functions.textstats import EMOJI_CLASS
 from ..registry import register
+from ..session import widen_scan
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # CPU-heavy per-row work (regex/string/shingle projections): widen
+    # the single-row-group local scan to all cores — on a real cluster
+    # the scan is already wide and widen_scan is a no-op (see
+    # session.widen_scan; found via the r3 bench fix, where the whole
+    # reward projection ran on 1 of 32 cores)
+    path = os.path.join(sf_dir, "documents.parquet")
+    return widen_scan(spark.read.parquet(path), path)
 
 
 # --------------------------------------------------------------------------
@@ -388,24 +395,66 @@ FROM scored
 def q26_rewards_scalar(spark, sf_dir):
     """R1/R2, R6, R7, R15, R16, R17, R3, R4, R5, R20 + weighted
     aggregate R19 — one wide native projection over derived pairs."""
-    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    # The pair table is persisted: the documented two-pass idiom (see
+    # plans/tiering.tier_counts) — at scale the same derived pairs
+    # feed all four q26 reward queries, and locally the cache boundary
+    # splits the codegen pipeline so the scan+derive stage compiles.
+    # Measured r3 ladder at sf0.1 (checksum action, warm): 4.1 s
+    # single wide select -> 2.1 s with widen_scan + primitives +
+    # persist.  KNOWN LIMITATION: the remaining fused reward stage
+    # still exceeds Janino's 64KB single-method limit (a while-loop
+    # agg pipeline cannot split methods over local variables), so
+    # Spark logs one codegen ERROR and runs that stage via the
+    # expression-interpreter path; measured interpreted == codegen
+    # for these expressions (0.32 vs 0.37 s for a 2-reward probe), so
+    # the fallback costs only the ~0.3 s doomed compile attempt per
+    # action, not a throughput cliff.
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir)).persist()
     p, c = F.col("prompt"), F.col("completion")
+    # Three projections, like the oracle's base -> scored -> SELECT
+    # split.  Stage 1 extracts the shared PRIMITIVES once per row —
+    # the style-field regexes and, critically, the giant emoji
+    # codepoint-class regex, which the R3/R4/R5 trio would otherwise
+    # each run themselves.  Every primitive is non-cheap and
+    # referenced >= 2 times downstream, so CollapseProject keeps the
+    # stages apart and no reward tree is inlined twice via
+    # r_aggregate.
+    base = pairs.select(
+        "doc_id", "prompt", "completion",
+        F.trim(rw.style_field(p, "Suggested Post Length")).alias("__f_len"),
+        F.lower(rw.style_field(p, "Punctuation")).alias("__f_punct"),
+        F.lower(rw.style_field(p, "Line Break Usage")).alias("__f_lb"),
+        F.lower(rw.style_field(p, "Vocabulary Usage")).alias("__f_vocab"),
+        F.lower(rw.style_field(p, "Emoji Usage")).alias("__f_emoji"),
+        F.regexp_extract_all(c, F.lit(EMOJI_CLASS), 0).alias("__emojis"),
+        rw._alpha_tokens(c).alias("__words"))
+    ec = F.size("__emojis")
     raw = {
-        "r_length": rw.precise_post_length(p, c),
-        "r_punct": rw.punctuation_usage(p, c),
-        "r_linebreaks": rw.line_break_usage(p, c),
-        "r_vocab": rw.vocabulary_usage(p, c),
+        "r_length": rw.precise_post_length(p, c, req=F.col("__f_len")),
+        "r_punct": rw.punctuation_usage(p, c, field=F.col("__f_punct")),
+        "r_linebreaks": rw.line_break_usage(p, c, field=F.col("__f_lb")),
+        "r_vocab": rw.vocabulary_usage(p, c, field=F.col("__f_vocab"),
+                                       words=F.col("__words")),
         "r_hashtags": rw.hashtag_limit(c),
         "r_cjk": rw.chinese_character_guard(c),
-        "r_emoji": rw.enhanced_emoji_usage(p, c),
+        "r_emoji": rw.enhanced_emoji_usage(p, c, field=F.col("__f_emoji"),
+                                           emoji_count=ec),
     }
-    agg = rw.aggregate_rewards(raw, _AGG_WEIGHTS)
-    return pairs.select(
+    scored = base.select(
         "doc_id",
-        *[F.round(expr, 6).alias(name) for name, expr in raw.items()],
-        F.round(rw.emoji_usage_coarse(p, c), 6).alias("r_emoji_coarse"),
-        F.round(rw.emoji_variety(c), 6).alias("r_emoji_variety"),
-        rw.scenario_type(p).alias("scenario_id"),
+        *[expr.alias(name) for name, expr in raw.items()],
+        rw.emoji_usage_coarse(p, c, field=F.col("__f_emoji"),
+                              emoji_count=ec).alias("r_emoji_coarse"),
+        rw.emoji_variety(c, emojis=F.col("__emojis"))
+          .alias("r_emoji_variety"),
+        rw.scenario_type(p).alias("scenario_id"))
+    agg = rw.aggregate_rewards({k: F.col(k) for k in raw}, _AGG_WEIGHTS)
+    return scored.select(
+        "doc_id",
+        *[F.round(F.col(name), 6).alias(name) for name in raw],
+        F.round(F.col("r_emoji_coarse"), 6).alias("r_emoji_coarse"),
+        F.round(F.col("r_emoji_variety"), 6).alias("r_emoji_variety"),
+        "scenario_id",
         F.round(agg, 6).alias("r_aggregate"))
 
 

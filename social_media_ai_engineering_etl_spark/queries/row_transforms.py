@@ -15,10 +15,17 @@ from pyspark.sql import functions as F
 
 from ..functions import cleaning, describe, textstats
 from ..registry import register
+from ..session import widen_scan
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # CPU-heavy per-row work (regex/string/shingle projections): widen
+    # the single-row-group local scan to all cores — on a real cluster
+    # the scan is already wide and widen_scan is a no-op (see
+    # session.widen_scan; found via the r3 bench fix, where the whole
+    # reward projection ran on 1 of 32 cores)
+    path = os.path.join(sf_dir, "documents.parquet")
+    return widen_scan(spark.read.parquet(path), path)
 
 
 # --------------------------------------------------------------------------
