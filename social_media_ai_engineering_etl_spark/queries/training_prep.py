@@ -91,10 +91,15 @@ def q24_negatives(spark, sf_dir):
         F.col("prompt"), r"\*\*Emoji Usage\*\*:\s*([^\n]*)", 1)))
     rejected = neg.generate_negative(F.col("completion"), length_req,
                                      emoji_usage)
-    return pairs.select(
+    # materialize the (expensive) negative ONCE in its own projection:
+    # md5 + length below then reference the column — referenced twice,
+    # non-cheap, so CollapseProject keeps the stages apart and the
+    # string-surgery tree is not evaluated per consumer
+    built = pairs.select("doc_id", rejected.alias("__rejected"))
+    return built.select(
         "doc_id",
-        F.md5(rejected.cast("binary")).alias("rejected_md5"),
-        F.length(rejected).alias("rejected_len"))
+        F.md5(F.col("__rejected").cast("binary")).alias("rejected_md5"),
+        F.length("__rejected").alias("rejected_len"))
 
 
 @register("q25_chat_template", oracle="WITH rp AS (" + _RP_CTE + """
