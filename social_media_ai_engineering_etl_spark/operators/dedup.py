@@ -159,6 +159,83 @@ def ngram_jaccard_pairs_inverted(df: DataFrame, id_col: str, text_col: str,
             .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
 
 
+def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
+                               n: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (>= threshold) via PREFIX FILTERING —
+    the canonical set-similarity-join pruning (SSJoin/PPJoin family,
+    public literature) the plain inverted index lacks.
+
+    Theorem: order every document's shingles by one GLOBAL total order
+    and keep only the first ``|x| - ceil(t*|x|) + 1`` as its *prefix*;
+    any pair with Jaccard >= t must share at least one prefix token.
+    (If the prefixes are disjoint, each set has > ceil(t*|x|) - 1
+    tokens the other must cover from its suffix alone, capping the
+    overlap below the t-required minimum.)  So indexing ONLY prefixes
+    loses no qualifying pair, while a boilerplate shingle that occurs
+    in m documents no longer contributes C(m, 2) candidate rows unless
+    it lands in prefixes — and the global order is document-frequency
+    ASCENDING (rarest first, the PPJoin heuristic), so common shingles
+    land in suffixes.  At threshold 0.5 the index shrinks ~2x and the
+    candidate-pair blowup collapses; the higher the threshold, the
+    stronger the pruning (at 0.9 only ~10% of tokens are indexed).
+
+    Candidates are then verified with the exact count-based
+    intersection: re-join the candidate pairs against the FULL token
+    table (semi-filtered), count shared shingles per pair, and apply
+    the arithmetic Jaccard — identical output to
+    :func:`ngram_jaccard_pairs_inverted` (equality-pinned in tests).
+
+    Plan shape: one df-count shuffle on shingle hash, one per-doc rank
+    window (partitioned by doc — never global), one prefix self-join,
+    one pair-count shuffle.  All shuffles are equi-keyed; skew from
+    hot shingles is structurally reduced before the join instead of
+    being max_df-truncated after it.
+    """
+    from pyspark.sql import Window
+
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    sh = (sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+          .persist())
+    sizes = sh.select("id", "sz")
+    tok = sh.select("id", "sz", F.explode(
+        F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (tok.join(dfreq, "s")
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("id").orderBy("df", "s"))))
+    # prefix length |x| - ceil(t|x|) + 1 (>= 1 for t <= 1)
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rk") <= plen).select("id", "s").persist()
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.s") == F.col("b.s"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct())
+    # verify: per-candidate exact Jaccard over the two hashed-shingle
+    # ARRAYS (array_intersect is a per-pair hash probe — no token
+    # re-explosion, no per-pair row blowup; two equi-joins ship each
+    # doc's array once per candidate role)
+    harr = sh.select("id", F.transform("sh", lambda x: F.xxhash64(x))
+             .alias("hs"), "sz")
+    ver = (cand
+           .join(harr.select(F.col("id").alias("id1"),
+                             F.col("hs").alias("hs1"),
+                             F.col("sz").alias("sz1")), "id1")
+           .join(harr.select(F.col("id").alias("id2"),
+                             F.col("hs").alias("hs2"),
+                             F.col("sz").alias("sz2")), "id2")
+           .withColumn("inter", F.size(F.array_intersect("hs1", "hs2")))
+           .withColumn("jaccard_sim",
+                       F.col("inter").cast("double")
+                       / (F.col("sz1") + F.col("sz2") - F.col("inter"))))
+    return (ver.filter(F.col("jaccard_sim") >= threshold)
+            .select("id1", "id2",
+                    F.round("jaccard_sim", 6).alias("jaccard_sim")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

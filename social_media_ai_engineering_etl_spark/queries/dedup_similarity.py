@@ -108,6 +108,34 @@ def qx_dedup_ngram_jaccard(spark, sf_dir):
                                               ).orderBy("id1", "id2")
 
 
+@register("qx_dedup_ngram_prefix", bench=True, oracle="WITH d AS (" + _SHINGLE_CTE + """
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard_sim
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+ORDER BY id1, id2
+""")
+def qx_dedup_ngram_prefix(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs (threshold 0.5) via PREFIX-FILTERED
+    set-similarity join (SSJoin/PPJoin family): only each document's
+    rarest ``|x| - ceil(t|x|) + 1`` shingles are indexed, so a
+    boilerplate shingle shared by m documents stops contributing
+    C(m, 2) candidate rows.  Same exact output as the inverted-index
+    path (equality-pinned in tests/test_dedup.py); measured r3 at
+    16x sf0.1 with a planted shared footer: 70.7 s vs 441.9 s for the
+    count-based inverted index — the win grows with boilerplate
+    df (1.15x at 1x, 1.8x at 4x, 6.3x at 16x), which is the 100 TB
+    web-corpus regime.  See operators/dedup.py:ngram_jaccard_pairs_
+    prefix for the prefix theorem and plan shape."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    ).orderBy("id1", "id2")
+
+
 @register("qx_dedup_minhash", bench=True)
 def qx_dedup_minhash(spark, sf_dir):
     """MinHash(128)+LSH(32 bands, r=4) candidates verified at Jaccard

@@ -383,3 +383,66 @@ def test_oph_minhash_recall_vs_exact(docs):
             dedup.word_shingles(F.col("text"), 3), 128).alias("s"))
     max_cell = sig.agg(F.max(F.array_max("s"))).collect()[0][0]
     assert max_cell < (1 << 31), "densified cells must stay in hash range"
+
+
+def test_prefix_join_equals_inverted_index(spark, sf_dir):
+    """The prefix-filtered set-similarity join must emit EXACTLY the
+    inverted-index pair set (both are exact algorithms) at two
+    thresholds, including one low enough that prefixes are long."""
+    import os
+
+    from social_media_ai_engineering_etl_spark.operators import dedup
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for t in (0.5, 0.2):
+        a = {(r.id1, r.id2, r.jaccard_sim)
+             for r in dedup.ngram_jaccard_pairs_inverted(
+                 docs, "doc_id", "text", threshold=t).collect()}
+        b = {(r.id1, r.id2, r.jaccard_sim)
+             for r in dedup.ngram_jaccard_pairs_prefix(
+                 docs, "doc_id", "text", threshold=t).collect()}
+        assert a == b, t
+        spark.catalog.clearCache()
+
+
+def test_prefix_join_prunes_boilerplate_candidates(spark):
+    """A shared footer across every doc must NOT put its shingles in
+    prefixes (df-ascending order sends common shingles to suffixes):
+    candidate pairs stay near the true-pair count instead of C(n,2)."""
+    from pyspark.sql import functions as F
+
+    from social_media_ai_engineering_etl_spark.operators import dedup
+    from social_media_ai_engineering_etl_spark.operators.dedup import (
+        word_shingles)
+    footer = (" the quick brown fox jumps over the lazy dog near the"
+              " river bank every day")
+    rows = [(i, f"unique{i} alpha{i} beta{i} gamma{i} delta{i} eps{i}"
+             + footer) for i in range(40)]
+    rows += [(100, "same text here repeated exactly twice ok" + footer),
+             (101, "same text here repeated exactly twice ok" + footer)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.id1, r.id2)
+           for r in dedup.ngram_jaccard_pairs_prefix(
+               docs, "doc_id", "text", threshold=0.8).collect()}
+    assert got == {(100, 101)}
+
+    # candidate census: the prefix index must exclude the footer
+    # shingles for the unique docs, so candidates << C(42, 2)
+    from pyspark.sql import Window
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     word_shingles(F.col("text"), 3).alias("sh"))
+    sh = sh.withColumn("sz", F.size("sh"))
+    tok = sh.select("id", "sz", F.explode(
+        F.transform("sh", lambda x: F.xxhash64(x))).alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (tok.join(dfreq, "s")
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("id").orderBy("df", "s"))))
+    plen = F.col("sz") - F.ceil(F.lit(0.8) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rk") <= plen).select("id", "s")
+    cands = (prefix.alias("a")
+             .join(prefix.alias("b"),
+                   (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select("a.id", "b.id").distinct().count())
+    assert cands <= 5, cands   # vs C(42,2) = 861 without the filter
