@@ -470,7 +470,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, num_hashes: int = 128, bands: int = 32,
                         threshold: float = 0.8,
-                        impl: str = "arrow") -> DataFrame:
+                        impl: str = "arrow", base_hash=None) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold.
 
     The shingle table is computed ONCE and persisted: it feeds the
@@ -482,8 +482,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     banding."""
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), n).alias("sh")).persist()
+    kw = {} if base_hash is None else {"base_hash": base_hash}
     sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
-                                        num_hashes).alias("sig"))
+                                        num_hashes, **kw).alias("sig"))
     cands = _lsh_candidates_from_sig(sig, num_hashes, bands)
     joined = (cands
               .join(sh.select(F.col("id").alias("id1"),
@@ -497,7 +498,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_artifact(df: DataFrame, id_col: str, text_col: str,
                      n: int = 3, num_hashes: int = 128,
-                     impl: str = "arrow") -> DataFrame:
+                     impl: str = "arrow", base_hash=None) -> DataFrame:
     """The checkpointable dedup artifact: (id, sh, sig) — shingle sets
     and minhash signatures. A daily pipeline writes this table once
     per corpus generation (parquet round-trips both array columns) and
@@ -506,8 +507,9 @@ def minhash_artifact(df: DataFrame, id_col: str, text_col: str,
     pinned in tests/test_dedup.py."""
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), n).alias("sh"))
+    kw = {} if base_hash is None else {"base_hash": base_hash}
     return sh.select("id", "sh",
-                     _sig_fn(impl)(F.col("sh"), num_hashes).alias("sig"))
+                     _sig_fn(impl)(F.col("sh"), num_hashes, **kw).alias("sig"))
 
 
 def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
@@ -515,8 +517,8 @@ def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
                               n: int = 3, num_hashes: int = 128,
                               bands: int = 32, threshold: float = 0.8,
                               impl: str = "arrow",
-                              corpus_artifact: DataFrame | None = None
-                              ) -> DataFrame:
+                              corpus_artifact: DataFrame | None = None,
+                              base_hash=None) -> DataFrame:
     """Daily-ingest dedup: flag NEW documents that near-duplicate the
     EXISTING corpus or each other — without re-pairing the corpus
     against itself. Returns (id1, id2, jaccard_sim) pairs oriented
@@ -536,7 +538,8 @@ def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
     corpus-sized)."""
     if corpus_artifact is None:
         corpus_artifact = minhash_artifact(corpus, id_col, text_col, n,
-                                           num_hashes, impl)
+                                           num_hashes, impl,
+                                           base_hash=base_hash)
     c_art = corpus_artifact.select("id", "sh", "sig")
     # the NEW side's artifact is persisted separately and banded from
     # its OWN table: the broadcast subtree must never contain the
@@ -545,7 +548,8 @@ def incremental_minhash_dedup(corpus: DataFrame, new_docs: DataFrame,
     # slower than the full batch at 16x, the exact failure this
     # operator exists to avoid)
     n_art = minhash_artifact(new_docs, id_col, text_col, n,
-                             num_hashes, impl).persist()
+                             num_hashes, impl,
+                             base_hash=base_hash).persist()
     art = c_art.unionByName(n_art).persist()
     sh = art.select("id", "sh")
     banded = banded_rows(art.select("id", "sig"), num_hashes, bands)
@@ -608,20 +612,29 @@ def minhash_agreement_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
+def portable_hash60(s: Column) -> Column:
+    """Cross-engine 60-bit token hash: first 15 hex chars of md5 —
+    DuckDB computes the identical value as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` (60 bits fits signed
+    BIGINT on both engines).  The SimHash seam that makes the
+    pigeonhole pair set oracle-checkable (qx_dedup_simhash_portable)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       bits: int = 64) -> DataFrame:
+                       bits: int = 64, base_hash=None) -> DataFrame:
     """SimHash signatures: per-bit majority vote over distinct-token
     hashes. bit j = 1 iff sum over tokens of (+1 if bit j of
     xxhash64(token) else -1) >= 0.
 
-    Shape: explode tokens -> one shuffle groupBy(id) with 64 SUM
+    Shape: explode tokens -> one shuffle groupBy(id) with ``bits`` SUM
     aggregates (map-side combinable) -> fold bits into one BIGINT.
     Returns (id, sig)."""
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.array_distinct(
                           F.split(F.lower(F.trim(F.col(text_col))), "\\s+")))
                        .alias("tok"))
-              .withColumn("h", F.xxhash64("tok")))
+              .withColumn("h", (base_hash or F.xxhash64)(F.col("tok"))))
     votes = toks.groupBy("id").agg(*[
         F.sum(F.when(F.shiftrightunsigned(F.col("h"), j)
                       .bitwiseAND(F.lit(1).cast("long")) == 1,
@@ -637,18 +650,21 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         max_hamming: int = 3,
-                        chunks: int = 4) -> DataFrame:
+                        chunks: int = 4, bits: int = 64,
+                        base_hash=None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole: signatures within distance d < chunks must share at
-    least one of ``chunks`` 16-bit chunks — candidates come from an
-    equi-join on (chunk_idx, chunk_value), then exact hamming filters.
+    least one of ``chunks`` equal-width chunks — candidates come from
+    an equi-join on (chunk_idx, chunk_value), then exact hamming
+    filters.
     """
-    width = 64 // chunks
+    width = bits // chunks
     # both sides of the chunk self-join consume the signature table;
-    # persist or the token explode + 64-vote shuffle runs twice
+    # persist or the token explode + bit-vote shuffle runs twice
     # (measured 15.5s -> ~5s at 16x sf0.1)
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    sig = simhash_signatures(df, id_col, text_col, bits=bits,
+                             base_hash=base_hash).persist()
     # chunks is a small constant: unroll Python-side (shift amount must
     # be a literal int for shiftrightunsigned)
     chunked = sig.select(

@@ -154,6 +154,58 @@ def qx_dedup_simhash(spark, sf_dir):
                                      max_hamming=3).orderBy("id1", "id2")
 
 
+_SIMHASH_PORTABLE_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(
+        string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+    FROM documents WHERE trim(text) <> ''
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks
+), votes AS (
+    SELECT doc_id, j.j,
+           sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+    GROUP BY 1, 2
+), sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN v >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+    FROM votes GROUP BY doc_id
+), chunked AS (
+    SELECT doc_id, sig, c.c AS chunk,
+           (sig >> (c.c * 15)) & 32767 AS val
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           a.sig AS sig1, b.sig AS sig2
+    FROM chunked a JOIN chunked b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig1, sig2)) <= 3
+ORDER BY id1, id2
+"""
+
+
+@register("qx_dedup_simhash_portable", oracle=_SIMHASH_PORTABLE_SQL)
+def qx_dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3, 4-chunk pigeonhole) with
+    the PORTABLE 60-bit md5-prefix token hash — the ORACLE-CHECKED
+    twin of the rows-only qx_dedup_simhash: same per-bit majority
+    vote, same chunk equi-join candidates, same exact hamming filter;
+    only the token hash swaps from xxhash64 to a value both engines
+    compute.  With the MinHash (qs_neardup_pairs_portable) and
+    incremental (qx_dedup_incremental_portable) twins, every
+    hash-based dedup family now has a cross-engine value-checked
+    path."""
+    return dedup.simhash_dedup_pairs(
+        _docs(spark, sf_dir).filter(F.trim(F.col("text")) != ""),
+        "doc_id", "text", max_hamming=3, chunks=4, bits=60,
+        base_hash=dedup.portable_hash60
+    ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming")
+             ).orderBy("id1", "id2")
+
+
 # --------------------------------------------------------------------------
 # embedding similarity
 # --------------------------------------------------------------------------
@@ -868,6 +920,77 @@ def qx_latest_event_per_user(spark, sf_dir):
     return (out.select("user_id", "event_id", "event_type",
                        F.round("value", 6).alias("value"))
             .orderBy("user_id"))
+
+
+_MINHASH_A128, _MINHASH_B128 = dedup._minhash_coeffs(128, 42)
+_MINHASH_PARAMS128_SQL = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(zip(_MINHASH_A128, _MINHASH_B128)))
+
+# Daily-ingest MinHash dedup transcribed to SQL with the portable
+# md5-prefix base hash: 128 permutations, 32 bands of 4, candidates =
+# band-slice equality with at least one NEW (doc_id % 10 = 0) side,
+# verify = exact Jaccard over the string shingle lists.  Mirrors
+# operators/dedup.py::incremental_minhash_dedup exactly.
+_INCREMENTAL_PORTABLE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+), d AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]) AS sh
+    FROM toks
+), hashed AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT & 2147483647 AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM d)
+), params(i, a, b) AS (
+    VALUES {_MINHASH_PARAMS128_SQL}
+), mh AS (
+    SELECT hashed.doc_id, params.i,
+           min((params.a * hashed.h + params.b) % 2147483647) AS v
+    FROM hashed CROSS JOIN params GROUP BY 1, 2
+), bands AS (
+    SELECT doc_id, i // 4 AS band,
+           string_agg(v::VARCHAR, ',' ORDER BY i) AS slice
+    FROM mh GROUP BY 1, 2
+), cand AS (
+    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.slice = r.slice AND l.doc_id < r.doc_id
+    WHERE l.doc_id % 10 = 0 OR r.doc_id % 10 = 0
+)
+SELECT c.id1, c.id2,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard_sim
+FROM cand c JOIN d a ON a.doc_id = c.id1 JOIN d b ON b.doc_id = c.id2
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+ORDER BY id1, id2
+"""
+
+
+@register("qx_dedup_incremental_portable", oracle=_INCREMENTAL_PORTABLE_SQL)
+def qx_dedup_incremental_portable(spark, sf_dir):
+    """The daily-ingest MinHash dedup with the PORTABLE md5-prefix
+    base hash — the ORACLE-CHECKED twin of the rows-only
+    qx_dedup_incremental: same 128-permutation signatures, same
+    32-band blocking, same broadcast-new-side candidate join (the
+    corpus never self-joins), same exact-Jaccard verify; only the
+    per-shingle base hash swaps from xxhash64 to the md5 prefix both
+    engines compute.  Completes the portable-hash story: every stage
+    of the flagship ingest-scale dedup operator is value-checked
+    cross-engine, not just row-counted."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 3)
+    return dedup.incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", threshold=0.5,
+        base_hash=dedup.portable_hash31).orderBy("id1", "id2")
 
 
 @register("qx_dedup_incremental")

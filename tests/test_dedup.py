@@ -446,3 +446,32 @@ def test_prefix_join_prunes_boilerplate_candidates(spark):
                    & (F.col("a.id") < F.col("b.id")))
              .select("a.id", "b.id").distinct().count())
     assert cands <= 5, cands   # vs C(42,2) = 861 without the filter
+
+
+def test_portable_twins_match_xxhash_contracts(spark, sf_dir):
+    """The portable-hash twins must satisfy the same structural
+    contracts as their xxhash64 originals: incremental == full-batch
+    restricted to new-doc pairs (same portable hash on both sides),
+    and every simhash-portable pair is hamming-verified."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from social_media_ai_engineering_etl_spark.operators import dedup
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
+            .select("doc_id", "text"))
+    inc = {(r.id1, r.id2, r.jaccard_sim)
+           for r in dedup.incremental_minhash_dedup(
+               docs.filter(F.col("doc_id") % 10 != 0),
+               docs.filter(F.col("doc_id") % 10 == 0),
+               "doc_id", "text", threshold=0.5,
+               base_hash=dedup.portable_hash31).collect()}
+    spark.catalog.clearCache()
+    full = {(r.id1, r.id2, r.jaccard_sim)
+            for r in dedup.minhash_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.5,
+                base_hash=dedup.portable_hash31).collect()
+            if r.id1 % 10 == 0 or r.id2 % 10 == 0}
+    assert inc == full
