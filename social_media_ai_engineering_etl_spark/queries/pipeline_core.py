@@ -82,3 +82,35 @@ def q01_quantile_cutoffs(spark, sf_dir):
                           _t(spark, sf_dir, "customer"))
     return quantile_cutoffs(df).select(F.round("top_cut", 6).alias("top_cut"),
                                        F.round("bot_cut", 6).alias("bot_cut"))
+
+@register("q01_tier_counts_sketch")
+def q01_tier_counts_sketch(spark, sf_dir):
+    """The 100 TB twin of the flagship: tier cutoffs from
+    ``percentile_approx`` (mergeable one-pass QuantileSummaries
+    sketch, ~KB of state per partition) instead of exact
+    ``percentile`` (which buffers EVERY ratio value in one final
+    aggregation task — fine at millions of posts, an OOM at
+    billions).  Same plan otherwise: 1-row cutoffs broadcast over the
+    persisted post-grain table, CASE tier, Tier-C drop, final counts.
+    Rows-only for the driver (approx cutoffs are accuracy-knob
+    dependent); tests/test_analytics.py bounds the tier-count drift
+    vs the exact flagship."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..functions.engagement import TIER_C, tier_expr
+    scored = order_engagement(_t(spark, sf_dir, "lineitem"),
+                              _t(spark, sf_dir, "orders"),
+                              _t(spark, sf_dir, "customer")).persist()
+    cuts = scored.select(
+        F.percentile_approx("engagement_ratio", 0.80, 10000)
+         .alias("top_cut"),
+        F.percentile_approx("engagement_ratio", 0.40, 10000)
+         .alias("bot_cut"))
+    tiered = (scored.crossJoin(F.broadcast(cuts))
+              .withColumn("tier", tier_expr(F.col("engagement_ratio"),
+                                            F.col("top_cut"),
+                                            F.col("bot_cut")))
+              .filter(F.col("tier") != TIER_C))
+    return (tiered.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("post_count"))
+            .orderBy("tier"))

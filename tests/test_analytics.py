@@ -146,3 +146,20 @@ def test_project_2d_dispatch_and_fallback(spark, sf_dir, monkeypatch):
     monkeypatch.undo()
     with pytest.raises(ValueError):
         mllib_pipeline._import_reducer("nonsense")
+
+
+def test_tier_counts_sketch_tracks_exact(spark, sf_dir):
+    """The percentile_approx tiering twin must land each tier count
+    within 2% of the exact flagship (accuracy 10000 on a smooth ratio
+    distribution) — the contract that licenses swapping the sketch in
+    at the 1B-post scale where exact percentile cannot run."""
+    from social_media_ai_engineering_etl_spark.queries.pipeline_core import (
+        q01_tier_counts, q01_tier_counts_sketch)
+    exact = {r.tier: r.post_count
+             for r in q01_tier_counts(spark, sf_dir).collect()}
+    approx = {r.tier: r.post_count
+              for r in q01_tier_counts_sketch(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for tier, n in exact.items():
+        assert abs(approx[tier] - n) <= max(2, 0.02 * n), (tier, n,
+                                                          approx[tier])

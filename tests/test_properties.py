@@ -358,3 +358,32 @@ def test_pii_scrub_is_idempotent(spark, texts):
         assert rows[i]["redacted"] == first[i]["redacted"]
         assert all(rows[i][f"n_{c}"] == 0
                    for c in ("email", "ssn", "ipv4", "phone"))
+
+
+# word-ish corpora with deliberate overlap: draws words from a tiny
+# vocabulary so random docs actually share shingles
+WORDY = st.lists(
+    st.lists(st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"]), min_size=0, max_size=12)
+    .map(" ".join),
+    min_size=2, max_size=10)
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=WORDY, threshold=st.sampled_from([0.2, 0.5, 0.8]))
+def test_prefix_join_equals_inverted_on_random_corpora(spark, texts,
+                                                       threshold):
+    """Prefix filtering is provably lossless for Jaccard >= t; the
+    hypothesis sweep hunts for counterexamples the planted fixtures
+    miss (duplicate docs, empty docs, heavy overlap, boundary
+    thresholds)."""
+    df = _df(spark, texts)
+    a = {(r.id1, r.id2, r.jaccard_sim)
+         for r in dedup.ngram_jaccard_pairs_inverted(
+             df, "id", "text", threshold=threshold).collect()}
+    b = {(r.id1, r.id2, r.jaccard_sim)
+         for r in dedup.ngram_jaccard_pairs_prefix(
+             df, "id", "text", threshold=threshold).collect()}
+    assert a == b
+    spark.catalog.clearCache()
