@@ -412,3 +412,52 @@ def cms_estimate(sketch: "DataFrame", items: "DataFrame",
             .groupBy("token")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est_cnt")))
+
+
+def word_bigrams(text: Column) -> Column:
+    """ALL consecutive word bigrams (occurrence list, NOT distinct —
+    language-model statistics weight repeats, unlike dedup shingles)."""
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(words, 1, m), F.slice(words, 2, m))
+    return F.transform(zipped,
+                       lambda s: F.concat_ws(" ", s["0"], s["1"]))
+
+
+def lm_familiarity(df, id_col: str, text_col: str):
+    """Corpus-LM familiarity score per document — the KenLM-style
+    quality gate of web-curation pipelines (rare/garbled text scores
+    low, natural text high), made ORACLE-EXACT by replacing log-prob
+    with an integer frequency-magnitude bucket.
+
+    Model: corpus-wide bigram counts c(g) (one map-side-combining
+    shuffle).  Per document, each bigram occurrence contributes
+    ``bit_length(c(g)) = len(bin(c(g)))`` — i.e. floor(log2 c)+1, the
+    integer magnitude of its corpus frequency — and the score is the
+    mean over the document's bigrams.  bit-length is integer-exact on
+    every engine (Spark ``length(bin(c))`` == DuckDB
+    ``length(printf('%b', c))``), so unlike ln-probabilities the
+    cross-engine hash can never drift by a ulp; the division of the
+    two integers is one IEEE op, identical everywhere.
+
+    Scale shape: explode bigrams -> count shuffle -> equi-join doc
+    bigrams to counts (hot bigrams fan out per occurrence — bounded by
+    document length, no pair blowup) -> per-doc sum/count.  The count
+    table is corpus-sized; at 100 TB prune it with a min-count filter
+    (rare-singleton bigrams dominate rows but contribute bits=1) or
+    swap in the CMS estimate (cms_sketch) for a fixed-size model.
+
+    Returns (id, n_bigrams, sum_freq_bits, familiarity)."""
+    bg = df.select(F.col(id_col).alias("id"),
+                   F.explode(word_bigrams(F.col(text_col))).alias("g"))
+    counts = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    scored = (bg.join(counts, "g")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum(F.length(F.bin(F.col("c"))))
+                    .alias("sum_freq_bits")))
+    return scored.select(
+        "id", "n_bigrams", F.col("sum_freq_bits").cast("long")
+        .alias("sum_freq_bits"),
+        F.round(F.col("sum_freq_bits").cast("double")
+                / F.col("n_bigrams"), 6).alias("familiarity"))

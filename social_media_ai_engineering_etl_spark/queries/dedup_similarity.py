@@ -324,6 +324,39 @@ def _langid_derive(df):
          .alias("t"))
 
 
+@register("qx_lm_familiarity", oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+), bg AS (
+    SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                           for i in generate_series(1, len(w) - 1)]) AS g
+    FROM toks
+), counts AS (
+    SELECT g, count(*) AS c FROM bg GROUP BY g
+)
+SELECT bg.doc_id AS id, count(*) AS n_bigrams,
+       CAST(sum(len(printf('%b', counts.c))) AS BIGINT) AS sum_freq_bits,
+       round(sum(len(printf('%b', counts.c)))::DOUBLE / count(*), 6)
+           AS familiarity
+FROM bg JOIN counts ON bg.g = counts.g
+GROUP BY bg.doc_id ORDER BY id
+""")
+def qx_lm_familiarity(spark, sf_dir):
+    """Corpus-LM familiarity quality score (the KenLM-style curation
+    gate, integer-exact): per-doc mean bit-length of each bigram's
+    corpus frequency — rare/garbled text scores low.  Fully
+    SQL-expressible, so the whole model build + scoring pipeline is
+    value-checked cross-engine (len(bin(c)) == len(printf('%b', c))
+    is integer-exact where ln-probability would drift by libm ulps).
+    See operators/textquality.py::lm_familiarity for the scale shape
+    and the min-count / CMS variants at 100 TB."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 2)
+    return (textquality.lm_familiarity(docs, "doc_id", "text")
+            .orderBy("id"))
+
+
 @register("qx_language_id", oracle="WITH derived AS (" + _LANGID_DERIVE + """
 ), scored AS (
     SELECT doc_id,

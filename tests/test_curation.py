@@ -360,3 +360,20 @@ def test_scd2_udtf_null_transitions_match_sql_semantics(spark):
         .collect()), key=key)
     assert got == want
 
+
+
+def test_lm_familiarity_separates_natural_from_garbled(spark):
+    """The familiarity score must rank repeated natural phrasing above
+    unique garbled strings (the property that makes it a quality
+    gate), and every score must be >= 1 (every bigram occurs at least
+    once — its own occurrence)."""
+    from social_media_ai_engineering_etl_spark.operators import textquality
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(10)]
+    rows.append((100, "zxqj vvkw pplm qqrs ttuu wwxx yyzz aabb ccdd eeff"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.familiarity
+           for r in textquality.lm_familiarity(df, "doc_id", "text")
+           .collect()}
+    assert all(v >= 1.0 for v in out.values())
+    assert out[0] > out[100] + 1.0   # natural >> garbled
