@@ -461,3 +461,45 @@ def lm_familiarity(df, id_col: str, text_col: str):
         .alias("sum_freq_bits"),
         F.round(F.col("sum_freq_bits").cast("double")
                 / F.col("n_bigrams"), 6).alias("familiarity"))
+
+
+def lm_familiarity_cms(df, id_col: str, text_col: str, depth: int = 5,
+                       width: int = 8192, seed: int = 42):
+    """Fixed-size-model twin of :func:`lm_familiarity` — the 100 TB
+    path: bigram counts live in a count-min sketch (depth*width cells,
+    bounded regardless of corpus size) that BROADCASTS to every
+    executor, so scoring is a narrow map + broadcast join instead of a
+    corpus-sized count-table shuffle join.  Estimates only ever
+    over-count (CMS guarantee), so familiarity_cms >= familiarity and
+    the drift is bounded by the sketch error (pytest contract).
+
+    Returns (id, n_bigrams, familiarity)."""
+    from pyspark.sql.functions import broadcast
+
+    bg = df.select(F.col(id_col).alias("id"),
+                   F.posexplode(word_bigrams(F.col(text_col)))
+                   .alias("pos", "g"))
+    sketch = (bg.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 F.pmod(F.xxhash64(F.col("g"), F.lit(seed + d)),
+                        F.lit(width)).alias("bucket"))
+        for d in range(depth)])).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+    probes = bg.select("id", "pos", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 F.pmod(F.xxhash64(F.col("g"), F.lit(seed + d)),
+                        F.lit(width)).alias("bucket"))
+        for d in range(depth)])).alias("rb")) \
+        .select("id", "pos", F.col("rb.row").alias("row"),
+                F.col("rb.bucket").alias("bucket"))
+    est = (probes.join(broadcast(sketch), ["row", "bucket"], "left")
+           .groupBy("id", "pos")
+           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+    return (est.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(F.length(F.bin(F.greatest(F.col("est"), F.lit(1)))))
+                  .alias("sum_bits"))
+            .select("id", "n_bigrams",
+                    F.round(F.col("sum_bits").cast("double")
+                            / F.col("n_bigrams"), 6).alias("familiarity")))

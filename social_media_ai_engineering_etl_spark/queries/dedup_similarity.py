@@ -357,6 +357,19 @@ def qx_lm_familiarity(spark, sf_dir):
             .orderBy("id"))
 
 
+@register("qx_lm_familiarity_cms")
+def qx_lm_familiarity_cms(spark, sf_dir):
+    """Fixed-size-model familiarity twin: bigram counts in a broadcast
+    count-min sketch (depth*width cells regardless of corpus size) —
+    the 100 TB shape where the exact count table would be corpus-sized.
+    Rows-only (sketch cells are xxhash64-placed); the pytest contract
+    bounds drift vs the exact familiarity (CMS only over-counts)."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 2)
+    return (textquality.lm_familiarity_cms(docs, "doc_id", "text")
+            .orderBy("id"))
+
+
 @register("qx_language_id", oracle="WITH derived AS (" + _LANGID_DERIVE + """
 ), scored AS (
     SELECT doc_id,

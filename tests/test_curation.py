@@ -377,3 +377,19 @@ def test_lm_familiarity_separates_natural_from_garbled(spark):
            .collect()}
     assert all(v >= 1.0 for v in out.values())
     assert out[0] > out[100] + 1.0   # natural >> garbled
+
+
+def test_lm_familiarity_cms_bounded_above_exact(spark, sf_dir):
+    """CMS counters only over-count, so the sketch-modeled familiarity
+    must sit at or above the exact score per doc, within the sketch
+    error (generous +0.5 bits on this corpus)."""
+    from social_media_ai_engineering_etl_spark.queries.dedup_similarity import (
+        qx_lm_familiarity, qx_lm_familiarity_cms)
+    exact = {r.id: r.familiarity
+             for r in qx_lm_familiarity(spark, sf_dir).collect()}
+    approx = {r.id: r.familiarity
+              for r in qx_lm_familiarity_cms(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for i, e in exact.items():
+        assert approx[i] >= e - 1e-9, (i, e, approx[i])
+        assert approx[i] <= e + 0.5, (i, e, approx[i])
