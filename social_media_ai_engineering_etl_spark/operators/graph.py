@@ -92,3 +92,43 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     profile (one hash agg)."""
     return (edges.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("degree")))
+
+
+def pagerank_fixed(edges: DataFrame, iterations: int = 10) -> DataFrame:
+    """FIXED-POINT PageRank: the float power iteration in micro-units
+    (rank0 = 1_000_000 per node; update = ``150000 + (850 * inflow)
+    DIV 1000`` with ``inflow = sum(rank_src DIV deg_src)``) — every
+    operation is BIGINT, so the result is bit-identical regardless of
+    partial-sum order and therefore ORACLE-CHECKABLE cross-engine
+    (integer addition is associative; float pagerank can never
+    hash-match across engines).  The DIV truncation loses < deg units
+    per edge per round — a deterministic, engine-identical rounding
+    policy, not noise.  Same join/agg shape and persist discipline as
+    :func:`pagerank`."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").select("src", "dst", "d").persist()
+    nodes = ed.select(F.col("src").alias("node")).distinct().persist()
+    cached = [ed, nodes]
+    try:
+        ranks = nodes.select("node",
+                             F.lit(1_000_000).cast("long").alias("r"))
+        for i in range(iterations):
+            contrib = (ed.join(ranks.withColumnRenamed("node", "src"),
+                               "src")
+                       .groupBy("dst")
+                       .agg(F.sum(F.expr("r DIV d")).alias("inflow")))
+            ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"),
+                                "node", "left")
+                     .select("node",
+                             F.expr("CAST(150000 + (850 * coalesce(inflow,"
+                                    " 0)) DIV 1000 AS BIGINT)").alias("r")))
+            if (i + 1) % 4 == 0 and i + 1 < iterations:
+                ranks = ranks.persist()
+                ranks.count()
+                cached.append(ranks)
+        final = ranks.persist()
+        final.count()
+        return final
+    finally:
+        for c in cached:
+            c.unpersist(blocking=False)

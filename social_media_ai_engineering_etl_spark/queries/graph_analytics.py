@@ -55,6 +55,128 @@ def qx_degree_distribution(spark, sf_dir):
             .orderBy("degree"))
 
 
+_PAGERANK_FIXED_SQL = f"""
+WITH {_EDGES_CTE},
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg ON deg.src = e.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+r1 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r0 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r2 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r1 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r3 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r2 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r4 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r3 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r5 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r4 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r6 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r5 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r7 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r6 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r8 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r7 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r9 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r8 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+),
+r10 AS (
+    SELECT n.node,
+           CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT)
+               AS r
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, sum(p.r // ed.d) AS inflow
+        FROM ed JOIN r9 p ON p.node = ed.src GROUP BY ed.dst) i
+      ON i.node = n.node
+)
+SELECT CAST((node - 1) // 2 AS BIGINT) AS supp_key, r AS rank_micro
+FROM r10 WHERE node % 2 = 1
+ORDER BY rank_micro DESC, supp_key LIMIT 20
+"""
+
+
+@register("qx_pagerank_fixed", oracle=_PAGERANK_FIXED_SQL)
+def qx_pagerank_fixed(spark, sf_dir):
+    """Top-20 suppliers by FIXED-POINT PageRank (10 rounds, d = 0.85
+    in integer micro-units) — the oracle-checkable twin of the float
+    qx_pagerank_suppliers: BIGINT arithmetic makes every partial-sum
+    order produce the identical ranks, so the full iterative
+    algorithm is value-checked against a 10-CTE unrolled SQL
+    transcription (DuckDB recursive CTEs cannot aggregate over the
+    recursive reference, so the rounds unroll).  See
+    operators/graph.py::pagerank_fixed."""
+    edges = graph.purchase_edges(_t(spark, sf_dir, "lineitem"),
+                                 _t(spark, sf_dir, "orders"))
+    ranks = graph.pagerank_fixed(edges, iterations=10)
+    return (ranks.filter(F.col("node") % 2 == 1)
+            .select(((F.col("node") - 1) / 2).cast("long")
+                    .alias("supp_key"),
+                    F.col("r").alias("rank_micro"))
+            .orderBy(F.desc("rank_micro"), "supp_key").limit(20))
+
+
 @register("qx_pagerank_suppliers")
 def qx_pagerank_suppliers(spark, sf_dir):
     """Top-20 suppliers by PageRank over the purchase graph (10

