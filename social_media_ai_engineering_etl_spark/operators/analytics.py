@@ -177,3 +177,38 @@ def ablation_text_diffs(df: DataFrame, text_a: str, text_b: str) -> DataFrame:
         "paragraph_delta": paras(text_b) - paras(text_a),
         "bullet_delta": bullets(text_b) - bullets(text_a),
     })
+
+
+def feature_target_correlations_exact(df: DataFrame,
+                                      feature_cols: list[str],
+                                      target: str,
+                                      target_scale: int = 1_000_000
+                                      ) -> DataFrame:
+    """Cross-engine-DETERMINISTIC Pearson r: the target is quantized
+    per row to ``target_scale`` integer units, every moment (n, Sx,
+    Sy, Sxx, Syy, Sxy) is an exact BIGINT sum (integer addition is
+    order-independent — ``corr()``'s float moment merging is not, and
+    its last-ulp drift flips round(...,6) digits at sf0.1), and the
+    final r combines those integers in one fixed IEEE op sequence
+    identical to the SQL oracle's.  Features must be integer-valued
+    columns.  Returns (feature, correlation) rows."""
+    y = F.round(F.col(target) * target_scale).cast("long")
+
+    def pearson(c):
+        x = F.col(c).cast("long")
+        n = F.count(F.lit(1)).cast("double")
+        sx = F.sum(x).cast("double")
+        sy = F.sum(y).cast("double")
+        sxx = F.sum(x * x).cast("double")
+        syy = F.sum(y * y).cast("double")
+        sxy = F.sum(x * y).cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return F.try_divide(num, den)
+
+    row = df.agg(*[pearson(c).alias(c) for c in feature_cols])
+    return row.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("feature"),
+                 F.coalesce(F.col(c), F.lit(0.0)).alias("correlation"))
+        for c in feature_cols])).alias("fc")).select("fc.feature",
+                                                     "fc.correlation")

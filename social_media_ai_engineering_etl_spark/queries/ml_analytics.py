@@ -508,35 +508,72 @@ def qb8_percent_sample(spark, sf_dir):
 
 @register("q20_category_importance", oracle="WITH synth AS (" + _SYNTH_CTE + r"""
 ), f AS (
-    SELECT engagement,
+    SELECT CAST(round(engagement * 1000000) AS BIGINT) AS y,
            len(text) AS text_length,
            len(string_split_regex(trim(text), '\s+')) AS word_count,
            len(text) - len(replace(text, '.', '')) AS punct_period,
            len(text) - len(replace(text, chr(10), '')) + 1 AS line_count
     FROM synth
+), m AS (
+    SELECT count(*)::DOUBLE AS n, CAST(sum(y) AS BIGINT)::DOUBLE AS sy,
+           CAST(sum(y * y) AS BIGINT)::DOUBLE AS syy,
+           CAST(sum(text_length) AS BIGINT)::DOUBLE AS sx1,
+           CAST(sum(text_length * text_length) AS BIGINT)::DOUBLE AS sxx1,
+           CAST(sum(text_length * y) AS BIGINT)::DOUBLE AS sxy1,
+           CAST(sum(word_count) AS BIGINT)::DOUBLE AS sx2,
+           CAST(sum(word_count * word_count) AS BIGINT)::DOUBLE AS sxx2,
+           CAST(sum(word_count * y) AS BIGINT)::DOUBLE AS sxy2,
+           CAST(sum(punct_period) AS BIGINT)::DOUBLE AS sx3,
+           CAST(sum(punct_period * punct_period) AS BIGINT)::DOUBLE AS sxx3,
+           CAST(sum(punct_period * y) AS BIGINT)::DOUBLE AS sxy3,
+           CAST(sum(line_count) AS BIGINT)::DOUBLE AS sx4,
+           CAST(sum(line_count * line_count) AS BIGINT)::DOUBLE AS sxx4,
+           CAST(sum(line_count * y) AS BIGINT)::DOUBLE AS sxy4
+    FROM f
 ), c AS (
     SELECT 'text_length' AS feature,
-           abs(coalesce(corr(text_length, engagement), 0.0)) AS imp FROM f
-    UNION ALL SELECT 'word_count', abs(coalesce(corr(word_count, engagement), 0.0)) FROM f
-    UNION ALL SELECT 'punct_period', abs(coalesce(corr(punct_period, engagement), 0.0)) FROM f
-    UNION ALL SELECT 'line_count', abs(coalesce(corr(line_count, engagement), 0.0)) FROM f
+           CAST(round(abs(coalesce((n*sxy1 - sx1*sy)
+               / sqrt((n*sxx1 - sx1*sx1) * (n*syy - sy*sy)), 0.0))
+               * 1000000) AS BIGINT) AS imp_e6 FROM m
+    UNION ALL SELECT 'word_count',
+           CAST(round(abs(coalesce((n*sxy2 - sx2*sy)
+               / sqrt((n*sxx2 - sx2*sx2) * (n*syy - sy*sy)), 0.0))
+               * 1000000) AS BIGINT) FROM m
+    UNION ALL SELECT 'punct_period',
+           CAST(round(abs(coalesce((n*sxy3 - sx3*sy)
+               / sqrt((n*sxx3 - sx3*sx3) * (n*syy - sy*sy)), 0.0))
+               * 1000000) AS BIGINT) FROM m
+    UNION ALL SELECT 'line_count',
+           CAST(round(abs(coalesce((n*sxy4 - sx4*sy)
+               / sqrt((n*sxx4 - sx4*sx4) * (n*syy - sy*sy)), 0.0))
+               * 1000000) AS BIGINT) FROM m
 ), categorized AS (
     SELECT CASE WHEN contains(feature, 'punct') THEN 'punctuation'
                 WHEN contains(feature, 'length') OR contains(feature, 'count')
                 THEN 'structure' ELSE 'other' END AS category,
-           imp
+           imp_e6
     FROM c
 )
-SELECT category, round(avg(imp), 6) AS mean_importance
+SELECT category,
+       round(CAST(sum(imp_e6) AS BIGINT)::DOUBLE / count(*) / 1000000.0, 6)
+           AS mean_importance
 FROM categorized GROUP BY category ORDER BY category
 """)
 def q20_category_importance(spark, sf_dir):
     """M9 (20:429-460) prefix-rule category mapping + A13 (20:674-689)
     category-mean importance, using |corr| as the oracle-able
-    importance signal."""
+    importance signal.
+
+    Pearson r comes from feature_target_correlations_exact (integer
+    moments — exact BIGINT sums combined in one fixed IEEE sequence),
+    and each |r| is quantized to integer micro-units BEFORE the
+    category mean: ``corr()``'s float moment merging and the float
+    mean over a 3-row group are both summation-order dependent, and
+    at sf0.1 the last ulp landed exactly on a round(...,6) boundary
+    (0.609613 vs 0.609612 — found by the r3 sf0.1 sweep)."""
     synth = _synth_engagement(_docs(spark, sf_dir))
     feats = analytics.text_feature_table(synth, "text")
-    corrs = analytics.feature_target_correlations(
+    corrs = analytics.feature_target_correlations_exact(
         feats, ["text_length", "word_count", "punct_period", "line_count"],
         "engagement")
     categorized = corrs.select(
@@ -544,9 +581,12 @@ def q20_category_importance(spark, sf_dir):
          .when(F.col("feature").contains("length")
                | F.col("feature").contains("count"), "structure")
          .otherwise(F.lit("other")).alias("category"),
-        F.abs(F.col("correlation")).alias("imp"))
+        F.round(F.abs(F.col("correlation")) * 1_000_000).cast("long")
+         .alias("imp_e6"))
     return (categorized.groupBy("category")
-            .agg(F.round(F.avg("imp"), 6).alias("mean_importance"))
+            .agg(F.round(F.sum("imp_e6").cast("double")
+                         / F.count(F.lit(1)) / 1_000_000.0, 6)
+                 .alias("mean_importance"))
             .orderBy("category"))
 
 

@@ -25,8 +25,10 @@ def _events(spark, sf_dir):
 @register("qs_tumbling_engagement", bench=True, oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR AS window_start,
        event_type, count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 6) AS sum_value,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / count(*), 6) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def qs_tumbling_engagement(spark, sf_dir):

@@ -88,13 +88,22 @@ def tumbling_engagement(events: DataFrame, window: str = "1 hour",
     bounded-state scale path."""
     if watermark:
         events = events.withWatermark("ts", watermark)
+    # value aggregates run in integer CENTS (values are 2-decimal by
+    # data contract): float sum order is engine/partition dependent,
+    # and at sf0.1 an avg() ulp landed exactly on a round(...,6)
+    # boundary (43.472812 vs 43.472813 — r3 sf0.1 sweep).  Integer
+    # sums are order-independent; the final /100.0 and /n divisions
+    # are single IEEE ops identical on both engines.
+    cents = F.round(F.col("value") * 100).cast("long")
     return (events
             .groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"),
-                 F.round(F.avg("value"), 6).alias("avg_value"))
+                 F.sum(cents).alias("__c"))
             .select(F.col("w.start").cast("string").alias("window_start"),
-                    "event_type", "n_events", "sum_value", "avg_value"))
+                    "event_type", "n_events",
+                    F.round(F.col("__c") / 100.0, 6).alias("sum_value"),
+                    F.round(F.col("__c") / 100.0 / F.col("n_events"), 6)
+                     .alias("avg_value")))
 
 
 def sliding_event_rates(events: DataFrame, window: str = "2 hours",
