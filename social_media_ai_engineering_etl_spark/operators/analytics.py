@@ -38,12 +38,31 @@ def standard_scale(df: DataFrame, cols: list[str],
                    suffix: str = "_scaled") -> DataFrame:
     """M3 (20:293-312): (x - mean) / stddev_pop per column, one
     single-pass aggregate broadcast back (no per-column shuffles).
-    NULLs fill 0 before scaling (reference fillna(0))."""
+    NULLs fill 0 before scaling (reference fillna(0)).
+
+    INTEGER columns take the exact-moments path: mean = Sx/n and
+    stddev_pop = sqrt(Sxx/n - (Sx/n)^2) from exact BIGINT sums, so
+    the broadcast stats are bit-identical on every engine and every
+    partial-aggregation order (avg()/stddev_pop() float merging is
+    order-dependent; with 5000+ rounded output cells, a last-ulp
+    drift in the stats flips some round(·,6) digit somewhere — the r3
+    sf0.1-sweep failure class).  Float columns keep the native path."""
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(df.dtypes)
     aggs = []
     for c in cols:
-        filled = F.coalesce(F.col(c).cast("double"), F.lit(0.0))
-        aggs += [F.avg(filled).alias(f"__m_{c}"),
-                 F.stddev_pop(filled).alias(f"__s_{c}")]
+        if dtypes.get(c) in int_types:
+            x = F.coalesce(F.col(c), F.lit(0)).cast("long")
+            aggs += [(F.sum(x).cast("double") / F.count(F.lit(1)))
+                     .alias(f"__m_{c}"),
+                     F.sqrt(F.sum(x * x).cast("double") / F.count(F.lit(1))
+                            - (F.sum(x).cast("double") / F.count(F.lit(1)))
+                            * (F.sum(x).cast("double") / F.count(F.lit(1))))
+                     .alias(f"__s_{c}")]
+        else:
+            filled = F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+            aggs += [F.avg(filled).alias(f"__m_{c}"),
+                     F.stddev_pop(filled).alias(f"__s_{c}")]
     stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
     for c in cols:

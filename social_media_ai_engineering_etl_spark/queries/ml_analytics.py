@@ -104,20 +104,33 @@ def _synth_engagement(df):
 
 
 @register("q20_scaling", oracle=r"""
+WITH f AS (
+    SELECT doc_id, len(text) AS x1,
+           len(string_split_regex(trim(text), '\s+')) AS x2
+    FROM documents
+), m AS (
+    SELECT count(*)::DOUBLE AS n,
+           CAST(sum(x1) AS BIGINT)::DOUBLE AS sx1,
+           CAST(sum(x1 * x1) AS BIGINT)::DOUBLE AS sxx1,
+           CAST(sum(x2) AS BIGINT)::DOUBLE AS sx2,
+           CAST(sum(x2 * x2) AS BIGINT)::DOUBLE AS sxx2
+    FROM f
+)
 SELECT doc_id,
-       round(CASE WHEN stddev_pop(len(text)) OVER () > 0
-                  THEN (len(text) - avg(len(text)) OVER ())
-                       / stddev_pop(len(text)) OVER ()
+       round(CASE WHEN sqrt(sxx1 / n - (sx1 / n) * (sx1 / n)) > 0
+                  THEN (x1 - sx1 / n)
+                       / sqrt(sxx1 / n - (sx1 / n) * (sx1 / n))
                   ELSE 0.0 END, 6) AS text_length_scaled,
-       round(CASE WHEN stddev_pop(len(string_split_regex(trim(text), '\s+'))) OVER () > 0
-                  THEN (len(string_split_regex(trim(text), '\s+'))
-                        - avg(len(string_split_regex(trim(text), '\s+'))) OVER ())
-                       / stddev_pop(len(string_split_regex(trim(text), '\s+'))) OVER ()
+       round(CASE WHEN sqrt(sxx2 / n - (sx2 / n) * (sx2 / n)) > 0
+                  THEN (x2 - sx2 / n)
+                       / sqrt(sxx2 / n - (sx2 / n) * (sx2 / n))
                   ELSE 0.0 END, 6) AS word_count_scaled
-FROM documents
+FROM f, m
 """)
 def q20_scaling(spark, sf_dir):
-    """M3: standard scaling via one broadcast aggregate pass."""
+    """M3: standard scaling via one broadcast aggregate pass (exact
+    integer moments — see standard_scale — so the 2x5000 rounded
+    output cells cannot ulp-flip across engines)."""
     feats = analytics.text_feature_table(_docs(spark, sf_dir), "text")
     return analytics.standard_scale(
         feats, ["text_length", "word_count"]).select(

@@ -64,7 +64,9 @@ WITH o AS (
     FROM o
 )
 SELECT user_id, min(ts)::VARCHAR AS session_start,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 6) AS sum_value,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """)

@@ -352,12 +352,18 @@ def qx_value_histogram(spark, sf_dir):
 
 @register("qx_ab_test_welch", oracle="""
 WITH assigned AS (
-    SELECT user_id % 2 AS bucket, value FROM events
+    SELECT user_id % 2 AS bucket,
+           CAST(round(value * 100) AS BIGINT) AS c FROM events
     WHERE event_type = 'purchase'
 ), stats AS (
     SELECT bucket, count(*) AS n,
-           round(avg(value), 6) AS mean_value,
-           round(var_samp(value), 6) AS var_value
+           round(CAST(sum(c) AS BIGINT)::DOUBLE / 100.0 / count(*), 6)
+               AS mean_value,
+           round((count(*)::DOUBLE * CAST(sum(c * c) AS BIGINT)::DOUBLE
+                  - CAST(sum(c) AS BIGINT)::DOUBLE
+                    * CAST(sum(c) AS BIGINT)::DOUBLE)
+                 / (count(*)::DOUBLE * (count(*) - 1)) / 10000.0, 6)
+               AS var_value
     FROM assigned GROUP BY bucket
 )
 SELECT a.n AS n_a, b.n AS n_b, a.mean_value AS mean_a,
@@ -369,18 +375,30 @@ FROM stats a, stats b WHERE a.bucket = 0 AND b.bucket = 1
 def qx_ab_test_welch(spark, sf_dir):
     """Two-sample Welch z statistic for purchase value between
     deterministic experiment buckets (user_id % 2) — the A/B readout
-    every experimentation pipeline computes. One aggregate per bucket
-    (count/mean/variance partial-combine map-side), then a 1x1 cross
-    of the two stat rows; the statistic is computed from the
-    6-rounded moments on BOTH engines so the division amplifies
-    identical inputs."""
+    every experimentation pipeline computes. One aggregate per bucket,
+    then a 1x1 cross of the two stat rows.
+
+    Mean and sample variance come from EXACT integer-cents moments
+    (``var = (n*Scc - Sc^2) / (n*(n-1)) / 1e4``) instead of
+    avg()/var_samp(): both engines' streaming variance merges are
+    partial-order dependent and a last-ulp drift flips round(·,6)
+    digits (the r3 sf0.1-sweep failure class); integer sums are
+    order-independent, and the final combination is one fixed IEEE
+    sequence identical on both sides."""
+    cents = F.round(F.col("value") * 100).cast("long")
     assigned = (_events(spark, sf_dir)
                 .filter(F.col("event_type") == "purchase")
-                .select((F.col("user_id") % 2).alias("bucket"), "value"))
+                .select((F.col("user_id") % 2).alias("bucket"),
+                        cents.alias("c")))
+    n = F.count(F.lit(1))
+    sc = F.sum("c").cast("double")
+    scc = F.sum(F.col("c") * F.col("c")).cast("double")
     stats = (assigned.groupBy("bucket")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.round(F.avg("value"), 6).alias("mean_value"),
-                  F.round(F.var_samp("value"), 6).alias("var_value")))
+             .agg(n.alias("n"),
+                  F.round(sc / 100.0 / n, 6).alias("mean_value"),
+                  F.round((n.cast("double") * scc - sc * sc)
+                          / (n.cast("double") * (n - 1)) / 10000.0, 6)
+                   .alias("var_value")))
     a = stats.filter(F.col("bucket") == 0).select(
         F.col("n").alias("n_a"), F.col("mean_value").alias("mean_a"),
         F.col("var_value").alias("var_a"))

@@ -127,15 +127,19 @@ def sessionized_activity(events: DataFrame, gap: str = "30 minutes",
     value sum, and duration (first->last event, seconds)."""
     if watermark:
         events = events.withWatermark("ts", watermark)
+    # integer-cents sum: same order-independence rationale as
+    # tumbling_engagement (values are 2-decimal by data contract)
+    cents = F.round(F.col("value") * 100).cast("long")
     return (events
             .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.sum(cents).alias("__c"),
                  F.min("ts").alias("first_ts"),
                  F.max("ts").alias("last_ts"))
             .select("user_id",
                     F.col("first_ts").cast("string").alias("session_start"),
-                    "n_events", "sum_value",
+                    "n_events",
+                    F.round(F.col("__c") / 100.0, 6).alias("sum_value"),
                     (F.unix_micros("last_ts") - F.unix_micros("first_ts"))
                     .alias("duration_us")))
 
