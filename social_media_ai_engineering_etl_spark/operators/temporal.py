@@ -1,0 +1,155 @@
+"""Temporal joins Spark lacks natively: as-of join (unbounded
+union-merge form) and a bucketized point-in-interval range join with
+no equi key.
+
+The streaming family already covers the *bounded* as-of composition
+(streaming/windows.py::last_touch_attribution: interval join + rank-1,
+needs a horizon and a second shuffle).  ``asof_join`` here is the
+complementary unbounded form — the sort-merge formulation used by
+pandas ``merge_asof`` and kdb ``aj``: tag both sides, union, one
+partition-by-key window, carry the latest right row forward.  ONE
+shuffle on the key, no horizon parameter, no candidate blow-up when a
+user's nearest click is a month old.
+
+``interval_join_points`` handles the case with NO equi key (every
+point can fall in any interval — e.g. system-wide incident windows),
+where a naive range join is a BroadcastNestedLoopJoin / cartesian.
+Intervals explode to the fixed-width time buckets they overlap,
+points map to their single bucket, and the join becomes an equi-join
+on bucket followed by the exact range filter — lossless (a point's
+bucket is always within [floor(start/w), floor(end/w)] when the point
+is inside the interval) and never duplicating (a point lives in
+exactly one bucket).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LEFT_RANK = 1
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              direction: str = "backward",
+              tolerance: str | None = None,
+              allow_exact_matches: bool = True,
+              right_tiebreak: str | None = None,
+              prefix: str = "r_") -> DataFrame:
+    """For each left row, attach the nearest right row (per ``on``
+    keys) at-or-before (``backward``) / at-or-after (``forward``) the
+    left timestamp — pandas ``merge_asof`` semantics, distributed.
+
+    Plan shape: unionByName -> ONE Exchange on ``on`` -> Sort ->
+    Window(last over rows unbounded-preceding..current) -> filter to
+    left rows.  At 100 TB both sides shuffle once on the key and the
+    window is a linear per-partition pass; state never exceeds one
+    carried struct per row.  Skewed keys behave like any keyed window
+    (salt upstream if one user owns the partition).
+
+    * ``tolerance``: SQL interval literal body (e.g. ``'1 hour'``);
+      matches farther than it are nulled out, left rows kept.
+    * ``allow_exact_matches=False``: strict inequality (a right row at
+      exactly the left timestamp does not match).
+    * ``right_tiebreak``: right column breaking equal-timestamp ties
+      deterministically (the greatest wins, matching a
+      ``max(tiebreak) GROUP BY key, ts`` pre-dedup).
+    * Right payload columns come back ``prefix``-renamed; the matched
+      right timestamp is ``<prefix><right_ts>``.  Right rows with a
+      NULL key are dropped (equi-join semantics: NULL matches
+      nothing), and an all-NULL-payload right row still matches (the
+      payload is carried as one non-null struct, so a legitimately
+      NULL column never falls through to an older row's value).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    on = list(on)
+    payload = [c for c in right.columns if c not in on]
+    if right_ts not in payload:
+        raise ValueError(f"right_ts {right_ts!r} must be a right column")
+
+    # Equal-timestamp ordering: inclusive -> right sorts before left
+    # (visible); strict -> right sorts after left (invisible).
+    r_rank = _LEFT_RANK - 1 if allow_exact_matches else _LEFT_RANK + 1
+    rt = right.filter(F.lit(True))
+    for k in on:
+        rt = rt.filter(F.col(k).isNotNull())
+    rt = rt.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_rank).alias("__rank"),
+        (F.col(right_tiebreak) if right_tiebreak
+         else F.lit(0)).cast("long").alias("__tie"),
+        F.struct(*payload).alias("__rpay"))
+    lt = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(_LEFT_RANK).alias("__rank"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(rt.schema["__rpay"].dataType).alias("__rpay"))
+
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    tie_ord = F.col("__tie").asc() if direction == "backward" \
+        else F.col("__tie").desc()
+    w = (Window.partitionBy(*on)
+         .orderBy(ts_ord, F.col("__rank").asc(), tie_ord)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (u.withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+               .filter(F.col("__rank") == _LEFT_RANK))
+
+    if tolerance is not None:
+        m_ts = F.col("__m").getField(right_ts)
+        if direction == "backward":
+            ok = m_ts >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            ok = m_ts <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+        matched = matched.withColumn(
+            "__m", F.when(ok, F.col("__m")))
+
+    out_cols = [c for c in left.columns]
+    out_cols += [F.col("__m").getField(p).alias(f"{prefix}{p}")
+                 for p in payload]
+    return matched.select(*out_cols)
+
+
+def interval_join_points(intervals: DataFrame, points: DataFrame,
+                         start: str, end: str, point_ts: str,
+                         bucket_seconds: int = 600) -> DataFrame:
+    """Join every point into every interval containing it
+    (``start <= point_ts < end``) with NO equi key, without a
+    cartesian/BNLJ plan.
+
+    Each interval explodes to the ``bucket_seconds``-width time buckets it
+    overlaps (``sequence(floor(start/w), floor(end/w))`` — for
+    fixed-length windows that is a small constant fan-out); each point
+    maps to its single bucket; the join is then a shuffled equi-join
+    on the bucket id with the exact range predicate as a post-filter.
+    Shuffle volume is |points| + |intervals| * ceil(len/w) rows, and a
+    point meets only the intervals sharing its bucket — at 100 TB the
+    cost scales with temporal overlap density, not |points| *
+    |intervals|.  A hot bucket (all intervals clustered in one hour)
+    is ordinary join skew: AQE skew-join splits it, since the bucket
+    id is a plain join key.
+
+    Returns intervals' columns + the matching point's columns
+    (inner-join grain: one output row per containment pair).
+    """
+    width = int(bucket_seconds) * 1_000_000  # micros, exact int math
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(F.unix_micros(c) / F.lit(width)).cast("long")
+
+    iv = intervals.withColumn(
+        "__b", F.explode(F.sequence(_bucket(F.col(start)),
+                                    _bucket(F.col(end)))))
+    pt = points.withColumn("__b", _bucket(F.col(point_ts)))
+    joined = (iv.join(pt, on="__b")
+              .filter((F.col(point_ts) >= F.col(start))
+                      & (F.col(point_ts) < F.col(end)))
+              .drop("__b"))
+    return joined

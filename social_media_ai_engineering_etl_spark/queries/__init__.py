@@ -17,6 +17,7 @@ from . import star_rollups  # noqa: F401
 from . import llm_stages  # noqa: F401
 from . import ml_analytics  # noqa: F401
 from . import warehouse_patterns  # noqa: F401
+from . import temporal_joins  # noqa: F401
 from . import curation  # noqa: F401  (extension families last)
 from . import graph_analytics  # noqa: F401
 from . import dedup_similarity  # noqa: F401

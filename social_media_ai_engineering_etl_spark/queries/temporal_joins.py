@@ -1,0 +1,155 @@
+"""Temporal-join queries: unbounded as-of join (backward and
+forward+tolerance) and the no-equi-key bucketized range join.
+
+The reference's attribution stages only ever need the bounded
+interval-join composition (SURVEY §2.12); these cover the general
+temporal-join surface a warehouse user expects (pandas merge_asof /
+DuckDB ASOF JOIN semantics), oracle-checked against DuckDB's native
+ASOF JOIN — an independent implementation, not a transcription of the
+Spark plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, interval_join_points
+from ..registry import register
+from ..streaming.windows import load_events
+
+
+def _events(spark, sf_dir):
+    return load_events(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# Equal-timestamp clicks are pre-deduped to max(event_id) on BOTH
+# engines: DuckDB's ASOF JOIN picks an unspecified row among ties, so
+# determinism must come from the input, not the join.
+_CLICKS_DEDUP = """
+    SELECT user_id, ts, max(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+"""
+
+
+@register("qx_asof_last_click", oracle=f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts
+    FROM events WHERE event_type = 'purchase'
+), c AS ({_CLICKS_DEDUP})
+SELECT p.purchase_id, p.user_id, c.click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_micros
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+""")
+def qx_asof_last_click(spark, sf_dir):
+    """Unbounded as-of join: every purchase attributed to the user's
+    latest click at-or-before it, however old (the horizon-free
+    complement of qs_last_touch's bounded interval-join form).  ONE
+    shuffle on user_id (union-merge window, operators/temporal.py);
+    reference semantics: nearest-preceding attribution as in
+    13-clean-pairs' effective join ordering."""
+    ev = _events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("click_id")))
+    j = asof_join(p, c, on=["user_id"], direction="backward",
+                  right_tiebreak=None, prefix="c_")
+    return (j.select(
+        "purchase_id", "user_id", F.col("c_click_id").alias("click_id"),
+        (F.unix_micros(F.col("ts"))
+         - F.unix_micros(F.col("c_ts"))).cast("long").alias("lag_micros"))
+        .orderBy("purchase_id"))
+
+
+@register("qx_asof_next_error", oracle="""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts
+    FROM events WHERE event_type = 'purchase'
+), e AS (
+    SELECT user_id, ts, max(event_id) AS error_id
+    FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id,
+       CASE WHEN e.ts <= p.ts + INTERVAL 1 HOUR
+            THEN e.error_id END AS error_id,
+       CASE WHEN e.ts <= p.ts + INTERVAL 1 HOUR
+            THEN CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT)
+       END AS lead_micros
+FROM p ASOF LEFT JOIN e
+  ON p.user_id = e.user_id AND e.ts >= p.ts
+ORDER BY purchase_id
+""")
+def qx_asof_next_error(spark, sf_dir):
+    """Forward as-of with tolerance: the user's first error at-or-after
+    each purchase, nulled when more than 1 hour out (post-purchase
+    failure triage).  Exercises the operator's forward direction and
+    tolerance nulling; oracle applies the same tolerance as a CASE over
+    DuckDB's forward ASOF match."""
+    ev = _events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    e = (ev.filter(F.col("event_type") == "error")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("error_id")))
+    j = asof_join(p, e, on=["user_id"], direction="forward",
+                  tolerance="1 hour", prefix="e_")
+    return (j.select(
+        "purchase_id", "user_id", F.col("e_error_id").alias("error_id"),
+        (F.unix_micros(F.col("e_ts"))
+         - F.unix_micros(F.col("ts"))).cast("long").alias("lead_micros"))
+        .orderBy("purchase_id"))
+
+
+@register("qx_incident_window_impact", oracle="""
+WITH inc AS (
+    SELECT event_id AS incident_id, ts AS w_start,
+           ts + INTERVAL 10 MINUTE AS w_end
+    FROM events WHERE event_type = 'error'
+), hit AS (
+    SELECT i.incident_id, count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM inc i JOIN events e
+      ON e.ts >= i.w_start AND e.ts < i.w_end
+    GROUP BY i.incident_id
+)
+SELECT i.incident_id,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(h.value_cents, 0) AS BIGINT) AS value_cents
+FROM inc i LEFT JOIN hit h USING (incident_id)
+ORDER BY incident_id
+""")
+def qx_incident_window_impact(spark, sf_dir):
+    """No-equi-key range join: every error event opens a 10-minute
+    system-wide incident window; count ALL events (any user) landing
+    in each window and total their value in cents.  A naive plan is
+    |errors| x |events| BNLJ; operators/temporal.py bucketizes both
+    sides to 10-minute buckets so it runs as a shuffled equi-join on
+    the bucket id (plan-asserted no-BNLJ in tests/test_plans.py)."""
+    ev = _events(spark, sf_dir)
+    inc = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("incident_id"),
+                   F.col("ts").alias("w_start"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                   .alias("w_end")))
+    pts = ev.select(F.col("ts").alias("e_ts"),
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("cents"))
+    hits = (interval_join_points(inc, pts, "w_start", "w_end", "e_ts",
+                                 bucket_seconds=600)
+            .groupBy("incident_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("value_cents")))
+    return (inc.select("incident_id")
+            .join(hits, "incident_id", "left")
+            .select("incident_id",
+                    F.coalesce("n_events", F.lit(0)).cast("long")
+                    .alias("n_events"),
+                    F.coalesce("value_cents", F.lit(0)).cast("long")
+                    .alias("value_cents"))
+            .orderBy("incident_id"))

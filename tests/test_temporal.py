@@ -1,0 +1,153 @@
+"""Temporal join operators: pandas merge_asof parity (the public
+reference semantics), bucketized-vs-naive range-join parity, and the
+plan shapes that make both scale."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators.temporal import (
+    asof_join,
+    interval_join_points,
+)
+
+
+def _frames(seed, n_left=400, n_right=300, n_keys=7):
+    """Random keyed event frames with deliberate timestamp ties."""
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01")
+    # coarse second grid -> plenty of exact-timestamp collisions
+    lt = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": base + pd.to_timedelta(rng.integers(0, 500, n_left), "s"),
+        "lval": np.arange(n_left),
+    })
+    rt = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right),
+        "ts": base + pd.to_timedelta(rng.integers(0, 500, n_right), "s"),
+        "tie": np.arange(n_right),
+        "pay": rng.integers(0, 1000, n_right),
+        # legitimately-NULL payload column: must come through as the
+        # matched row's null, never an older row's value
+        "maybe": pd.array(
+            [None if i % 3 == 0 else i for i in range(n_right)],
+            dtype="Int64"),
+    })
+    return lt, rt
+
+
+def _expected(lt, rt, direction, strict, tol):
+    """pandas merge_asof ground truth. Right pre-sorted by (ts, tie):
+    backward resolves equal-ts ties to the LAST sorted row (max tie),
+    forward to the FIRST (min tie) — exactly the operator's contract."""
+    r = rt.sort_values(["ts", "tie"], kind="mergesort")
+    want = pd.merge_asof(
+        lt.sort_values("ts", kind="mergesort"), r,
+        on="ts", by="k", direction=direction,
+        allow_exact_matches=not strict,
+        tolerance=pd.Timedelta(tol) if tol else None,
+        suffixes=("", "_r"))
+    return want.sort_values("lval").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction,strict,tol", [
+    ("backward", False, None),
+    ("backward", True, None),
+    ("backward", False, "90 seconds"),
+    ("forward", False, None),
+    ("forward", True, "45 seconds"),
+])
+def test_asof_matches_pandas_merge_asof(spark, direction, strict, tol):
+    lt, rt = _frames(seed=hash((direction, strict, tol)) % 2**32)
+    got = asof_join(
+        spark.createDataFrame(lt), spark.createDataFrame(rt),
+        on=["k"], direction=direction,
+        tolerance=tol.replace("seconds", "second") if tol else None,
+        allow_exact_matches=not strict, right_tiebreak="tie",
+        prefix="m_").toPandas().sort_values("lval").reset_index(drop=True)
+    want = _expected(lt, rt, direction, strict, tol)
+    assert len(got) == len(lt)
+    for spark_col, pd_col in [("m_pay", "pay"), ("m_tie", "tie"),
+                              ("m_maybe", "maybe")]:
+        g = got[spark_col].astype("Float64")
+        w = want[pd_col].astype("Float64")
+        pd.testing.assert_series_equal(g, w, check_names=False)
+
+
+def test_asof_null_keys(spark):
+    """NULL keys use equi-join semantics: right NULL-key rows are
+    dropped, left NULL-key rows survive unmatched."""
+    lt = spark.createDataFrame(
+        pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                      "ts": pd.to_datetime(["2024-01-02", "2024-01-02"]),
+                      "lid": [0, 1]}))
+    rt = spark.createDataFrame(
+        pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                      "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+                      "pay": [10, 20]}))
+    out = (asof_join(lt, rt, on=["k"], prefix="m_")
+           .toPandas().sort_values("lid"))
+    assert out["m_pay"].tolist()[0] == 10
+    assert pd.isna(out["m_pay"].tolist()[1])
+
+
+def test_asof_plan_single_key_shuffle_no_join(spark):
+    """The union-merge as-of is ONE hash shuffle on the key and a
+    window — no join operator anywhere in the plan."""
+    lt, rt = _frames(seed=7)
+    out = asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                    on=["k"], right_tiebreak="tie")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def _naive_interval_join(spark, iv, pt):
+    return (iv.join(pt, (F.col("p_ts") >= F.col("s"))
+                    & (F.col("p_ts") < F.col("e")))
+            .groupBy("iid").agg(F.count(F.lit(1)).alias("n")))
+
+
+@pytest.mark.parametrize("bucket_seconds", [1, 7, 600])
+def test_interval_join_parity_with_naive(spark, bucket_seconds):
+    rng = np.random.default_rng(bucket_seconds)
+    base = pd.Timestamp("2024-03-01")
+    starts = base + pd.to_timedelta(rng.integers(0, 3600, 60), "s")
+    # variable lengths incl. zero-length (empty by the half-open bound)
+    lens = rng.integers(0, 900, 60)
+    iv = pd.DataFrame({"iid": np.arange(60), "s": starts,
+                       "e": starts + pd.to_timedelta(lens, "s")})
+    pts = pd.DataFrame({
+        "p_ts": base + pd.to_timedelta(rng.integers(0, 4500, 2000), "s")})
+    iv_df, pt_df = spark.createDataFrame(iv), spark.createDataFrame(pts)
+    got = (interval_join_points(iv_df, pt_df, "s", "e", "p_ts",
+                                bucket_seconds=bucket_seconds)
+           .groupBy("iid").agg(F.count(F.lit(1)).alias("n"))
+           .toPandas().sort_values("iid").reset_index(drop=True))
+    want = (_naive_interval_join(spark, iv_df, pt_df)
+            .toPandas().sort_values("iid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_interval_join_plan_is_equi_not_bnlj(spark):
+    """Even with broadcast disabled (the 100 TB regime where neither
+    side fits), the bucketized plan is a shuffled equi-join on the
+    bucket id — never BroadcastNestedLoop/Cartesian."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = pd.Timestamp("2024-03-01")
+        iv = pd.DataFrame({"iid": [1, 2], "s": [base, base],
+                           "e": [base + pd.Timedelta("10 min")] * 2})
+        pts = pd.DataFrame({"p_ts": [base + pd.Timedelta("1 min")] * 4})
+        out = interval_join_points(
+            spark.createDataFrame(iv), spark.createDataFrame(pts),
+            "s", "e", "p_ts")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+        assert "Cartesian" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
