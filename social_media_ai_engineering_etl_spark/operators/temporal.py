@@ -1,25 +1,15 @@
-"""Temporal joins Spark lacks natively: as-of join (unbounded
-union-merge form) and a bucketized point-in-interval range join with
-no equi key.
+"""As-of join — the temporal join Spark lacks natively, in its
+unbounded union-merge form.
 
-The streaming family already covers the *bounded* as-of composition
+The streaming family covers the *bounded* as-of composition
 (streaming/windows.py::last_touch_attribution: interval join + rank-1,
-needs a horizon and a second shuffle).  ``asof_join`` here is the
+needs a horizon and a second shuffle), and scale.range_join covers the
+no-equi-key point-in-interval case.  ``asof_join`` here is the
 complementary unbounded form — the sort-merge formulation used by
 pandas ``merge_asof`` and kdb ``aj``: tag both sides, union, one
 partition-by-key window, carry the latest right row forward.  ONE
 shuffle on the key, no horizon parameter, no candidate blow-up when a
 user's nearest click is a month old.
-
-``interval_join_points`` handles the case with NO equi key (every
-point can fall in any interval — e.g. system-wide incident windows),
-where a naive range join is a BroadcastNestedLoopJoin / cartesian.
-Intervals explode to the fixed-width time buckets they overlap,
-points map to their single bucket, and the join becomes an equi-join
-on bucket followed by the exact range filter — lossless (a point's
-bucket is always within [floor(start/w), floor(end/w)] when the point
-is inside the interval) and never duplicating (a point lives in
-exactly one bucket).
 """
 
 from __future__ import annotations
@@ -115,41 +105,3 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     out_cols += [F.col("__m").getField(p).alias(f"{prefix}{p}")
                  for p in payload]
     return matched.select(*out_cols)
-
-
-def interval_join_points(intervals: DataFrame, points: DataFrame,
-                         start: str, end: str, point_ts: str,
-                         bucket_seconds: int = 600) -> DataFrame:
-    """Join every point into every interval containing it
-    (``start <= point_ts < end``) with NO equi key, without a
-    cartesian/BNLJ plan.
-
-    Each interval explodes to the ``bucket_seconds``-width time buckets it
-    overlaps (``sequence(floor(start/w), floor(end/w))`` — for
-    fixed-length windows that is a small constant fan-out); each point
-    maps to its single bucket; the join is then a shuffled equi-join
-    on the bucket id with the exact range predicate as a post-filter.
-    Shuffle volume is |points| + |intervals| * ceil(len/w) rows, and a
-    point meets only the intervals sharing its bucket — at 100 TB the
-    cost scales with temporal overlap density, not |points| *
-    |intervals|.  A hot bucket (all intervals clustered in one hour)
-    is ordinary join skew: AQE skew-join splits it, since the bucket
-    id is a plain join key.
-
-    Returns intervals' columns + the matching point's columns
-    (inner-join grain: one output row per containment pair).
-    """
-    width = int(bucket_seconds) * 1_000_000  # micros, exact int math
-
-    def _bucket(c: Column) -> Column:
-        return F.floor(F.unix_micros(c) / F.lit(width)).cast("long")
-
-    iv = intervals.withColumn(
-        "__b", F.explode(F.sequence(_bucket(F.col(start)),
-                                    _bucket(F.col(end)))))
-    pt = points.withColumn("__b", _bucket(F.col(point_ts)))
-    joined = (iv.join(pt, on="__b")
-              .filter((F.col(point_ts) >= F.col(start))
-                      & (F.col(point_ts) < F.col(end)))
-              .drop("__b"))
-    return joined

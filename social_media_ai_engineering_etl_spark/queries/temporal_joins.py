@@ -1,5 +1,6 @@
-"""Temporal-join queries: unbounded as-of join (backward and
-forward+tolerance) and the no-equi-key bucketized range join.
+"""Temporal-join queries: unbounded as-of join, backward and
+forward+tolerance (the no-equi-key range join lives in
+streaming_analytics.py::qs_range_join_incidents on scale.range_join).
 
 The reference's attribution stages only ever need the bounded
 interval-join composition (SURVEY §2.12); these cover the general
@@ -15,7 +16,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..operators.temporal import asof_join, interval_join_points
+from ..operators.temporal import asof_join
 from ..registry import register
 from ..streaming.windows import load_events
 
@@ -103,53 +104,3 @@ def qx_asof_next_error(spark, sf_dir):
         (F.unix_micros(F.col("e_ts"))
          - F.unix_micros(F.col("ts"))).cast("long").alias("lead_micros"))
         .orderBy("purchase_id"))
-
-
-@register("qx_incident_window_impact", oracle="""
-WITH inc AS (
-    SELECT event_id AS incident_id, ts AS w_start,
-           ts + INTERVAL 10 MINUTE AS w_end
-    FROM events WHERE event_type = 'error'
-), hit AS (
-    SELECT i.incident_id, count(*) AS n_events,
-           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
-               AS value_cents
-    FROM inc i JOIN events e
-      ON e.ts >= i.w_start AND e.ts < i.w_end
-    GROUP BY i.incident_id
-)
-SELECT i.incident_id,
-       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
-       CAST(coalesce(h.value_cents, 0) AS BIGINT) AS value_cents
-FROM inc i LEFT JOIN hit h USING (incident_id)
-ORDER BY incident_id
-""")
-def qx_incident_window_impact(spark, sf_dir):
-    """No-equi-key range join: every error event opens a 10-minute
-    system-wide incident window; count ALL events (any user) landing
-    in each window and total their value in cents.  A naive plan is
-    |errors| x |events| BNLJ; operators/temporal.py bucketizes both
-    sides to 10-minute buckets so it runs as a shuffled equi-join on
-    the bucket id (plan-asserted no-BNLJ in tests/test_plans.py)."""
-    ev = _events(spark, sf_dir)
-    inc = (ev.filter(F.col("event_type") == "error")
-           .select(F.col("event_id").alias("incident_id"),
-                   F.col("ts").alias("w_start"),
-                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
-                   .alias("w_end")))
-    pts = ev.select(F.col("ts").alias("e_ts"),
-                    F.round(F.col("value") * 100).cast("long")
-                    .alias("cents"))
-    hits = (interval_join_points(inc, pts, "w_start", "w_end", "e_ts",
-                                 bucket_seconds=600)
-            .groupBy("incident_id")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("cents").alias("value_cents")))
-    return (inc.select("incident_id")
-            .join(hits, "incident_id", "left")
-            .select("incident_id",
-                    F.coalesce("n_events", F.lit(0)).cast("long")
-                    .alias("n_events"),
-                    F.coalesce("value_cents", F.lit(0)).cast("long")
-                    .alias("value_cents"))
-            .orderBy("incident_id"))

@@ -1,16 +1,12 @@
-"""Temporal join operators: pandas merge_asof parity (the public
-reference semantics), bucketized-vs-naive range-join parity, and the
-plan shapes that make both scale."""
+"""As-of join operator: pandas merge_asof parity (the public
+reference semantics) and the single-shuffle no-join plan shape."""
 
 import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from social_media_ai_engineering_etl_spark.operators.temporal import (
-    asof_join,
-    interval_join_points,
-)
+from social_media_ai_engineering_etl_spark.operators.temporal import asof_join
 
 
 def _frames(seed, n_left=400, n_right=300, n_keys=7):
@@ -102,52 +98,3 @@ def test_asof_plan_single_key_shuffle_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
-
-
-def _naive_interval_join(spark, iv, pt):
-    return (iv.join(pt, (F.col("p_ts") >= F.col("s"))
-                    & (F.col("p_ts") < F.col("e")))
-            .groupBy("iid").agg(F.count(F.lit(1)).alias("n")))
-
-
-@pytest.mark.parametrize("bucket_seconds", [1, 7, 600])
-def test_interval_join_parity_with_naive(spark, bucket_seconds):
-    rng = np.random.default_rng(bucket_seconds)
-    base = pd.Timestamp("2024-03-01")
-    starts = base + pd.to_timedelta(rng.integers(0, 3600, 60), "s")
-    # variable lengths incl. zero-length (empty by the half-open bound)
-    lens = rng.integers(0, 900, 60)
-    iv = pd.DataFrame({"iid": np.arange(60), "s": starts,
-                       "e": starts + pd.to_timedelta(lens, "s")})
-    pts = pd.DataFrame({
-        "p_ts": base + pd.to_timedelta(rng.integers(0, 4500, 2000), "s")})
-    iv_df, pt_df = spark.createDataFrame(iv), spark.createDataFrame(pts)
-    got = (interval_join_points(iv_df, pt_df, "s", "e", "p_ts",
-                                bucket_seconds=bucket_seconds)
-           .groupBy("iid").agg(F.count(F.lit(1)).alias("n"))
-           .toPandas().sort_values("iid").reset_index(drop=True))
-    want = (_naive_interval_join(spark, iv_df, pt_df)
-            .toPandas().sort_values("iid").reset_index(drop=True))
-    pd.testing.assert_frame_equal(got, want)
-
-
-def test_interval_join_plan_is_equi_not_bnlj(spark):
-    """Even with broadcast disabled (the 100 TB regime where neither
-    side fits), the bucketized plan is a shuffled equi-join on the
-    bucket id — never BroadcastNestedLoop/Cartesian."""
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        base = pd.Timestamp("2024-03-01")
-        iv = pd.DataFrame({"iid": [1, 2], "s": [base, base],
-                           "e": [base + pd.Timedelta("10 min")] * 2})
-        pts = pd.DataFrame({"p_ts": [base + pd.Timedelta("1 min")] * 4})
-        out = interval_join_points(
-            spark.createDataFrame(iv), spark.createDataFrame(pts),
-            "s", "e", "p_ts")
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoop" not in plan
-        assert "Cartesian" not in plan
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
