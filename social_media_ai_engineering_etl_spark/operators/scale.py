@@ -241,3 +241,40 @@ def global_ntile(df: DataFrame, n: int, order_cols: list[str],
         # deferred: the caller's action re-reads d from cache; Spark
         # unpersists lazily (non-blocking), so the plan stays valid.
         d.unpersist(blocking=False)
+
+
+def hierarchical_time_rollup(df: DataFrame, ts_col: str,
+                             keys: list[str],
+                             measures: dict[str, str],
+                             levels: tuple[str, ...] = ("minute", "hour",
+                                                        "day")) -> DataFrame:
+    """Hypertable-style continuous aggregate: materialize the FINEST
+    time-bucket rollup once, then derive every coarser level by
+    re-aggregating the previous level's partials — the fact is scanned
+    exactly once no matter how many granularities are served.
+
+    At 100 TB the minute rollup is ~10^5x smaller than the fact, so
+    hour/day/week levels cost seconds, not a rescan; this is the
+    batch form of TimescaleDB/Druid rollup hierarchies. Only
+    algebraic measures participate (``measures`` maps column ->
+    sum/count/min/max, same table as merge_rollups); count partials
+    re-merge by summing.  Returns all levels unioned with a ``level``
+    tag and the bucket as ``bucket`` (timestamp, truncated per
+    level).  The finest partial is persisted (it feeds every coarser
+    level AND appears in the union); release follows the repo's
+    query-boundary cache contract (session.py).
+    """
+    finest = df.groupBy(
+        *keys, F.date_trunc(levels[0], F.col(ts_col)).alias("bucket")).agg(
+        *[_PARTIAL[fn](c).alias(c) for c, fn in measures.items()])
+    finest = finest.persist()
+    merge_aggs = [_MERGE[fn](c).alias(c) for c, fn in measures.items()]
+    out = finest.withColumn("level", F.lit(levels[0]))
+    prev = finest
+    for lv in levels[1:]:
+        cur = (prev.groupBy(*keys,
+                            F.date_trunc(lv, F.col("bucket")).alias("bucket"))
+               .agg(*merge_aggs))
+        out = out.unionByName(cur.withColumn("level", F.lit(lv)))
+        prev = cur
+    return out

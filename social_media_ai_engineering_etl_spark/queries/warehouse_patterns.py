@@ -546,3 +546,54 @@ def qx_rfm_segments(spark, sf_dir):
                           F.col("m_score").cast("long").alias("m_score"),
                           seg.alias("segment"))
             .orderBy("user_id"))
+
+
+@register("qx_hierarchical_rollup", oracle="""
+WITH cents AS (
+    SELECT event_type, ts,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM events
+), lv AS (
+    SELECT 'hour' AS level, event_type, date_trunc('hour', ts) AS bucket,
+           count(*) AS n_events, sum(c) AS sum_cents, max(c) AS max_cents
+    FROM cents GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', event_type, date_trunc('day', ts),
+           count(*), sum(c), max(c)
+    FROM cents GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', event_type, date_trunc('week', ts),
+           count(*), sum(c), max(c)
+    FROM cents GROUP BY 2, 3
+)
+SELECT level, event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CAST(max_cents AS BIGINT) AS max_cents
+FROM lv ORDER BY level, event_type, bucket
+""")
+def qx_hierarchical_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour -> day -> week
+    engagement rollups where each coarser level re-aggregates the
+    PREVIOUS level's partials (scale.hierarchical_time_rollup) — the
+    fact is scanned once for all three granularities, vs the oracle's
+    three independent scans.  Integer-cents measures make the
+    partial-merge order irrelevant, so the derived levels are
+    bit-equal to direct aggregation."""
+    from ..operators import scale
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts",
+        F.lit(1).alias("n_events"),
+        F.round(F.col("value") * 100).cast("long").alias("sum_cents"),
+        F.round(F.col("value") * 100).cast("long").alias("max_cents"))
+    out = scale.hierarchical_time_rollup(
+        ev, "ts", ["event_type"],
+        {"n_events": "count", "sum_cents": "sum", "max_cents": "max"},
+        levels=("hour", "day", "week"))
+    return (out.select(
+        "level", "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_cents", "max_cents")
+        .orderBy("level", "event_type", "bucket"))

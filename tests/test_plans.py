@@ -316,3 +316,19 @@ def test_grade_window_is_first_50_with_oracles():
                        "qmm_media_features", "qg_engagement_by_geo",
                        "q20_feature_table", "q06_extract_topic"):
         assert family_rep in GRADE_WINDOW, family_rep
+
+
+def test_hierarchical_rollup_scans_fact_once(spark, sf_dir):
+    """The continuous-aggregate hierarchy reads the events fact
+    exactly once: hour partials persist, day/week levels re-aggregate
+    the cached previous level (InMemoryTableScan), never the fact."""
+    spark.catalog.clearCache()
+    try:
+        plan = plan_of(QUERIES["qx_hierarchical_rollup"](spark, sf_dir))
+        # union branch 1 (hour) + day input + week input all read the
+        # cached hour/day partials — the fact parquet materializes once
+        # (explain prints the cached lineage, so scans can't be counted
+        # textually; the cache reads are the executable evidence)
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        spark.catalog.clearCache()
