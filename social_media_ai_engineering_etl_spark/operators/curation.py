@@ -386,3 +386,77 @@ def substring_dup_profile(df: DataFrame, id_col: str, text_col: str,
                      .alias("n_dup_grams"),
                     F.coalesce("max_dup_run", F.lit(0)).cast("long")
                      .alias("max_dup_run")))
+
+
+# ---------------------------------------------------------------------------
+# bloom-filtered decontamination (benchmark too big to broadcast exactly)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bitmap(values: DataFrame, col: str, m_bits: int = 1 << 17,
+                 k: int = 5) -> list[int]:
+    """Bloom filter over ``col``, built entirely with native bitmap
+    aggregation: k xxhash64 positions per value, positions folded to
+    (word, bit) pairs, one ``bit_or`` groupBy, and a driver collect
+    BOUNDED BY m_bits/64 rows (never by |values| — the filter for a
+    billion-gram benchmark is still m_bits/8 bytes).  Returns the
+    dense word array."""
+    pos = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+        for i in range(k)])).alias("p")
+    words = (values.select(pos)
+             .select(F.shiftright(F.col("p"), 6).alias("w"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pmod(p, 64) AS INT))").alias("b"))
+             .groupBy("w").agg(F.bit_or("b").alias("bits"))
+             .collect())
+    dense = [0] * ((m_bits + 63) // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_might_contain(col: str, bitmap: list[int], m_bits: int,
+                        k: int) -> Column:
+    """Membership predicate matching :func:`bloom_bitmap`'s layout:
+    all k bits set => maybe-member (false positives possible, false
+    negatives impossible).  The bitmap ships as one array literal —
+    a closed-form broadcast independent of the built-from set size."""
+    arr = F.lit(bitmap)
+    cond = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod("
+                     f"pmod(xxhash64({col}, {i}), {m_bits}), 64) AS INT))")
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str, n: int = 5,
+                        m_bits: int = 1 << 17, k: int = 5) -> DataFrame:
+    """:func:`decontaminate` for the regime where the benchmark gram
+    set is too large to broadcast as an exact hash table: a bloom
+    bitmap over the benchmark grams (m_bits/8 bytes, here 16 KB)
+    prefilters corpus grams BEFORE the exact join, so the shuffled
+    corpus side shrinks by ~the true-hit rate + the bloom false-
+    positive rate (~0.5% at these defaults) instead of moving every
+    gram.  Survivors still exact-verify against the real benchmark
+    grams, so the result is bit-identical to :func:`decontaminate`
+    (same oracle) — the bloom can only let extra candidates INTO the
+    verify join, never drop a true hit."""
+    from .dedup import word_shingles
+    bench = (benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")))
+    bitmap = bloom_bitmap(bench.select("gram").distinct(), "gram",
+                          m_bits, k)
+    corp = (corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .filter(bloom_might_contain("gram", bitmap, m_bits, k)))
+    hits = corp.join(bench, "gram")
+    return (hits.groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n_shared_grams"),
+                 F.count_distinct("bench_id").alias("n_bench_docs_hit")))

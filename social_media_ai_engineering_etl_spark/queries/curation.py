@@ -481,3 +481,22 @@ def qx_posting_lists(spark, sf_dir):
                               ",").alias("postings"))
             .filter(F.col("doc_freq") >= 10)
             .orderBy("term"))
+
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register("qx_decontamination_bloom", oracle=_ORACLES["qx_decontamination"])
+def qx_decontamination_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — bit-identical to
+    qx_decontamination (SAME oracle) because the 16 KB bloom bitmap
+    over benchmark grams only admits extra candidates into the exact
+    verify join, never drops a true hit.  The 100 TB regime it exists
+    for: a benchmark gram set too large to broadcast exactly, where
+    the exact path must shuffle every corpus gram and the bloom path
+    shuffles ~hits + 0.5% false positives."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    return curation.decontaminate_bloom(corp, bench, "doc_id", "text",
+                                        n=5).orderBy("doc_id")

@@ -393,3 +393,41 @@ def test_lm_familiarity_cms_bounded_above_exact(spark, sf_dir):
     for i, e in exact.items():
         assert approx[i] >= e - 1e-9, (i, e, approx[i])
         assert approx[i] <= e + 0.5, (i, e, approx[i])
+
+
+# ---------------------------------------------------------------------------
+# bloom-filtered decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    from social_media_ai_engineering_etl_spark.operators.curation import (
+        bloom_bitmap, bloom_might_contain)
+    member = spark.range(2000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("v"))
+    other = spark.range(20000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("v"))
+    m_bits, k = 1 << 15, 5  # ~16.4 bits/key -> fp ~ 0.5%
+    bm = bloom_bitmap(member, "v", m_bits, k)
+    probe = bloom_might_contain("v", bm, m_bits, k)
+    assert member.filter(~probe).count() == 0  # never drops a member
+    fp = other.filter(probe).count()
+    assert fp / 20000 < 0.03, fp
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    from social_media_ai_engineering_etl_spark.operators.curation import (
+        decontaminate, decontaminate_bloom)
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [(i, " ".join(rng.choice(vocab, 40))) for i in range(120)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = df.filter(F.col("doc_id") % 10 == 0)
+    corp = df.filter(F.col("doc_id") % 10 != 0)
+    exact = decontaminate(corp, bench, "doc_id", "text", n=3) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    bloom = decontaminate_bloom(corp, bench, "doc_id", "text", n=3) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(exact, bloom)
