@@ -460,3 +460,53 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
     return (hits.groupBy("doc_id")
             .agg(F.count_distinct("gram").alias("n_shared_grams"),
                  F.count_distinct("bench_id").alias("n_bench_docs_hit")))
+
+
+def mixture_temperature(df: DataFrame, domain_col: str,
+                        id_col: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (exponent 1/2): target
+    share per domain proportional to sqrt(natural count) — the
+    standard multilingual-corpus flattening (mBERT/XLM-R exponent
+    alpha ~ 0.5-0.7) that boosts small domains without the uniform
+    plan's brutal cut of large ones.
+
+    Every plan number is integer-exact cross-engine: the only float
+    op is sqrt(bigint), which IEEE 754 requires correctly rounded, so
+    floor(sqrt(n)) is deterministic on any engine; shares are integer
+    ppm (DIV), and the corpus budget is the largest B with every
+    per-domain keep K_d = B*ppm_d DIV 1e6 <= n_d (pure downsampling,
+    no replication).  Keeps the K_d lowest-xxhash64 docs per domain —
+    one window shuffle on the domain key, same shape as
+    mixture_downsample.  Returns the per-domain plan + actual kept
+    count (the deterministic contract an oracle can check)."""
+    from pyspark.sql import Window
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.withColumn(
+        "w_isqrt", F.floor(F.sqrt(F.col("n_docs").cast("double")))
+        .cast("long"))
+    scalars = weights.agg(F.sum("w_isqrt").alias("w_total"))
+    plan = (weights.join(F.broadcast(scalars))
+            .withColumn("target_ppm",
+                        F.expr("w_isqrt * 1000000 DIV w_total"))
+            .withColumn("b_cap",
+                        F.expr("n_docs * 1000000 DIV target_ppm")))
+    budget = plan.agg(F.min("b_cap").alias("budget"))
+    plan = (plan.join(F.broadcast(budget))
+            .withColumn("n_keep",
+                        F.expr("budget * target_ppm DIV 1000000"))
+            .select("domain", "n_docs", "w_isqrt", "target_ppm",
+                    "n_keep"))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)))
+    kept = (df.join(F.broadcast(plan.select(
+                F.col("domain").alias(domain_col), "n_keep")), domain_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("n_keep")))
+    actual = kept.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_kept"))
+    return (plan.join(actual, "domain", "left")
+            .select("domain", "n_docs", "w_isqrt", "target_ppm",
+                    "n_keep",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))

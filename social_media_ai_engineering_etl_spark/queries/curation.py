@@ -500,3 +500,34 @@ def qx_decontamination_bloom(spark, sf_dir):
     corp = docs.filter(F.col("doc_id") % 20 != 0)
     return curation.decontaminate_bloom(corp, bench, "doc_id", "text",
                                         n=5).orderBy("doc_id")
+
+
+@register("qx_mixture_temperature", oracle="""
+WITH counts AS (SELECT lang AS domain, count(*) AS n_docs
+                FROM documents GROUP BY lang),
+w AS (SELECT domain, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                 AS w_isqrt
+      FROM counts),
+p AS (SELECT domain, n_docs, w_isqrt,
+             CAST(w_isqrt * 1000000 //
+                  (SELECT sum(w_isqrt) FROM w) AS BIGINT) AS target_ppm
+      FROM w),
+b AS (SELECT min(n_docs * 1000000 // target_ppm) AS budget FROM p)
+SELECT domain, n_docs, w_isqrt, target_ppm,
+       CAST((SELECT budget FROM b) * target_ppm // 1000000 AS BIGINT)
+           AS n_keep,
+       CAST((SELECT budget FROM b) * target_ppm // 1000000 AS BIGINT)
+           AS n_kept
+FROM p ORDER BY domain
+""")
+def qx_mixture_temperature(spark, sf_dir):
+    """Square-root temperature mixture plan + deterministic downsample
+    (curation.mixture_temperature): the oracle recomputes the
+    all-integer plan and asserts n_kept == n_keep (the per-doc choice
+    is hash-ordered; the per-domain count is the engine-independent
+    contract).  floor(sqrt(bigint)) is the only float touchpoint and
+    IEEE-exact on both engines."""
+    return (curation.mixture_temperature(_docs_narrow(spark, sf_dir),
+                                         "lang", "doc_id")
+            .orderBy("domain"))

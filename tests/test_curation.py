@@ -431,3 +431,28 @@ def test_decontaminate_bloom_equals_exact(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_mixture_temperature_flattens_shares(spark):
+    """sqrt-temperature rebalancing sits between natural and uniform:
+    small domains gain share, large domains lose, nobody upsamples."""
+    rows = [(i, "big") for i in range(900)] + \
+           [(i + 1000, "mid") for i in range(100)] + \
+           [(i + 2000, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    plan = (curation.mixture_temperature(df, "lang", "doc_id")
+            .toPandas().set_index("domain"))
+    total = plan["n_docs"].sum()
+    for d in plan.index:
+        nat_ppm = plan.loc[d, "n_docs"] * 1_000_000 // total
+        assert plan.loc[d, "n_kept"] == plan.loc[d, "n_keep"]
+        assert plan.loc[d, "n_keep"] <= plan.loc[d, "n_docs"]
+        if d == "small":
+            assert plan.loc[d, "target_ppm"] > nat_ppm
+        if d == "big":
+            assert plan.loc[d, "target_ppm"] < nat_ppm
+    # kept corpus respects the target mixture within integer rounding
+    kept_total = plan["n_kept"].sum()
+    for d in plan.index:
+        kept_ppm = plan.loc[d, "n_kept"] * 1_000_000 / kept_total
+        assert abs(kept_ppm - plan.loc[d, "target_ppm"]) < 25_000, d
