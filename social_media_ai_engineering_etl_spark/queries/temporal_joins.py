@@ -34,7 +34,7 @@ _CLICKS_DEDUP = """
 """
 
 
-@register("qx_asof_last_click", oracle=f"""
+@register("qx_asof_last_click", bench=True, oracle=f"""
 WITH p AS (
     SELECT event_id AS purchase_id, user_id, ts
     FROM events WHERE event_type = 'purchase'
