@@ -597,3 +597,50 @@ def qx_hierarchical_rollup(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         "sum_cents", "max_cents")
         .orderBy("level", "event_type", "bucket"))
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zorder_key_sql
+    z = zorder_key_sql(["u_bucket", "v_bucket"], bits=8)
+    return f"""
+WITH b AS (
+    SELECT least(255, user_id // 8) AS u_bucket,
+           least(255, CAST(round(value * 100) AS BIGINT) // 250)
+               AS v_bucket
+    FROM events
+), z AS (
+    SELECT u_bucket, v_bucket, {z} // 1024 AS cell FROM b
+)
+SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_rows,
+       min(u_bucket) AS min_u_bucket, max(u_bucket) AS max_u_bucket,
+       min(v_bucket) AS min_v_bucket, max(v_bucket) AS max_v_bucket
+FROM z GROUP BY cell ORDER BY cell
+"""
+
+
+@register("qx_zorder_layout", oracle=_zorder_oracle())
+def qx_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout profile over the events fact: user and
+    value bucketized to 8 bits each, bit-interleaved
+    (operators/layout.py — the Delta/Iceberg OPTIMIZE ZORDER key),
+    grouped into zkey>>10 cells (~row groups) with per-dimension
+    min/max spans.  The all-integer interleave is replayed verbatim
+    in the oracle; the pruning advantage over a linear sort is pinned
+    in tests/test_scale.py."""
+    from ..operators.layout import zorder_cell_stats
+    ev = _events(spark, sf_dir).select(
+        F.least(F.lit(255), F.expr("user_id DIV 8")).alias("u_bucket"),
+        F.least(F.lit(255),
+                F.expr("CAST(round(value * 100) AS BIGINT) DIV 250"))
+        .alias("v_bucket"))
+    out = zorder_cell_stats(ev, ["u_bucket", "v_bucket"],
+                            bits=8, cell_shift=10)
+    cols = ["cell", "n_rows", "min_u_bucket", "max_u_bucket",
+            "min_v_bucket", "max_v_bucket"]
+    return (out.select(
+        "cell", "n_rows",
+        F.col("min_u_bucket").cast("long"),
+        F.col("max_u_bucket").cast("long"),
+        F.col("min_v_bucket").cast("long"),
+        F.col("max_v_bucket").cast("long"))
+        .toDF(*cols).orderBy("cell"))

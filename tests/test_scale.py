@@ -179,3 +179,31 @@ def test_twenty_query_session_leaks_no_cached_blocks(spark, sf_dir):
     # getPersistentRDDs is the authoritative leak census
     leaked = dict(sc._jsc.getPersistentRDDs())
     assert not leaked, f"leaked cached RDDs: {list(leaked)[:5]}"
+
+
+def test_zorder_prunes_minor_dimension_linear_sort_cannot(spark):
+    """The point of the z-layout: a box predicate on the NON-leading
+    dimension overlaps few z-cells (each cell bounds both dims) but
+    every file of a leading-column sort (each spans the full minor
+    range). Files touched = files whose min/max span overlaps the
+    predicate — exactly parquet row-group pruning."""
+    import numpy as np
+    from social_media_ai_engineering_etl_spark.operators.layout import (
+        zorder_cell_stats)
+    rng = np.random.default_rng(3)
+    pdf = [(int(u), int(v)) for u, v in
+           zip(rng.integers(0, 256, 50_000), rng.integers(0, 256, 50_000))]
+    df = spark.createDataFrame(pdf, ["u", "v"])
+    lo, hi = 40, 47  # v-only box: 8/256 of the minor dimension
+
+    zcells = zorder_cell_stats(df, ["u", "v"], bits=8, cell_shift=11) \
+        .toPandas()
+    z_touched = ((zcells["min_v"] <= hi) & (zcells["max_v"] >= lo)).sum()
+
+    lin = (df.groupBy(F.expr("u DIV 8").alias("file"))
+           .agg(F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+           .toPandas())
+    lin_touched = ((lin["min_v"] <= hi) & (lin["max_v"] >= lo)).sum()
+
+    assert lin_touched == len(lin)          # linear sort: full scan
+    assert z_touched <= len(zcells) // 2, (z_touched, len(zcells))
