@@ -37,7 +37,10 @@ GRADE_WINDOW: tuple[str, ...] = (
     # stage-01 flagship (P1-P3, A1-A2, J2)
     "q01_tier_counts", "q01_engagement_ratio", "q01_quantile_cutoffs",
     # row transforms (P5-P10, P12, T3-T4, T11, T15, §2.9 describe)
-    "q02_length_buckets", "q02_emoji_binning", "q02_emoji_count",
+    # (T15's emoji-count expression is graded via q02_emoji_binning,
+    # which bins that same count — the standalone q02_emoji_count
+    # probe was consolidated out per VERDICT r2 #3 to free a slot)
+    "q02_length_buckets", "q02_emoji_binning",
     "q07_clean_topics", "q09_tone_normalize", "q15_clean_context",
     "q17_line_breaks", "q17_punctuation", "q17_profanity",
     "q17_author_top_texts", "q17_author_words", "q17_narrative_structure",
@@ -81,6 +84,8 @@ GRADE_WINDOW: tuple[str, ...] = (
     "qx_corpus_stats",
     # multimodal metadata path
     "qmm_media_features",
+    # temporal joins (unbounded as-of; DuckDB ASOF JOIN oracle)
+    "qx_asof_last_click",
 )
 
 

@@ -313,6 +313,7 @@ def test_grade_window_is_first_50_with_oracles():
                        "qx_copurchase_pairs", "qx_dedup_exact",
                        "qx_dedup_ngram_jaccard",
                        "qx_similarity_topk_gemm", "qx_corpus_stats",
+                       "qx_asof_last_click",
                        "qmm_media_features", "qg_engagement_by_geo",
                        "q20_feature_table", "q06_extract_topic"):
         assert family_rep in GRADE_WINDOW, family_rep
