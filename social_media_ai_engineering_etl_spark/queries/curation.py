@@ -531,3 +531,52 @@ def qx_mixture_temperature(spark, sf_dir):
     return (curation.mixture_temperature(_docs_narrow(spark, sf_dir),
                                          "lang", "doc_id")
             .orderBy("domain"))
+
+
+@register("qx_readability", oracle="""
+WITH m AS (
+    SELECT doc_id,
+           greatest(1, len(string_split(trim(text), ' '))) AS w,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+           greatest(1, len(regexp_extract_all(lower(text),
+                                              '[aeiouy]+'))) AS y
+    FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CAST(206835 - (1015 * w) // s - (84600 * y) // w AS BIGINT)
+           AS flesch_x1000,
+       CASE WHEN 206835 - (1015 * w) // s - (84600 * y) // w >= 70000
+            THEN 'easy'
+            WHEN 206835 - (1015 * w) // s - (84600 * y) // w >= 50000
+            THEN 'standard' ELSE 'difficult' END AS band
+FROM m ORDER BY doc_id
+""")
+def qx_readability(spark, sf_dir):
+    """Flesch reading-ease per document in x1000 fixed point — the
+    corpus-quality readability feature, made oracle-exact by keeping
+    the whole formula in integer DIV arithmetic (no float division
+    reaches the output).  Syllables approximated as vowel-group runs,
+    sentences as terminal-punctuation runs — the standard cheap
+    heuristics.  Narrow shuffle-free projection, same 100 TB shape as
+    the Gopher gate."""
+    t = F.col("text")
+    w = F.greatest(F.lit(1), F.size(F.split(F.trim(t), " ")))
+    s = F.greatest(F.lit(1), F.size(
+        F.expr("regexp_extract_all(text, '[.!?]+', 0)")))
+    y = F.greatest(F.lit(1), F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", w.cast("long").alias("w"),
+                 s.cast("long").alias("s"), y.cast("long").alias("y")))
+    score = (F.lit(206835) - F.expr("(1015 * w) DIV s")
+             - F.expr("(84600 * y) DIV w"))
+    return (d.select(
+        "doc_id", F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"), F.col("y").alias("n_syllables"),
+        score.cast("long").alias("flesch_x1000"),
+        F.when(score >= 70000, "easy")
+         .when(score >= 50000, "standard")
+         .otherwise("difficult").alias("band"))
+        .orderBy("doc_id"))
