@@ -102,6 +102,20 @@ NOTES = {
         "Trailing MAU: per-day HLL sketches (KB each) union over a "
         "30-row day frame — the fact is scanned once; no distinct "
         "re-count per day."),
+    "qx_asof_last_click": (
+        "Unbounded as-of join: union of tagged sides, ONE hash "
+        "exchange on user_id, one linear window pass carrying the "
+        "latest click struct — no join operator, no horizon, no "
+        "candidate blow-up."),
+    "qx_hierarchical_rollup": (
+        "Continuous aggregate: the events fact scans once into hour "
+        "partials (persisted); day and week levels re-aggregate the "
+        "cached previous level (InMemoryTableScan), never the fact."),
+    "qx_zorder_layout": (
+        "Morton-interleave layout profile: narrow integer bit "
+        "arithmetic projection + one cell groupBy — the write-side "
+        "clustering whose per-cell min/max spans bound box-predicate "
+        "scans in every interleaved dimension."),
 }
 
 
