@@ -98,37 +98,40 @@ def upsert_parquet_sink(path: str, keys: list[str]):
                       .unionByName(new))
         else:
             merged = new
-        # parquet has no transactional MERGE: crash-safe snapshot +
-        # atomic repoint (r2 ADVICE — the old stage-then-swap left a
-        # truncated live table if the process died mid-overwrite).
-        # Each merged snapshot is written to a batch-id-suffixed dir
-        # and `path` is an os.replace()'d symlink: a crash before the
-        # repoint leaves the previous snapshot live (replay rebuilds
-        # the partial dir), a crash after it is already durable.
-        snap_root = path + ".__snapshots__"
-        snap = os.path.join(snap_root, f"b{int(batch_id)}")
-        merged.write.mode("overwrite").parquet(snap)
-        if os.path.exists(path) and not os.path.islink(path):
-            # legacy real-directory table: migrate to the symlink
-            # scheme (the one remaining non-atomic window, first
-            # flip only)
-            shutil.rmtree(path)
-        tmp_link = path + ".__repoint__"
-        if os.path.lexists(tmp_link):
-            os.unlink(tmp_link)
-        os.symlink(os.path.abspath(snap), tmp_link)
-        os.replace(tmp_link, path)
-        # prune superseded snapshots (keep the live target only)
-        live = os.path.realpath(path)
-        for d in os.listdir(snap_root):
-            full = os.path.join(snap_root, d)
-            if os.path.realpath(full) != live:
-                shutil.rmtree(full, ignore_errors=True)
-        legacy = path + ".__staging__"
-        if os.path.exists(legacy):
-            shutil.rmtree(legacy, ignore_errors=True)
+        _atomic_snapshot_write(merged, path, int(batch_id))
 
     return sink
+
+
+def _atomic_snapshot_write(merged: DataFrame, path: str,
+                           batch_id: int) -> None:
+    """Crash-safe snapshot + atomic repoint (r2 ADVICE — a plain
+    stage-then-swap left a truncated live table if the process died
+    mid-overwrite).  The snapshot is written to a batch-id-suffixed
+    dir and ``path`` is an os.replace()'d symlink: a crash before the
+    repoint leaves the previous snapshot live (replay rebuilds the
+    partial dir), a crash after it is already durable."""
+    snap_root = path + ".__snapshots__"
+    snap = os.path.join(snap_root, f"b{batch_id}")
+    merged.write.mode("overwrite").parquet(snap)
+    if os.path.exists(path) and not os.path.islink(path):
+        # legacy real-directory table: migrate to the symlink scheme
+        # (the one remaining non-atomic window, first flip only)
+        shutil.rmtree(path)
+    tmp_link = path + ".__repoint__"
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.abspath(snap), tmp_link)
+    os.replace(tmp_link, path)
+    # prune superseded snapshots (keep the live target only)
+    live = os.path.realpath(path)
+    for d in os.listdir(snap_root):
+        full = os.path.join(snap_root, d)
+        if os.path.realpath(full) != live:
+            shutil.rmtree(full, ignore_errors=True)
+    legacy = path + ".__staging__"
+    if os.path.exists(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
 
 
 def benchmark_gram_table(spark: SparkSession, docs_path: str,
@@ -139,3 +142,71 @@ def benchmark_gram_table(spark: SparkSession, docs_path: str,
     docs = spark.read.parquet(docs_path).filter(F.col("doc_id") % 20 == 0)
     return (docs.select(F.explode(word_shingles(F.col("text"), n))
                         .alias("gram")).distinct())
+
+
+# ---------------------------------------------------------------------------
+# streaming continuous aggregate (hierarchical rollup maintenance)
+# ---------------------------------------------------------------------------
+
+
+def rollup_merge_sink(path: str, ts_col: str, keys: list[str],
+                      measures: dict[str, str],
+                      level: str = "hour"):
+    """``foreachBatch`` maintenance of the finest level of a
+    continuous aggregate (scale.hierarchical_time_rollup's streaming
+    twin): each micro-batch contributes its own PARTIAL rollup rows
+    tagged with the batch id; a replayed batch REPLACES its previous
+    partials instead of double-summing (replay re-runs only the last
+    uncommitted batch), and every batch compacts all strictly-older
+    partials into one base row per (keys, bucket) — the stored table
+    stays O(groups), not O(batches x groups).
+
+    Serving any coarser granularity is then
+    :func:`read_continuous_rollup` — no fact rescan, ever.  Algebraic
+    measures only (sum/count/min/max), same table as merge_rollups."""
+    from ..operators.scale import _PARTIAL
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (batch_df.groupBy(
+            *keys, F.date_trunc(level, F.col(ts_col)).alias("bucket"))
+            .agg(*[_PARTIAL[fn](c).alias(c) for c, fn in measures.items()])
+            .withColumn("__batch_id", F.lit(int(batch_id))))
+        if os.path.exists(path):
+            old = spark.read.parquet(path).filter(
+                F.col("__batch_id") != int(batch_id))
+            base = _merge_partials(
+                old, keys, measures).withColumn(
+                "__batch_id", F.lit(-1))
+            merged = base.unionByName(part)
+        else:
+            merged = part
+        _atomic_snapshot_write(merged, path, int(batch_id))
+
+    return sink
+
+
+def _merge_partials(df: DataFrame, keys: list[str],
+                    measures: dict[str, str]) -> DataFrame:
+    """Re-combine per-batch partial rollup rows: counts re-merge by
+    summing, the rest by their own merge fn (operators/scale._MERGE)."""
+    from ..operators.scale import _MERGE
+    return df.groupBy(*keys, "bucket").agg(
+        *[_MERGE[fn](c).alias(c) for c, fn in measures.items()])
+
+
+def read_continuous_rollup(spark: SparkSession, path: str,
+                           keys: list[str], measures: dict[str, str],
+                           levels: tuple[str, ...] = ("hour", "day",
+                                                      "week")) -> DataFrame:
+    """Serve the full level hierarchy from the maintained finest
+    snapshot: merge the per-batch partials, then derive each coarser
+    level from the previous one (hierarchical_time_rollup over the
+    already-aggregated buckets — count partials re-merge as sums).
+    The raw fact is never read."""
+    from ..operators.scale import hierarchical_time_rollup
+    finest = _merge_partials(spark.read.parquet(path), keys, measures)
+    merge_measures = {c: ("sum" if fn == "count" else fn)
+                      for c, fn in measures.items()}
+    return hierarchical_time_rollup(finest, "bucket", keys,
+                                    merge_measures, levels=levels)

@@ -4,6 +4,8 @@ restarts."""
 
 import os
 import shutil
+
+import pandas as pd
 import uuid
 
 import pytest
@@ -819,3 +821,43 @@ def test_stream_neardup_portable_hash_matches_oracle_twin(spark, sf_dir,
     want = {(r.id1, r.id2, r.est_sim)
             for r in qs_neardup_pairs_portable(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_continuous_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch-maintained continuous aggregate must converge
+    to exactly the batch hierarchical rollup: split the fact into 3
+    file micro-batches, maintain hour partials with per-batch
+    replace + compaction, then serve hour/day/week from the snapshot
+    (no fact rescan) and compare with one-shot batch aggregation —
+    including a checkpoint-recovery replay of the final batch."""
+    from social_media_ai_engineering_etl_spark.operators.scale import (
+        hierarchical_time_rollup)
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        read_continuous_rollup, rollup_merge_sink)
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        load_events)
+
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", "ts", F.lit(1).alias("n"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    measures = {"n": "count", "cents": "sum"}
+    out = str(tmp_path / "rollup")
+    sink = rollup_merge_sink(out, "ts", ["event_type"], measures)
+
+    # three deterministic micro-batches (by event week-of-month slice)
+    batches = [ev.filter(F.dayofmonth("ts") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    sink(batches[2], 2)  # replay of the last batch must not double-sum
+
+    got = read_continuous_rollup(spark, out, ["event_type"], measures) \
+        .toPandas().sort_values(["level", "event_type", "bucket"]) \
+        .reset_index(drop=True)
+    want = hierarchical_time_rollup(ev, "ts", ["event_type"], measures,
+                                    levels=("hour", "day", "week")) \
+        .toPandas().sort_values(["level", "event_type", "bucket"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # stored snapshot stays O(groups): one base row + last batch's rows
+    stored = spark.read.parquet(out)
+    assert stored.select("__batch_id").distinct().count() <= 2
