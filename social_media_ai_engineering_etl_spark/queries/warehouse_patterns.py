@@ -644,3 +644,72 @@ def qx_zorder_layout(spark, sf_dir):
         F.col("min_v_bucket").cast("long"),
         F.col("max_v_bucket").cast("long"))
         .toDF(*cols).orderBy("cell"))
+
+
+@register("qx_audience_overlap", oracle="""
+WITH du AS (
+    SELECT date_trunc('day', ts) AS d, user_id,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(sum(c) AS BIGINT) AS n_click_users,
+       CAST(sum(p) AS BIGINT) AS n_purchase_users,
+       CAST(sum(c * p) AS BIGINT) AS n_both,
+       CAST(sum(c * p) * 1000000 //
+            (sum(c) + sum(p) - sum(c * p)) AS BIGINT) AS jaccard_ppm
+FROM du GROUP BY d ORDER BY day
+""")
+def qx_audience_overlap(spark, sf_dir):
+    """Daily audience overlap (click-cohort vs purchase-cohort):
+    distinct users per side, the exact intersection, and integer-ppm
+    Jaccard.  One pass to per-(day, user) flags, one day rollup — two
+    keyed shuffles, no self-join of the fact.  The 100 TB twin is
+    qx_audience_overlap_hll (sketch inclusion-exclusion, KB per
+    day)."""
+    du = (_events(spark, sf_dir)
+          .groupBy(F.date_trunc("day", "ts").alias("d"), "user_id")
+          .agg(F.max(F.when(F.col("event_type") == "click", 1)
+                     .otherwise(0)).alias("c"),
+               F.max(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("p")))
+    return (du.groupBy("d")
+            .agg(F.sum("c").alias("n_click_users"),
+                 F.sum("p").alias("n_purchase_users"),
+                 F.sum(F.col("c") * F.col("p")).alias("n_both"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("n_click_users").cast("long"),
+                    F.col("n_purchase_users").cast("long"),
+                    F.col("n_both").cast("long"),
+                    F.expr("n_both * 1000000 DIV (n_click_users "
+                           "+ n_purchase_users - n_both)").cast("long")
+                    .alias("jaccard_ppm"))
+            .orderBy("day"))
+
+
+@register("qx_audience_overlap_hll")
+def qx_audience_overlap_hll(spark, sf_dir):
+    """Sketch twin of qx_audience_overlap: per-day HLL sketches of
+    each cohort, intersection by inclusion-exclusion
+    (|A| + |B| - |A u B|) with the union estimated from merged
+    sketches — per-day state is two KB-sized sketches however many
+    users exist, and sketches from different days/segments re-merge
+    (the cross-segment rollup exact distinct cannot do).  Estimate
+    accuracy vs exact is pinned in tests/test_analytics.py."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", "ts").alias("d")
+    c = (ev.filter(F.col("event_type") == "click")
+         .groupBy(day).agg(F.hll_sketch_agg("user_id").alias("sk_c")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy(day).agg(F.hll_sketch_agg("user_id").alias("sk_p")))
+    j = c.join(p, "d")
+    est_c = F.hll_sketch_estimate("sk_c")
+    est_p = F.hll_sketch_estimate("sk_p")
+    est_u = F.hll_sketch_estimate(
+        F.expr("hll_union(sk_c, sk_p)"))
+    return (j.select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                     est_c.alias("est_click_users"),
+                     est_p.alias("est_purchase_users"),
+                     (est_c + est_p - est_u).alias("est_both"))
+            .orderBy("day"))

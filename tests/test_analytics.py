@@ -163,3 +163,20 @@ def test_tier_counts_sketch_tracks_exact(spark, sf_dir):
     for tier, n in exact.items():
         assert abs(approx[tier] - n) <= max(2, 0.02 * n), (tier, n,
                                                           approx[tier])
+
+
+def test_audience_overlap_hll_tracks_exact(spark, sf_dir):
+    """Inclusion-exclusion over HLL sketches must track the exact
+    daily intersection: near-exact in sparse mode at fixture scale,
+    bounded relative error as cohorts grow."""
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+    exact = {r["day"]: r["n_both"]
+             for r in QUERIES["qx_audience_overlap"](spark, sf_dir)
+             .collect()}
+    est = {r["day"]: r["est_both"]
+           for r in QUERIES["qx_audience_overlap_hll"](spark, sf_dir)
+           .collect()}
+    assert set(est) <= set(exact) and len(est) > 0
+    for day, e in est.items():
+        x = exact[day]
+        assert abs(e - x) <= max(2, 0.2 * x), (day, e, x)
