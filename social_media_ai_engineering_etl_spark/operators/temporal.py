@@ -60,11 +60,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     payload = [c for c in right.columns if c not in on]
     if right_ts not in payload:
         raise ValueError(f"right_ts {right_ts!r} must be a right column")
+    reserved = {"__ts", "__rank", "__tie", "__rpay", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"reserved column names in input: {sorted(clash)}")
+    out_clash = {f"{prefix}{p}" for p in payload} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"prefixed right columns collide with left: {sorted(out_clash)}")
 
     # Equal-timestamp ordering: inclusive -> right sorts before left
     # (visible); strict -> right sorts after left (invisible).
     r_rank = _LEFT_RANK - 1 if allow_exact_matches else _LEFT_RANK + 1
-    rt = right.filter(F.lit(True))
+    rt = right
     for k in on:
         rt = rt.filter(F.col(k).isNotNull())
     rt = rt.select(

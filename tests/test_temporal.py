@@ -98,3 +98,13 @@ def test_asof_plan_single_key_shuffle_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_asof_rejects_colliding_column_names(spark):
+    lt, rt = _frames(seed=1, n_left=5, n_right=5)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(spark.createDataFrame(lt.rename(columns={"lval": "m_pay"})),
+                  spark.createDataFrame(rt), on=["k"], prefix="m_")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(spark.createDataFrame(lt.rename(columns={"lval": "__ts"})),
+                  spark.createDataFrame(rt), on=["k"])
