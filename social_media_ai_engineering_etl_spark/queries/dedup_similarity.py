@@ -626,6 +626,37 @@ def qmm_media_features(spark, sf_dir):
             .orderBy("media_type"))
 
 
+@register("qmm_media_dedup", oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS content_md5,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM corpus GROUP BY md5(text) ORDER BY keep_doc_id
+""")
+def qmm_media_dedup(spark, sf_dir):
+    """Binary-payload exact dedup — the media-pipeline staple (hash
+    the opaque bytes, keep one representative per digest, count
+    copies).  The fixture doubles the corpus with shifted ids so every
+    payload has exactly one duplicate; md5 runs over the BINARY
+    content column (the oracle hashes the identical utf-8 bytes).
+    One digest shuffle with map-side partial agg — the same 100 TB
+    shape as text exact dedup, indifferent to payload size because
+    only the 16-byte digest shuffles after the local hash."""
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    media = mm.attach_fake_media(corpus)
+    return (media.groupBy(F.md5(F.col("content")).alias("content_md5"))
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .orderBy("keep_doc_id"))
+
+
 @register("qx_similarity_topk_ivf")
 def qx_similarity_topk_ivf(spark, sf_dir):
     """IVF-partitioned approximate top-5 (KMeans cells + n_probe=6
