@@ -44,9 +44,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
       matches farther than it are nulled out, left rows kept.
     * ``allow_exact_matches=False``: strict inequality (a right row at
       exactly the left timestamp does not match).
-    * ``right_tiebreak``: right column breaking equal-timestamp ties
-      deterministically (the greatest wins, matching a
-      ``max(tiebreak) GROUP BY key, ts`` pre-dedup).
+    * ``right_tiebreak``: NUMERIC right column breaking
+      equal-timestamp ties deterministically (cast to long; backward
+      takes the greatest, forward the least — exactly pandas
+      merge_asof over a right side pre-sorted by (ts, tiebreak)).
     * Right payload columns come back ``prefix``-renamed; the matched
       right timestamp is ``<prefix><right_ts>``.  Right rows with a
       NULL key are dropped (equi-join semantics: NULL matches
