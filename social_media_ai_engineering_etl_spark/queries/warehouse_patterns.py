@@ -713,3 +713,37 @@ def qx_audience_overlap_hll(spark, sf_dir):
                      est_p.alias("est_purchase_users"),
                      (est_c + est_p - est_u).alias("est_both"))
             .orderBy("day"))
+
+
+@register("qx_key_skew_profile", oracle="""
+WITH pk AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+tot AS (SELECT sum(c) AS total, max(c) AS top1,
+               count(*) AS n_keys FROM pk)
+SELECT CAST(c AS BIGINT) AS events_per_key,
+       count(*) AS n_keys,
+       CAST((SELECT n_keys FROM tot) AS BIGINT) AS total_keys,
+       CAST((SELECT top1 FROM tot) * 1000000 //
+            (SELECT total FROM tot) AS BIGINT) AS top1_share_ppm
+FROM pk GROUP BY c ORDER BY events_per_key
+""")
+def qx_key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew profile: the count-of-counts histogram
+    (how many keys carry k rows) plus the hottest key's integer-ppm
+    share of the fact — the diagnostic that decides whether a join or
+    window needs salting (scale.salted_aggregate) or AQE skew-join
+    can absorb it.  Two tiny aggregations over the per-key grain; the
+    heavy fact collapses at the first map-side-combined groupBy."""
+    pk = (_events(spark, sf_dir).groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .persist())  # feeds both branches; released at query boundary
+    tot = pk.agg(F.sum("c").alias("total"), F.max("c").alias("top1"),
+                 F.count(F.lit(1)).alias("n_keys"))
+    return (pk.groupBy(F.col("c").alias("events_per_key"))
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .join(F.broadcast(tot.select(
+                F.col("n_keys").alias("total_keys"),
+                F.expr("top1 * 1000000 DIV total").alias("top1_share_ppm"))))
+            .select("events_per_key", "n_keys",
+                    F.col("total_keys").cast("long"),
+                    F.col("top1_share_ppm").cast("long"))
+            .orderBy("events_per_key"))
