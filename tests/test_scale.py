@@ -160,7 +160,7 @@ def test_twenty_query_session_leaks_no_cached_blocks(spark, sf_dir):
     from social_media_ai_engineering_etl_spark.registry import QUERIES
 
     # mix of persist-using families: dedup, similarity, graph, ntile,
-    # sampling, curation, continuous aggregate — 22 distinct queries
+    # sampling, curation, continuous aggregate — 23 distinct queries
     names = [
         "q01_tier_counts", "q05_balance_counts", "q17_author_words",
         "q23_split_counts", "qb4_prefer_downsample", "qe2e_training_mix",
@@ -170,8 +170,9 @@ def test_twenty_query_session_leaks_no_cached_blocks(spark, sf_dir):
         "qx_embedding_dedup_pairs", "qx_copurchase_pairs",
         "qx_pagerank_suppliers", "qx_corpus_stats", "qx_heavy_hitters",
         "qx_hierarchical_rollup", "qx_asof_last_click",
+        "qx_key_skew_profile",
     ]
-    assert len(names) == 22 and all(n in QUERIES for n in names)
+    assert len(names) == 23 and all(n in QUERIES for n in names)
     for n in names:
         spark.catalog.clearCache()
         QUERIES[n](spark, sf_dir).limit(5).collect()
