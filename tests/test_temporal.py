@@ -108,3 +108,29 @@ def test_asof_rejects_colliding_column_names(spark):
     with pytest.raises(ValueError, match="reserved"):
         asof_join(spark.createDataFrame(lt.rename(columns={"lval": "__ts"})),
                   spark.createDataFrame(rt), on=["k"])
+
+
+def test_asof_composite_keys_match_pandas(spark):
+    """Multi-column `on` keys partition jointly, matching merge_asof
+    with a composite `by`."""
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-03-01")
+    lt = pd.DataFrame({
+        "k1": rng.integers(0, 3, 300), "k2": rng.integers(0, 4, 300),
+        "ts": base + pd.to_timedelta(rng.integers(0, 400, 300), "s"),
+        "lval": np.arange(300)})
+    rt = pd.DataFrame({
+        "k1": rng.integers(0, 3, 200), "k2": rng.integers(0, 4, 200),
+        "ts": base + pd.to_timedelta(rng.integers(0, 400, 200), "s"),
+        "tie": np.arange(200), "pay": rng.integers(0, 99, 200)})
+    got = asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                    on=["k1", "k2"], right_tiebreak="tie", prefix="m_") \
+        .toPandas().sort_values("lval").reset_index(drop=True)
+    want = pd.merge_asof(
+        lt.sort_values("ts", kind="mergesort"),
+        rt.sort_values(["ts", "tie"], kind="mergesort"),
+        on="ts", by=["k1", "k2"], direction="backward",
+        suffixes=("", "_r")).sort_values("lval").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["m_pay"].astype("Float64"), want["pay"].astype("Float64"),
+        check_names=False)
