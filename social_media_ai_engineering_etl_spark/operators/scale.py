@@ -278,3 +278,32 @@ def hierarchical_time_rollup(df: DataFrame, ts_col: str,
         out = out.unionByName(cur.withColumn("level", F.lit(lv)))
         prev = cur
     return out
+
+
+def hierarchical_distinct_rollup(df: DataFrame, ts_col: str,
+                                 keys: list[str], distinct_col: str,
+                                 levels: tuple[str, ...] = ("hour", "day",
+                                                            "week"),
+                                 lg_k: int = 12) -> DataFrame:
+    """The sketch twin of :func:`hierarchical_time_rollup` for the one
+    measure algebraic partials cannot carry: COUNT(DISTINCT).  Finest
+    buckets aggregate an HLL sketch of ``distinct_col`` once from the
+    fact; every coarser level merges the previous level's sketches
+    (``hll_union_agg``) — distinct users per hour/day/week from ONE
+    fact scan, with KB-sized mergeable state per bucket (the exact
+    rollup would need a re-scan per granularity because distinct does
+    not re-aggregate).  Returns level, keys, bucket, estimate."""
+    finest = (df.groupBy(
+        *keys, F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"))
+        .agg(F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sk"))
+        .persist())
+    out = finest.withColumn("level", F.lit(levels[0]))
+    prev = finest
+    for lv in levels[1:]:
+        cur = (prev.groupBy(*keys,
+                            F.date_trunc(lv, F.col("bucket")).alias("bucket"))
+               .agg(F.hll_union_agg("sk").alias("sk")))
+        out = out.unionByName(cur.withColumn("level", F.lit(lv)))
+        prev = cur
+    return out.select("level", *keys, "bucket",
+                      F.hll_sketch_estimate("sk").alias("est_distinct"))

@@ -747,3 +747,20 @@ def qx_key_skew_profile(spark, sf_dir):
                     F.col("total_keys").cast("long"),
                     F.col("top1_share_ppm").cast("long"))
             .orderBy("events_per_key"))
+
+
+@register("qx_hierarchical_dau")
+def qx_hierarchical_dau(spark, sf_dir):
+    """Distinct active users per hour/day/week from ONE fact scan:
+    hour-level HLL sketches union upward through the hierarchy
+    (scale.hierarchical_distinct_rollup) — the measure the algebraic
+    continuous aggregate cannot carry, and the reason warehouse
+    rollup stacks store sketch columns.  Accuracy vs the exact
+    three-scan rollup is pinned in tests/test_analytics.py."""
+    from ..operators import scale
+    ev = _events(spark, sf_dir).select("ts", "user_id")
+    out = scale.hierarchical_distinct_rollup(ev, "ts", [], "user_id")
+    return (out.select(
+        "level", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket"), "est_distinct")
+        .orderBy("level", "bucket"))

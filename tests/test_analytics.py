@@ -180,3 +180,24 @@ def test_audience_overlap_hll_tracks_exact(spark, sf_dir):
     for day, e in est.items():
         x = exact[day]
         assert abs(e - x) <= max(2, 0.2 * x), (day, e, x)
+
+
+def test_hierarchical_dau_tracks_exact_at_every_level(spark, sf_dir):
+    """Sketch-union hierarchy must track exact distinct counts at
+    every granularity (near-exact in sparse mode at fixture scale)."""
+    import os as _os
+    from pyspark.sql import functions as F
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+    ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    est = {(r["level"], r["bucket"]): r["est_distinct"]
+           for r in QUERIES["qx_hierarchical_dau"](spark, sf_dir).collect()}
+    assert est
+    for lv in ("hour", "day", "week"):
+        exact = {r["bucket"]: r["n"] for r in
+                 ev.groupBy(F.date_format(
+                     F.date_trunc(lv, "ts"),
+                     "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        for b, x in exact.items():
+            e = est[(lv, b)]
+            assert abs(e - x) <= max(2, 0.1 * x), (lv, b, e, x)
