@@ -861,3 +861,58 @@ def test_streaming_continuous_rollup_matches_batch(spark, sf_dir, tmp_path):
     # stored snapshot stays O(groups): one base row + last batch's rows
     stored = spark.read.parquet(out)
     assert stored.select("__batch_id").distinct().count() <= 2
+
+
+def test_continuous_rollup_stream_restart_recovers(spark, sf_dir, tmp_path):
+    """The continuous aggregate driven by a REAL checkpointed file
+    stream: phase 1 streams part of the fact, the query stops, phase 2
+    adds files and restarts from the checkpoint — the maintained
+    snapshot must equal the batch rollup over everything, with no
+    double-count from the restart boundary."""
+    from social_media_ai_engineering_etl_spark.operators.scale import (
+        hierarchical_time_rollup)
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        read_continuous_rollup, rollup_merge_sink)
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        load_events, stream_events)
+
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    src = str(tmp_path / "cr_src")
+    ckpt = str(tmp_path / "cr_ckpt")
+    out = str(tmp_path / "cr_tbl")
+    os.makedirs(src)
+
+    def write_phase(df, fname):
+        tmp = str(tmp_path / ("cr_stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    measures = {"n": "count", "cents": "sum"}
+
+    def run():
+        stream = stream_events(spark, src).select(
+            "event_type", "ts", F.lit(1).alias("n"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"))
+        q = (stream.writeStream
+             .foreachBatch(rollup_merge_sink(out, "ts", ["event_type"],
+                                             measures))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_phase(ev.filter(F.dayofmonth("ts") <= 15), "p1.parquet")
+    run()
+    write_phase(ev.filter(F.dayofmonth("ts") > 15), "p2.parquet")
+    run()
+
+    eb = ev.select("event_type", "ts", F.lit(1).alias("n"),
+                   F.round(F.col("value") * 100).cast("long").alias("cents"))
+    got = read_continuous_rollup(spark, out, ["event_type"], measures) \
+        .toPandas().sort_values(["level", "event_type", "bucket"]) \
+        .reset_index(drop=True)
+    want = hierarchical_time_rollup(eb, "ts", ["event_type"], measures,
+                                    levels=("hour", "day", "week")) \
+        .toPandas().sort_values(["level", "event_type", "bucket"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
