@@ -209,3 +209,30 @@ def test_zorder_prunes_minor_dimension_linear_sort_cannot(spark):
 
     assert lin_touched == len(lin)          # linear sort: full scan
     assert z_touched <= len(zcells) // 2, (z_touched, len(zcells))
+
+
+def test_zorder_key_spark_equals_sql_twin(spark):
+    """zorder_key (native shifts) and zorder_key_sql (the oracle's
+    unrolled // % arithmetic) must agree bit-for-bit on random buckets
+    including the 0 and 2^bits-1 boundaries."""
+    import numpy as np
+    from social_media_ai_engineering_etl_spark.operators.layout import (
+        zorder_key, zorder_key_sql)
+    rng = np.random.default_rng(23)
+    rows = [(0, 0), (255, 255), (0, 255), (255, 0)] + \
+        [(int(a), int(b)) for a, b in
+         zip(rng.integers(0, 256, 500), rng.integers(0, 256, 500))]
+    import duckdb
+    import pandas as pd
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = (df.select("a", "b",
+                     zorder_key([F.col("a"), F.col("b")], bits=8)
+                     .alias("zk"))
+           .toPandas().sort_values(["a", "b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["a", "b"]))
+    want = con.execute(
+        f"SELECT a, b, {zorder_key_sql(['a', 'b'], bits=8)} AS zk "
+        "FROM t ORDER BY a, b").fetchdf().reset_index(drop=True)
+    assert (got["zk"].astype("int64").values
+            == want["zk"].astype("int64").values).all()
