@@ -510,3 +510,38 @@ def mixture_temperature(df: DataFrame, domain_col: str,
                     "n_keep",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept")))
+
+
+def length_bucket_batches(df: DataFrame, id_col: str,
+                          token_count_col: Column, batch_size: int = 8,
+                          bucket_step: int = 16) -> DataFrame:
+    """Length-grouped batch planning (the dataloader-side complement
+    of sequence packing): documents bucket by rounded-up token count,
+    order deterministically by hash inside each bucket, and chop into
+    fixed-size batches.  Per-batch padding waste is the padded volume
+    (batch rows x batch max length) minus real tokens — the number a
+    random-order loader pays ~the corpus length variance for, and
+    length-grouping shrinks toward zero.
+
+    Shape: one shuffle on the bucket key, a rank window, integer
+    arithmetic throughout (oracle-exact).  At 100 TB the buckets are
+    the parallel unit; batch ids are deterministic (bucket, rank DIV
+    batch_size), so re-runs produce identical batch membership."""
+    from pyspark.sql import Window
+    n = token_count_col.cast("long")
+    bucket = (F.ceil(n / F.lit(bucket_step)) * bucket_step).cast("long")
+    d = df.select(F.col(id_col).alias("doc_id"), n.alias("n_tokens"),
+                  bucket.alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.xxhash64(F.col("doc_id")), F.col("doc_id"))
+    d = d.withColumn("batch_idx",
+                     ((F.row_number().over(w) - 1) / batch_size)
+                     .cast("long"))
+    return (d.groupBy("bucket", "batch_idx")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("real_tokens"),
+                 F.max("n_tokens").alias("max_tokens"))
+            .withColumn("padded_tokens",
+                        F.col("n_docs") * F.col("max_tokens"))
+            .withColumn("padding_waste",
+                        F.col("padded_tokens") - F.col("real_tokens")))

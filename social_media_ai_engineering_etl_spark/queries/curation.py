@@ -580,3 +580,54 @@ def qx_readability(spark, sf_dir):
          .when(score >= 50000, "standard")
          .otherwise("difficult").alias("band"))
         .orderBy("doc_id"))
+
+
+@register("qx_length_bucket_batches", oracle=f"""
+WITH d AS (
+    SELECT doc_id, len({_WS}) AS n_tokens,
+           CAST(ceil(len({_WS}) / 16.0) * 16 AS BIGINT) AS bucket
+    FROM documents
+), r AS (
+    SELECT doc_id, n_tokens, bucket,
+           row_number() OVER (PARTITION BY bucket
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+    FROM d
+), b AS (
+    SELECT bucket, (rn - 1) // 8 AS batch_idx, n_tokens FROM r
+)
+SELECT bucket, CAST(batch_idx AS BIGINT) AS batch_idx,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+           AS padding_waste
+FROM b GROUP BY bucket, batch_idx ORDER BY bucket, batch_idx
+""")
+def qx_length_bucket_batches(spark, sf_dir):
+    """Length-grouped batch plan over the documents corpus
+    (curation.length_bucket_batches with a PORTABLE md5 in-bucket
+    order, since the oracle cannot evaluate xxhash64): per-batch real
+    vs padded token volume and the padding waste length-grouping
+    eliminates.  Integer arithmetic end to end."""
+    from pyspark.sql import Window
+    ws = F.split(F.trim(F.col("text")), " ")
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.size(ws).cast("long").alias("n_tokens")))
+    d = d.withColumn(
+        "bucket", (F.ceil(F.col("n_tokens") / F.lit(16.0)) * 16)
+        .cast("long"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    b = d.withColumn("batch_idx",
+                     ((F.row_number().over(w) - 1) / 8).cast("long"))
+    return (b.groupBy("bucket", "batch_idx")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("real_tokens"),
+                 F.max("n_tokens").alias("max_tokens"))
+            .withColumn("padded_tokens",
+                        F.col("n_docs") * F.col("max_tokens"))
+            .withColumn("padding_waste",
+                        F.col("padded_tokens") - F.col("real_tokens"))
+            .orderBy("bucket", "batch_idx"))

@@ -456,3 +456,32 @@ def test_mixture_temperature_flattens_shares(spark):
     for d in plan.index:
         kept_ppm = plan.loc[d, "n_kept"] * 1_000_000 / kept_total
         assert abs(kept_ppm - plan.loc[d, "target_ppm"]) < 25_000, d
+
+
+def test_length_bucket_batches_beat_random_batching(spark):
+    """The point of length-grouping: padded volume must be well below
+    what hash-random batches pay on a length-varied corpus, and every
+    document lands in exactly one batch."""
+    from pyspark.sql import Window
+    from social_media_ai_engineering_etl_spark.operators.curation import (
+        length_bucket_batches)
+    import numpy as np
+    rng = np.random.default_rng(5)
+    lens = np.concatenate([rng.integers(5, 40, 400),
+                           rng.integers(200, 400, 100)])
+    df = spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(lens)], ["doc_id", "n"])
+    plan = length_bucket_batches(df, "doc_id", F.col("n"),
+                                 batch_size=8, bucket_step=16).toPandas()
+    assert plan["n_docs"].sum() == 500
+    grouped_waste = plan["padding_waste"].sum()
+    # random batching: same batch size, hash order ignoring length
+    w = Window.orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id"))
+    rand = (df.withColumn("b", ((F.row_number().over(w) - 1) / 8)
+                          .cast("long"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("k"),
+                              F.sum("n").alias("real"),
+                              F.max("n").alias("mx"))
+            .toPandas())
+    random_waste = (rand["k"] * rand["mx"] - rand["real"]).sum()
+    assert grouped_waste * 4 < random_waste, (grouped_waste, random_waste)
