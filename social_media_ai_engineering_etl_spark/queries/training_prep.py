@@ -123,3 +123,42 @@ def q25_chat_template(spark, sf_dir):
     wrapped = neg.chat_template_wrap(F.col("prompt"), F.col("completion"))
     return kept.select("doc_id",
                        F.md5(wrapped.cast("binary")).alias("text_md5"))
+
+
+@register("qx_epoch_shards", oracle="""
+WITH e AS (
+    SELECT doc_id, u.epoch
+    FROM documents, unnest([0, 1, 2]) AS u(epoch)
+), s AS (
+    SELECT epoch,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR),
+                           1, 8))::BIGINT % 8 AS shard
+    FROM e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       count(*) AS n_docs
+FROM s GROUP BY epoch, shard ORDER BY epoch, shard
+""")
+def qx_epoch_shards(spark, sf_dir):
+    """Deterministic multi-epoch resharding for a training dataloader:
+    shard(doc, epoch) is a pure function of the portable md5 hash of
+    (doc_id, epoch) — every worker recomputes its own shard list with
+    no coordination, assignments are append/reshard-stable within an
+    epoch and decorrelated ACROSS epochs (each epoch is an
+    independent permutation; pinned in tests/test_sampling_extras).
+    Narrow 3-way fan-out + one count per (epoch, shard)."""
+    import os as _os
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+        .alias("epoch"))
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                   F.col("epoch").cast("string"))
+    shard = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+             .cast("long") % 8)
+    return (e.select(F.col("epoch").cast("long"),
+                     shard.alias("shard"))
+            .groupBy("epoch", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("epoch", "shard"))

@@ -115,3 +115,28 @@ def test_validation_check_and_gate_null_semantics(spark):
     assert kept == {1}                         # rows 1 and 5 share k=1...
     n_kept = validation.gate(df, rules).count()
     assert n_kept == 2                         # ...and both pass scalar rules
+
+
+def test_epoch_shards_are_balanced_and_decorrelated(spark, sf_dir):
+    """Each epoch's shard assignment is near-uniform, and consecutive
+    epochs agree on a doc's shard only at the chance rate (~1/8) —
+    i.e. every epoch is an independent permutation, the property a
+    naive shard = hash(doc) % k loses (identical order each epoch)."""
+    import os
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    n = docs.count()
+
+    def shard(epoch):
+        key = F.concat(F.col("doc_id").cast("string"),
+                       F.lit(f":{epoch}"))
+        return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+                .cast("long") % 8)
+    d = docs.select("doc_id", shard(0).alias("s0"), shard(1).alias("s1"))
+    counts = [r["c"] for r in
+              d.groupBy("s0").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert len(counts) == 8
+    assert max(counts) - min(counts) < 0.5 * n / 8 + 10
+    same = d.filter(F.col("s0") == F.col("s1")).count()
+    assert abs(same - n / 8) < 0.6 * n / 8 + 10, same
