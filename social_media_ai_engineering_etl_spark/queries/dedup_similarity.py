@@ -1175,3 +1175,65 @@ def qx_similarity_topk_ivfpq(spark, sf_dir):
     return similarity.cosine_topk_ivfpq(emb, queries, "vec_id", "embedding",
                                         k=5, n_probe=6
                                         ).orderBy("query_id", "rank")
+
+
+_HARDNEG_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.corpus_id,
+           list_dot_product(c.cv, q.qv) /
+           (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+               AS cos
+    FROM c JOIN q ON c.corpus_id <> q.query_id
+), ranked AS (
+    SELECT query_id, corpus_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, corpus_id) AS rank
+    FROM scored
+), banded AS (
+    -- band and re-rank on the ROUNDED cosine: the Spark side filters
+    -- the operator's 6-rounded output, so boundary and tie decisions
+    -- must bind to the same value on both engines
+    SELECT query_id, corpus_id, round(cos, 6) AS cos6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cos, 6) DESC, corpus_id)
+               AS neg_rank
+    FROM ranked
+    WHERE rank >= 2 AND rank <= 10
+      AND round(cos, 6) < 0.95 AND round(cos, 6) >= 0.30
+)
+SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, corpus_id,
+       cos6 AS cosine_sim
+FROM banded WHERE neg_rank <= 4 ORDER BY query_id, neg_rank
+"""
+
+
+@register("qx_hard_negatives", oracle=_HARDNEG_SQL)
+def qx_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval/embedding training: for
+    each query, the nearest non-self neighbours in the similarity
+    band [0.30, 0.95) — close enough to be hard, capped to exclude
+    likely unlabeled positives (the standard dense-retrieval negative
+    recipe), top-4 per query.  Runs on the distributed GEMM top-10
+    then band-filters and re-ranks; the cosine boundary decisions are
+    the same IEEE expressions the oracle evaluates, the contract all
+    the similarity oracles already rest on."""
+    from pyspark.sql import Window
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    top = similarity.cosine_topk_gemm(emb, queries, "vec_id",
+                                      "embedding", k=10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    banded = (top.filter((F.col("rank") >= 2)
+                         & (F.col("cosine_sim") < 0.95)
+                         & (F.col("cosine_sim") >= 0.30))
+              .withColumn("neg_rank", F.row_number().over(w))
+              .filter(F.col("neg_rank") <= 4))
+    return (banded.select("query_id",
+                          F.col("neg_rank").cast("long"),
+                          "corpus_id",
+                          F.round("cosine_sim", 6).alias("cosine_sim"))
+            .orderBy("query_id", "neg_rank"))
