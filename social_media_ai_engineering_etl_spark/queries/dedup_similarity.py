@@ -1237,3 +1237,35 @@ def qx_hard_negatives(spark, sf_dir):
                           "corpus_id",
                           F.round("cosine_sim", 6).alias("cosine_sim"))
             .orderBy("query_id", "neg_rank"))
+
+
+@register("qx_bpe_pair_counts", oracle="""
+WITH w AS (
+    SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+    FROM documents
+), p AS (
+    SELECT substr(word, u.i, 2) AS pair
+    FROM w, unnest(range(1, len(word))) AS u(i)
+    WHERE len(word) >= 2
+)
+SELECT pair, count(*) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+""")
+def qx_bpe_pair_counts(spark, sf_dir):
+    """Vocabulary induction, step one: corpus-wide adjacent
+    character-pair frequencies over lowercased words — exactly the
+    statistic a BPE trainer maximizes per merge round.  Every word
+    OCCURRENCE contributes (true BPE weighting), the pair explode is
+    a narrow map, and the count collapses map-side before one shuffle
+    on the pair key; at 100 TB each merge round is one such pass over
+    the (word, count) table rather than raw text.  Top-20 with a
+    deterministic (count, pair) order."""
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                       " ")).alias("word"))
+             .filter(F.length("word") >= 2))
+    pairs = words.select(F.explode(F.expr(
+        "transform(sequence(1, length(word) - 1), "
+        "i -> substring(word, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "pair").limit(20))
