@@ -631,3 +631,52 @@ def qx_length_bucket_batches(spark, sf_dir):
             .withColumn("padding_waste",
                         F.col("padded_tokens") - F.col("real_tokens"))
             .orderBy("bucket", "batch_idx"))
+
+
+@register("qx_dataset_datasheet", oracle=f"""
+WITH m AS (
+    SELECT doc_id, lang, source, n_chars,
+           len({_WS}) AS n_tokens,
+           md5(lower(trim(text))) AS norm_key,
+           CASE WHEN len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) > 0
+                THEN 1 ELSE 0 END AS has_email
+    FROM documents
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT norm_key) AS n_unique_texts,
+       CAST((count(*) - count(DISTINCT norm_key)) * 1000000
+            // count(*) AS BIGINT) AS dup_doc_ppm,
+       CAST(sum(has_email) AS BIGINT) AS email_docs
+FROM m
+""")
+def qx_dataset_datasheet(spark, sf_dir):
+    """One-row dataset datasheet — the corpus card a training run is
+    stamped with: volume (docs/tokens/chars), provenance breadth
+    (langs/sources), normalized exact-duplicate rate in integer ppm,
+    and PII exposure (docs containing an email).  One pass, a handful
+    of map-side-combined aggregates; every number integer-typed so the
+    card is bit-stable across engines."""
+    t = F.col("text")
+    m = _docs(spark, sf_dir).select(
+        "lang", "source", "n_chars",
+        F.size(F.split(F.trim(t), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.lower(F.trim(t)).cast("binary")).alias("norm_key"),
+        F.when(F.size(F.expr(
+            r"regexp_extract_all(text, "
+            r"'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', 0)"))
+            > 0, 1).otherwise(0).alias("has_email"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("norm_key").alias("n_unique_texts"),
+        F.expr("(count(1) - count(DISTINCT norm_key)) * 1000000 "
+               "DIV count(1)").alias("dup_doc_ppm"),
+        F.sum("has_email").cast("long").alias("email_docs"))
