@@ -162,3 +162,75 @@ def qx_epoch_shards(spark, sf_dir):
             .groupBy("epoch", "shard")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("epoch", "shard"))
+
+
+@register("qx_best_of_n", oracle="""
+WITH cand AS (
+    SELECT doc_id, u.k,
+           substr(text, 1, CAST(ceil(len(text) * u.k / 4.0) AS BIGINT))
+               AS cand
+    FROM documents, unnest([1, 2, 3, 4]) AS u(k)
+), scored AS (
+    SELECT doc_id, k,
+           100000
+           - 100 * abs(len(string_split(trim(cand), ' ')) - 80)
+           - 3000 * greatest(0,
+                 len(regexp_extract_all(cand, '#[A-Za-z0-9_]+')) - 3)
+               AS score
+    FROM cand
+), ranked AS (
+    SELECT doc_id, k, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, k) AS rn
+    FROM scored
+)
+SELECT b.doc_id, CAST(b.k AS BIGINT) AS best_k,
+       CAST(b.score AS BIGINT) AS best_score,
+       CAST(b.score - s.score AS BIGINT) AS margin
+FROM ranked b JOIN ranked s
+  ON b.doc_id = s.doc_id AND b.rn = 1 AND s.rn = 2
+ORDER BY b.doc_id
+""")
+def qx_best_of_n(spark, sf_dir):
+    """Rejection sampling (best-of-n selection): four deterministic
+    candidate completions per document (prefix stretches, the q02
+    fixture idiom), an all-integer score (closeness to an 80-token
+    target minus a hashtag-excess penalty — a stand-in for the R19
+    aggregate with bit-stable arithmetic), argmax per document with a
+    deterministic tie-break, and the winner's MARGIN over the
+    runner-up — the filtering signal an RLHF pipeline thresholds on.
+    Narrow 4x fan-out, one doc-key window; no shuffle of raw text
+    beyond the doc key."""
+    import os as _os
+    from pyspark.sql import Window
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    cand = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k"),
+        "text").withColumn(
+        "cand", F.expr("substr(text, 1, CAST(ceil(length(text) * k / 4.0)"
+                       " AS BIGINT))"))
+    scored = cand.select(
+        "doc_id", "k",
+        (F.lit(100000)
+         - 100 * F.abs(F.size(F.split(F.trim(F.col("cand")), " "))
+                       - F.lit(80))
+         - 3000 * F.greatest(F.lit(0),
+                             F.size(F.expr(
+                                 "regexp_extract_all(cand, "
+                                 "'#[A-Za-z0-9_]+', 0)")) - F.lit(3)))
+        .cast("long").alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("k"))
+    r = scored.withColumn("rn", F.row_number().over(w))
+    best = r.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("k").cast("long").alias("best_k"),
+        F.col("score").alias("best_score"))
+    second = r.filter(F.col("rn") == 2).select(
+        "doc_id", F.col("score").alias("second_score"))
+    return (best.join(second, "doc_id")
+            .select("doc_id", "best_k", "best_score",
+                    (F.col("best_score") - F.col("second_score"))
+                    .alias("margin"))
+            .orderBy("doc_id"))
