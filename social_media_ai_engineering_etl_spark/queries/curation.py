@@ -680,3 +680,40 @@ def qx_dataset_datasheet(spark, sf_dir):
         F.expr("(count(1) - count(DISTINCT norm_key)) * 1000000 "
                "DIV count(1)").alias("dup_doc_ppm"),
         F.sum("has_email").cast("long").alias("email_docs"))
+
+
+@register("qx_corpus_diversity", oracle=f"""
+WITH w AS (SELECT source, {_WS} AS ws FROM documents),
+g AS (
+    SELECT source,
+           ws[u.i] || ' ' || ws[u.i + 1] || ' ' || ws[u.i + 2] AS gram
+    FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
+    WHERE len(ws) >= 3
+)
+SELECT source,
+       count(*) AS total_3grams,
+       count(DISTINCT gram) AS distinct_3grams,
+       CAST(count(DISTINCT gram) * 1000000 // count(*) AS BIGINT)
+           AS diversity_ppm
+FROM g GROUP BY source ORDER BY source
+""")
+def qx_corpus_diversity(spark, sf_dir):
+    """Per-source corpus diversity: distinct vs total 3-gram volume in
+    integer ppm — the template-collapse detector (a source whose
+    documents are one boilerplate skeleton scores near its skeleton
+    size over its volume).  Complements the per-document repetition
+    filter with a corpus-level view; one explode + two map-side
+    combined aggregates on the source key."""
+    ws = F.split(F.trim(F.col("text")), " ")
+    d = (_docs(spark, sf_dir).select("source", ws.alias("ws"))
+         .filter(F.size("ws") >= 3))
+    g = d.select("source", F.explode(F.expr(
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")).alias("gram"))
+    return (g.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("total_3grams"),
+                 F.countDistinct("gram").alias("distinct_3grams"))
+            .withColumn("diversity_ppm",
+                        F.expr("distinct_3grams * 1000000 DIV "
+                               "total_3grams"))
+            .orderBy("source"))
