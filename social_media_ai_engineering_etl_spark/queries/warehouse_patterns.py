@@ -658,7 +658,8 @@ SELECT strftime(d, '%Y-%m-%d') AS day,
        CAST(sum(p) AS BIGINT) AS n_purchase_users,
        CAST(sum(c * p) AS BIGINT) AS n_both,
        CAST(sum(c * p) * 1000000 //
-            (sum(c) + sum(p) - sum(c * p)) AS BIGINT) AS jaccard_ppm
+            nullif(sum(c) + sum(p) - sum(c * p), 0) AS BIGINT)
+           AS jaccard_ppm
 FROM du GROUP BY d ORDER BY day
 """)
 def qx_audience_overlap(spark, sf_dir):
@@ -682,8 +683,8 @@ def qx_audience_overlap(spark, sf_dir):
                     F.col("n_click_users").cast("long"),
                     F.col("n_purchase_users").cast("long"),
                     F.col("n_both").cast("long"),
-                    F.expr("n_both * 1000000 DIV (n_click_users "
-                           "+ n_purchase_users - n_both)").cast("long")
+                    F.expr("n_both * 1000000 DIV nullif(n_click_users "
+                           "+ n_purchase_users - n_both, 0)").cast("long")
                     .alias("jaccard_ppm"))
             .orderBy("day"))
 
