@@ -490,7 +490,11 @@ def mixture_temperature(df: DataFrame, domain_col: str,
             .withColumn("target_ppm",
                         F.expr("w_isqrt * 1000000 DIV w_total"))
             .withColumn("b_cap",
-                        F.expr("n_docs * 1000000 DIV target_ppm")))
+                        # nullif: a domain rounding to 0 ppm (possible
+                        # only at extreme corpus scale) contributes no
+                        # budget cap instead of dividing by zero
+                        F.expr("n_docs * 1000000 DIV "
+                               "nullif(target_ppm, 0)")))
     budget = plan.agg(F.min("b_cap").alias("budget"))
     plan = (plan.join(F.broadcast(budget))
             .withColumn("n_keep",

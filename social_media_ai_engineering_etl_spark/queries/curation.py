@@ -513,7 +513,8 @@ p AS (SELECT domain, n_docs, w_isqrt,
              CAST(w_isqrt * 1000000 //
                   (SELECT sum(w_isqrt) FROM w) AS BIGINT) AS target_ppm
       FROM w),
-b AS (SELECT min(n_docs * 1000000 // target_ppm) AS budget FROM p)
+b AS (SELECT min(n_docs * 1000000 // nullif(target_ppm, 0)) AS budget
+      FROM p)
 SELECT domain, n_docs, w_isqrt, target_ppm,
        CAST((SELECT budget FROM b) * target_ppm // 1000000 AS BIGINT)
            AS n_keep,
@@ -650,7 +651,7 @@ SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        count(DISTINCT norm_key) AS n_unique_texts,
        CAST((count(*) - count(DISTINCT norm_key)) * 1000000
-            // count(*) AS BIGINT) AS dup_doc_ppm,
+            // nullif(count(*), 0) AS BIGINT) AS dup_doc_ppm,
        CAST(sum(has_email) AS BIGINT) AS email_docs
 FROM m
 """)
@@ -678,7 +679,7 @@ def qx_dataset_datasheet(spark, sf_dir):
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("norm_key").alias("n_unique_texts"),
         F.expr("(count(1) - count(DISTINCT norm_key)) * 1000000 "
-               "DIV count(1)").alias("dup_doc_ppm"),
+               "DIV nullif(count(1), 0)").alias("dup_doc_ppm"),
         F.sum("has_email").cast("long").alias("email_docs"))
 
 
