@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--out", default=None,
                       help="output path (default: print first 20 rows)")
     runp.add_argument("--format", default="parquet",
-                      choices=("parquet", "csv", "jsonl"))
+                      choices=("parquet", "csv", "jsonl", "orc"))
     runp.add_argument("--explain", action="store_true",
                       help="print the formatted physical plan")
     args = ap.parse_args(argv)
@@ -83,11 +83,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.explain:
         df.explain("formatted")
     if args.out:
-        from .sources.io import write_csv_with_parquet_mirror, write_jsonl
+        from .sources.io import (write_csv_with_parquet_mirror,
+                                 write_jsonl, write_orc)
         if args.format == "parquet":
             df.write.mode("overwrite").parquet(args.out)
         elif args.format == "csv":
             write_csv_with_parquet_mirror(df, args.out)
+        elif args.format == "orc":
+            write_orc(df, args.out)
         else:
             write_jsonl(df, args.out)
         print(f"wrote {args.out}")

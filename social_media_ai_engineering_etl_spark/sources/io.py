@@ -146,3 +146,14 @@ def write_partitioned_parquet(df: DataFrame, path: str,
     never touch the rest of the corpus. Low-cardinality keys only —
     one directory per value combination."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built into Spark, zero extra deps) — the columnar
+    alternative where the downstream warehouse is Hive/Trino-first;
+    same predicate-pushdown + column-pruning behaviour as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -347,3 +347,23 @@ def test_grpo_loader_discovery_filter_template(spark, tmp_path):
     train2, test2 = load_grpo_training_set(spark, fallback)
     rows2 = train2.collect() + test2.collect()
     assert len(rows2) == 1 and rows2[0].answer == "FB"
+
+
+def test_orc_roundtrip_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan: exact roundtrip and filter pushdown reaching the
+    ORC reader (same contract the parquet path asserts)."""
+    import os
+    from social_media_ai_engineering_etl_spark.sources.io import (
+        read_orc, write_orc)
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "n_chars")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, docs.collect()))
+    plan = back.filter(F.col("lang") == "en") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan \
+        or "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan, plan
