@@ -61,3 +61,27 @@ def test_frame_sampling_fanout(media):
     assert others.filter(F.col("frame_idx").isNotNull()).count() == 0
     # non-video rows survive the explode (outer)
     assert others.count() > 0
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile ingestion: bytes round-trip exactly, extension maps
+    to media_type, and the frame feeds the existing feature pipeline
+    unchanged (source-agnostic schema)."""
+    from social_media_ai_engineering_etl_spark.operators.multimodal import (
+        extract_media_features, read_media_dir)
+    files = {"a.png": b"\x89PNG fake", "b.wav": b"RIFF fake",
+             "c.mp4": b"\x00\x00ftyp fake", "d.txt": b"not media"}
+    for name, payload in files.items():
+        (tmp_path / name).write_bytes(payload)
+    media = read_media_dir(spark, str(tmp_path))
+    rows = {r["media_uri"].rsplit("/", 1)[-1]: r
+            for r in media.collect()}
+    assert rows["a.png"]["media"]["media_type"] == "image"
+    assert rows["b.wav"]["media"]["media_type"] == "audio"
+    assert rows["c.mp4"]["media"]["media_type"] == "video"
+    assert rows["d.txt"]["media"]["media_type"] == "unknown"
+    assert bytes(rows["a.png"]["content"]) == files["a.png"]
+    assert rows["b.wav"]["n_bytes"] == len(files["b.wav"])
+    feats = extract_media_features(
+        media.withColumnRenamed("media_uri", "doc_id"), dim=4)
+    assert feats.count() == 4
