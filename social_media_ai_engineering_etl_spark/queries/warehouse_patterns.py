@@ -765,3 +765,45 @@ def qx_hierarchical_dau(spark, sf_dir):
         "level", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
         .alias("bucket"), "est_distinct")
         .orderBy("level", "bucket"))
+
+
+@register("qx_decayed_engagement", oracle="""
+WITH mx AS (SELECT max(date_trunc('day', ts)) AS d_max FROM events),
+e AS (
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           least(20, CAST(date_diff('day', date_trunc('day', ts),
+                                    (SELECT d_max FROM mx)) AS BIGINT))
+               AS days_ago
+    FROM events
+)
+SELECT event_type,
+       CAST(sum(cents * (1 << (20 - days_ago))) AS BIGINT)
+           AS decayed_score_x2p20,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       count(*) AS n_events
+FROM e GROUP BY event_type ORDER BY event_type
+""")
+def qx_decayed_engagement(spark, sf_dir):
+    """Recency-decayed engagement score (half-life = 1 day, capped at
+    20 days): weight 2^-days_ago encoded EXACTLY by scaling the whole
+    sum by 2^20 — integer shifts instead of float pow, so the decayed
+    ranking is bit-stable across engines (a float exp2 would be at
+    the mercy of libm rounding).  One map-side-combined groupBy; the
+    day-0 anchor is the corpus max day (one broadcast scalar)."""
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max(F.date_trunc("day", "ts")).alias("d_max"))
+    e = (ev.join(F.broadcast(mx))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("cents"),
+                 F.least(F.lit(20), F.datediff(
+                     F.col("d_max"), F.date_trunc("day", "ts"))
+                     .cast("long")).alias("days_ago")))
+    return (e.groupBy("event_type")
+            .agg(F.sum(F.col("cents")
+                       * F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                "CAST(20 - days_ago AS INT))"))
+                 .alias("decayed_score_x2p20"),
+                 F.sum("cents").alias("raw_cents"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("event_type"))
