@@ -807,3 +807,47 @@ def qx_decayed_engagement(spark, sf_dir):
                  F.sum("cents").alias("raw_cents"),
                  F.count(F.lit(1)).alias("n_events"))
             .orderBy("event_type"))
+
+
+@register("qx_seasonal_residuals", oracle="""
+WITH h AS (
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events GROUP BY 1
+), r AS (
+    SELECT hour, n,
+           lag(n, 168) OVER (ORDER BY hour) AS n_last_week
+    FROM h
+)
+SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_last_week AS BIGINT) AS n_last_week,
+       CAST(n - n_last_week AS BIGINT) AS residual,
+       CASE WHEN abs(n - n_last_week) * 100 > 80 * n_last_week
+            THEN 1 ELSE 0 END AS anomaly
+FROM r WHERE n_last_week IS NOT NULL ORDER BY hour
+""")
+def qx_seasonal_residuals(spark, sf_dir):
+    """Seasonal-naive anomaly flags: each hour's event count against
+    the same hour LAST WEEK (lag 168 over the hourly rollup), flagged
+    when the residual exceeds 80% of the seasonal baseline — the
+    weekday/weekend-aware complement of the expanding z-score
+    detector, with integer arithmetic only (the threshold compare is
+    cross-multiplied, no division).  The lag window runs over the
+    tiny hourly frame (~720 rows/month), not the fact — same
+    by-construction defense as qs_daily_active_users' lag-7."""
+    from pyspark.sql import Window
+    h = (_events(spark, sf_dir)
+         .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("hour")
+    r = h.withColumn("n_last_week", F.lag("n", 168).over(w)) \
+         .filter(F.col("n_last_week").isNotNull())
+    return (r.select(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("n").cast("long"),
+        F.col("n_last_week").cast("long"),
+        (F.col("n") - F.col("n_last_week")).cast("long").alias("residual"),
+        F.when(F.abs(F.col("n") - F.col("n_last_week")) * 100
+               > 80 * F.col("n_last_week"), 1).otherwise(0)
+        .alias("anomaly"))
+        .orderBy("hour"))
