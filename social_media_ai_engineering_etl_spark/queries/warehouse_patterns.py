@@ -851,3 +851,38 @@ def qx_seasonal_residuals(spark, sf_dir):
                > 80 * F.col("n_last_week"), 1).otherwise(0)
         .alias("anomaly"))
         .orderBy("hour"))
+
+
+@register("qx_conversion_latency_bands", oracle="""
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+lags AS (
+    SELECT epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT count(*) AS n_pairs,
+       CAST(round(quantile_cont(lag_us, 0.50) * 10) AS BIGINT)
+           AS p50_us_x10,
+       CAST(round(quantile_cont(lag_us, 0.90) * 10) AS BIGINT)
+           AS p90_us_x10,
+       CAST(round(quantile_cont(lag_us, 0.99) * 10) AS BIGINT)
+           AS p99_us_x10
+FROM lags
+""")
+def qx_conversion_latency_bands(spark, sf_dir):
+    """Click-to-purchase latency SLO bands: p50/p90/p99 of attributed
+    conversion lag (the bounded interval join from the streaming
+    family feeding the exact-percentile rollup) — integer micros per
+    pair, the same formula-identity stability argument as
+    qx_value_percentile_bands."""
+    from ..streaming.windows import conversion_join
+    ev = _events(spark, sf_dir)
+    cand = conversion_join(ev.filter(F.col("event_type") == "click"),
+                           ev.filter(F.col("event_type") == "purchase"),
+                           horizon="1 hour")
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[F.expr(f"CAST(round(percentile(lag_micros, {q}) * 10)"
+                 f" AS BIGINT)").alias(f"p{int(q*100)}_us_x10")
+          for q in (0.50, 0.90, 0.99)])
