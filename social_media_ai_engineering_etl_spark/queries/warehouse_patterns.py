@@ -886,3 +886,46 @@ def qx_conversion_latency_bands(spark, sf_dir):
         *[F.expr(f"CAST(round(percentile(lag_micros, {q}) * 10)"
                  f" AS BIGINT)").alias(f"p{int(q*100)}_us_x10")
           for q in (0.50, 0.90, 0.99)])
+
+
+@register("qx_revenue_concentration", oracle="""
+WITH spend AS (
+    SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), dec AS (
+    SELECT user_id, cents,
+           ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+    FROM spend
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       CAST(sum(cents) * 1000000 //
+            (SELECT sum(cents) FROM spend) AS BIGINT) AS share_ppm
+FROM dec GROUP BY decile ORDER BY decile
+""")
+def qx_revenue_concentration(spark, sf_dir):
+    """Revenue concentration (Pareto) curve: users ranked into spend
+    deciles, each decile's integer-ppm share of total purchase value
+    — 'the top 10% drive X%' readout.  The decile is
+    scale.global_ntile (range repartition + offset map, bit-identical
+    to SQL ntile with NO unpartitioned window — the r2 RFM fix
+    reused), so the ranking survives billions of users."""
+    from ..operators import scale
+    spend = (_events(spark, sf_dir)
+             .filter(F.col("event_type") == "purchase")
+             .groupBy("user_id")
+             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents")))
+    dec = scale.global_ntile(
+        spend.withColumn("neg_cents", -F.col("cents")),
+        10, ["neg_cents", "user_id"], "decile")
+    total = spend.agg(F.sum("cents").alias("t"))
+    return (dec.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("cents").alias("cents"))
+            .join(F.broadcast(total))
+            .select(F.col("decile").cast("long"), "n_users", "cents",
+                    F.expr("cents * 1000000 DIV t").alias("share_ppm"))
+            .orderBy("decile"))
