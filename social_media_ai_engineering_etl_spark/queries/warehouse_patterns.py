@@ -929,3 +929,58 @@ def qx_revenue_concentration(spark, sf_dir):
             .select(F.col("decile").cast("long"), "n_users", "cents",
                     F.expr("cents * 1000000 DIV t").alias("share_ppm"))
             .orderBy("decile"))
+
+
+@register("qx_cohort_ltv", oracle="""
+WITH p AS (
+    SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), firsts AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM p GROUP BY user_id
+), wk AS (
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          date_trunc('week', p.ts)) // 7 AS BIGINT)
+               AS week_offset,
+           p.cents
+    FROM p JOIN firsts f USING (user_id)
+), g AS (
+    SELECT cohort_week, week_offset,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM wk GROUP BY cohort_week, week_offset
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       cents,
+       CAST(sum(cents) OVER (PARTITION BY cohort_week
+                             ORDER BY week_offset) AS BIGINT)
+           AS cum_cents
+FROM g ORDER BY cohort_week, week_offset
+""")
+def qx_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: purchase cents per (first-purchase
+    cohort week, weeks since first), cumulative per cohort — the LTV
+    readout behind payback-period decisions.  One min-agg on the user
+    key, one equi-join back, one rollup; the cumulative window runs
+    over the tiny (cohort, offset) grain.  Integer cents only."""
+    from pyspark.sql import Window
+    p = (_events(spark, sf_dir)
+         .filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts",
+                 F.round(F.col("value") * 100).cast("long")
+                 .alias("cents")))
+    firsts = (p.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    wk = (p.join(firsts, "user_id")
+          .select("cohort_week",
+                  (F.datediff(F.date_trunc("week", F.col("ts")),
+                              F.col("cohort_week")) / 7).cast("long")
+                  .alias("week_offset"), "cents"))
+    g = (wk.groupBy("cohort_week", "week_offset")
+         .agg(F.sum("cents").alias("cents")))
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (g.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"))
+        .orderBy("cohort_week", "week_offset"))
