@@ -230,3 +230,55 @@ def qm_fpgrowth_itemsets(spark, sf_dir):
             .select(F.array_sort("items").alias("items"),
                     F.col("freq").alias("n_orders"))
             .orderBy(F.size("items"), "items"))
+
+
+@register("qx_copurchase_lift", oracle="""
+WITH item AS (
+    SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS n
+    FROM lineitem GROUP BY 1
+), tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           count(DISTINCT a.l_orderkey) AS n_ab
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 3
+)
+SELECT pr.p1, pr.p2, CAST(pr.n_ab AS BIGINT) AS n_ab,
+       CAST(pr.n_ab * 1000000 //
+            (SELECT n_orders FROM tot) AS BIGINT) AS support_ppm,
+       CAST(pr.n_ab * 1000000 // i1.n AS BIGINT) AS confidence_ppm,
+       CAST(pr.n_ab * (SELECT n_orders FROM tot) * 1000000 //
+            (i1.n * i2.n) AS BIGINT) AS lift_ppm
+FROM pairs pr
+JOIN item i1 ON i1.p = pr.p1
+JOIN item i2 ON i2.p = pr.p2
+ORDER BY p1, p2
+""")
+def qx_copurchase_lift(spark, sf_dir):
+    """Association-rule metrics over the exact co-purchase pairs:
+    integer-ppm support, confidence (p1 -> p2) and lift — the signal
+    that separates 'popular with everything' from genuinely
+    associated items (lift_ppm > 1e6).  Per-item counts broadcast
+    onto the pair table; same basket shuffle as qx_copurchase_pairs,
+    nothing new moves."""
+    from ..operators import baskets as bk
+    li = _t(spark, sf_dir, "lineitem")
+    item = (li.groupBy(F.col("l_partkey").alias("p"))
+            .agg(F.countDistinct("l_orderkey").alias("n")))
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    pairs = bk.copurchase_pairs(li, min_orders=3) \
+        .withColumnRenamed("n_orders", "n_ab")
+    return (pairs
+            .join(F.broadcast(item.selectExpr("p AS p1", "n AS n1")), "p1")
+            .join(F.broadcast(item.selectExpr("p AS p2", "n AS n2")), "p2")
+            .join(F.broadcast(n_orders))
+            .select("p1", "p2", F.col("n_ab").cast("long"),
+                    F.expr("n_ab * 1000000 DIV n_orders")
+                    .alias("support_ppm"),
+                    F.expr("n_ab * 1000000 DIV n1").alias("confidence_ppm"),
+                    F.expr("n_ab * n_orders * 1000000 DIV (n1 * n2)")
+                    .alias("lift_ppm"))
+            .orderBy("p1", "p2"))
