@@ -718,3 +718,34 @@ def qx_corpus_diversity(spark, sf_dir):
                         F.expr("distinct_3grams * 1000000 DIV "
                                "total_3grams"))
             .orderBy("source"))
+
+
+@register("qx_encoding_anomalies", oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '�'))
+                ) AS BIGINT) AS replacement_chars,
+       CAST(sum(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))
+                ) AS BIGINT) AS control_chars,
+       CAST(sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS empty_docs
+FROM documents GROUP BY source ORDER BY source
+""")
+def qx_encoding_anomalies(spark, sf_dir):
+    """Encoding-health profile per source: U+FFFD replacement
+    characters (mojibake from a bad decode upstream), stray C0
+    control characters, and empty documents — the triage counts that
+    decide whether a source needs re-crawling before it poisons
+    training text.  Narrow regex projection, one source-key rollup."""
+    rep = F.size(F.expr("regexp_extract_all(text, '\\uFFFD', 0)"))
+    ctl = F.size(F.expr(
+        r"regexp_extract_all(text, "
+        r"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', 0)"))
+    return (_docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(rep).cast("long").alias("replacement_chars"),
+                 F.sum(ctl).cast("long").alias("control_chars"),
+                 F.sum(F.when(F.length("text") == 0, 1).otherwise(0))
+                 .cast("long").alias("empty_docs"))
+            .orderBy("source"))

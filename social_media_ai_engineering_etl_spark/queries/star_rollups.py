@@ -212,3 +212,51 @@ def qg_revenue_moving_sum(spark, sf_dir):
         F.sum("rev_cents").over(w).cast("long").alias("mov3_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("mov3_n"))
         .orderBy("region_name", "month"))
+
+
+@register("qg_discount_quantity_corr", oracle="""
+WITH m AS (
+    SELECT CAST(round(l_discount * 100) AS BIGINT) AS d,
+           CAST(l_quantity AS BIGINT) AS q
+    FROM lineitem
+), s AS (
+    SELECT count(*) AS n,
+           CAST(sum(d) AS BIGINT) AS sd, CAST(sum(q) AS BIGINT) AS sq,
+           CAST(sum(d * q) AS BIGINT) AS sdq,
+           CAST(sum(d * d) AS BIGINT) AS sdd,
+           CAST(sum(q * q) AS BIGINT) AS sqq
+    FROM m
+)
+SELECT n, sd, sq, sdq, sdd, sqq,
+       round((n * sdq - sd * sq) /
+             (sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+              * sqrt(CAST(n * sqq - sq * sq AS DOUBLE))), 6) AS corr
+FROM s
+""")
+def qg_discount_quantity_corr(spark, sf_dir):
+    """Discount vs quantity Pearson correlation via EXACT integer
+    moments (discount in cents, quantity integral): the five sums are
+    bit-equal bigints on both engines, and the final coefficient is
+    one identical IEEE expression over them — the same
+    integer-moments defense the r3 sweep applied to corr()'s
+    float-merge divergence (ba5b7bb), packaged as the reusable
+    pattern.  One map-side-combined aggregate over a 2-column pruned
+    scan."""
+    import os as _os
+    li = spark.read.parquet(
+        _os.path.join(sf_dir, "lineitem.parquet")).select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"))
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd"), F.sum("q").alias("sq"),
+        F.sum(F.col("d") * F.col("q")).alias("sdq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"))
+    corr = ((F.col("n") * F.col("sdq") - F.col("sd") * F.col("sq"))
+            / (F.sqrt((F.col("n") * F.col("sdd")
+                       - F.col("sd") * F.col("sd")).cast("double"))
+               * F.sqrt((F.col("n") * F.col("sqq")
+                         - F.col("sq") * F.col("sq")).cast("double"))))
+    return s.select("n", "sd", "sq", "sdq", "sdd", "sqq",
+                    F.round(corr, 6).alias("corr"))

@@ -485,3 +485,35 @@ def test_length_bucket_batches_beat_random_batching(spark):
             .toPandas())
     random_waste = (rand["k"] * rand["mx"] - rand["real"]).sum()
     assert grouped_waste * 4 < random_waste, (grouped_waste, random_waste)
+
+
+def test_encoding_anomalies_detect_planted_mojibake(spark, duck):
+    """Planted U+FFFD / control chars must be counted identically by
+    the Spark query and the oracle pattern (guards the regex-dialect
+    seam: hex escapes mean different things to RE2 and Java)."""
+    import pandas as pd
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["clean text", "bad �� decode", "ctl \x07 here"],
+        "lang": ["en"] * 3, "source": ["s1", "s1", "s2"],
+        "n_chars": [10, 16, 10]})
+    sdf = spark.createDataFrame(rows)
+    from pyspark.sql import functions as F
+    rep = F.size(F.expr("regexp_extract_all(text, '\\uFFFD', 0)"))
+    ctl = F.size(F.expr(
+        r"regexp_extract_all(text, "
+        r"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', 0)"))
+    sp = (sdf.groupBy("source")
+          .agg(F.sum(rep).alias("r"), F.sum(ctl).alias("c"))
+          .toPandas().set_index("source"))
+    assert sp.loc["s1", "r"] == 2 and sp.loc["s1", "c"] == 0
+    assert sp.loc["s2", "r"] == 0 and sp.loc["s2", "c"] == 1
+    duck.register("documents_tmp2", rows)
+    dd = duck.execute("""
+        SELECT source,
+               sum(len(regexp_extract_all(text, '�'))) AS r,
+               sum(len(regexp_extract_all(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))) AS c
+        FROM documents_tmp2 GROUP BY source ORDER BY source
+    """).fetchdf().set_index("source")
+    assert int(dd.loc["s1", "r"]) == 2 and int(dd.loc["s2", "c"]) == 1
