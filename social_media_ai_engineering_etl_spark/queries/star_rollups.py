@@ -260,3 +260,59 @@ def qg_discount_quantity_corr(spark, sf_dir):
                          - F.col("sq") * F.col("sq")).cast("double"))))
     return s.select("n", "sd", "sq", "sdq", "sdd", "sqq",
                     F.round(corr, 6).alias("corr"))
+
+
+@register("qg_pricing_summary", oracle="""
+WITH m AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 100) AS BIGINT) AS d,
+           CAST(round(l_tax * 100) AS BIGINT) AS t
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_cents,
+       CAST(sum(price_c * (100 - d)) AS BIGINT) AS sum_disc_x10k,
+       CAST(sum(price_c * (100 - d) * (100 + t)) AS BIGINT)
+           AS sum_charge_x1m,
+       CAST(sum(qty) * 100 // count(*) AS BIGINT) AS avg_qty_x100,
+       CAST(sum(price_c) // count(*) AS BIGINT) AS avg_price_cents,
+       CAST(sum(d) * 100 // count(*) AS BIGINT) AS avg_disc_bp,
+       count(*) AS n_rows
+FROM m GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def qg_pricing_summary(spark, sf_dir):
+    """The canonical OLAP pricing summary (TPC-H Q1 semantics:
+    returnflag x linestatus grain, shipped-by cutoff) in EXACT fixed
+    point: discounted price as cents x (100-d), charge as cents x
+    (100-d) x (100+t), averages by integer division — every measure a
+    bigint, so the flagship scan-heavy aggregate is bit-stable at any
+    scale.  One map-side-combined groupBy over a pruned 7-column
+    scan."""
+    import os as _os
+    li = spark.read.parquet(
+        _os.path.join(sf_dir, "lineitem.parquet")).filter(
+        F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("qty").alias("sum_qty"),
+                 F.sum("price_c").alias("sum_base_cents"),
+                 F.sum(F.col("price_c") * (100 - F.col("d")))
+                 .alias("sum_disc_x10k"),
+                 F.sum(F.col("price_c") * (100 - F.col("d"))
+                       * (100 + F.col("t"))).alias("sum_charge_x1m"),
+                 F.expr("sum(qty) * 100 DIV count(1)")
+                 .alias("avg_qty_x100"),
+                 F.expr("sum(price_c) DIV count(1)")
+                 .alias("avg_price_cents"),
+                 F.expr("sum(d) * 100 DIV count(1)").alias("avg_disc_bp"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus"))
