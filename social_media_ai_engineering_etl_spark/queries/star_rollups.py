@@ -262,7 +262,7 @@ def qg_discount_quantity_corr(spark, sf_dir):
                     F.round(corr, 6).alias("corr"))
 
 
-@register("qg_pricing_summary", oracle="""
+@register("qg_pricing_summary", bench=True, oracle="""
 WITH m AS (
     SELECT l_returnflag, l_linestatus,
            CAST(l_quantity AS BIGINT) AS qty,

@@ -984,3 +984,49 @@ def qx_cohort_ltv(spark, sf_dir):
         "week_offset", "cents",
         F.sum("cents").over(w).cast("long").alias("cum_cents"))
         .orderBy("cohort_week", "week_offset"))
+
+
+@register("qx_k_anonymity", oracle="""
+WITH q AS (
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(round(value * 100) AS BIGINT) // 1000 AS value_band,
+           count(*) AS grp
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_below_k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+           AS rows_below_k,
+       CAST(sum(grp) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) * 1000000
+            // sum(grp) AS BIGINT) AS exposure_ppm,
+       CAST(min(grp) AS BIGINT) AS min_group
+FROM q
+""")
+def qx_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier
+    (event_type, day, value band): how many equivalence classes — and
+    what ppm of rows — are small enough to re-identify, plus the
+    worst class size.  The governance gate run before an analytics
+    extract ships; pairs with the GDPR erasure feed.  One
+    map-side-combined rollup to the quasi-id grain, then a scalar
+    profile."""
+    q = (_events(spark, sf_dir)
+         .groupBy("event_type",
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"),
+                  F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000")
+                  .alias("value_band"))
+         .agg(F.count(F.lit(1)).alias("grp")))
+    small = F.when(F.col("grp") < 5, F.col("grp")).otherwise(0)
+    return q.agg(
+        F.sum(F.when(F.col("grp") < 5, 1).otherwise(0)).cast("long")
+        .alias("groups_below_k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(small).cast("long").alias("rows_below_k"),
+        F.sum("grp").cast("long").alias("n_rows"),
+        F.expr("sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) * 1000000 "
+               "DIV sum(grp)").alias("exposure_ppm"),
+        F.min("grp").cast("long").alias("min_group"))
