@@ -236,3 +236,33 @@ def test_zorder_key_spark_equals_sql_twin(spark):
         "FROM t ORDER BY a, b").fetchdf().reset_index(drop=True)
     assert (got["zk"].astype("int64").values
             == want["zk"].astype("int64").values).all()
+
+
+def test_results_invariant_to_input_file_layout(spark, sf_dir, tmp_path):
+    """Identical results whether the fact arrives as one parquet file
+    or 16 splits — the invariance a 1000-executor scan rests on
+    (hash/sort shuffles must erase input partitioning; any operator
+    leaking partition order would fail here)."""
+    import os
+    import shutil as sh
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+
+    alt = tmp_path / "sf_alt"
+    alt.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            sh.copy(src, alt / f"{t}.parquet")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(16).write.mode("overwrite").parquet(
+        str(alt / "events.parquet"))
+
+    for name in ("qx_hierarchical_rollup", "qx_asof_last_click",
+                 "qx_incremental_rollup", "qx_key_skew_profile"):
+        spark.catalog.clearCache()
+        a = [tuple(r) for r in QUERIES[name](spark, sf_dir).collect()]
+        spark.catalog.clearCache()
+        b = [tuple(r) for r in QUERIES[name](spark, str(alt)).collect()]
+        assert a == b, name
