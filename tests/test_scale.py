@@ -266,3 +266,53 @@ def test_results_invariant_to_input_file_layout(spark, sf_dir, tmp_path):
         spark.catalog.clearCache()
         b = [tuple(r) for r in QUERIES[name](spark, str(alt)).collect()]
         assert a == b, name
+
+
+def test_zorder_write_produces_prunable_parquet_stats(spark, tmp_path):
+    """Write-side proof: physically writing z-ordered vs leading-column
+    sorted parquet, the per-FILE min/max stats (what predicate pushdown
+    actually consults) bound BOTH dimensions under z-order — a v-only
+    predicate can skip most z-files but no u-sorted file."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import os
+    from social_media_ai_engineering_etl_spark.operators.layout import (
+        zorder_key)
+    rng = np.random.default_rng(9)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(rng.integers(0, 256, 40_000),
+                                          rng.integers(0, 256, 40_000))],
+        ["u", "v"])
+
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    zk = zorder_key([F.col("u"), F.col("v")], bits=8).alias("zk")
+    (df.select("u", "v", zk).repartitionByRange(16, "zk")
+       .sortWithinPartitions("zk").drop("zk")
+       .write.mode("overwrite").parquet(zdir))
+    (df.repartitionByRange(16, "u").sortWithinPartitions("u", "v")
+       .write.mode("overwrite").parquet(ldir))
+
+    def file_spans(d, col):
+        spans = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            lo, hi = 256, -1
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        lo = min(lo, c.statistics.min)
+                        hi = max(hi, c.statistics.max)
+            spans.append((lo, hi))
+        return spans
+
+    lo, hi = 40, 47  # v-only box predicate
+    z_touch = sum(1 for a, b in file_spans(zdir, "v")
+                  if a <= hi and b >= lo)
+    z_total = len(file_spans(zdir, "v"))
+    l_spans = file_spans(ldir, "v")
+    l_touch = sum(1 for a, b in l_spans if a <= hi and b >= lo)
+    assert l_touch == len(l_spans)       # u-sort: every file matches
+    assert z_touch <= z_total // 2, (z_touch, z_total)
