@@ -282,3 +282,46 @@ def qx_copurchase_lift(spark, sf_dir):
                     F.expr("n_ab * n_orders * 1000000 DIV (n1 * n2)")
                     .alias("lift_ppm"))
             .orderBy("p1", "p2"))
+
+
+@register("qx_fuzzy_name_match", oracle="""
+WITH p AS (
+    SELECT p_partkey, p_name,
+           string_split(p_name, ' ')[-1] AS block
+    FROM part
+), pairs AS (
+    SELECT a.block, a.p_partkey AS id1, b.p_partkey AS id2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+)
+SELECT block, count(*) AS n_pairs,
+       CAST(min(dist) AS BIGINT) AS min_dist,
+       CAST(sum(dist) AS BIGINT) AS sum_dist
+FROM pairs GROUP BY block ORDER BY block
+""")
+def qx_fuzzy_name_match(spark, sf_dir):
+    """Blocked fuzzy record linkage: part names matched within a
+    blocking key (the head noun) by edit distance <= 3 — the
+    equi-join-then-verify shape every entity-resolution pipeline uses
+    (never an all-pairs distance join; candidates exist only inside a
+    block).  levenshtein is the same DP integer on both engines; one
+    block-key self-join plus a per-block rollup."""
+    import os as _os
+    p = spark.read.parquet(
+        _os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"))
+    a = p.selectExpr("block", "p_partkey AS id1", "p_name AS n1")
+    b = p.selectExpr("block AS block2", "p_partkey AS id2",
+                     "p_name AS n2")
+    pairs = (a.join(b, (F.col("block") == F.col("block2"))
+                    & (F.col("id1") < F.col("id2")))
+             .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2")))
+             .filter(F.col("dist") <= 3))
+    return (pairs.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("dist").cast("long").alias("min_dist"),
+                 F.sum("dist").cast("long").alias("sum_dist"))
+            .orderBy("block"))
