@@ -1030,3 +1030,42 @@ def qx_k_anonymity(spark, sf_dir):
         F.expr("sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) * 1000000 "
                "DIV sum(grp)").alias("exposure_ppm"),
         F.min("grp").cast("long").alias("min_group"))
+
+
+@register("qx_user_paths", oracle="""
+WITH o AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), heads AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM o WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM heads GROUP BY path HAVING count(*) >= 2
+ORDER BY n_users DESC, path
+""")
+def qx_user_paths(spark, sf_dir):
+    """Behavior path signatures: each user's first 3 events as an
+    ordered type string, rolled up to the paths >= 2 users share —
+    the sequence-modeling / funnel-path input.  collect_list is NOT
+    order-stable in Spark, so the path is built by sorting an array
+    of (rn, type) structs — deterministic under any partitioning
+    (guarded by the layout-invariance test's premise).  One user-key
+    window + one path rollup."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (_events(spark, sf_dir)
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= 3))
+    heads = (o.groupBy("user_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("rn", "event_type"))).alias("seq"))
+             .select(F.concat_ws(">", F.expr(
+                 "transform(seq, s -> s.event_type)")).alias("path")))
+    return (heads.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .filter(F.col("n_users") >= 2)
+            .orderBy(F.col("n_users").desc(), "path"))
