@@ -749,3 +749,62 @@ def qx_encoding_anomalies(spark, sf_dir):
                  F.sum(F.when(F.length("text") == 0, 1).otherwise(0))
                  .cast("long").alias("empty_docs"))
             .orderBy("source"))
+
+
+@register("qx_source_overlap", oracle=f"""
+WITH w AS (SELECT source, {_WS} AS ws FROM documents),
+g AS (
+    SELECT DISTINCT source,
+           ws[u.i] || ' ' || ws[u.i + 1] || ' ' || ws[u.i + 2] AS gram
+    FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
+    WHERE len(ws) >= 3
+), sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+inter AS (
+    SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.s1, i.s2, CAST(i.n_shared AS BIGINT) AS n_shared,
+       CAST(i.n_shared * 1000000 //
+            (x.n + y.n - i.n_shared) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes x ON x.source = i.s1
+JOIN sizes y ON y.source = i.s2
+WHERE i.n_shared * 1000000 // (x.n + y.n - i.n_shared) >= 5000
+ORDER BY s1, s2
+""")
+def qx_source_overlap(spark, sf_dir):
+    """Mirror-source detection: 3-gram Jaccard between SOURCES (not
+    documents) via the same inverted-index shape as document dedup —
+    a gram meets only the sources containing it, so there is no
+    source-pair cartesian even with millions of sources.  Pairs above
+    0.5% overlap are the re-hosted/syndicated-content candidates a
+    curation pipeline collapses before per-document dedup.  Integer
+    ppm throughout."""
+    ws = F.split(F.trim(F.col("text")), " ")
+    g = (_docs(spark, sf_dir).select("source", ws.alias("ws"))
+         .filter(F.size("ws") >= 3)
+         .select("source", F.explode(F.expr(
+             "transform(sequence(1, size(ws) - 2), "
+             "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+             .alias("gram"))
+         .distinct())
+    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = g.selectExpr("source AS s1", "gram")
+    b = g.selectExpr("source AS s2", "gram")
+    inter = (a.join(b, "gram")
+             .filter(F.col("s1") < F.col("s2"))
+             .groupBy("s1", "s2")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    out = (inter
+           .join(F.broadcast(sizes.selectExpr("source AS s1", "n AS n1")),
+                 "s1")
+           .join(F.broadcast(sizes.selectExpr("source AS s2", "n AS n2")),
+                 "s2")
+           .withColumn("jaccard_ppm",
+                       F.expr("n_shared * 1000000 DIV "
+                              "(n1 + n2 - n_shared)"))
+           .filter(F.col("jaccard_ppm") >= 5000))
+    return (out.select("s1", "s2", F.col("n_shared").cast("long"),
+                       F.col("jaccard_ppm").cast("long"))
+            .orderBy("s1", "s2"))
