@@ -116,6 +116,16 @@ NOTES = {
         "arithmetic projection + one cell groupBy — the write-side "
         "clustering whose per-cell min/max spans bound box-predicate "
         "scans in every interleaved dimension."),
+    "qg_pricing_summary": (
+        "The canonical scan-heavy aggregate (TPC-H Q1 semantics) in "
+        "exact fixed point: pruned 7-column scan, map-side partial "
+        "aggregation, one 6-group exchange — bit-stable bigint "
+        "measures end to end."),
+    "qx_revenue_concentration": (
+        "Pareto deciles without a global sort: range repartition + "
+        "partitioned rank + offset map (scale.global_ntile), then a "
+        "decile rollup with a broadcast total — no single-partition "
+        "Window anywhere."),
 }
 
 
