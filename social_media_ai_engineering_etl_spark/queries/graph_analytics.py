@@ -325,3 +325,57 @@ def qx_fuzzy_name_match(spark, sf_dir):
                  F.min("dist").cast("long").alias("min_dist"),
                  F.sum("dist").cast("long").alias("sum_dist"))
             .orderBy("block"))
+
+
+@register("qx_triangle_count", oracle="""
+WITH e AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+), deg AS (
+    SELECT p, count(*) AS d FROM (
+        SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e
+    ) GROUP BY p
+), tri AS (
+    SELECT count(*) AS t
+    FROM e x JOIN e y ON x.p2 = y.p1
+             JOIN e z ON z.p1 = x.p1 AND z.p2 = y.p2
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+       CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+           AS n_wedges,
+       CAST((SELECT t FROM tri) * 3000000 //
+            (SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+           AS clustering_ppm
+""")
+def qx_triangle_count(spark, sf_dir):
+    """Triangle census of the co-purchase graph (edges = part pairs
+    sharing >= 2 orders): total triangles via the ordered-edge 3-way
+    equi-join, open wedges from the degree table, and the global
+    clustering coefficient in integer ppm.  The ID orientation
+    (p1 < p2) makes every triangle count exactly once; at 100 TB the
+    standard refinement is degree orientation (point each edge at the
+    higher-degree endpoint) so no hub ever anchors the join — same
+    plan shape, different orientation key.  All joins equi, no
+    cartesian."""
+    from ..operators import baskets as bk
+    e = (bk.copurchase_pairs(_t(spark, sf_dir, "lineitem"),
+                             min_orders=2)
+         .select("p1", "p2").persist())
+    deg = (e.selectExpr("p1 AS p").unionAll(e.selectExpr("p2 AS p"))
+           .groupBy("p").agg(F.count(F.lit(1)).alias("d")))
+    x = e.selectExpr("p1 AS a", "p2 AS b")
+    y = e.selectExpr("p1 AS b", "p2 AS c")
+    z = e.selectExpr("p1 AS a", "p2 AS c")
+    tri = x.join(y, "b").join(z, ["a", "c"]) \
+        .agg(F.count(F.lit(1)).alias("t"))
+    wedges = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("w"))
+    return (e.agg(F.count(F.lit(1)).alias("n_edges"))
+            .join(F.broadcast(tri)).join(F.broadcast(wedges))
+            .select("n_edges",
+                    F.col("t").cast("long").alias("n_triangles"),
+                    F.col("w").cast("long").alias("n_wedges"),
+                    F.expr("t * 3000000 DIV w").cast("long")
+                    .alias("clustering_ppm")))
