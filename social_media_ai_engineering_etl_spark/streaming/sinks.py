@@ -210,3 +210,42 @@ def read_continuous_rollup(spark: SparkSession, path: str,
                       for c, fn in measures.items()}
     return hierarchical_time_rollup(finest, "bucket", keys,
                                     merge_measures, levels=levels)
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish (WAP)
+# ---------------------------------------------------------------------------
+
+
+def write_audit_publish(df: DataFrame, path: str, rules: list[dict],
+                        batch_id: int = 0):
+    """The WAP pattern (Iceberg-style) on a plain parquet directory:
+    stage the snapshot, AUDIT it with the declarative rule set
+    (operators/validation.check) against the STAGED files — auditing
+    what was actually written, not the logical plan — and atomically
+    publish (symlink repoint) only if every rule passes.  A failing
+    audit leaves the previous snapshot live and the staged directory
+    on disk for inspection.
+
+    Returns (published: bool, report) where report rows are
+    (rule, n_violations, n_rows).  Composes with foreachBatch for a
+    streaming gate: ``lambda b, i: write_audit_publish(b, path,
+    rules, i)``."""
+    from ..operators.validation import check
+    spark = df.sparkSession
+    snap_root = path + ".__snapshots__"
+    snap = os.path.join(snap_root, f"b{int(batch_id)}")
+    df.write.mode("overwrite").parquet(snap)
+    staged = spark.read.parquet(snap)
+    report = check(staged, rules)
+    bad = report.filter(F.col("n_violations") > 0).count()
+    if bad:
+        return False, report
+    if os.path.exists(path) and not os.path.islink(path):
+        shutil.rmtree(path)
+    tmp_link = path + ".__repoint__"
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.abspath(snap), tmp_link)
+    os.replace(tmp_link, path)
+    return True, report

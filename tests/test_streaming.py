@@ -916,3 +916,28 @@ def test_continuous_rollup_stream_restart_recovers(spark, sf_dir, tmp_path):
         .toPandas().sort_values(["level", "event_type", "bucket"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_write_audit_publish_gates_on_staged_data(spark, tmp_path):
+    """WAP: a passing audit publishes atomically; a failing audit
+    leaves the PREVIOUS snapshot live and the bad stage inspectable."""
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        write_audit_publish)
+    out = str(tmp_path / "tbl")
+    rules = [{"rule": "not_null", "col": "v"},
+             {"rule": "in_range", "col": "v", "min": 0, "max": 100}]
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    ok, rep = write_audit_publish(good, out, rules, batch_id=0)
+    assert ok and spark.read.parquet(out).count() == 2
+
+    bad = spark.createDataFrame([(3, 999)], "k long, v long")
+    ok2, rep2 = write_audit_publish(bad, out, rules, batch_id=1)
+    assert not ok2
+    viol = {r["rule"]: r["n_violations"] for r in rep2.collect()}
+    assert any(v > 0 for v in viol.values())
+    # previous snapshot still live and intact
+    live = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert live == [1, 2]
+    # staged bad batch kept for inspection
+    import os as _os
+    assert _os.path.exists(out + ".__snapshots__/b1")
