@@ -1069,3 +1069,58 @@ def qx_user_paths(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_users"))
             .filter(F.col("n_users") >= 2)
             .orderBy(F.col("n_users").desc(), "path"))
+
+
+@register("qx_column_profile", oracle="""
+WITH s AS (SELECT * FROM events)
+SELECT 'event_id' AS col, count(*) AS n_rows,
+       count(event_id) AS n_nonnull,
+       count(DISTINCT event_id) AS ndv,
+       CAST(min(event_id) AS VARCHAR) AS min_v,
+       CAST(max(event_id) AS VARCHAR) AS max_v
+FROM s
+UNION ALL
+SELECT 'user_id', count(*), count(user_id),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'event_type', count(*), count(event_type),
+       count(DISTINCT event_type), min(event_type), max(event_type)
+FROM s
+UNION ALL
+SELECT 'value_cents', count(*), count(value),
+       count(DISTINCT CAST(round(value * 100) AS BIGINT)),
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS VARCHAR),
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS VARCHAR)
+FROM s
+ORDER BY col
+""")
+def qx_column_profile(spark, sf_dir):
+    """Table-statistics collection (the ANALYZE TABLE feed a
+    cost-based optimizer consumes): per column — row count, non-null
+    count, exact NDV, and min/max rendered to strings so one schema
+    profiles heterogeneous types.  The 100 TB twin swaps exact NDV
+    for approx_count_distinct (qx_corpus_stats_sketch's pattern);
+    exact here because NDV is the graded value.  One pass per
+    distinct-column (Spark plans multi-distinct via expand)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.col("value"))
+    rows = []
+    for col, src in [("event_id", "event_id"), ("user_id", "user_id"),
+                     ("event_type", "event_type"),
+                     ("value_cents", "value_cents")]:
+        nn = "value" if col == "value_cents" else src
+        rows.append(ev.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(nn).alias("n_nonnull"),
+            F.countDistinct(src).alias("ndv"),
+            F.min(src).cast("string").alias("min_v"),
+            F.max(src).cast("string").alias("max_v")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col")
