@@ -307,3 +307,22 @@ def hierarchical_distinct_rollup(df: DataFrame, ts_col: str,
         prev = cur
     return out.select("level", *keys, "bucket",
                       F.hll_sketch_estimate("sk").alias("est_distinct"))
+
+
+def apply_cdc(snapshot: DataFrame, feed: DataFrame, key: str,
+              payload: DataFrame) -> DataFrame:
+    """Apply a change feed (``snapshot_diff`` output: key,
+    change_type in insert/update/delete) to a table snapshot:
+    deletes anti-join out, inserts/updates take the new payload row.
+    One co-partitioned join each way on the key — the consumer half
+    of the CDC story (snapshot_diff is the producer), equivalent to
+    MERGE INTO on engines that have it.  ``payload`` carries the new
+    rows for insert/update keys."""
+    changes = feed.select(F.col(key), "change_type")
+    survivors = (snapshot.join(
+        changes.filter(F.col("change_type").isin("delete", "update"))
+        .select(key), key, "left_anti"))
+    incoming = payload.join(
+        changes.filter(F.col("change_type").isin("insert", "update"))
+        .select(key), key)
+    return survivors.unionByName(incoming)

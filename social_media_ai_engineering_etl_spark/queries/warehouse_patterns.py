@@ -1124,3 +1124,85 @@ def qx_column_profile(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col")
+
+
+@register("qx_cdc_apply_roundtrip", oracle="""
+WITH latest AS (
+    SELECT user_id, json_extract(props, '$.k')::BIGINT AS k,
+           ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           date_trunc('day', ts) AS day
+    FROM events
+), old AS (
+    SELECT user_id, k FROM (
+        SELECT user_id, json_extract(props, '$.k')::BIGINT AS k,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ) WHERE rn = 1
+), new AS (
+    SELECT user_id, k FROM latest WHERE rn = 1
+), diff AS (
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                WHEN o.k IS DISTINCT FROM n.k THEN 'update' END AS ct
+    FROM old o FULL OUTER JOIN new n USING (user_id)
+)
+SELECT CAST((SELECT count(*) FROM old) AS BIGINT) AS n_old,
+       CAST((SELECT count(*) FROM new) AS BIGINT) AS n_new,
+       CAST((SELECT count(*) FROM new) AS BIGINT) AS n_applied,
+       CAST(sum(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_insert,
+       CAST(sum(CASE WHEN ct = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_update,
+       CAST(sum(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_delete
+FROM diff
+""")
+def qx_cdc_apply_roundtrip(spark, sf_dir):
+    """CDC produce->apply roundtrip: per-user latest props.k as of
+    mid-month (old snapshot) vs end of data (new snapshot);
+    scale.snapshot_diff derives the change feed, scale.apply_cdc
+    replays it onto the old snapshot, and the query asserts the
+    roundtrip INSIDE the plan — apply(old, feed) is exact-joined
+    against new and any mismatch would change n_new.  Outputs the
+    feed composition counts."""
+    from ..operators import scale
+    from pyspark.sql import Window
+
+    def snap(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        return (df.select("user_id", "ts", "event_id",
+                          F.from_json("props", "k BIGINT")
+                          .getField("k").alias("k"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("user_id", "k"))
+
+    ev = _events(spark, sf_dir)
+    old = snap(ev.filter(F.col("ts") < "2024-01-16")).persist()
+    new = snap(ev).persist()
+    o = old.withColumn("fp", F.md5(F.concat_ws("|", "user_id", "k")))
+    n = new.withColumn("fp", F.md5(F.concat_ws("|", "user_id", "k")))
+    feed = scale.snapshot_diff(o, n, "user_id", "fp")
+    applied = scale.apply_cdc(old, feed, "user_id", new)
+    # roundtrip assertion inside the plan: applied must equal new
+    n_new_via_apply = (applied
+                       .join(new, ["user_id", "k"], "inner"))
+    counts = feed.groupBy().pivot(
+        "change_type", ["insert", "update", "delete"]).count()
+    return (old.agg(F.count(F.lit(1)).alias("n_old"))
+            .join(F.broadcast(
+                n_new_via_apply.agg(F.count(F.lit(1)).alias("n_new"))))
+            .join(F.broadcast(
+                applied.agg(F.count(F.lit(1)).alias("n_applied"))))
+            .join(F.broadcast(counts))
+            .select("n_old", "n_new", "n_applied",
+                    F.coalesce("insert", F.lit(0)).cast("long")
+                    .alias("n_insert"),
+                    F.coalesce("update", F.lit(0)).cast("long")
+                    .alias("n_update"),
+                    F.coalesce("delete", F.lit(0)).cast("long")
+                    .alias("n_delete")))
