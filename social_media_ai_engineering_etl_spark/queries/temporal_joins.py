@@ -104,3 +104,66 @@ def qx_asof_next_error(spark, sf_dir):
         (F.unix_micros(F.col("e_ts"))
          - F.unix_micros(F.col("ts"))).cast("long").alias("lead_micros"))
         .orderBy("purchase_id"))
+
+
+@register("qx_scd2_enrich", oracle="""
+WITH k AS (
+    SELECT user_id, ts, event_id,
+           json_extract(props, '$.k')::BIGINT AS k
+    FROM events
+), changes AS (
+    SELECT user_id, ts, event_id, k,
+           lag(k) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_k
+    FROM k
+), scd0 AS (
+    SELECT user_id, k, ts AS valid_from,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM changes WHERE prev_k IS NULL OR k <> prev_k
+), scd AS MATERIALIZED (
+    -- MATERIALIZED: DuckDB's ASOF planner rejects windows in an
+    -- inlined lateral input; two changes at one instant resolve to
+    -- the (ts, event_id)-last one
+    SELECT user_id, k, valid_from FROM scd0 WHERE rn = 1
+), enriched AS (
+    SELECT e.event_type, s.k AS k_at_event
+    FROM events e
+    ASOF LEFT JOIN scd s
+      ON e.user_id = s.user_id AND s.valid_from <= e.ts
+)
+SELECT event_type, CAST(k_at_event AS BIGINT) AS k_at_event,
+       count(*) AS n
+FROM enriched GROUP BY 1, 2 ORDER BY event_type, k_at_event
+""")
+def qx_scd2_enrich(spark, sf_dir):
+    """Point-in-time-correct enrichment (feature-store semantics):
+    every event annotated with the SCD2 attribute value IN EFFECT at
+    its timestamp — the change rows (qx_scd2_intervals' front half)
+    as-of joined back onto the fact, so late re-runs can never leak a
+    FUTURE attribute value into a training feature.  Composition of
+    the two temporal operators: SCD2 change extraction + unbounded
+    asof_join, ONE user-key window each."""
+    from pyspark.sql import Window
+    from ..operators.temporal import asof_join
+    ev = _events(spark, sf_dir)
+    k = ev.select("user_id", "ts", "event_id",
+                  F.from_json("props", "k BIGINT").getField("k")
+                  .alias("k"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (k.withColumn("prev_k", F.lag("k").over(w))
+               .filter(F.col("prev_k").isNull()
+                       | (F.col("k") != F.col("prev_k"))))
+    w2 = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc())
+    changes = (changes.withColumn("__r", F.row_number().over(w2))
+               .filter(F.col("__r") == 1)
+               .select("user_id", F.col("ts").alias("valid_from"), "k"))
+    enriched = asof_join(
+        ev.select("event_type", "user_id", "ts"),
+        changes.withColumnRenamed("valid_from", "ts"),
+        on=["user_id"], prefix="s_")
+    return (enriched.groupBy(
+        "event_type", F.col("s_k").cast("long").alias("k_at_event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "k_at_event"))
