@@ -808,3 +808,49 @@ def qx_source_overlap(spark, sf_dir):
     return (out.select("s1", "s2", F.col("n_shared").cast("long"),
                        F.col("jaccard_ppm").cast("long"))
             .orderBy("s1", "s2"))
+
+
+_INJECTION_PATTERNS = [
+    "ignore previous instructions", "ignore all previous",
+    "disregard the above", "you are now", "system prompt",
+    "do anything now",
+]
+
+
+@register("qx_injection_scan", oracle="""
+WITH hits AS (
+    SELECT source,
+           CASE WHEN lower(text) LIKE '%ignore previous instructions%'
+                  OR lower(text) LIKE '%ignore all previous%'
+                  OR lower(text) LIKE '%disregard the above%'
+                  OR lower(text) LIKE '%you are now%'
+                  OR lower(text) LIKE '%system prompt%'
+                  OR lower(text) LIKE '%do anything now%'
+                THEN 1 ELSE 0 END AS hit
+    FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(hit) AS BIGINT) AS n_flagged,
+       CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+FROM hits GROUP BY source ORDER BY source
+""")
+def qx_injection_scan(spark, sf_dir):
+    """Prompt-injection / instruction-override scan: documents
+    containing any of the classic jailbreak markers, per source — the
+    data-poisoning triage a pipeline runs before text reaches an
+    instruction-tuning mix.  Literal lowercase containment (the
+    patterns are phrases, not regex), one narrow projection + source
+    rollup; at 100 TB the pattern list extends to an Aho-Corasick
+    pass in the same shape."""
+    t = F.lower(F.col("text"))
+    hit = F.lit(False)
+    for pat in _INJECTION_PATTERNS:
+        hit = hit | t.contains(pat)
+    return (_docs(spark, sf_dir)
+            .select("source", hit.cast("int").alias("hit"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("hit").cast("long").alias("n_flagged"),
+                 F.expr("sum(hit) * 1000000 DIV count(1)")
+                 .alias("flagged_ppm"))
+            .orderBy("source"))
