@@ -316,3 +316,45 @@ def qg_pricing_summary(spark, sf_dir):
                  F.expr("sum(d) * 100 DIV count(1)").alias("avg_disc_bp"),
                  F.count(F.lit(1)).alias("n_rows"))
             .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("qg_ship_latency_by_priority", oracle="""
+WITH l AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(date_diff('day', o.o_orderdate, li.l_shipdate)
+                AS BIGINT) AS lag_days
+    FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+)
+SELECT priority, count(*) AS n_lines,
+       CAST(round(quantile_cont(lag_days, 0.50) * 10) AS BIGINT)
+           AS p50_days_x10,
+       CAST(round(quantile_cont(lag_days, 0.90) * 10) AS BIGINT)
+           AS p90_days_x10,
+       CAST(max(lag_days) AS BIGINT) AS max_days
+FROM l GROUP BY priority ORDER BY priority
+""")
+def qg_ship_latency_by_priority(spark, sf_dir):
+    """Fulfillment SLA: order-to-ship latency percentiles per order
+    priority (does 1-URGENT actually ship faster?) — integer lag
+    days through the formula-identity percentile pattern; the orders
+    side of the join broadcasts against the lineitem fact."""
+    import os as _os
+    o = spark.read.parquet(
+        _os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate",
+        F.col("o_orderpriority").alias("priority"))
+    li = spark.read.parquet(
+        _os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_shipdate")
+    l = (li.join(F.broadcast(o),
+                 li.l_orderkey == o.o_orderkey)
+         .select("priority",
+                 F.datediff("l_shipdate", "o_orderdate").cast("long")
+                 .alias("lag_days")))
+    return (l.groupBy("priority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 *[F.expr(f"CAST(round(percentile(lag_days, {q}) * 10)"
+                          f" AS BIGINT)").alias(f"p{int(q*100)}_days_x10")
+                   for q in (0.50, 0.90)],
+                 F.max("lag_days").cast("long").alias("max_days"))
+            .orderBy("priority"))
