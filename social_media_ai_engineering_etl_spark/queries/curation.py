@@ -854,3 +854,49 @@ def qx_injection_scan(spark, sf_dir):
                  F.expr("sum(hit) * 1000000 DIV count(1)")
                  .alias("flagged_ppm"))
             .orderBy("source"))
+
+
+@register("qx_split_leakage", oracle="""
+WITH s AS (
+    SELECT doc_id, md5(lower(trim(text))) AS norm_key,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 100 < 20
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+), leaks AS (
+    SELECT norm_key,
+           count(DISTINCT split) AS n_splits,
+           count(*) AS n_docs
+    FROM s GROUP BY norm_key HAVING count(DISTINCT split) > 1
+)
+SELECT CAST((SELECT count(*) FROM leaks) AS BIGINT)
+           AS leaked_groups,
+       CAST(coalesce((SELECT sum(n_docs) FROM leaks), 0) AS BIGINT)
+           AS leaked_docs,
+       CAST((SELECT count(*) FROM s WHERE split = 'test') AS BIGINT)
+           AS n_test,
+       CAST((SELECT count(*) FROM s WHERE split = 'train') AS BIGINT)
+           AS n_train
+""")
+def qx_split_leakage(spark, sf_dir):
+    """Split hygiene: normalized-content groups that span BOTH sides
+    of the deterministic train/test hash split — the leakage a naive
+    row-level split causes whenever the corpus carries duplicates
+    (dedup-before-split is the fix; this query is the audit that
+    catches the ordering mistake).  One content-key rollup."""
+    s = _docs_narrow(spark, sf_dir).select(
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+        .alias("norm_key"),
+        F.when(F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 8), 16, 10).cast("long") % 100 < 20,
+               "test").otherwise("train").alias("split"))
+    leaks = (s.groupBy("norm_key")
+             .agg(F.countDistinct("split").alias("n_splits"),
+                  F.count(F.lit(1)).alias("n_docs"))
+             .filter(F.col("n_splits") > 1))
+    return (leaks.agg(F.count(F.lit(1)).alias("leaked_groups"),
+                      F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+                      .alias("leaked_docs"))
+            .join(F.broadcast(
+                s.groupBy().pivot("split", ["test", "train"]).count()
+                .selectExpr("test AS n_test", "train AS n_train"))))
