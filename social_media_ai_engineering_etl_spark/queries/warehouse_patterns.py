@@ -1206,3 +1206,49 @@ def qx_cdc_apply_roundtrip(spark, sf_dir):
                     .alias("n_update"),
                     F.coalesce("delete", F.lit(0)).cast("long")
                     .alias("n_delete")))
+
+
+@register("qx_trimmed_mean", oracle="""
+WITH c AS (
+    SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), r AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM c
+), t AS (
+    SELECT event_type, cents, n FROM r
+    WHERE rn > n // 100 AND rn <= n - n // 100
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_all,
+       count(*) AS n_kept,
+       CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+FROM t GROUP BY event_type ORDER BY event_type
+""")
+def qx_trimmed_mean(spark, sf_dir):
+    """Robust (1%-trimmed) mean engagement value per event type:
+    drop the lowest and highest 1% BY RANK (integer row counts, a
+    deterministic tie order) rather than by interpolated quantile
+    bounds — rank trimming has no cross-engine float boundary to
+    disagree on.  One partitioned window + rollup; integer cents
+    and integer division throughout."""
+    from pyspark.sql import Window
+    c = _events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = (c.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    t = r.filter((F.col("rn") > F.expr("n DIV 100"))
+                 & (F.col("rn") <= F.col("n") - F.expr("n DIV 100")))
+    return (t.groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n_all"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.expr("sum(cents) DIV count(1)")
+                 .alias("trimmed_mean_cents"))
+            .orderBy("event_type"))
