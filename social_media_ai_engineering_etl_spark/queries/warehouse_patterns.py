@@ -1252,3 +1252,48 @@ def qx_trimmed_mean(spark, sf_dir):
                  F.expr("sum(cents) DIV count(1)")
                  .alias("trimmed_mean_cents"))
             .orderBy("event_type"))
+
+
+@register("qx_arrival_gaps", oracle="""
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo,
+           date_trunc('hour', max(ts)) AS hi
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds),
+                                  INTERVAL 1 HOUR)) AS hour
+), observed AS (
+    SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events
+), missing AS (
+    SELECT s.hour FROM spine s
+    LEFT JOIN observed o ON o.hour = s.hour
+    WHERE o.hour IS NULL
+)
+SELECT CAST((SELECT count(*) FROM spine) AS BIGINT) AS n_hours,
+       CAST((SELECT count(*) FROM missing) AS BIGINT) AS n_silent,
+       CAST((SELECT count(*) FROM missing) * 1000000 //
+            (SELECT count(*) FROM spine) AS BIGINT) AS silent_ppm
+""")
+def qx_arrival_gaps(spark, sf_dir):
+    """Pipeline-down watchdog: generate the full hour spine between
+    the first and last event and anti-join the observed hours —
+    silent hours mean an ingest outage that per-hour aggregates alone
+    can never show (an absent group looks identical to an absent
+    hour).  The spine generates from two scalars, so the only data
+    pass is one distinct-hour shrink of the fact."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    observed = ev.select(
+        F.date_trunc("hour", "ts").alias("hour")).distinct()
+    missing = spine.join(observed, "hour", "left_anti")
+    return (spine.agg(F.count(F.lit(1)).alias("n_hours"))
+            .join(F.broadcast(
+                missing.agg(F.count(F.lit(1)).alias("n_silent"))))
+            .select("n_hours", "n_silent",
+                    F.expr("n_silent * 1000000 DIV n_hours")
+                    .alias("silent_ppm")))
