@@ -618,3 +618,57 @@ def qs_windowed_topk(spark, sf_dir):
             .select("hour", "event_type", "n",
                     F.col("rnk").cast("long").alias("rnk"))
             .orderBy("hour", "rnk"))
+
+
+@register("qs_session_depth_profile", oracle="""
+WITH o AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+), per AS (
+    SELECT user_id, sid, count(*) AS depth
+    FROM s GROUP BY user_id, sid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(depth) * 100 // count(*) AS BIGINT) AS avg_depth_x100
+FROM per
+""")
+def qs_session_depth_profile(spark, sf_dir):
+    """Session depth + bounce rate (the product-analytics headline
+    numbers): events per 30-minute-gap session, single-event sessions
+    as integer-ppm bounce rate, average depth in x100 fixed point.
+    Derived from the same sessionization the streaming family runs;
+    the session assignment is the lag+cumsum form so the whole
+    profile stays one user-key window + two rollups."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    o = (_events(spark, sf_dir)
+         .withColumn("prev", F.lag("ts").over(w))
+         .withColumn("new_s", F.when(
+             F.col("prev").isNull()
+             | (F.unix_micros("ts") - F.unix_micros("prev")
+                >= 30 * 60 * 1_000_000), 1).otherwise(0)))
+    s = o.withColumn("sid", F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    per = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("depth"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("depth") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_bounces"),
+        F.expr("sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1000000 "
+               "DIV count(1)").alias("bounce_ppm"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.expr("sum(depth) * 100 DIV count(1)").alias("avg_depth_x100"))
