@@ -358,3 +358,173 @@ def qg_ship_latency_by_priority(spark, sf_dir):
                    for q in (0.50, 0.90)],
                  F.max("lag_days").cast("long").alias("max_days"))
             .orderBy("priority"))
+
+
+@register("qg_shipping_priority", oracle="""
+WITH rev AS (
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_x10k,
+           strftime(any_value(o.o_orderdate), '%Y-%m-%d') AS order_date,
+           any_value(o.o_orderpriority) AS priority
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey
+)
+SELECT l_orderkey, revenue_x10k, order_date, priority
+FROM rev
+ORDER BY revenue_x10k DESC, l_orderkey ASC
+LIMIT 10
+""")
+def qg_shipping_priority(spark, sf_dir):
+    """Shipping-priority report (TPC-H Q3 shape): unshipped-revenue
+    top-10 orders for one market segment at a date cutoff.  Exact
+    fixed point (revenue as cents x (100-d) -> x10k bigint) so the
+    ranking is bit-stable; ties broken by orderkey on BOTH engines.
+    Plan shape at 100 TB: the segment filter prunes customer BEFORE
+    its broadcast, orders carries only 4 columns into the fact join,
+    and the final top-10 is TakeOrderedAndProject (per-partition
+    heap + driver merge of 10-row heads), never a global sort."""
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < "1998-01-01")
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > "1998-01-01")
+          .select("l_orderkey",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    return (li.join(F.broadcast(orders),
+                    li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == cust.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum("rev_x10k").alias("revenue_x10k"),
+                 F.date_format(F.first("o_orderdate"), "yyyy-MM-dd")
+                 .alias("order_date"),
+                 F.first("o_orderpriority").alias("priority"))
+            .orderBy(F.col("revenue_x10k").desc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))
+
+
+@register("qg_local_supplier_volume", oracle="""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_x10k,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey  = o.o_custkey
+JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_x10k DESC, n_name ASC
+""")
+def qg_local_supplier_volume(spark, sf_dir):
+    """Local-supplier volume (TPC-H Q5 shape): revenue where the
+    customer and the line's supplier sit in the SAME nation of one
+    region, over one order-date year.  The six-table join is the
+    engine's deepest dimension chain: region -> nation prunes first,
+    then supplier and customer broadcast (each filtered to the
+    region's nations before broadcast), and the lineitem fact joins
+    orders on its key.  The same-nation predicate rides the supplier
+    join as a second equi-condition — no post-join filter, so the
+    join output never widens.  Fixed-point revenue (cents x (100-d))
+    keeps the rollup bit-stable."""
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = (_t(spark, sf_dir, "nation")
+              .join(F.broadcast(region), F.col("n_regionkey")
+                    == region.r_regionkey)
+              .select("n_nationkey", "n_name"))
+    cust = (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == nation.n_nationkey)
+            .select("c_custkey", "c_nationkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1997-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    joined = (li.join(F.broadcast(orders),
+                      li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == cust.c_custkey)
+              .join(F.broadcast(supp),
+                    (li.l_suppkey == supp.s_suppkey)
+                    & (cust.c_nationkey == supp.s_nationkey))
+              .join(F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey))
+    return (joined.groupBy("n_name")
+            .agg(F.sum("rev_x10k").alias("revenue_x10k"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy(F.col("revenue_x10k").desc(), F.col("n_name").asc()))
+
+
+@register("qg_large_orders", oracle="""
+WITH big AS (
+    SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       b.total_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey  = o.o_custkey
+ORDER BY totalprice_cents DESC, o.o_orderkey ASC
+LIMIT 100
+""")
+def qg_large_orders(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18 shape): orders whose summed
+    line quantity exceeds 250, enriched with customer and priced.
+    The HAVING subquery aggregates the fact FIRST (map-side combine
+    on l_orderkey), so only the ~1%-of-orders survivors — a frame
+    orders of magnitude smaller than lineitem — flow into the joins,
+    and at 100 TB the survivor side broadcasts against orders rather
+    than shuffling the full fact twice.  Top-100 by fixed-point total
+    price, orderkey tie-break, via TakeOrderedAndProject."""
+    big = (_t(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_quantity")
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("totalprice_cents"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .select("c_name", "o_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("order_date"),
+                    "totalprice_cents", "total_qty")
+            .orderBy(F.col("totalprice_cents").desc(),
+                     F.col("o_orderkey").asc())
+            .limit(100))

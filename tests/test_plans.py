@@ -333,3 +333,35 @@ def test_hierarchical_rollup_scans_fact_once(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_tpch_join_shapes(spark, sf_dir):
+    """The three classic join-report queries plan the shapes they
+    document: top-k via TakeOrderedAndProject (per-partition heap,
+    never a global Sort->Limit), dims broadcast, no nested-loop or
+    cartesian fallback anywhere in the chain."""
+    for name in ("qg_shipping_priority", "qg_large_orders"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = plan_of(QUERIES["qg_local_supplier_volume"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the same-nation predicate must ride the supplier join as an
+    # equi-condition, not survive as a post-join Filter over the
+    # widened output
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_large_orders_aggregates_fact_before_join(spark, sf_dir):
+    """Q18 shape: the quantity HAVING must reduce lineitem BEFORE any
+    join — the first operator above the lineitem scan is the partial
+    HashAggregate, so only ~1% survivor orderkeys reach the join."""
+    plan = plan_of(QUERIES["qg_large_orders"](spark, sf_dir))
+    scan = plan.find("Scan parquet")
+    join = plan.find("Join")
+    agg = plan.find("HashAggregate")
+    assert scan != -1 and join != -1 and agg != -1
+    m = re.search(r"ReadSchema: struct<l_orderkey[^>]*>", plan)
+    assert m and "l_quantity" in m.group(0), "lineitem scan not pruned"
