@@ -21,6 +21,7 @@ from . import temporal_joins  # noqa: F401
 from . import curation  # noqa: F401  (extension families last)
 from . import graph_analytics  # noqa: F401
 from . import dedup_similarity  # noqa: F401
+from . import pydatasource_queries  # noqa: F401  (custom Python DataSource)
 
 # ---------------------------------------------------------------------------
 # Driver grading window: the driver grades the FIRST 50 registered queries

@@ -1,0 +1,93 @@
+"""Custom Python DataSource (sources/pydatasource.py): the batch
+reader, the streaming reader's offset bookkeeping, and the
+determinism contract that makes the source oracle-checkable."""
+
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.sources.pydatasource import (
+    gen_row,
+    register_synthetic_source,
+)
+
+
+def _agg(df):
+    return {r["event_type"]: (r["n"], r["cents"]) for r in
+            (df.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents"))
+             .collect())}
+
+
+def _read(spark, rows, parts):
+    register_synthetic_source(spark)
+    return (spark.read.format("synthetic_events")
+            .option("rows", rows).option("numPartitions", parts).load())
+
+
+def test_batch_rows_match_pure_function(spark):
+    got = sorted(_read(spark, 50, 3).collect())
+    want = sorted(gen_row(i) for i in range(50))
+    assert [tuple(r) for r in got] == want
+
+
+def test_partition_layout_invariance(spark):
+    """1 partition vs 8 partitions: identical result set — partition
+    boundaries decide WHO computes a row, never its value."""
+    assert _agg(_read(spark, 5000, 1)) == _agg(_read(spark, 5000, 8))
+    assert _read(spark, 5000, 8).rdd.getNumPartitions() == 8
+
+
+def test_stream_equals_batch_and_respects_offsets(spark):
+    """Stream 10k rows in 2.5k micro-batches to a memory sink: the
+    streamed table equals the batch read row-for-row (the source's
+    offset ranges partition the row space exactly once)."""
+    register_synthetic_source(spark)
+    sdf = (spark.readStream.format("synthetic_events")
+           .option("rowsPerBatch", 2500).option("maxRows", 10000)
+           .option("numPartitions", 4).load())
+    ckpt = tempfile.mkdtemp(prefix="pyds-ckpt-")
+    name = "synth_parity"
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}"
+                         ).collect()[0].c >= 10000:
+                break
+            time.sleep(0.5)
+        else:
+            pytest.fail("stream did not reach maxRows in time")
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    streamed = spark.table(name)
+    assert streamed.count() == 10000
+    assert streamed.select("event_id").distinct().count() == 10000
+    assert _agg(streamed) == _agg(_read(spark, 10000, 4))
+
+
+def test_stream_reader_replay_is_identical():
+    """partitions(start, end) is pure: re-planning the same offset
+    range after a simulated restart yields the same rows — the
+    exactly-once contract a checkpointed sink relies on."""
+    from social_media_ai_engineering_etl_spark.sources.pydatasource import (
+        _SyntheticStreamReader)
+    r1 = _SyntheticStreamReader({"rowsperbatch": "100", "maxrows": "300",
+                                 "numpartitions": "3"})
+    o0, o1 = r1.initialOffset(), r1.latestOffset()
+    rows_first = [t for p in r1.partitions(o0, o1) for t in r1.read(p)]
+    r2 = _SyntheticStreamReader({"rowsperbatch": "100", "maxrows": "300",
+                                 "numpartitions": "3"})  # "restarted"
+    rows_replay = [t for p in r2.partitions(o0, o1) for t in r2.read(p)]
+    assert rows_first == rows_replay == [gen_row(i) for i in range(100)]
+    # offsets advance monotonically and clamp at maxRows
+    assert r1.latestOffset() == {"index": 200}
+    assert r1.latestOffset() == {"index": 300}
+    assert r1.latestOffset() == {"index": 300}
