@@ -141,3 +141,94 @@ class SyntheticEventsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotent per-session registration."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# writer half of the API: an atomic JSONL sink with task-commit messages
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, temp_path: str, rows: int):
+        self.temp_path, self.rows = temp_path, rows
+
+
+class _AtomicJsonlWriter(DataSourceWriter):
+    """Two-phase commit at the Python layer: each task writes to a
+    ``_tmp-*`` file and returns its path as the commit message; the
+    DRIVER's ``commit()`` renames all temp files into place in one
+    pass and writes a ``_SUCCESS`` manifest listing them, so a reader
+    that honors the manifest never sees a torn write.  ``abort()``
+    deletes every temp file — a failed job leaves the directory
+    byte-identical to before.  Speculative/retried tasks are safe:
+    each attempt writes its own uuid temp file, and only the attempt
+    whose message reaches commit() is renamed (losers are swept by
+    the temp-prefix cleanup).  This is the same stage-then-publish
+    contract as plans/pipeline.py's write-audit-publish, pushed down
+    into a reusable ``format("atomic_jsonl")`` sink.
+
+    Filesystem contract: commit() renames files the executors wrote,
+    so the path must be a filesystem shared by executors and driver
+    (local/NFS/HDFS-fuse — the FileOutputCommitter-v1 assumption).
+    On rename-less object stores the protocol still holds but the
+    rename step would become a manifest pointer swap."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.overwrite = options.get("__overwrite__", False)
+        _os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _JsonlCommit:
+        tmp = _os.path.join(self.path, f"_tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(recursive=True),
+                                    default=str, sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:  # publish time, after every task succeeded
+            for f in _os.listdir(self.path):
+                if f.startswith("part-") or f == "_SUCCESS":
+                    _os.unlink(_os.path.join(self.path, f))
+        finals, total = [], 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.replace(m.temp_path, final)
+            finals.append(_os.path.basename(final))
+            total += m.rows
+        for f in _os.listdir(self.path):  # sweep lost speculative tmps
+            if f.startswith("_tmp-"):
+                _os.unlink(_os.path.join(self.path, f))
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump({"files": finals, "rows": total}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.temp_path):
+                _os.unlink(m.temp_path)
+
+
+class AtomicJsonlDataSource(DataSource):
+    """``df.write.format("atomic_jsonl").save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "atomic_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> _AtomicJsonlWriter:
+        return _AtomicJsonlWriter(
+            dict(self.options, __overwrite__=overwrite))
+
+
+def register_atomic_jsonl(spark) -> None:
+    spark.dataSource.register(AtomicJsonlDataSource)

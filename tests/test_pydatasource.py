@@ -91,3 +91,35 @@ def test_stream_reader_replay_is_identical():
     assert r1.latestOffset() == {"index": 200}
     assert r1.latestOffset() == {"index": 300}
     assert r1.latestOffset() == {"index": 300}
+
+
+def test_atomic_jsonl_writer_roundtrip(spark, tmp_path):
+    """Write via the custom sink, read back: same rows, _SUCCESS
+    manifest lists exactly the part files, no temp residue, and
+    mode=overwrite replaces a previous publish instead of stacking."""
+    import json
+    import os
+
+    from social_media_ai_engineering_etl_spark.sources.pydatasource import (
+        register_atomic_jsonl)
+    register_atomic_jsonl(spark)
+    out = str(tmp_path / "sink")
+    df = _read(spark, 1000, 4).select("event_id", "event_type", "user_id")
+    df.write.format("atomic_jsonl").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert sorted(manifest["files"]) == parts
+    assert manifest["rows"] == 1000
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 1000
+    assert (back.agg(F.sum("event_id")).collect()[0][0]
+            == sum(range(1000)))
+    # overwrite publishes a fresh file set
+    _read(spark, 10, 2).write.format("atomic_jsonl").mode(
+        "overwrite").save(out)
+    manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest2["rows"] == 10
+    n_lines = sum(1 for f in os.listdir(out) if f.startswith("part-")
+                  for _ in open(os.path.join(out, f)))
+    assert n_lines == 10
