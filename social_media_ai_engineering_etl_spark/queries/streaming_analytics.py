@@ -435,6 +435,42 @@ def qs_props_json_stats(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@register("qs_props_variant", oracle="""
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k * k) AS BIGINT) AS sum_k_sq,
+       count(*) - count(k) AS n_missing,
+       count(*) - count(absent) AS n_absent_path
+FROM (SELECT event_type,
+             json_extract(props, '$.k')::BIGINT AS k,
+             json_extract(props, '$.not_there')::BIGINT AS absent
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+""")
+def qs_props_variant(spark, sf_dir):
+    """The VARIANT path for the same semi-structured column (Spark 4
+    type): ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` extractions — the parse-once/extract-many pattern
+    that replaces per-path JSON string re-parsing at scale (each
+    extra ``json_extract`` over a string column re-tokenizes the
+    JSON; variant_get navigates the decoded binary).  A missing path
+    through ``try_variant_get`` yields NULL, counted per type, so the
+    oracle also pins the absent-key contract."""
+    ev = _events(spark, sf_dir)
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    typed = v.select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.not_there", "bigint").alias("absent"))
+    return (typed.groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 F.sum(F.col("k") * F.col("k")).alias("sum_k_sq"),
+                 (F.count(F.lit(1)) - F.count("k")).alias("n_missing"),
+                 (F.count(F.lit(1)) - F.count("absent"))
+                 .alias("n_absent_path"))
+            .orderBy("event_type"))
+
+
 @register("qs_engagement_cube", oracle="""
 SELECT CASE WHEN event_type IS NOT NULL AND dow IS NULL THEN 1
             WHEN event_type IS NULL AND dow IS NOT NULL THEN 2
