@@ -123,3 +123,52 @@ def test_atomic_jsonl_writer_roundtrip(spark, tmp_path):
     n_lines = sum(1 for f in os.listdir(out) if f.startswith("part-")
                   for _ in open(os.path.join(out, f)))
     assert n_lines == 10
+
+
+def test_statestore_reader_inspects_checkpoint(spark, tmp_path):
+    """Stream the synthetic source through a watermarked windowed
+    count, then reconstruct the operator's live state OFFLINE from the
+    checkpoint alone (spark.read.format('statestore')): kept windows
+    equal the batch-computed aggregate, watermark-evicted windows are
+    absent, and the skew profile accounts for every state row."""
+    from social_media_ai_engineering_etl_spark.streaming.state_inspect import (
+        read_state,
+        state_skew_profile,
+    )
+    register_synthetic_source(spark)
+    sdf = (spark.readStream.format("synthetic_events")
+           .option("rowsPerBatch", 5000).option("maxRows", 10000)
+           .load().withColumn("ts", F.to_timestamp("ts")))
+    agg = (sdf.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), "event_type").count())
+    ckpt = str(tmp_path / "ckpt")
+    q = (agg.writeStream.format("memory").queryName("ss_inspect")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    import time
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if sum(int(p["numInputRows"]) for p in q.recentProgress) >= 10000:
+            break
+        time.sleep(0.5)
+    q.stop()
+
+    got = {(r["key"]["window"]["start"], r["key"]["event_type"]):
+           r["value"]["count"] for r in read_state(spark, ckpt).collect()}
+
+    # expected: batch aggregate over the same pure generator, minus
+    # windows whose end <= watermark (max ts 02:46:39 -> wm 01:46:39,
+    # so only the hour-0 windows are evicted)
+    batch = (_read(spark, 10000, 4).withColumn("ts", F.to_timestamp("ts"))
+             .groupBy(F.window("ts", "1 hour"), "event_type").count()
+             .collect())
+    expect = {(r["window"]["start"], r["event_type"]): r["count"]
+              for r in batch if r["window"]["start"].hour >= 1}
+    assert got == expect
+    evicted = {k for (k, t) in ((r["window"]["start"], r["event_type"])
+               for r in batch) if k.hour == 0}
+    assert evicted  # the fixture really exercises eviction
+
+    prof = state_skew_profile(spark, ckpt).collect()
+    assert sum(r["state_rows"] for r in prof) == len(expect)
+    assert all(0 < r["share_ppm"] <= 1_000_000 for r in prof)
