@@ -85,3 +85,45 @@ class Scd2IntervalsUDTF:
     def terminate(self):
         if self.started:
             yield self.user, self.cur_k, self.since, None, 1
+
+
+class FixedArityCsvSplitUDTF:
+    """Polymorphic UDTF (no static returnType): ``analyze()`` computes
+    the output schema FROM THE CALL — ``csv_split(line, 3)`` yields
+    columns c0..c2.  This is the raw-ingest shape: a delimited line of
+    DECLARED arity becomes typed columns at plan time, so downstream
+    operators see a fixed schema (the 100 TB contract: schema is a
+    compile-time fact, not a per-row discovery), and a row with the
+    wrong field count fails loudly instead of shifting values.
+
+    Registered per session::
+
+        from pyspark.sql.functions import udtf
+        spark.udtf.register("csv_split", udtf(FixedArityCsvSplitUDTF))
+
+        SELECT s.* FROM lines, LATERAL csv_split(line, 3) s
+    """
+
+    @staticmethod
+    def analyze(line, n):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+        if not n.isConstantExpression or n.value is None:
+            raise ValueError("csv_split arity must be a constant literal")
+        width = int(n.value)
+        if not 1 <= width <= 1024:
+            raise ValueError(f"csv_split arity out of range: {width}")
+        schema = StructType()
+        for i in range(width):
+            schema = schema.add(f"c{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, line, n: int):
+        if line is None:
+            return
+        parts = line.split(",")
+        if len(parts) != n:
+            raise ValueError(
+                f"csv_split: expected {n} fields, got {len(parts)}: "
+                f"{line[:80]!r}")
+        yield tuple(parts)
