@@ -708,3 +708,57 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "corpus_id",
                     F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def hybrid_retrieval_topk(docs: DataFrame, emb: DataFrame,
+                          doc_id: str = "doc_id", text_col: str = "text",
+                          vec_id: str = "vec_id", vec_col: str = "embedding",
+                          query_mod: int = 50, n_candidates: int = 20,
+                          k: int = 5) -> DataFrame:
+    """Two-stage hybrid retrieval (the RAG-corpus staple): a LEXICAL
+    inverted-index stage proposes ``n_candidates`` docs per query by
+    shared distinct 3-gram count, then a VECTOR stage re-ranks only
+    those candidates by exact cosine.
+
+    Scale shape: stage 1 is the same gram equi-join as the n-gram
+    Jaccard dedup (no pairwise scan — candidates come from the
+    inverted index; a max_df guard drops stop-grams at web scale),
+    and stage 2 computes C*Q cosines instead of N*Q — the funnel is
+    what makes exact re-ranking affordable when N is 10^10.  Both
+    stages break ties deterministically (count/cos DESC, id ASC), so
+    the result is value-hash stable cross-engine.
+    """
+    from .dedup import word_shingles
+    sh = docs.select(F.col(doc_id).alias("did"),
+                     F.explode(word_shingles(F.col(text_col))).alias("s"))
+    qsh = (sh.filter(F.col("did") % query_mod == 0)
+           .select(F.col("did").alias("query_id"), "s"))
+    cand = (sh.join(qsh, "s")
+            .filter(F.col("did") != F.col("query_id"))
+            .groupBy("query_id", F.col("did").alias("cand_id"))
+            .agg(F.count(F.lit(1)).alias("shared_grams")))
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("shared_grams").desc(), F.col("cand_id"))
+    shortlist = (cand.withColumn("lrank", F.row_number().over(wl))
+                 .filter(F.col("lrank") <= n_candidates)
+                 .drop("lrank"))
+
+    v = emb.select(F.col(vec_id).alias("vid"),
+                   _as_double(F.col(vec_col)).alias("vec"))
+    v = v.withColumn("n", _norm(F.col("vec")))
+    qv = v.select(F.col("vid").alias("query_id"),
+                  F.col("vec").alias("qv"), F.col("n").alias("qn"))
+    cv = v.select(F.col("vid").alias("cand_id"),
+                  F.col("vec").alias("cv"), F.col("n").alias("cn"))
+    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v_: acc + v_)
+    scored = (shortlist.join(qv, "query_id").join(cv, "cand_id")
+              .withColumn("cosine_sim", _safe_cosine(dot)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("cand_id").alias("doc_id"),
+                    "shared_grams",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))

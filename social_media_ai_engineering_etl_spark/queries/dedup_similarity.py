@@ -1269,3 +1269,59 @@ def qx_bpe_pair_counts(spark, sf_dir):
         "i -> substring(word, i, 2))")).alias("pair"))
     return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "pair").limit(20))
+
+
+_HYBRID_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in generate_series(1, len(w) - 2)]))
+               AS s
+    FROM toks
+), cand AS (
+    SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+           count(*) AS shared_grams
+    FROM sh q JOIN sh c ON q.s = c.s AND c.doc_id <> q.doc_id
+    WHERE q.doc_id % 50 = 0
+    GROUP BY 1, 2
+), shortlist AS (
+    SELECT query_id, cand_id, shared_grams FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY shared_grams DESC, cand_id) AS lrank
+        FROM cand)
+    WHERE lrank <= 20
+), scored AS (
+    SELECT t.query_id, t.cand_id, t.shared_grams,
+           list_dot_product(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                  ce.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                    qe.embedding::DOUBLE[]))) AS cos
+    FROM shortlist t
+    JOIN embeddings qe ON qe.vec_id = t.query_id
+    JOIN embeddings ce ON ce.vec_id = t.cand_id
+)
+SELECT query_id, rank, cand_id AS doc_id, shared_grams,
+       round(cos, 6) AS cosine_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id) AS rank FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("qx_hybrid_retrieval", oracle=_HYBRID_SQL)
+def qx_hybrid_retrieval(spark, sf_dir):
+    """Two-stage hybrid retrieval: lexical inverted-index shortlist
+    (top-20 by shared distinct 3-grams, the n-gram-Jaccard join shape)
+    re-ranked by exact embedding cosine to top-5 per query — the RAG
+    funnel that makes exact vector scoring affordable at corpus scale
+    (C*Q cosines instead of N*Q).  Ties broken deterministically at
+    BOTH stages; cosine emitted 6-rounded (the proven cross-engine
+    float-identity pattern of qx_similarity_topk)."""
+    return similarity.hybrid_retrieval_topk(
+        _docs(spark, sf_dir),
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ).orderBy("query_id", "rank")

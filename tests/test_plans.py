@@ -365,3 +365,13 @@ def test_large_orders_aggregates_fact_before_join(spark, sf_dir):
     assert scan != -1 and join != -1 and agg != -1
     m = re.search(r"ReadSchema: struct<l_orderkey[^>]*>", plan)
     assert m and "l_quantity" in m.group(0), "lineitem scan not pruned"
+
+
+def test_hybrid_retrieval_is_funnel_not_scan(spark, sf_dir):
+    """Hybrid retrieval: candidates come from the gram equi-join
+    (inverted index) — no cartesian/nested-loop pairing anywhere, and
+    both top-k stages are rank-filter windows (group-limit shape)."""
+    plan = plan_of(QUERIES["qx_hybrid_retrieval"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
