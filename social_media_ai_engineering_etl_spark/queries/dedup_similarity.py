@@ -1312,7 +1312,7 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
-@register("qx_hybrid_retrieval", oracle=_HYBRID_SQL)
+@register("qx_hybrid_retrieval", bench=True, oracle=_HYBRID_SQL)
 def qx_hybrid_retrieval(spark, sf_dir):
     """Two-stage hybrid retrieval: lexical inverted-index shortlist
     (top-20 by shared distinct 3-grams, the n-gram-Jaccard join shape)
