@@ -107,6 +107,14 @@ class _SyntheticStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["index"]), int(end["index"])
+        # Restart fast-forward: after checkpoint recovery Spark replays
+        # the last uncommitted offset range on a FRESH reader whose
+        # cursor is 0 — without this, latestOffset() would hand out
+        # offsets BEHIND the committed one for ceil(committed/batch)
+        # no-op cycles before catching up.  The planned range is the
+        # engine's own committed truth, so adopting its high end is
+        # always safe (and read() stays pure either way).
+        self._cursor = max(self._cursor, hi)
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         step = -(-(hi - lo) // self.parts)

@@ -172,3 +172,55 @@ def test_statestore_reader_inspects_checkpoint(spark, tmp_path):
     prof = state_skew_profile(spark, ckpt).collect()
     assert sum(r["state_rows"] for r in prof) == len(expect)
     assert all(0 < r["share_ppm"] <= 1_000_000 for r in prof)
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    """Kill the stream mid-way, restart from the checkpoint with a
+    FRESH reader (in-memory cursor reset to 0): the replay-identical
+    source + keyed idempotent upsert sink yield exactly-once results —
+    every generated row present exactly once, nothing skipped or
+    duplicated by the replayed micro-batch. partitions() fast-forwards
+    the cursor to the recovered offset, so recovery costs zero no-op
+    catch-up cycles."""
+    import time
+
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        upsert_parquet_sink)
+    register_synthetic_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "table")
+    sink = upsert_parquet_sink(out, ["event_id"])
+
+    def start():
+        sdf = (spark.readStream.format("synthetic_events")
+               .option("rowsPerBatch", 2500).option("maxRows", 10000)
+               .load())
+        return (sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt).start())
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.recentProgress and sum(int(p["numInputRows"])
+                                    for p in q.recentProgress) >= 5000:
+            break
+        time.sleep(0.3)
+    q.stop()  # mid-stream kill
+
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        q2.processAllAvailable()
+        try:
+            if spark.read.parquet(out).count() >= 10000:
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    q2.stop()
+
+    df = spark.read.parquet(out)
+    assert df.count() == 10000
+    assert df.select("event_id").distinct().count() == 10000
+    lo, hi = df.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    assert (lo, hi) == (0, 9999)
