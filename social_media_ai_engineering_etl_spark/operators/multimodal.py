@@ -112,6 +112,38 @@ def extract_media_features(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(fn, out_schema)
 
 
+def extract_media_features_arrow(df: DataFrame,
+                                 content_col: str = "content",
+                                 dim: int = 16,
+                                 out_col: str = "features") -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_media_features` — the
+    RecordBatch boundary skips the Arrow->pandas->Arrow round trip
+    entirely, which matters precisely for BINARY media columns:
+    pandas materializes every payload as a Python bytes object during
+    conversion even for rows the decoder never touches, while the
+    Arrow path hands the decoder buffer views from the shared batch.
+    Output is bit-identical to the pandas twin (parity-pinned in
+    tests/test_multimodal.py); use this form when the payload bytes
+    dominate batch size."""
+    import pyarrow as pa
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, ArrayType(FloatType()))])
+
+    def fn(batches):
+        decoder = FakeDecoder()
+        for rb in batches:
+            idx = rb.schema.get_field_index(content_col)
+            feats = [
+                decoder.decode_features(
+                    s.as_py() if s.is_valid else b"", dim)
+                for s in rb.column(idx)]
+            yield rb.append_column(
+                out_col, pa.array(feats, type=pa.list_(pa.float32())))
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def resize_metadata(df: DataFrame, max_side: int = 256,
                     media_col: str = "media") -> DataFrame:
     """Resize plan (native): clamp the longer side to ``max_side``

@@ -85,3 +85,21 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
     feats = extract_media_features(
         media.withColumnRenamed("media_uri", "doc_id"), dim=4)
     assert feats.count() == 4
+
+
+def test_arrow_feature_twin_is_bit_identical(spark, sf_dir):
+    """mapInArrow twin == mapInPandas features, row for row (same
+    FakeDecoder md5 stream, same float32 values) — the RecordBatch
+    boundary changes the transfer, never the result."""
+    import os
+
+    from social_media_ai_engineering_etl_spark.operators import multimodal
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).limit(200)
+    media = multimodal.attach_fake_media(docs)
+    a = multimodal.extract_media_features(media).select(
+        "doc_id", "features").collect()
+    b = multimodal.extract_media_features_arrow(media).select(
+        "doc_id", "features").collect()
+    assert sorted(map(tuple, ((r.doc_id, tuple(r.features)) for r in a))) \
+        == sorted(map(tuple, ((r.doc_id, tuple(r.features)) for r in b)))
