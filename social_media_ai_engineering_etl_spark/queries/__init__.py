@@ -35,8 +35,14 @@ from . import pydatasource_queries  # noqa: F401  (custom Python DataSource)
 # ---------------------------------------------------------------------------
 
 GRADE_WINDOW: tuple[str, ...] = (
-    # stage-01 flagship (P1-P3, A1-A2, J2)
-    "q01_tier_counts", "q01_engagement_ratio", "q01_quantile_cutoffs",
+    # stage-01 flagship (P1-P3, A1-A2, J2) — q01_tier_counts COMPOSES
+    # P1 ratio -> A1 exact quantiles -> P2/P3 tier+filter -> A2 counts,
+    # so the standalone P1 (q01_engagement_ratio) and A1
+    # (q01_quantile_cutoffs) probes were consolidated out (same move
+    # as r2's emoji-count fold, VERDICT r2 #3) to seat the two
+    # families new in r3: the Python DataSource and hybrid retrieval.
+    # Both standalone probes remain registered + judge-sweep checked.
+    "q01_tier_counts", "qds_synthetic_events", "qx_hybrid_retrieval",
     # row transforms (P5-P10, P12, T3-T4, T11, T15, §2.9 describe)
     # (T15's emoji-count expression is graded via q02_emoji_binning,
     # which bins that same count — the standalone q02_emoji_count
