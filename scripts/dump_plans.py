@@ -121,6 +121,22 @@ NOTES = {
         "exact fixed point: pruned 7-column scan, map-side partial "
         "aggregation, one 6-group exchange — bit-stable bigint "
         "measures end to end."),
+    "qx_hybrid_retrieval": (
+        "Two-stage retrieval funnel: lexical candidates from the "
+        "shingle equi-join (inverted index, no pairwise scan), both "
+        "top-k cuts are WindowGroupLimit rank filters, and the vector "
+        "re-rank joins embeddings only for the C*Q shortlist rows — "
+        "exact cosine cost decoupled from corpus size."),
+    "qg_local_supplier_volume": (
+        "Six-table chain: region->nation prunes first, every dim "
+        "broadcasts, the same-nation predicate rides the supplier "
+        "join as an equi-condition (no post-join filter) — the "
+        "lineitem fact reaches its 5-row rollup without shuffling."),
+    "qds_synthetic_events": (
+        "Custom Python DataSource scan: 8 range partitions planned "
+        "by the source's partitions(), rows generated in-executor "
+        "(zero input files, zero driver data), one partial-combined "
+        "aggregate above the scan."),
     "qx_revenue_concentration": (
         "Pareto deciles without a global sort: range repartition + "
         "partitioned rank + offset map (scale.global_ntile), then a "
