@@ -13,6 +13,14 @@ setting is chosen for a multi-executor cluster at ~100 TB:
 - broadcast threshold raised: every dimension table in the star
   schema (region/nation/customer/supplier/part) is broadcastable.
 
+Stateful streaming state backend: tests default to the HDFS-backed
+provider (fastest locally); a production deployment sets
+``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+provider so state lives off-heap in changelog+SST files instead of
+JVM-heap delta maps — every stateful operator here runs unchanged on
+it (proven in tests/test_pydatasource.py::test_stateful_op_on_rocksdb_
+state_store).
+
 Cache ownership contract: operators that ``persist()`` an
 intermediate they re-read (dedup candidate tables, pagerank's edge
 frame, global_ntile's range slices) either unpersist it themselves
