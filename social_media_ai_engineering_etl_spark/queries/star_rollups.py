@@ -387,9 +387,11 @@ def qg_shipping_priority(spark, sf_dir):
     fixed point (revenue as cents x (100-d) -> x10k bigint) so the
     ranking is bit-stable; ties broken by orderkey on BOTH engines.
     Plan shape at 100 TB: the segment filter prunes customer BEFORE
-    its broadcast, orders carries only 4 columns into the fact join,
-    and the final top-10 is TakeOrderedAndProject (per-partition
-    heap + driver merge of 10-row heads), never a global sort."""
+    its join, orders carries only 4 columns into the fact join (both
+    joins planner-chosen — broadcast locally, shuffle hash at fact
+    scale), and the final top-10 is TakeOrderedAndProject
+    (per-partition heap + driver merge of 10-row heads), never a
+    global sort."""
     cust = (_t(spark, sf_dir, "customer")
             .filter(F.col("c_mktsegment") == "BUILDING")
             .select("c_custkey"))
@@ -403,10 +405,11 @@ def qg_shipping_priority(spark, sf_dir):
                   (F.round(F.col("l_extendedprice") * 100).cast("long")
                    * (100 - F.round(F.col("l_discount") * 100)
                       .cast("long"))).alias("rev_x10k")))
-    return (li.join(F.broadcast(orders),
-                    li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust),
-                  F.col("o_custkey") == cust.c_custkey)
+    # orders and customer are FACT-SCALE at 100 TB: their joins stay
+    # planner-chosen (broadcast under the threshold locally, shuffle
+    # hash on a cluster) — only catalog-size dims get explicit hints
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, F.col("o_custkey") == cust.c_custkey)
             .groupBy("l_orderkey")
             .agg(F.sum("rev_x10k").alias("revenue_x10k"),
                  F.date_format(F.first("o_orderdate"), "yyyy-MM-dd")
@@ -440,10 +443,10 @@ def qg_local_supplier_volume(spark, sf_dir):
     """Local-supplier volume (TPC-H Q5 shape): revenue where the
     customer and the line's supplier sit in the SAME nation of one
     region, over one order-date year.  The six-table join is the
-    engine's deepest dimension chain: region -> nation prunes first,
-    then supplier and customer broadcast (each filtered to the
-    region's nations before broadcast), and the lineitem fact joins
-    orders on its key.  The same-nation predicate rides the supplier
+    engine's deepest dimension chain: region -> nation prunes first
+    and broadcasts with supplier; the customer and orders joins stay
+    planner-chosen (fact-scale at 100 TB, broadcast locally), with
+    customer filtered to the region's nations before its join.  The same-nation predicate rides the supplier
     join as a second equi-condition — no post-join filter, so the
     join output never widens.  Fixed-point revenue (cents x (100-d))
     keeps the rollup bit-stable."""
@@ -469,10 +472,10 @@ def qg_local_supplier_volume(spark, sf_dir):
                   (F.round(F.col("l_extendedprice") * 100).cast("long")
                    * (100 - F.round(F.col("l_discount") * 100)
                       .cast("long"))).alias("rev_x10k")))
-    joined = (li.join(F.broadcast(orders),
-                      li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust),
-                    F.col("o_custkey") == cust.c_custkey)
+    # orders/customer are planner-chosen (fact-scale at 100 TB);
+    # supplier and the nation/region chain are catalog dims
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, F.col("o_custkey") == cust.c_custkey)
               .join(F.broadcast(supp),
                     (li.l_suppkey == supp.s_suppkey)
                     & (cust.c_nationkey == supp.s_nationkey))
@@ -506,8 +509,9 @@ def qg_large_orders(spark, sf_dir):
     The HAVING subquery aggregates the fact FIRST (map-side combine
     on l_orderkey), so only the ~1%-of-orders survivors — a frame
     orders of magnitude smaller than lineitem — flow into the joins,
-    and at 100 TB the survivor side broadcasts against orders rather
-    than shuffling the full fact twice.  Top-100 by fixed-point total
+    and at 100 TB the survivor side broadcasts against orders (AQE
+    sees the post-aggregate size at runtime) rather than shuffling
+    the full fact twice; the customer join stays planner-chosen.  Top-100 by fixed-point total
     price, orderkey tie-break, via TakeOrderedAndProject."""
     big = (_t(spark, sf_dir, "lineitem")
            .select("l_orderkey", "l_quantity")
@@ -520,7 +524,7 @@ def qg_large_orders(spark, sf_dir):
         .alias("totalprice_cents"))
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (big.join(orders, big.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .join(cust, F.col("o_custkey") == cust.c_custkey)
             .select("c_name", "o_custkey", "o_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd")
                     .alias("order_date"),
