@@ -173,6 +173,13 @@ def test_statestore_reader_inspects_checkpoint(spark, tmp_path):
     assert sum(r["state_rows"] for r in prof) == len(expect)
     assert all(0 < r["share_ppm"] <= 1_000_000 for r in prof)
 
+    # point-in-time read: after batch 0 (rows 0..4999, all inside
+    # hours 0-1) no window is evicted yet and counts cover exactly
+    # the first 5000 generated rows
+    first = read_state(spark, ckpt, batch_id=0).collect()
+    assert sum(r["value"]["count"] for r in first) == 5000
+    assert {r["key"]["window"]["start"].hour for r in first} <= {0, 1}
+
 
 def test_stream_restart_is_exactly_once(spark, tmp_path):
     """Kill the stream mid-way, restart from the checkpoint with a
