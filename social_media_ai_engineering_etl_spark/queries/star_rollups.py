@@ -532,3 +532,69 @@ def qg_large_orders(spark, sf_dir):
             .orderBy(F.col("totalprice_cents").desc(),
                      F.col("o_orderkey").asc())
             .limit(100))
+
+
+@register("qg_priority_check", oracle="""
+SELECT o.o_orderpriority AS priority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY priority ORDER BY priority
+""")
+def qg_priority_check(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 shape): one quarter's orders
+    that had at least one LATE line (shipped >90 days after the order
+    date), counted per priority.  The EXISTS is a LEFT SEMI join with
+    a compound condition (key equality + the cross-table date
+    predicate) — the fact side is touched once, never duplicated per
+    matching line, and the date-range filter prunes orders before the
+    join.  Both joins planner-chosen (fact x fact at 100 TB: shuffle
+    hash on the order key)."""
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1997-04-01"))
+              .select("o_orderkey", "o_orderdate",
+                      F.col("o_orderpriority").alias("priority")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi")
+    return (late.groupBy("priority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("priority"))
+
+
+@register("qg_customer_distribution", oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""")
+def qg_customer_distribution(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed 0, 1, 2, ... non-urgent orders.  The priority
+    predicate lives in the OUTER JOIN's ON clause — in the WHERE it
+    would silently drop the zero-order customers the query exists to
+    count (the classic outer-join trap; the 0-bucket in the output is
+    the regression witness).  Second aggregate is a count-of-counts
+    over the per-customer frame — the same key-skew-profile shape as
+    qx_key_skew_profile, driven here by an outer join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                     "left_outer")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
