@@ -58,7 +58,8 @@ def main() -> None:
     orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
 
     names = ("qg_pricing_summary", "qg_shipping_priority",
-             "qg_local_supplier_volume", "qg_large_orders")
+             "qg_local_supplier_volume", "qg_large_orders",
+             "qg_priority_check", "qg_customer_distribution")
 
     # warm codegen/readers on the registered queries once
     for n in names:
