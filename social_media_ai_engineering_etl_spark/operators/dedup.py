@@ -236,6 +236,56 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
                     F.round("jaccard_sim", 6).alias("jaccard_sim")))
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, threshold: float = 0.6,
+                            max_df: int | None = None) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) >= t —
+    the asymmetric companion to :func:`ngram_jaccard_pairs_inverted`.
+
+    Jaccard misses doc-in-doc duplication by construction: a 50-word
+    boilerplate footer fully embedded in a 5,000-word article scores
+    J ~ 0.01 but containment 1.0.  Normalizing the intersection by
+    the SMALLER set makes the score direction-free while still
+    flagging quote blocks, syndicated excerpts, and template
+    boilerplate — the duplication mode that dominates web training
+    corpora (the near-dup literature calls this the containment /
+    overlap coefficient).
+
+    Plan shape is identical to the inverted-index Jaccard path (one
+    shingle-hash shuffle, one pair-count shuffle, two broadcast size
+    joins) because the scoring difference is pure arithmetic on the
+    same (inter, sz1, sz2) triple — at 100 TB both run off one shared
+    candidate pass.  Same ``max_df`` stopword-shingle skew guard.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    sh = (sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+          .persist())
+    sizes = sh.select("id", "sz")
+    tok = sh.select("id", F.explode(
+        F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    if max_df is not None:
+        dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        tok = tok.join(dfreq.filter(F.col("df") <= max_df), "s", "leftsemi")
+    inter = (tok.alias("a")
+             .join(tok.alias("b"),
+                   (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    res = (inter
+           .join(sizes.select(F.col("id").alias("id1"),
+                              F.col("sz").alias("sz1")), "id1")
+           .join(sizes.select(F.col("id").alias("id2"),
+                              F.col("sz").alias("sz2")), "id2")
+           .withColumn("containment",
+                       F.col("inter").cast("double")
+                       / F.least("sz1", "sz2")))
+    return (res.filter(F.col("containment") >= threshold)
+            .select("id1", "id2", "inter",
+                    F.round("containment", 6).alias("containment")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -503,3 +503,128 @@ def lm_familiarity_cms(df, id_col: str, text_col: str, depth: int = 5,
             .select("id", "n_bigrams",
                     F.round(F.col("sum_bits").cast("double")
                             / F.col("n_bigrams"), 6).alias("familiarity")))
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (byte-pair encoding, Sennrich et al. 2016 —
+# public algorithm; no reference counterpart, training-data extension)
+# ---------------------------------------------------------------------------
+
+
+def bpe_learn(df, text_col: str, num_merges: int = 8):
+    """Learn an ordered BPE merge list over a corpus, distributed.
+
+    The scale move is the classic one: collapse the corpus to its
+    (word, count) table FIRST — one shuffle over raw text, after
+    which every merge round runs over the *vocabulary* (millions of
+    distinct words at web scale), never the corpus (trillions of
+    occurrences).  Each round is then
+
+      1. pair statistics: explode adjacent symbol pairs, one
+         map-side-combinable shuffle of ``sum(count)`` per pair;
+      2. argmax with a deterministic (count DESC, pair ASC)
+         tie-break — a 1-row collect (scalar convergence read, same
+         class as the connected-components round check);
+      3. merge application: a narrow per-word ``aggregate`` walk that
+         rewrites the symbol array greedily left-to-right (``aaa``
+         with merge (a,a) -> ``[aa, a]``, standard BPE), touching no
+         shuffle at all.
+
+    The rounds are inherently sequential (round r's statistics depend
+    on round r-1's merge — that is the algorithm, not a plan defect);
+    total cost is ``num_merges`` vocabulary-sized aggregations.  The
+    vocab table is re-persisted per round and the predecessor
+    released, so peak cache is one vocabulary copy.
+
+    Symbols start as characters; no end-of-word marker is appended
+    (documented deviation from the paper's ``</w>`` — merges here
+    never see word boundaries because words are the outer grain).
+
+    Returns a merge-table DataFrame: (rank, left, right, merged, n)
+    with rank 1 = first merge learned, n = weighted pair count that
+    won the round.  Deterministic for a fixed corpus.
+    """
+    spark = df.sparkSession
+    vocab = (df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                         "\\s+")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.split("word", "").alias("sym"), "cnt")
+             .persist())
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = (vocab
+                 .select("cnt", F.explode(F.arrays_zip(
+                     F.slice("sym", 1, F.greatest(F.size("sym") - 1,
+                                                  F.lit(0))),
+                     F.slice("sym", 2, F.greatest(F.size("sym") - 1,
+                                                  F.lit(0)))))
+                     .alias("p"))
+                 .select(F.col("p.0").alias("left"),
+                         F.col("p.1").alias("right"), "cnt")
+                 .groupBy("left", "right")
+                 .agg(F.sum("cnt").alias("n")))
+        top = (pairs.orderBy(F.col("n").desc(), F.col("left").asc(),
+                             F.col("right").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, n = top[0]["left"], top[0]["right"], top[0]["n"]
+        merges.append((rank, a, b, a + b, int(n)))
+        nxt = (vocab.select(F.aggregate(
+            "sym", F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b)))
+            ).otherwise(F.concat(acc, F.array(x)))).alias("sym"),
+            "cnt").persist())
+        nxt.count()          # materialize before releasing the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, n BIGINT")
+
+
+def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple]):
+    """Tokenize text with a learned BPE merge list (rank-priority
+    greedy merging, the standard encoder): per word, repeatedly merge
+    the adjacent pair with the LOWEST rank until none applies.
+
+    Arrow-batched ``mapInPandas`` — encoding is an inherently
+    sequential per-word loop (every real tokenizer runs it in
+    Python/Rust per document), and the merge list rides the closure
+    as a plain broadcast-sized list.  Scale shape: narrow map, no
+    shuffle; cost linear in corpus tokens.
+
+    Returns (id, tokens array<string>, n_tokens).
+    """
+    rank_of = {(left, right): rank for rank, left, right, _, _ in merges}
+    id_field = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_toks = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for word in str(text).lower().strip().split():
+                    sym = list(word)
+                    while len(sym) > 1:
+                        best, bi = None, -1
+                        for j in range(len(sym) - 1):
+                            r = rank_of.get((sym[j], sym[j + 1]))
+                            if r is not None and (best is None or r < best):
+                                best, bi = r, j
+                        if best is None:
+                            break
+                        sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+                    toks.extend(sym)
+                out_ids.append(i)
+                out_toks.append(toks)
+            yield pd.DataFrame({"id": out_ids, "tokens": out_toks})
+
+    enc = df.mapInPandas(run, schema=f"id {id_field}, tokens array<string>")
+    return enc.select("id", "tokens", F.size("tokens").alias("n_tokens"))

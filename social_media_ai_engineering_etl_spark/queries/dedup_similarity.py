@@ -136,6 +136,29 @@ def qx_dedup_ngram_prefix(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+@register("qx_dedup_containment", oracle="WITH d AS (" + _SHINGLE_CTE + """
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             least(len(a.sh), len(b.sh)), 6) AS containment
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      least(len(a.sh), len(b.sh)) >= 0.4
+ORDER BY id1, id2
+""")
+def qx_dedup_containment(spark, sf_dir):
+    """Exact 3-gram containment pairs (|A∩B| / min >= 0.4): the
+    doc-in-doc / boilerplate-excerpt detector Jaccard structurally
+    misses (a short footer inside a long article scores J ~ 0 but
+    containment 1).  Inverted-index plan identical to
+    qx_dedup_ngram_jaccard — only the scoring arithmetic differs."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.4
+    ).orderBy("id1", "id2")
+
+
 @register("qx_dedup_minhash", bench=True)
 def qx_dedup_minhash(spark, sf_dir):
     """MinHash(128)+LSH(32 bands, r=4) candidates verified at Jaccard
@@ -1269,6 +1292,49 @@ def qx_bpe_pair_counts(spark, sf_dir):
         "i -> substring(word, i, 2))")).alias("pair"))
     return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "pair").limit(20))
+
+
+@register("qx_bpe_learn")
+def qx_bpe_learn(spark, sf_dir):
+    """Full BPE vocabulary induction (8 merge rounds) over the
+    document corpus: the iterative extension of qx_bpe_pair_counts —
+    each round recomputes pair statistics over the (word, count)
+    vocabulary table, takes the deterministic argmax, and rewrites
+    symbol arrays with a narrow ``aggregate`` walk.  Rows-only by
+    design (inherently iterative; merge r depends on merge r-1);
+    tests/test_textquality.py pins the merge table bit-for-bit
+    against a pure-Python reference BPE trainer on a fixture corpus,
+    and this registered output is deterministic for the parquet
+    input.  See operators/textquality.py:bpe_learn for the
+    vocabulary-table scale argument."""
+    from ..operators.textquality import bpe_learn
+    return bpe_learn(_docs(spark, sf_dir), "text", num_merges=8) \
+        .orderBy("rank")
+
+
+@register("qx_bpe_token_stats")
+def qx_bpe_token_stats(spark, sf_dir):
+    """Corpus tokenized with the vocabulary just learned (8 merges):
+    per-source document count, total BPE tokens and average tokens
+    per document — the 'how much does my tokenizer compress this
+    source' datasheet row.  Encoding is the rank-priority greedy
+    merger in Arrow-batched mapInPandas (narrow map, no shuffle);
+    rows-only (depends on the learned merge list).  Token
+    conservation (concatenating a word's tokens reproduces the word)
+    is property-pinned in tests/test_textquality.py."""
+    from ..operators.textquality import bpe_encode, bpe_learn
+    docs = _docs(spark, sf_dir)
+    merges = [tuple(r) for r in
+              bpe_learn(docs, "text", num_merges=8).collect()]
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    per_doc = enc.join(docs.select("doc_id", "source"),
+                       enc.id == F.col("doc_id"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.sum("n_tokens")
+                         / F.count(F.lit(1)), 6).alias("avg_tokens"))
+            .orderBy("source"))
 
 
 _HYBRID_SQL = r"""

@@ -598,3 +598,223 @@ def qg_customer_distribution(spark, sf_dir):
     return (per.groupBy("c_count")
             .agg(F.count(F.lit(1)).alias("custdist"))
             .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@register("qg_volume_shipping", oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_x10k) AS BIGINT) AS revenue_x10k,
+       count(*) AS n_lines
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_x10k
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def qg_volume_shipping(spark, sf_dir):
+    """Volume shipping (TPC-H Q7 shape): trade flow between two
+    nations — revenue of lines a NATION_1 supplier shipped to a
+    NATION_2 customer and vice versa, per ship year.  The nation dim
+    is filtered to the two parties BEFORE either join, so each
+    broadcast carries 2 rows and the asymmetric-pair predicate
+    reduces to ``supp_nation <> cust_nation`` on the two survivors —
+    no OR-of-ANDs post-join filter, no widened join output.  orders /
+    customer joins stay planner-chosen (fact-scale at 100 TB).
+    Fixed-point revenue (cents x (100-d)) keeps the yearly rollup
+    bit-stable."""
+    pair = ["NATION_1", "NATION_2"]
+    n1 = (_t(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin(pair))
+          .select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (_t(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin(pair))
+          .select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_suppkey",
+                  F.year("l_shipdate").cast("int").alias("l_year"),
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    # supplier/customer sides restricted to the two nations via the
+    # 2-row broadcast BEFORE touching the fact; the pair predicate is
+    # the final name inequality on the two survivors
+    supp2 = supp.join(F.broadcast(n1),
+                      supp.s_nationkey == F.col("n1_key"))
+    cust2 = cust.join(F.broadcast(n2),
+                      cust.c_nationkey == F.col("n2_key"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust2, F.col("o_custkey") == cust2.c_custkey)
+            .join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum("rev_x10k").alias("revenue_x10k"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register("qg_market_share", oracle="""
+WITH region_lines AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_x10k,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey   = l.l_partkey
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey  = n2.n_regionkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AFRICA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_x10k
+                     ELSE 0 END) AS BIGINT) AS nation_x10k,
+       CAST(sum(vol_x10k) AS BIGINT) AS total_x10k,
+       CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_5'
+                                THEN vol_x10k ELSE 0 END))
+            // sum(vol_x10k) AS BIGINT) AS share_ppm
+FROM region_lines
+GROUP BY o_year ORDER BY o_year
+""")
+def qg_market_share(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): NATION_5's share of
+    ECONOMY-part revenue sold into AFRICA, per order year.  The share
+    is exact integer arithmetic end-to-end: both revenue sums are
+    accumulated as DECIMAL(38,0) (unbounded-scale analogue of
+    DuckDB's HUGEINT sum — no BIGINT overflow when 1e6x-scaling a
+    100 TB revenue total), and ``share_ppm`` is integral floor
+    division of positives, identical on both engines — never a
+    double ratio whose last ulp is a hash dice-roll.  Dims (part
+    filtered to one type, supplier, nation chain, region) broadcast;
+    orders/customer stay planner-chosen."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "AFRICA").select("r_regionkey"))
+    n2 = (_t(spark, sf_dir, "nation")
+          .join(F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("n2_key")))
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey",
+                      F.year("o_orderdate").cast("int").alias("o_year")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("vol_x10k")))
+    joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, F.col("o_custkey") == cust.c_custkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey))
+    dec = "decimal(38,0)"
+    nation_sum = F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                              F.col("vol_x10k")).otherwise(F.lit(0))
+                       .cast(dec))
+    total_sum = F.sum(F.col("vol_x10k").cast(dec))
+    return (joined.groupBy("o_year")
+            .agg(nation_sum.alias("_n"), total_sum.alias("_t"))
+            .select("o_year",
+                    F.col("_n").cast("long").alias("nation_x10k"),
+                    F.col("_t").cast("long").alias("total_x10k"),
+                    F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _n) "
+                           "DIV _t AS BIGINT)").alias("share_ppm"))
+            .orderBy("o_year"))
+
+
+@register("qg_product_profit", oracle="""
+SELECT supp_nation, o_year,
+       CAST(sum(profit_cents) AS BIGINT) AS profit_cents,
+       count(*) AS n_lines
+FROM (
+    SELECT n.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)
+             - CAST(floor(l.l_quantity * floor(p.p_retailprice * 10))
+                    AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey    = l.l_partkey
+    JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey  = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey   = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+)
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation, o_year
+""")
+def qg_product_profit(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 shape): per supplier nation and
+    order year, net profit on parts whose name contains 'bolt'.  The
+    schema has no partsupp, so supply cost is modeled as 10% of the
+    part's retail price — the point is the Q9 plan shape: the LIKE
+    filter prunes part before its join (pushed to the scan), part /
+    supplier / nation broadcast, orders joins planner-chosen, and the
+    fact shuffles once for the (nation, year) rollup.  Profit is
+    exact integer cents: both engines compute the identical per-row
+    doubles, floor them (deterministic), and sum BIGINTs."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%bolt%"))
+            .select("p_partkey",
+                    F.floor(F.col("p_retailprice") * 10)
+                    .alias("cost_x10")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        F.floor(F.col("l_extendedprice")
+                * (1 - F.col("l_discount")) * 100).alias("rev_cents"))
+    profit = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(F.broadcast(nation),
+                    F.col("s_nationkey") == nation.n_nationkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .select("supp_nation", "o_year",
+                      (F.col("rev_cents")
+                       - F.floor(F.col("l_quantity") * F.col("cost_x10")))
+                      .alias("profit_cents")))
+    return (profit.groupBy("supp_nation", "o_year")
+            .agg(F.sum("profit_cents").alias("profit_cents"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("supp_nation", "o_year"))

@@ -1,0 +1,146 @@
+"""BPE vocabulary learning/encoding and containment-dedup contracts."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs_inverted,
+)
+from social_media_ai_engineering_etl_spark.operators.textquality import (
+    bpe_encode,
+    bpe_learn,
+)
+
+CORPUS = [
+    "low low low lower lowest newer newer new",
+    "wider wide new newer lowest low",
+    "the newest new low rider is wide",
+]
+
+
+def _reference_bpe(texts: list[str], num_merges: int):
+    """Pure-Python BPE trainer (Sennrich et al. 2016 algorithm):
+    greedy left-to-right merge application, (count DESC, left ASC,
+    right ASC) tie-break — the exact contract bpe_learn implements."""
+    words: Counter = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    out = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for sym, c in vocab.items():
+            for j in range(len(sym) - 1):
+                pc[(sym[j], sym[j + 1])] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, a + b, n))
+        nxt: dict = {}
+        for sym, c in vocab.items():
+            acc: list = []
+            for x in sym:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            key = tuple(acc)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return out
+
+
+def test_bpe_learn_matches_reference_trainer(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got = [tuple(r) for r in bpe_learn(df, "text", num_merges=8).collect()]
+    assert got == _reference_bpe(CORPUS, 8)
+
+
+def test_bpe_learn_merge_counts_monotone_and_ranked(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    rows = bpe_learn(df, "text", num_merges=6).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # each round merges the then-best pair: counts never increase
+    # against an earlier round's winning count
+    counts = [r["n"] for r in rows]
+    assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
+    # merged symbol is the concatenation of its parts
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_bpe_encode_token_conservation(spark):
+    """Concatenating a document's BPE tokens reproduces its
+    whitespace-normalized lowercase text (no character created or
+    destroyed), and tokens only coarsen as merges are added."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"])
+    merges = [tuple(r) for r in bpe_learn(df, "text", 8).collect()]
+    enc = bpe_encode(df, "doc_id", "text", merges).collect()
+    by_id = {r["id"]: r for r in enc}
+    for i, t in enumerate(CORPUS):
+        squashed = "".join(t.lower().strip().split())
+        assert "".join(by_id[i]["tokens"]) == squashed
+        assert by_id[i]["n_tokens"] == len(by_id[i]["tokens"])
+    # more merges -> never more tokens
+    enc0 = {r["id"]: r["n_tokens"]
+            for r in bpe_encode(df, "doc_id", "text", []).collect()}
+    for i in by_id:
+        assert by_id[i]["n_tokens"] <= enc0[i]
+
+
+def test_bpe_encode_applies_rank_priority(spark):
+    """Rank order, not text order, decides merge application: with
+    merges [(1,'b','c'), (2,'a','b')] the word 'abc' must become
+    ['a','bc'] — a left-to-right pass that applied (a,b) first would
+    emit ['ab','c']."""
+    df = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+    merges = [(1, "b", "c", "bc", 9), (2, "a", "b", "ab", 5)]
+    row = bpe_encode(df, "doc_id", "text", merges).collect()[0]
+    assert row["tokens"] == ["a", "bc"]
+
+
+@pytest.fixture(scope="module")
+def contain_docs(spark):
+    footer = "subscribe to our newsletter for weekly updates and offers"
+    long_doc = (" ".join(f"body{i} filler{i}" for i in range(40))
+                + " " + footer)
+    return spark.createDataFrame(
+        [(1, long_doc), (2, footer),
+         (3, "completely unrelated text about gardening and soil quality")],
+        ["doc_id", "text"])
+
+
+def test_containment_catches_doc_in_doc_jaccard_misses(contain_docs):
+    cont = {(r["id1"], r["id2"]): r["containment"]
+            for r in ngram_containment_pairs(
+                contain_docs, "doc_id", "text", n=3,
+                threshold=0.9).collect()}
+    # the footer (doc 2) is fully embedded in doc 1
+    assert cont.get((1, 2)) == pytest.approx(1.0)
+    jac = {(r["id1"], r["id2"]): r["jaccard_sim"]
+           for r in ngram_jaccard_pairs_inverted(
+               contain_docs, "doc_id", "text", n=3,
+               threshold=0.0).collect()}
+    # same pair scores far below any usable Jaccard threshold
+    assert jac.get((1, 2), 0.0) < 0.2
+
+
+def test_containment_bounded_and_symmetric_id_order(contain_docs):
+    rows = ngram_containment_pairs(contain_docs, "doc_id", "text",
+                                   n=3, threshold=0.0).collect()
+    for r in rows:
+        assert r["id1"] < r["id2"]
+        assert 0.0 <= r["containment"] <= 1.0
+        # containment >= Jaccard for the same pair, always
+    jac = {(r["id1"], r["id2"]): r["jaccard_sim"]
+           for r in ngram_jaccard_pairs_inverted(
+               contain_docs, "doc_id", "text", n=3,
+               threshold=0.0).collect()}
+    for r in rows:
+        assert r["containment"] >= jac.get((r["id1"], r["id2"]), 0.0) - 1e-9
