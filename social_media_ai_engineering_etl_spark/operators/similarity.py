@@ -283,6 +283,88 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
                     F.round("cosine_sim", 6).alias("cosine_sim")))
 
 
+def cosine_topk_gemm_filtered(corpus: DataFrame, queries: DataFrame,
+                              id_col: str, vec_col: str, filter_col: str,
+                              k: int = 5) -> DataFrame:
+    """Metadata-FILTERED exact top-k: each query matches only corpus
+    rows sharing its ``filter_col`` value — the filtered-vector-search
+    shape every RAG deployment runs (tenant, language, date-partition
+    or ACL scoping) and the case where post-filtering an unfiltered
+    top-k silently under-returns (the true k-th same-label neighbor
+    may rank 1000th globally).
+
+    The filter is enforced PRE-GEMM, not post: corpus rows are pruned
+    to the filter values the query set actually uses (an ``isin``
+    broadcast predicate pushed into the parquet scan), and inside
+    each Arrow batch rows are grouped by filter value and multiplied
+    only against that value's query sub-matrix.  Compute drops from
+    ``|corpus| x |queries|`` to the sum of per-group products; the
+    shuffle stays ``batches x group-queries x k`` partial rows.
+    Contract (rounding, tie-break, self-exclusion) identical to
+    :func:`cosine_topk_gemm`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpd = (queries.select(F.col(id_col).alias("qid"),
+                          F.col(filter_col).alias("fv"),
+                          _as_double(F.col(vec_col)).alias("qv"))
+           .toPandas())
+    out_schema = "query_id long, rank int, corpus_id long, cosine_sim double"
+    if qpd.empty:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    groups: dict = {}
+    for fv, g in qpd.groupby("fv"):
+        Q = np.stack(g["qv"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        groups[fv] = (g["qid"].to_numpy(),
+                      Q / np.where(qn == 0, 1.0, qn))
+
+    c = (corpus
+         .filter(F.col(filter_col).isin([v.item() if hasattr(v, "item")
+                                         else v for v in groups]))
+         .select(F.col(id_col).alias("corpus_id"),
+                 F.col(filter_col).alias("fv"),
+                 _as_double(F.col(vec_col)).alias("cv")))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for fv, g in pdf.groupby("fv"):
+                if fv not in groups:
+                    continue
+                qids, Qn = groups[fv]
+                C = np.stack(g["cv"].to_numpy()).astype(np.float64)
+                ids = g["corpus_id"].to_numpy()
+                cn = np.linalg.norm(C, axis=1, keepdims=True)
+                Cn = C / np.where(cn == 0, 1.0, cn)
+                sims = Cn @ Qn.T
+                n_c, n_q = sims.shape
+                out = pd.DataFrame({
+                    "query_id": np.repeat(qids, n_c),
+                    "corpus_id": np.tile(ids, n_q),
+                    "cosine_sim": sims.T.ravel(),
+                })
+                out = out[out.query_id != out.corpus_id]
+                outs.append(
+                    out.sort_values(["query_id", "cosine_sim", "corpus_id"],
+                                    ascending=[True, False, True])
+                    .groupby("query_id").head(k))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = c.mapInPandas(
+        score, "query_id long, corpus_id long, cosine_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
 def embedding_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
                             threshold: float,
                             n_blocks: int = 8) -> DataFrame:

@@ -311,6 +311,44 @@ def qx_similarity_topk_gemm(spark, sf_dir):
                                        k=5).orderBy("query_id", "rank")
 
 
+_TOPK_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS corpus_id, label, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.corpus_id,
+           list_dot_product(c.cv, q.qv) /
+           (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+               AS cos
+    FROM c JOIN q ON c.corpus_id <> q.query_id AND c.label = q.label
+), ranked AS (
+    SELECT query_id, corpus_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, corpus_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, corpus_id, round(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("qx_similarity_topk_filtered", oracle=_TOPK_FILTERED_SQL)
+def qx_similarity_topk_filtered(spark, sf_dir):
+    """Metadata-filtered exact top-5: each query retrieves only among
+    corpus vectors sharing its label (tenant/language/ACL scoping —
+    the filtered-vector-search shape where post-filtering a global
+    top-k silently under-returns).  The label predicate is enforced
+    pre-GEMM: corpus pruned to in-use labels at the scan, per-batch
+    group-wise matmul against the matching query sub-matrix.  Same
+    contract as qx_similarity_topk_gemm."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_gemm_filtered(
+        emb, queries, "vec_id", "embedding", "label", k=5
+    ).orderBy("query_id", "rank")
+
+
 @register("qx_similarity_topk_lsh")
 def qx_similarity_topk_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed top-5 (approximate scale path);

@@ -475,3 +475,40 @@ def test_portable_twins_match_xxhash_contracts(spark, sf_dir):
                 base_hash=dedup.portable_hash31).collect()
             if r.id1 % 10 == 0 or r.id2 % 10 == 0}
     assert inc == full
+
+
+def test_filtered_topk_scopes_by_label_and_beats_postfilter(emb):
+    """Every filtered-top-k hit shares the query's label, ranks are
+    dense from 1, and the result is exactly the label-restricted
+    brute-force answer — which post-filtering the GLOBAL top-k cannot
+    reproduce whenever a query's global top-5 contains cross-label
+    neighbors (asserted to actually occur in the fixture)."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    got = similarity.cosine_topk_gemm_filtered(
+        emb, queries, "vec_id", "embedding", "label", k=5).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    by_q: dict = {}
+    for r in got:
+        assert labels[r["corpus_id"]] == labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        assert sorted(x["rank"] for x in rows) == list(
+            range(1, len(rows) + 1))
+    # exactness: label-scoped brute force agrees row-for-row
+    per_label_exact = []
+    for lbl in {labels[q] for q in by_q}:
+        sub = emb.filter(F.col("label") == lbl)
+        subq = queries.filter(F.col("label") == lbl)
+        per_label_exact.extend(similarity.cosine_topk_bruteforce(
+            sub, subq, "vec_id", "embedding", k=5).collect())
+    exact = {(r["query_id"], r["rank"]): (r["corpus_id"], r["cosine_sim"])
+             for r in per_label_exact}
+    for r in got:
+        assert exact[(r["query_id"], r["rank"])] == (
+            r["corpus_id"], r["cosine_sim"])
+    # the failure mode filtered search exists to fix: global top-5
+    # crosses labels for at least one query in the fixture
+    glob = similarity.cosine_topk_gemm(
+        emb, queries, "vec_id", "embedding", k=5).collect()
+    assert any(labels[r["corpus_id"]] != labels[r["query_id"]]
+               for r in glob)

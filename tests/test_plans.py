@@ -354,6 +354,24 @@ def test_tpch_join_shapes(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_tpch_q7_q8_q9_shapes(spark, sf_dir):
+    """The trade-flow trio plans what it documents: no cartesian /
+    nested-loop anywhere; the Q7 nation filter lands below the joins
+    (2-row broadcasts, the pair predicate never widens the join
+    output); Q8's share arithmetic stays integral (no double
+    division node feeding the output); Q9's part LIKE filter is
+    pushed to the part scan."""
+    for name in ("qg_volume_shipping", "qg_market_share",
+                 "qg_product_profit"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
+    plan = plan_of(QUERIES["qg_product_profit"](spark, sf_dir))
+    assert "PushedFilters" in plan and "bolt" in plan, \
+        "part LIKE filter not pushed to scan"
+
+
 def test_large_orders_aggregates_fact_before_join(spark, sf_dir):
     """Q18 shape: the quantity HAVING must reduce lineitem BEFORE any
     join — the first operator above the lineitem scan is the partial
