@@ -243,6 +243,45 @@ def global_ntile(df: DataFrame, n: int, order_cols: list[str],
         d.unpersist(blocking=False)
 
 
+def global_row_number(df: DataFrame, order_cols: list[str],
+                      out_col: str, num_partitions: int = 32) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY order_cols)`` WITHOUT the
+    single-partition global sort — contiguous stable ID assignment
+    (training-example ids, shard-stable line numbers, audit
+    sequence numbers) at any scale.
+
+    Same machinery as :func:`global_ntile` (range repartition on the
+    sort key -> partitioned window -> per-range-partition offset map
+    collected as a ``num_partitions``-row scalar), returning the
+    dense 1-based global rank itself instead of bucketing it.
+    ``order_cols`` must end in a unique tiebreak column for a
+    deterministic total order (same caller contract as SQL
+    row_number).  Per-task memory is one range slice; driver-side
+    data is the partition-count map only.
+    """
+    from pyspark.sql import Window
+
+    d = (df.repartitionByRange(num_partitions, *order_cols)
+         .withColumn("__pid", F.spark_partition_id())
+         .persist())
+    try:
+        counts = {r["__pid"]: r["cnt"]
+                  for r in d.groupBy("__pid")
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        args, acc = [], 0
+        for pid in sorted(counts):
+            args += [F.lit(pid), F.lit(acc)]
+            acc += counts[pid]
+        off = F.coalesce(F.create_map(*args)[F.col("__pid")], F.lit(0)) \
+            if args else F.lit(0)
+        rn = F.row_number().over(
+            Window.partitionBy("__pid").orderBy(*order_cols))
+        return (d.withColumn(out_col, (off + rn).cast("long"))
+                .drop("__pid"))
+    finally:
+        d.unpersist(blocking=False)
+
+
 def hierarchical_time_rollup(df: DataFrame, ts_col: str,
                              keys: list[str],
                              measures: dict[str, str],

@@ -900,3 +900,28 @@ def qx_split_leakage(spark, sf_dir):
             .join(F.broadcast(
                 s.groupBy().pivot("split", ["test", "train"]).count()
                 .selectExpr("test AS n_test", "train AS n_train"))))
+
+
+# --------------------------------------------------------------------------
+# Contiguous stable example-id assignment (scalable row_number)
+# --------------------------------------------------------------------------
+
+@register("qx_contiguous_ids", oracle="""
+SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS example_id,
+       doc_id, n_chars
+FROM documents
+ORDER BY example_id
+""")
+def qx_contiguous_ids(spark, sf_dir):
+    """Dense 1-based training-example ids over the corpus, ordered by
+    (n_chars, doc_id) — exact ``row_number() OVER (ORDER BY ...)``
+    semantics WITHOUT the single-partition global sort that window
+    costs (the same scale fix as qx_rfm_segments' ntile): range
+    repartition on the sort key, partitioned window, per-range
+    offset map.  See operators/scale.py:global_row_number."""
+    from ..operators.scale import global_row_number
+    docs = _docs_narrow(spark, sf_dir).select("doc_id", "n_chars")
+    return (global_row_number(docs, ["n_chars", "doc_id"], "example_id")
+            .select("example_id", "doc_id", "n_chars")
+            .orderBy("example_id"))

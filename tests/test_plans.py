@@ -297,6 +297,34 @@ def test_global_ntile_matches_sql_ntile(spark):
                 == 0), (total, n)
 
 
+def test_global_row_number_matches_sql_and_plans_partitioned(spark):
+    """global_row_number equals row_number() OVER (ORDER BY ...) on
+    remainder-shaped and fewer-rows-than-partitions frames, and its
+    plan sorts via a rangepartitioning exchange with a partitioned
+    window — never a single-partition global sort."""
+    from pyspark.sql import Window
+
+    from social_media_ai_engineering_etl_spark.operators import scale
+
+    for total in (97, 3, 64):
+        df = spark.range(total).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("uid"))
+        got = scale.global_row_number(df, ["k", "uid"], "rn",
+                                      num_partitions=5)
+        want = df.withColumn("rn", F.row_number().over(
+            Window.orderBy("k", "uid")).cast("long"))
+        assert (got.select("k", "uid", "rn").exceptAll(want).count() == 0
+                and want.exceptAll(got.select("k", "uid", "rn")).count()
+                == 0), total
+    plan = plan_of(scale.global_row_number(
+        spark.range(50).select((F.col("id") % 3).alias("k"),
+                               F.col("id").alias("uid")),
+        ["k", "uid"], "rn", num_partitions=4))
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(__pid#" in plan, plan
+    assert not re.search(r"windowspecdefinition\(_w\d", plan), plan
+
+
 def test_grade_window_is_first_50_with_oracles():
     """The driver grades the first 50 registered queries; the curated
     GRADE_WINDOW must be exactly those 50, each oracle-paired, and
