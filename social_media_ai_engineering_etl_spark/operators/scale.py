@@ -48,6 +48,51 @@ def salted_aggregate(df: DataFrame, keys: list[str],
                    for name, (_c, fn) in aggs.items()]))
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                hot_keys: list | None = None,
+                salt_buckets: int = 16, seed: int = 42,
+                top_n_hot: int = 8) -> DataFrame:
+    """Skew-safe equi-join: spread each HOT key's fact rows over
+    ``salt_buckets`` reducers by salting the join key, replicating
+    only the hot keys' dim rows across the salt range.
+
+    The shuffle-hash/sort-merge pathology this fixes: one key holding
+    p% of a 100 TB fact lands p% of the shuffle on ONE reducer, and
+    the stage runs at the straggler's speed.  AQE's skew-join split
+    handles sort-merge spills after the fact; salting fixes the
+    layout before the shuffle and also covers aggregations-after-join
+    shapes AQE won't touch.
+
+    ``hot_keys`` — explicit list, or None to detect: the fact is
+    sampled for its ``top_n_hot`` most frequent keys (one cheap
+    aggregate over the sampled key column; at 100 TB the sample rate
+    keeps this a metadata-sized scan).  Non-hot keys keep salt 0 and
+    their dim row is not replicated, so dim inflation is
+    ``len(hot) * (salt_buckets - 1)`` rows total.  Join output is
+    row-identical to the plain join (equivalence-tested) — the salt
+    only changes WHERE rows meet, never WHICH rows meet.
+    """
+    if hot_keys is None:
+        hot_keys = [r[key] for r in
+                    (fact.sample(0.1, seed=seed).groupBy(key)
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .orderBy(F.col("c").desc(), F.col(key))
+                     .limit(top_n_hot).collect())]
+    if not hot_keys:
+        return fact.join(dim, key)
+    hot = F.col(key).isin(hot_keys)
+    f = fact.withColumn(
+        "__salt",
+        F.when(hot, (F.rand(seed) * salt_buckets).cast("int"))
+        .otherwise(F.lit(0)))
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.when(hot, F.sequence(F.lit(0),
+                                         F.lit(salt_buckets - 1)))
+                  .otherwise(F.array(F.lit(0)))))
+    return f.join(d, [key, "__salt"]).drop("__salt")
+
+
 def write_bucketed(df: DataFrame, table: str, keys: list[str],
                    num_buckets: int = 8,
                    sort_keys: list[str] | None = None) -> None:

@@ -1297,3 +1297,34 @@ def qx_arrival_gaps(spark, sf_dir):
             .select("n_hours", "n_silent",
                     F.expr("n_silent * 1000000 DIV n_hours")
                     .alias("silent_ppm")))
+
+
+@register("qx_salted_join_rollup", oracle="""
+SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY segment ORDER BY segment
+""")
+def qx_salted_join_rollup(spark, sf_dir):
+    """Per-segment order rollup through scale.salted_join: the hot
+    customer keys (detected from a 10% fact sample) are salted across
+    16 reducers with only their dim rows replicated, so one whale
+    customer can never pin the join's shuffle on a single task.  The
+    oracle is the PLAIN join — salting must be row-invariant (it only
+    moves where rows meet), so the driver's value hash doubles as the
+    equivalence proof."""
+    from ..operators.scale import salted_join
+
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")).select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    cust = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    joined = salted_join(orders, cust, "o_custkey")
+    return (joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("segment"))

@@ -27,6 +27,42 @@ def test_salted_aggregate_matches_direct(spark, sf_dir):
     assert direct == salted
 
 
+def test_salted_join_row_identical_and_spreads_hot_key(spark):
+    """salted_join must return exactly the plain join's rows (salting
+    only moves where rows meet) — on a frame with one planted whale
+    key holding 60% of the fact — and must actually spread that key:
+    the whale's fact rows land in >1 salt bucket, while cold dim rows
+    are not replicated."""
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(600)] + [(k, 0) for k in range(2, 42)],
+        "k long, v long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 42)], "k long, name string")
+
+    plain = sorted(map(tuple, fact.join(dim, "k").collect()))
+    # explicit hot list and detected hot list must both be row-exact
+    for hot in ([1], None):
+        got = sorted(map(tuple, scale.salted_join(
+            fact, dim, "k", hot_keys=hot, salt_buckets=8).collect()))
+        assert got == plain, hot
+
+    # the whale's rows occupy multiple salt buckets pre-join
+    f = fact.withColumn(
+        "__salt",
+        F.when(F.col("k").isin([1]),
+               (F.rand(42) * 8).cast("int")).otherwise(F.lit(0)))
+    n_buckets = (f.filter(F.col("k") == 1)
+                 .select("__salt").distinct().count())
+    assert n_buckets > 1
+    # dim inflation is bounded: hot keys * buckets + cold keys
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.when(F.col("k").isin([1]),
+                         F.sequence(F.lit(0), F.lit(7)))
+                  .otherwise(F.array(F.lit(0)))))
+    assert d.count() == 8 + 40
+
+
 def test_salted_aggregate_rejects_non_algebraic(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     with pytest.raises(ValueError):
