@@ -1328,3 +1328,48 @@ def qx_salted_join_rollup(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("cents").alias("total_cents"))
             .orderBy("segment"))
+
+
+@register("qx_join_ivm_rollup", oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY segment, o_year ORDER BY segment, o_year
+""")
+def qx_join_ivm_rollup(spark, sf_dir):
+    """Join-layer incremental view maintenance, proven in-plan: the
+    orders fact is split at 1999-01-01 into history and delta, the
+    customer dim at the median key into old and newly-onboarded, the
+    materialized old-x-old join is maintained with the three
+    delta-bounded joins of scale.maintain_join, and the refreshed
+    view is rolled up.  The oracle recomputes the join from scratch —
+    maintenance must be row-invariant, so the driver's value hash IS
+    the Δ-identity proof (same pattern as qx_cdc_apply_roundtrip).
+    At 100 TB the refresh does |ΔL|·|R| + |L|·|ΔR| delta-bounded work
+    instead of re-joining two full histories."""
+    from ..operators.scale import maintain_join
+
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")).select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    cust = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    left_old = orders.filter(F.col("o_year") < 1999)
+    left_delta = orders.filter(F.col("o_year") >= 1999)
+    med = cust.agg(F.expr("percentile(o_custkey, 0.5)")).collect()[0][0]
+    right_old = cust.filter(F.col("o_custkey") <= med)
+    right_delta = cust.filter(F.col("o_custkey") > med)
+    mat = left_old.join(right_old, "o_custkey")
+    refreshed = maintain_join(mat, left_old, left_delta,
+                              right_old, right_delta, ["o_custkey"])
+    return (refreshed.groupBy(F.col("c_mktsegment").alias("segment"),
+                              "o_year")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("segment", "o_year"))

@@ -352,3 +352,27 @@ def test_zorder_write_produces_prunable_parquet_stats(spark, tmp_path):
     l_touch = sum(1 for a, b in l_spans if a <= hi and b >= lo)
     assert l_touch == len(l_spans)       # u-sort: every file matches
     assert z_touch <= z_total // 2, (z_touch, z_total)
+
+
+def test_maintain_join_equals_full_recompute(spark):
+    """Δ(L⋈R) identity on disjoint splits with churn in every term:
+    delta-left rows matching old-right, old-left matching delta-right,
+    and delta-delta matches — refreshed view == from-scratch join."""
+    L = spark.createDataFrame(
+        [(k, f"l{i}") for i, k in enumerate([1, 1, 2, 3, 4, 5, 5])],
+        "k long, lv string")
+    R = spark.createDataFrame(
+        [(k, f"r{i}") for i, k in enumerate([1, 4, 2, 2, 5, 6])],
+        "k long, rv string")
+    l_old, l_new = L.filter("lv < 'l4'"), L.filter("lv >= 'l4'")
+    r_old, r_new = R.filter("rv < 'r3'"), R.filter("rv >= 'r3'")
+    mat = l_old.join(r_old, ["k"])
+    refreshed = scale.maintain_join(mat, l_old, l_new, r_old, r_new,
+                                    ["k"])
+    full = L.join(R, ["k"])
+    assert sorted(map(tuple, refreshed.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # each maintenance term is genuinely exercised by the fixture
+    assert l_new.join(r_old, ["k"]).count() > 0
+    assert l_old.join(r_new, ["k"]).count() > 0
+    assert l_new.join(r_new, ["k"]).count() > 0
