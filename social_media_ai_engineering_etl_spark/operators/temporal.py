@@ -114,3 +114,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     out_cols += [F.col("__m").getField(p).alias(f"{prefix}{p}")
                  for p in payload]
     return matched.select(*out_cols)
+
+
+def resample_ffill(df: DataFrame, key: str, ts_col: str,
+                   values: Sequence[str],
+                   interval: str = "1 hour") -> DataFrame:
+    """Per-key regular-grid resampling with forward-fill — the
+    gap-filling interpolation every time-series store ships
+    (timescale's ``time_bucket_gapfill`` + ``locf``): bucket
+    observations to the grid, generate each key's full bucket spine
+    between its first and last observation, left-join observations
+    onto the spine, and carry the last non-null aggregate forward
+    into empty buckets.
+
+    Plan shape: one per-key aggregate (last observation per bucket by
+    event order), a per-key 2-scalar span aggregate whose spine
+    EXPLODES from two values (never a driver-side range), one
+    broadcast-or-shuffle equi-join back, and one partitioned
+    ascending window for the carry — no unpartitioned sort, state
+    linear in buckets.  Keys with a single observation degenerate to
+    a 1-row spine (tested).
+
+    ``values``: value columns; each bucket keeps its LAST observation
+    by (timestamp, then column order stability via max struct) and
+    filled buckets carry ``<v>`` plus an ``is_gap`` flag.
+    """
+    b = F.date_trunc(_interval_unit(interval), F.col(ts_col))
+    obs = (df.withColumn("__b", b)
+           .groupBy(key, "__b")
+           .agg(F.max(F.struct(F.col(ts_col).alias("__t"),
+                               *[F.col(v).alias(v) for v in values]))
+                .alias("__last")))
+    span = (obs.groupBy(key)
+            .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi")))
+    spine = span.select(
+        key, F.explode(F.sequence(
+            "__lo", "__hi", F.expr(f"INTERVAL {interval}"))).alias("__b"))
+    j = spine.join(obs, [key, "__b"], "left")
+    w = (Window.partitionBy(key).orderBy(F.col("__b").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = j.withColumn("__f", F.last("__last", ignorenulls=True).over(w))
+    return filled.select(
+        key, F.col("__b").alias("bucket"),
+        *[F.col("__f").getField(v).alias(v) for v in values],
+        F.col("__last").isNull().alias("is_gap"))
+
+
+def _interval_unit(interval: str) -> str:
+    """'1 hour' -> 'hour' (date_trunc unit); only unit-1 grids map to
+    date_trunc — callers needing '15 minutes' should pre-bucket with
+    window() instead."""
+    n, unit = interval.split()
+    if n != "1":
+        raise ValueError(f"resample_ffill needs a unit-1 interval: {interval}")
+    return unit.rstrip("s")

@@ -167,3 +167,54 @@ def qx_scd2_enrich(spark, sf_dir):
         "event_type", F.col("s_k").cast("long").alias("k_at_event"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "k_at_event"))
+
+
+@register("qx_resample_ffill", oracle="""
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket,
+           max(struct_pack(t := ts,
+                           cents := CAST(round(value * 100) AS BIGINT)))
+               AS last_obs
+    FROM events WHERE user_id % 100 = 0
+    GROUP BY user_id, bucket
+), span AS (
+    SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+    FROM obs GROUP BY user_id
+), spine AS (
+    SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket
+    FROM span
+), joined AS (
+    SELECT s.user_id, s.bucket, o.last_obs
+    FROM spine s LEFT JOIN obs o
+      ON o.user_id = s.user_id AND o.bucket = s.bucket
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       (last_value(last_obs IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).cents
+           AS cents,
+       last_obs IS NULL AS is_gap
+FROM joined ORDER BY user_id, bucket
+""")
+def qx_resample_ffill(spark, sf_dir):
+    """Per-user hourly resampling with forward-fill (time_bucket_
+    gapfill + locf): each user's observation span becomes a dense
+    hourly spine, empty buckets carry the last observed value and an
+    is_gap flag.  The spine explodes from each key's (min, max) — two
+    scalars, never a driver-side range — and the carry is a
+    partitioned ascending window.  See operators/temporal.py:
+    resample_ffill."""
+    from ..operators.temporal import resample_ffill
+
+    ev = (_events(spark, sf_dir)
+          .filter(F.col("user_id") % 100 == 0)
+          .select("user_id", "ts",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    out = resample_ffill(ev, "user_id", "ts", ["cents"], "1 hour")
+    return (out.select("user_id",
+                       F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+                       .alias("bucket"),
+                       "cents", "is_gap")
+            .orderBy("user_id", "bucket"))

@@ -134,3 +134,43 @@ def test_asof_composite_keys_match_pandas(spark):
     pd.testing.assert_series_equal(
         got["m_pay"].astype("Float64"), want["pay"].astype("Float64"),
         check_names=False)
+
+
+def test_resample_ffill_gapfill_and_carry(spark):
+    """Dense spine per key between first and last bucket; empty
+    buckets flagged is_gap and carrying the previous value; a
+    single-observation key degenerates to a 1-row spine; within-bucket
+    ties resolve to the LAST observation by (ts, value)."""
+    from social_media_ai_engineering_etl_spark.operators.temporal import (
+        resample_ffill,
+    )
+    rows = [
+        (1, "2024-01-01 00:10:00", 10),
+        (1, "2024-01-01 00:50:00", 11),   # same bucket, later ts wins
+        (1, "2024-01-01 03:05:00", 30),   # 2 gap hours between
+        (2, "2024-01-01 05:00:00", 99),   # single observation
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, v int") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {(r["k"], str(r["bucket"])): (r["v"], r["is_gap"])
+           for r in resample_ffill(df, "k", "ts", ["v"], "1 hour").collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (11, False),
+        (1, "2024-01-01 01:00:00"): (11, True),
+        (1, "2024-01-01 02:00:00"): (11, True),
+        (1, "2024-01-01 03:00:00"): (30, False),
+        (2, "2024-01-01 05:00:00"): (99, False),
+    }
+
+
+def test_resample_ffill_rejects_non_unit_interval(spark):
+    import pytest as _pytest
+
+    from social_media_ai_engineering_etl_spark.operators.temporal import (
+        resample_ffill,
+    )
+    df = spark.createDataFrame([(1,)], "k int") \
+        .select("k", F.current_timestamp().alias("ts"),
+                F.lit(1).alias("v"))
+    with _pytest.raises(ValueError):
+        resample_ffill(df, "k", "ts", ["v"], "15 minutes").collect()
