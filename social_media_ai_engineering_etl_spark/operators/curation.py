@@ -549,3 +549,39 @@ def length_bucket_batches(df: DataFrame, id_col: str,
                         F.col("n_docs") * F.col("max_tokens"))
             .withColumn("padding_waste",
                         F.col("padded_tokens") - F.col("real_tokens")))
+
+
+def normalize_unicode(df: DataFrame, text_col: str,
+                      form: str = "NFC") -> DataFrame:
+    """Unicode normalization of a text column (NFC by default; NFKC
+    for compatibility folding) — the canonicalization step that runs
+    BEFORE any hash-based dedup, or visually identical strings
+    (e.g. ``é`` precomposed vs ``e`` + combining accent) land in
+    different shingle/minhash buckets and duplicates survive.
+
+    Spark has no native normalizer, so this is an Arrow-batched
+    ``mapInPandas`` over ``unicodedata.normalize`` — a narrow map, no
+    shuffle, linear in corpus bytes (the sanctioned Python-UDF case:
+    no builtin exists).  Cross-engine parity with DuckDB's
+    ``nfc_normalize`` is pinned in tests on planted decomposed
+    fixtures.  Adds ``<text_col>`` normalized in place plus
+    ``was_denormalized`` marking rows the pass changed."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, was_denormalized boolean"
+
+    def run(batches):
+        for pdf in batches:
+            orig = pdf[text_col].astype("string")
+            norm = orig.map(lambda s: unicodedata.normalize(form, s)
+                            if isinstance(s, str) else s)
+            pdf = pdf.copy()
+            pdf[text_col] = norm
+            pdf["was_denormalized"] = (orig != norm)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

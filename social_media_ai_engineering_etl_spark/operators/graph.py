@@ -132,3 +132,57 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 10) -> DataFrame:
     finally:
         for c in cached:
             c.unpersist(blocking=False)
+
+
+def label_propagation(edges: DataFrame, iterations: int = 8,
+                      checkpoint_interval: int = 4) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA,
+    Raghavan et al. 2007 — public algorithm), made DETERMINISTIC:
+    every node starts with its own id as label, and each round adopts
+    the label held by the most of its neighbors, ties broken by the
+    SMALLEST label (classic LPA breaks ties randomly; the min-label
+    rule makes rounds reproducible across runs, engines and
+    partitionings — same policy as the connected-components resolver
+    it complements: CC finds reachability islands, LPA splits dense
+    regions within them).
+
+    Per round: one equi-join of labels onto edge sources (the join
+    key never changes, so the shuffle partitioning is reused), one
+    (dst, label) count aggregate, one per-dst argmax via max(struct
+    (cnt, -label)) — all map-side combinable; no windows.  Lineage is
+    cut with catalog-managed persists every ``checkpoint_interval``
+    rounds (the pagerank discipline — localCheckpoint blocks bypass
+    clearCache).  Returns (node, community).
+    """
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
+             .persist())
+    ed = edges.persist()
+    cached = [nodes, ed]
+    try:
+        labels = nodes.select("node", F.col("node").alias("community"))
+        for i in range(iterations):
+            neigh = (ed.join(labels.withColumnRenamed("node", "src"),
+                             "src")
+                     .groupBy(F.col("dst").alias("node"), "community")
+                     .agg(F.count(F.lit(1)).alias("cnt")))
+            best = (neigh.groupBy("node")
+                    .agg(F.max(F.struct(
+                        F.col("cnt"),
+                        (-F.col("community")).alias("neg")))
+                        .alias("b"))
+                    .select("node",
+                            (-F.col("b.neg")).alias("community")))
+            labels = (nodes.join(best, "node", "left")
+                      .select("node",
+                              F.coalesce("community", "node")
+                              .alias("community")))
+            if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+                labels = labels.persist()
+                labels.count()
+                cached.append(labels)
+        final = labels.persist()
+        final.count()
+        return final
+    finally:
+        for c in cached:
+            c.unpersist(blocking=False)

@@ -379,3 +379,51 @@ def qx_triangle_count(spark, sf_dir):
                     F.col("w").cast("long").alias("n_wedges"),
                     F.expr("t * 3000000 DIV w").cast("long")
                     .alias("clustering_ppm")))
+
+
+def _lpa_round(k: int) -> str:
+    """One unrolled synchronous-LPA round: per dst, the most frequent
+    neighbor label, ties to the smallest label (QUALIFY argmax —
+    integer-exact on both engines)."""
+    return f"""
+l{k} AS (
+    SELECT n.node, coalesce(b.community, n.node) AS community
+    FROM nodes n LEFT JOIN (
+        SELECT node, community FROM (
+            SELECT ed.dst AS node, p.community, count(*) AS cnt
+            FROM edges ed JOIN l{k - 1} p ON p.node = ed.src
+            GROUP BY ed.dst, p.community)
+        QUALIFY row_number() OVER (PARTITION BY node
+                ORDER BY cnt DESC, community ASC) = 1) b
+      ON b.node = n.node
+)"""
+
+
+_LPA_SQL = ("WITH " + _EDGES_CTE + """,
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS community FROM nodes),"""
+            + ",".join(_lpa_round(k) for k in range(1, 5)) + """
+SELECT community, count(*) AS n_members
+FROM l4 GROUP BY community
+ORDER BY n_members DESC, community LIMIT 20
+""")
+
+
+@register("qx_label_propagation", oracle=_LPA_SQL)
+def qx_label_propagation(spark, sf_dir):
+    """Top-20 communities by size after 4 rounds of DETERMINISTIC
+    synchronous label propagation over the customer-supplier purchase
+    graph (min-label tie-break instead of classic LPA's random one,
+    so rounds are reproducible across engines).  All-integer (labels
+    are node ids, scores are counts), so the full iterative algorithm
+    is value-checked against a 4-round unrolled SQL transcription —
+    the qx_pagerank_fixed evidence pattern.  Synchronous LPA on a
+    bipartite graph can oscillate rather than converge; a FIXED round
+    count is therefore part of the operator's contract, not a
+    shortcut (documented in operators/graph.py)."""
+    edges = graph.purchase_edges(_t(spark, sf_dir, "lineitem"),
+                                 _t(spark, sf_dir, "orders"))
+    labels = graph.label_propagation(edges, iterations=4)
+    return (labels.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy(F.desc("n_members"), "community").limit(20))

@@ -517,3 +517,30 @@ def test_encoding_anomalies_detect_planted_mojibake(spark, duck):
         FROM documents_tmp2 GROUP BY source ORDER BY source
     """).fetchdf().set_index("source")
     assert int(dd.loc["s1", "r"]) == 2 and int(dd.loc["s2", "c"]) == 1
+
+
+def test_normalize_unicode_matches_duckdb_nfc(spark, duck):
+    """NFC parity with DuckDB's independent normalizer on planted
+    decomposed/precomposed/compatibility fixtures, and the
+    was_denormalized flag marks exactly the changed rows."""
+    from social_media_ai_engineering_etl_spark.operators.curation import (
+        normalize_unicode,
+    )
+    rows = [
+        (1, "café"),                 # precomposed, already NFC
+        (2, "café"),                # decomposed -> composes
+        (3, "Å"),                   # A + ring -> Å
+        (4, "ﬁle"),                  # fi ligature: NFC keeps it
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["text"], r["was_denormalized"])
+           for r in normalize_unicode(df, "text").collect()}
+    for i, s in rows:
+        want = duck.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert got[i][0] == want, (i, got[i][0], want)
+        assert got[i][1] == (want != s), i
+    # NFKC folds the ligature where NFC must not
+    nfkc = {r["id"]: r["text"]
+            for r in normalize_unicode(df, "text", "NFKC").collect()}
+    assert nfkc[4] == "file" and got[4][0] == "ﬁle"

@@ -137,3 +137,27 @@ def test_fixed_point_pagerank_tracks_float(spark, sf_dir):
     for v, n in top_fx:
         assert fl[n] >= cutoff - max(0.01 * cutoff, 1e-3), (n, fl[n],
                                                             cutoff)
+
+
+def test_label_propagation_separates_planted_communities(spark):
+    """Two dense cliques joined by one bridge edge resolve to two
+    communities (each labeled by its minimum node id), and the result
+    is partitioning-invariant — the determinism classic random-tie
+    LPA lacks."""
+    from social_media_ai_engineering_etl_spark.operators.graph import (
+        label_propagation,
+    )
+    a = [(i, j) for i in range(1, 6) for j in range(1, 6) if i != j]
+    b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i != j]
+    bridge = [(5, 10), (10, 5)]
+    edges = spark.createDataFrame(a + b + bridge, "src long, dst long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, iterations=6).collect()}
+    comm_a = {got[i] for i in range(1, 6)}
+    comm_b = {got[i] for i in range(10, 15)}
+    assert comm_a == {1}
+    assert comm_b == {10}
+    reparted = {r["node"]: r["community"]
+                for r in label_propagation(
+                    edges.repartition(13), iterations=6).collect()}
+    assert reparted == got
