@@ -1373,3 +1373,82 @@ def qx_join_ivm_rollup(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("cents").alias("total_cents"))
             .orderBy("segment", "o_year"))
+
+
+@register("qx_distribution_drift", oracle="""
+WITH bucketed AS (
+    SELECT event_type,
+           CAST(floor(value / 25) AS BIGINT) AS bucket,
+           CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1
+                WHEN ts >= TIMESTAMP '2024-01-24' THEN 2 END AS period
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08' OR ts >= TIMESTAMP '2024-01-24'
+), o AS (
+    SELECT event_type, bucket,
+           sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS o1,
+           sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS o2
+    FROM bucketed GROUP BY event_type, bucket
+), n AS (
+    SELECT event_type, sum(o1) AS n1, sum(o2) AS n2, sum(o1 + o2) AS nt
+    FROM o GROUP BY event_type
+), terms AS (
+    SELECT o.event_type,
+           ((o.o1 * n.nt - (o.o1 + o.o2) * n.n1)
+            * (o.o1 * n.nt - (o.o1 + o.o2) * n.n1)
+            // ((o.o1 + o.o2) * n.n1)) * 1000000 // n.nt AS t1,
+           ((o.o2 * n.nt - (o.o1 + o.o2) * n.n2)
+            * (o.o2 * n.nt - (o.o1 + o.o2) * n.n2)
+            // ((o.o1 + o.o2) * n.n2)) * 1000000 // n.nt AS t2
+    FROM o JOIN n ON n.event_type = o.event_type
+    WHERE n.n1 > 0 AND n.n2 > 0
+)
+SELECT event_type,
+       CAST(sum(t1 + t2) AS BIGINT) AS chi2_x1e6,
+       count(*) AS n_buckets
+FROM terms GROUP BY event_type ORDER BY event_type
+""")
+def qx_distribution_drift(spark, sf_dir):
+    """Per-event-type distribution drift between the first and last
+    week of the month: two-sample chi-square over the value-bucket
+    histogram, in EXACT fixed point — each bucket's contribution
+    (o - e)^2 / e is evaluated as BIGINT cross-multiplication with
+    two floor divisions (d^2 // (ok*n_side) * 1e6 // nt, where
+    d = o*nt - ok*n_side), so the cross-bucket sum is an integer and
+    order-independent — no float accumulation, no libm (same
+    discipline as qg_market_share's ppm).  Bounds: d <= o*nt ~ 1e9
+    at sf0.1, d^2 ~ 1e18 < 2^63.  The monitoring shape every
+    production feature store runs nightly; at 100 TB it is two
+    filtered scans collapsing to a (type, bucket)-grain table."""
+    ev = (_events(spark, sf_dir)
+          .withColumn("period",
+                      F.when(F.col("ts") < "2024-01-08", 1)
+                      .when(F.col("ts") >= "2024-01-24", 2))
+          .filter(F.col("period").isNotNull())
+          .select("event_type", "period",
+                  F.floor(F.col("value") / 25).cast("long")
+                  .alias("bucket")))
+    o = (ev.groupBy("event_type", "bucket")
+         .agg(F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+              .alias("o1"),
+              F.sum(F.when(F.col("period") == 2, 1).otherwise(0))
+              .alias("o2")))
+    n = (o.groupBy("event_type")
+         .agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"),
+              F.sum(F.col("o1") + F.col("o2")).alias("nt")))
+    # drift is defined only when BOTH periods observed the type
+    # (guards the integer divisions against n_side = 0)
+    t = (o.join(n.filter((F.col("n1") > 0) & (F.col("n2") > 0)),
+                "event_type")
+         .withColumn("ok", F.col("o1") + F.col("o2"))
+         .withColumn("d1", F.col("o1") * F.col("nt")
+                     - F.col("ok") * F.col("n1"))
+         .withColumn("d2", F.col("o2") * F.col("nt")
+                     - F.col("ok") * F.col("n2"))
+         .withColumn("t1", F.expr(
+             "(d1 * d1 DIV (ok * n1)) * 1000000 DIV nt"))
+         .withColumn("t2", F.expr(
+             "(d2 * d2 DIV (ok * n2)) * 1000000 DIV nt")))
+    return (t.groupBy("event_type")
+            .agg(F.sum(F.col("t1") + F.col("t2")).alias("chi2_x1e6"),
+                 F.count(F.lit(1)).alias("n_buckets"))
+            .orderBy("event_type"))
