@@ -951,3 +951,128 @@ def qx_priority_sample(spark, sf_dir):
     out = priority_sample(docs, F.col("doc_id"), F.col("n_chars"), 50)
     return out.select("doc_id", "n_chars",
                       F.round("priority", 6).alias("priority"))
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation (fully oracle-checked composition)
+# --------------------------------------------------------------------------
+
+_E2E_CURATION_SQL = r"""
+WITH corpus AS (
+    SELECT doc_id, text, source, n_chars
+    FROM documents WHERE doc_id % 20 <> 0
+), tok AS (
+    SELECT doc_id, t.token AS token, count(*) AS cnt
+    FROM corpus, unnest(string_split(trim(text), ' ')) AS t(token)
+    GROUP BY doc_id, t.token
+), per_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(length(token) * cnt) AS BIGINT) AS sum_word_chars,
+           CAST(max(cnt) AS BIGINT) AS top_token_count,
+           CAST(sum(CASE WHEN token IN
+                ('the','a','of','to','and','in','is','that')
+                THEN cnt ELSE 0 END) AS BIGINT) AS stopword_hits
+    FROM tok GROUP BY doc_id
+), kept AS (
+    SELECT c.* FROM corpus c JOIN per_doc p USING (doc_id)
+    WHERE p.n_words BETWEEN 20 AND 100000
+      AND p.sum_word_chars BETWEEN 3 * p.n_words AND 10 * p.n_words
+      AND 5 * p.top_token_count <= p.n_words
+      AND p.stopword_hits >= 1
+), ex AS (
+    SELECT doc_id, text, source, n_chars FROM (
+        SELECT k.*, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                 '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM kept k) WHERE rn = 1
+), shw AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM ex
+), sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS sh
+    FROM shw
+), pairs AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           len(a.sh) AS sz1, len(b.sh) AS sz2,
+           len(list_intersect(a.sh, b.sh)) AS inter
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+), dropped AS (
+    SELECT DISTINCT CASE WHEN sz1 < sz2 THEN id1
+                         WHEN sz2 < sz1 THEN id2
+                         ELSE id2 END AS doc_id
+    FROM pairs WHERE inter::DOUBLE / least(sz1, sz2) >= 0.6
+), nd AS (
+    SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+), g5 AS (
+    SELECT doc_id, unnest(list_distinct(
+        [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             || ' ' || w[i+4]
+         for i in range(1, len(w) - 3)])) AS gram
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM nd)
+), bg AS (
+    SELECT DISTINCT unnest(list_distinct(
+        [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             || ' ' || w[i+4]
+         for i in range(1, len(w) - 3)])) AS gram
+    FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 20 = 0)
+), contaminated AS (
+    SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (gram)
+), clean AS (
+    SELECT * FROM nd
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM clean GROUP BY source ORDER BY source
+"""
+
+
+@register("qe2e_corpus_curation", oracle=_E2E_CURATION_SQL)
+def qe2e_corpus_curation(spark, sf_dir):
+    """The curation pipeline END-TO-END in one plan, every stage
+    oracle-transcribed: benchmark holdout (doc_id % 20) -> Gopher
+    quality gate -> exact dedup (normalized-md5, min-id winner) ->
+    containment dedup at 0.6 (drop the SMALLER doc of each pair;
+    size tie drops the larger id) -> 5-gram benchmark
+    decontamination -> per-source datasheet (docs + chars kept).
+    The hash-free stage choices (containment instead of MinHash)
+    are what make the WHOLE composition value-checkable — the e2e
+    twin of the per-stage rows, proving the stages compose without
+    column or grain mismatches."""
+    from ..operators import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+
+    gq = curation.gopher_quality(corpus, "doc_id", "text")
+    kept = corpus.join(gq.filter(F.col("keep") == 1).select("doc_id"),
+                       "doc_id", "leftsemi")
+    ex = dd.exact_dedup(kept, "text", "doc_id").persist()
+
+    sizes = ex.select("doc_id", F.size(dd.word_shingles(F.col("text"), 3))
+                      .alias("sz"))
+    pairs = dd.ngram_containment_pairs(ex, "doc_id", "text",
+                                       n=3, threshold=0.6)
+    drop = (pairs
+            .join(sizes.select(F.col("doc_id").alias("id1"),
+                               F.col("sz").alias("sz1")), "id1")
+            .join(sizes.select(F.col("doc_id").alias("id2"),
+                               F.col("sz").alias("sz2")), "id2")
+            .select(F.when(F.col("sz1") < F.col("sz2"), F.col("id1"))
+                    .otherwise(F.col("id2")).alias("doc_id"))
+            .distinct())
+    nd = ex.join(drop, "doc_id", "left_anti")
+
+    hits = curation.decontaminate(nd, bench, "doc_id", "text", n=5)
+    clean = nd.join(hits.select("doc_id"), "doc_id", "left_anti")
+    return (clean.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("source"))

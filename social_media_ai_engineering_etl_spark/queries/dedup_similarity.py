@@ -333,7 +333,8 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
-@register("qx_similarity_topk_filtered", oracle=_TOPK_FILTERED_SQL)
+@register("qx_similarity_topk_filtered", bench=True,
+          oracle=_TOPK_FILTERED_SQL)
 def qx_similarity_topk_filtered(spark, sf_dir):
     """Metadata-filtered exact top-5: each query retrieves only among
     corpus vectors sharing its label (tenant/language/ACL scoping —
