@@ -64,3 +64,56 @@ def zorder_cell_stats(df: DataFrame, bucket_cols: list[str],
     for c in bucket_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return d.groupBy(F.col("__cell").alias("cell")).agg(*aggs)
+
+
+def compaction_plan(spark, path: str,
+                    target_bytes: int = 128 * 1024 * 1024):
+    """Small-file compaction PLAN for a parquet directory: group files
+    into next-fit bins of ~``target_bytes`` using only the scan's
+    ``_metadata`` hidden column (file path + size) — pure metadata,
+    no row data read.  The small-files pathology is the silent 100 TB
+    killer: a table of 10 KB files pays a scan-task + footer read per
+    file and floods the driver with splits; nightly compaction keeps
+    scan tasks ~one row-group each.
+
+    Returns (bin_id, n_files, total_bytes, files) — one row per
+    output file the compactor should write.  Bin assignment is
+    deterministic: files ordered by (size DESC, path) fold into
+    next-fit bins (the qx_pack_sequences discipline applied to file
+    sizes).
+    """
+    from pyspark.sql import functions as F
+
+    meta = (spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("file"),
+                    F.col("_metadata.file_size").alias("bytes"))
+            .distinct().orderBy(F.col("bytes").desc(), F.col("file")))
+    rows = meta.collect()          # one row per FILE: metadata-sized
+    bins, cur, cur_bytes, bin_id = [], [], 0, 0
+    for r in rows:
+        if cur and cur_bytes + r["bytes"] > target_bytes:
+            bins.append((bin_id, len(cur), cur_bytes, [f for f in cur]))
+            bin_id, cur, cur_bytes = bin_id + 1, [], 0
+        cur.append(r["file"])
+        cur_bytes += r["bytes"]
+    if cur:
+        bins.append((bin_id, len(cur), cur_bytes, cur))
+    return spark.createDataFrame(
+        bins, "bin_id INT, n_files INT, total_bytes BIGINT, "
+              "files array<string>")
+
+
+def compact(spark, path: str, out_path: str,
+            target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Execute a :func:`compaction_plan`: rewrite the directory so
+    each output file is ~``target_bytes``.  Row data is read ONCE;
+    the bin count from the plan sizes the repartition, so output
+    files land near the target without a second pass.  Returns the
+    number of output files written."""
+    plan = compaction_plan(spark, path, target_bytes)
+    n_bins = plan.count()
+    df = spark.read.parquet(path)
+    df.repartition(max(n_bins, 1)).write.mode("overwrite").parquet(out_path)
+    import os as _os
+    return sum(1 for f in _os.listdir(out_path)
+               if f.endswith(".parquet"))

@@ -376,3 +376,38 @@ def test_maintain_join_equals_full_recompute(spark):
     assert l_new.join(r_old, ["k"]).count() > 0
     assert l_old.join(r_new, ["k"]).count() > 0
     assert l_new.join(r_new, ["k"]).count() > 0
+
+
+def test_compaction_plan_and_execute(spark, sf_dir, tmp_path):
+    """A directory fragmented into ~40 small files plans into far
+    fewer target-sized bins (every file assigned exactly once), and
+    executing the compaction preserves row data exactly while cutting
+    the file count to the bin count."""
+    import os as _os
+
+    from social_media_ai_engineering_etl_spark.operators.layout import (
+        compact,
+        compaction_plan,
+    )
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    frag = str(tmp_path / "frag")
+    docs.repartition(40).write.parquet(frag)
+    n_small = sum(1 for f in _os.listdir(frag) if f.endswith(".parquet"))
+    assert n_small >= 30
+
+    total_bytes = sum(
+        _os.path.getsize(_os.path.join(frag, f))
+        for f in _os.listdir(frag) if f.endswith(".parquet"))
+    plan = compaction_plan(spark, frag, target_bytes=total_bytes // 3)
+    rows = plan.collect()
+    assert 2 <= len(rows) <= 6
+    planned = [f for r in rows for f in r["files"]]
+    assert len(planned) == n_small == len(set(planned))
+    assert sum(r["total_bytes"] for r in rows) == total_bytes
+
+    out = str(tmp_path / "compact")
+    n_out = compact(spark, frag, out, target_bytes=total_bytes // 3)
+    assert n_out == len(rows)
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, docs.collect()))
+    assert a == b
