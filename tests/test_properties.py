@@ -387,3 +387,18 @@ def test_prefix_join_equals_inverted_on_random_corpora(spark, texts,
              df, "id", "text", threshold=threshold).collect()}
     assert a == b
     spark.catalog.clearCache()
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="abc d", min_size=0, max_size=30),
+                      min_size=1, max_size=10))
+def test_bpe_learn_matches_reference_on_random_corpora(spark, texts):
+    """Distributed BPE == the pure-Python reference trainer on random
+    small-alphabet corpora (merge list identical, round for round) —
+    the fixed-corpus pin generalized."""
+    from tests.test_textquality import _reference_bpe
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in
+           textquality.bpe_learn(df, "text", num_merges=4).collect()]
+    assert got == _reference_bpe(texts, 4)
