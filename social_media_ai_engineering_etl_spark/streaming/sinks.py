@@ -249,3 +249,75 @@ def write_audit_publish(df: DataFrame, path: str, rules: list[dict],
     os.symlink(os.path.abspath(snap), tmp_link)
     os.replace(tmp_link, path)
     return True, report
+
+
+# ---------------------------------------------------------------------------
+# streaming distribution-drift monitor
+# ---------------------------------------------------------------------------
+
+
+def drift_partials_sink(path: str, type_col: str = "event_type",
+                        bucket_col: str = "bucket"):
+    """``foreachBatch`` maintenance of the CURRENT-window value-bucket
+    histogram for the drift monitor (qx_distribution_drift's
+    streaming half): per-batch (type, bucket) count partials with the
+    :func:`rollup_merge_sink` replay discipline — a replayed batch
+    REPLACES its previous partial, older partials compact to one base
+    row per group, snapshots write atomically.  The stored table is
+    O(types x buckets), independent of stream length."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (batch_df.groupBy(type_col, bucket_col)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("__batch_id", F.lit(int(batch_id))))
+        if os.path.exists(path):
+            old = spark.read.parquet(path).filter(
+                F.col("__batch_id") != int(batch_id))
+            base = (old.groupBy(type_col, bucket_col)
+                    .agg(F.sum("cnt").alias("cnt"))
+                    .withColumn("__batch_id", F.lit(-1)))
+            merged = base.unionByName(part)
+        else:
+            merged = part
+        _atomic_snapshot_write(merged, path, int(batch_id))
+
+    return sink
+
+
+def drift_vs_reference(spark: SparkSession, path: str,
+                       reference: DataFrame,
+                       type_col: str = "event_type",
+                       bucket_col: str = "bucket") -> DataFrame:
+    """Two-sample chi-square between a REFERENCE histogram
+    (type, bucket, cnt — e.g. last deploy's first week, computed
+    batch-side) and the histogram maintained by
+    :func:`drift_partials_sink`, in the same exact BIGINT fixed point
+    as qx_distribution_drift — so streaming drift equals the batch
+    query on the same windows (pinned in tests/test_streaming.py).
+    Types missing either side are excluded (the division guard)."""
+    cur = (spark.read.parquet(path)
+           .groupBy(type_col, bucket_col).agg(F.sum("cnt").alias("o2")))
+    ref = reference.select(type_col, bucket_col,
+                           F.col("cnt").alias("o1"))
+    o = (ref.join(cur, [type_col, bucket_col], "full_outer")
+         .select(type_col, bucket_col,
+                 F.coalesce("o1", F.lit(0)).alias("o1"),
+                 F.coalesce("o2", F.lit(0)).alias("o2")))
+    n = (o.groupBy(type_col)
+         .agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"),
+              F.sum(F.col("o1") + F.col("o2")).alias("nt")))
+    t = (o.join(n.filter((F.col("n1") > 0) & (F.col("n2") > 0)),
+                type_col)
+         .withColumn("ok", F.col("o1") + F.col("o2"))
+         .withColumn("d1", F.col("o1") * F.col("nt")
+                     - F.col("ok") * F.col("n1"))
+         .withColumn("d2", F.col("o2") * F.col("nt")
+                     - F.col("ok") * F.col("n2"))
+         .withColumn("t1", F.expr(
+             "(d1 * d1 DIV (ok * n1)) * 1000000 DIV nt"))
+         .withColumn("t2", F.expr(
+             "(d2 * d2 DIV (ok * n2)) * 1000000 DIV nt")))
+    return (t.groupBy(type_col)
+            .agg(F.sum(F.col("t1") + F.col("t2")).alias("chi2_x1e6"),
+                 F.count(F.lit(1)).alias("n_buckets"))
+            .orderBy(type_col))

@@ -941,3 +941,66 @@ def test_write_audit_publish_gates_on_staged_data(spark, tmp_path):
     # staged bad batch kept for inspection
     import os as _os
     assert _os.path.exists(out + ".__snapshots__/b1")
+
+
+def test_streaming_drift_equals_batch_chisq(spark, sf_dir, tmp_path):
+    """The streaming drift monitor (per-batch histogram partials,
+    replay-replace) reaches EXACTLY the batch qx_distribution_drift
+    fixed-point chi-square on the same windows, across two incremental
+    phases AND a replayed final batch."""
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        drift_partials_sink, drift_vs_reference)
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        load_events, stream_events)
+
+    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    bucketize = F.floor(F.col("value") / 25).cast("long").alias("bucket")
+    ref = (ev.filter(F.col("ts") < "2024-01-08")
+           .groupBy("event_type", bucketize)
+           .agg(F.count(F.lit(1)).alias("cnt")))
+
+    src = str(tmp_path / "dr_src")
+    ckpt = str(tmp_path / "dr_ckpt")
+    out = str(tmp_path / "dr_tbl")
+    os.makedirs(src)
+    late = ev.filter(F.col("ts") >= "2024-01-24")
+
+    def write_phase(df, fname):
+        tmp = str(tmp_path / ("dr_stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, fname))
+
+    def run():
+        stream = stream_events(spark, src).select(
+            "event_type", F.floor(F.col("value") / 25).cast("long")
+            .alias("bucket"))
+        q = (stream.writeStream
+             .foreachBatch(drift_partials_sink(out))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_phase(late.filter(F.dayofmonth("ts") <= 27), "p1.parquet")
+    run()
+    write_phase(late.filter(F.dayofmonth("ts") > 27), "p2.parquet")
+    run()
+
+    got = drift_vs_reference(spark, out, ref).toPandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    want = QUERIES["qx_distribution_drift"](spark, sf_dir).toPandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+    # replay the last committed batch by hand: REPLACE, not double-sum
+    sink = drift_partials_sink(out)
+    replay = (spark.read.parquet(os.path.join(src, "p2.parquet"))
+              .select("event_type",
+                      F.floor(F.col("value") / 25).cast("long")
+                      .alias("bucket")))
+    sink(replay, 1)   # availableNow phase 2 committed as batch id 1
+    again = drift_vs_reference(spark, out, ref).toPandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(again, want[again.columns])
