@@ -818,3 +818,240 @@ def qg_product_profit(spark, sf_dir):
             .agg(F.sum("profit_cents").alias("profit_cents"),
                  F.count(F.lit(1)).alias("n_lines"))
             .orderBy("supp_nation", "o_year"))
+
+
+@register("qg_forecast_revenue", oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT))
+            AS BIGINT) AS lost_revenue_x10k,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""")
+def qg_forecast_revenue(spark, sf_dir):
+    """Revenue-change forecast (TPC-H Q6 shape): what revenue was
+    given away as discount on small-quantity 1997 lines in the 5-7%
+    discount band.  The whole query is ONE pruned scan + filter +
+    1-row aggregate: every predicate (date range, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter, no
+    join, no wide shuffle — at 100 TB this is the pure scan-bandwidth
+    query, and the discount-band predicate is applied to the exact
+    integer basis points (round(d*100)) so both engines select the
+    identical row set instead of dice-rolling on 0.05's double
+    representation."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("price_c"),
+                  F.round(F.col("l_discount") * 100).cast("long")
+                  .alias("d"),
+                  "l_quantity", "l_shipdate")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")
+                  & (F.col("d") >= 5) & (F.col("d") <= 7)
+                  & (F.col("l_quantity") < 24)))
+    return li.agg(
+        F.sum(F.col("price_c") * F.col("d")).alias("lost_revenue_x10k"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@register("qg_promo_revenue", oracle="""
+WITH m AS (
+    SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+             AS rev_x10k,
+           p.p_type
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_x10k ELSE 0 END)
+            AS BIGINT) AS promo_x10k,
+       CAST(sum(rev_x10k) AS BIGINT) AS total_x10k,
+       CAST((1000000 * sum(CASE WHEN p_type = 'PROMO' THEN rev_x10k
+                                ELSE 0 END)) // sum(rev_x10k)
+            AS BIGINT) AS promo_ppm
+FROM m
+""")
+def qg_promo_revenue(spark, sf_dir):
+    """Promotion effect (TPC-H Q14 shape): the share of one month's
+    revenue earned by PROMO-type parts, as exact integer ppm.  The
+    date range prunes the fact scan; part broadcasts carrying only
+    (key, type); the share divides two DECIMAL(38,0) sums with floor
+    division (the qg_market_share pattern) so the ratio is
+    bit-identical on both engines and safe from BIGINT overflow when
+    the month's revenue is 1e6-scaled at 100 TB."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-09-01")
+                  & (F.col("l_shipdate") < "1997-10-01"))
+          .select("l_partkey",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    dec = "decimal(38,0)"
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (joined.agg(
+                F.sum(F.when(F.col("p_type") == "PROMO",
+                             F.col("rev_x10k")).otherwise(F.lit(0))
+                      .cast(dec)).alias("_p"),
+                F.sum(F.col("rev_x10k").cast(dec)).alias("_t"))
+            .select(F.col("_p").cast("long").alias("promo_x10k"),
+                    F.col("_t").cast("long").alias("total_x10k"),
+                    F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _p) "
+                           "DIV _t AS BIGINT)").alias("promo_ppm")))
+
+
+@register("qg_disjunctive_revenue", oracle="""
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_x10k,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def qg_disjunctive_revenue(spark, sf_dir):
+    """Discounted revenue under a disjunction of brand/size/quantity
+    bundles (TPC-H Q19 shape) — the OR-of-ANDs query that punishes
+    engines which can't split mixed-side disjunctions.  The part-only
+    implicate of the predicate (brand IN the three bundles AND size
+    in the union range) is applied BEFORE the broadcast join, so at
+    100 TB the part build side carries only candidate parts and the
+    scan-level implicate (quantity in the union range 1-30) pushes to
+    the fact scan; the full three-way disjunction then evaluates on
+    the join's survivors only."""
+    bundles = [("Brand#1", 1, 5, 1, 11),
+               ("Brand#2", 1, 10, 10, 20),
+               ("Brand#3", 1, 15, 20, 30)]
+    part = (_t(spark, sf_dir, "part")
+            .select("p_partkey", "p_brand", "p_size"))
+    part_implicate = None
+    for brand, s_lo, s_hi, _, _ in bundles:
+        term = (F.col("p_brand") == brand) & \
+               (F.col("p_size") >= s_lo) & (F.col("p_size") <= s_hi)
+        part_implicate = term if part_implicate is None \
+            else part_implicate | term
+    part = part.filter(part_implicate)
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+          .select("l_partkey", "l_quantity",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    full = None
+    for brand, s_lo, s_hi, q_lo, q_hi in bundles:
+        term = ((F.col("p_brand") == brand)
+                & (F.col("p_size") >= s_lo) & (F.col("p_size") <= s_hi)
+                & (F.col("l_quantity") >= q_lo)
+                & (F.col("l_quantity") <= q_hi))
+        full = term if full is None else full | term
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .filter(full)
+            .agg(F.sum("rev_x10k").alias("revenue_x10k"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("qg_returned_items", oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_x10k,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey  = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, acctbal_cents
+ORDER BY revenue_x10k DESC, c_custkey ASC
+LIMIT 20
+""")
+def qg_returned_items(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 shape): which customers
+    returned the most revenue in one quarter.  The returnflag
+    predicate pushes to the fact scan and the quarter filter prunes
+    orders before the join; customer attributes ride the groupBy key
+    (no second join back); top-20 by exact fixed-point revenue with a
+    custkey tie-break is TakeOrderedAndProject — per-partition heaps,
+    never a global sort.  orders/customer joins stay planner-chosen
+    (fact-scale at 100 TB); only the nation dim gets a broadcast
+    hint."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-07-01")
+                      & (F.col("o_orderdate") < "1997-10-01"))
+              .select("o_orderkey", "o_custkey"))
+    cust = (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_nationkey",
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                    .alias("acctbal_cents")))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, F.col("o_custkey") == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name", "acctbal_cents")
+            .agg(F.sum("rev_x10k").alias("revenue_x10k"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy(F.col("revenue_x10k").desc(),
+                     F.col("c_custkey").asc())
+            .limit(20))
+
+
+@register("qg_latency_priority_mix", oracle="""
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            THEN 'late' ELSE 'on-time' END AS ship_band,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY ship_band ORDER BY ship_band
+""")
+def qg_latency_priority_mix(spark, sf_dir):
+    """Shipping-band priority mix (TPC-H Q12 shape: the
+    conditional-aggregation-over-a-join query).  The schema has no
+    l_shipmode, so the grouping dimension is the derived late /
+    on-time band (shipped more than 90 days after ordering); the two
+    measures are the Q12 CASE-pivot on order priority.  One fact-x-
+    fact equi-join (planner-chosen — shuffle hash at 100 TB), the
+    ship-year predicate pushed to the lineitem scan, and a 2-row
+    aggregate output."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_shipdate"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.when(F.col("l_shipdate")
+                           > F.date_add(F.col("o_orderdate"), 90),
+                           "late").otherwise("on-time")
+                    .alias("ship_band"),
+                    F.when(high, 1).otherwise(0).alias("is_high"))
+            .groupBy("ship_band")
+            .agg(F.sum("is_high").cast("long").alias("high_line_count"),
+                 F.sum(1 - F.col("is_high")).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("ship_band"))
