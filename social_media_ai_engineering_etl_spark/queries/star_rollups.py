@@ -1055,3 +1055,219 @@ def qg_latency_priority_mix(spark, sf_dir):
                  F.sum(1 - F.col("is_high")).cast("long")
                  .alias("low_line_count"))
             .orderBy("ship_band"))
+
+
+@register("qg_top_supplier", oracle="""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS total_x10k
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_x10k
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_x10k = (SELECT max(total_x10k) FROM rev)
+ORDER BY s.s_suppkey
+""")
+def qg_top_supplier(spark, sf_dir):
+    """Top supplier (TPC-H Q15 shape): the supplier(s) with the
+    maximum revenue in one quarter — the view-plus-global-scalar-max
+    query.  The per-supplier revenue aggregate is computed ONCE and
+    reused for both the max and the equality filter (persist
+    releases under the harness's per-query clearCache contract);
+    the scalar max is a 1-row broadcast cross-join, never a global
+    window, and the equality on exact fixed-point revenue cannot
+    tie-break differently across engines.  All ties are returned,
+    ordered by supplier key."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1997-04-01"))
+          .select("l_suppkey",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum("rev_x10k").alias("total_x10k"))
+           .persist())
+    top = rev.agg(F.max("total_x10k").alias("_max"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(top))
+            .filter(F.col("total_x10k") == F.col("_max"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_x10k")
+            .orderBy("s_suppkey"))
+
+
+@register("qg_important_supply", oracle="""
+WITH v AS (
+    SELECT l.l_partkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS value_x10k
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, value_x10k FROM v
+WHERE CAST(value_x10k AS DECIMAL(38,0)) * (SELECT count(*) FROM v)
+      > 2 * (SELECT CAST(sum(value_x10k) AS DECIMAL(38,0)) FROM v)
+ORDER BY value_x10k DESC, l_partkey ASC
+""")
+def qg_important_supply(spark, sf_dir):
+    """Important supply lines (TPC-H Q11 shape): parts whose shipped
+    value from one nation's suppliers exceeds TWICE the average
+    per-part value — the HAVING-against-a-global-scalar query.  (Q11's
+    fixed 0.01% fraction is itself rescaled per SF in the spec; the
+    2x-average form is the scale-invariant equivalent, non-degenerate
+    at every SF.)  The per-part value aggregate is computed once and
+    reused for both sides; the global (total, count) is a 1-row
+    broadcast, and the threshold test is exact DECIMAL(38,0)
+    cross-multiplication (value * n_parts > 2 * total), never a
+    double ratio.  The nation filter reduces supplier to a handful of
+    rows BEFORE the fact join, so the fact is pruned by a broadcast
+    semi-equi-join at any scale."""
+    nation = (_t(spark, sf_dir, "nation")
+              .filter(F.col("n_name") == "NATION_3")
+              .select("n_nationkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  (F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("rev_x10k")))
+    v = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .groupBy("l_partkey")
+         .agg(F.sum("rev_x10k").alias("value_x10k"))
+         .persist())
+    total = v.agg(F.sum(F.col("value_x10k").cast("decimal(38,0)"))
+                  .alias("_total"),
+                  F.count(F.lit(1)).alias("_n"))
+    return (v.crossJoin(F.broadcast(total))
+            .filter(F.col("value_x10k").cast("decimal(38,0)") * F.col("_n")
+                    > 2 * F.col("_total"))
+            .select("l_partkey", "value_x10k")
+            .orderBy(F.col("value_x10k").desc(),
+                     F.col("l_partkey").asc()))
+
+
+@register("qg_small_qty_revenue", oracle="""
+WITH pl AS (
+    SELECT l.l_partkey,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+), stats AS (
+    SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+           count(*) AS cnt
+    FROM pl GROUP BY l_partkey
+)
+SELECT CAST(sum(pl.price_c) // 7 AS BIGINT) AS avg_yearly_cents,
+       count(*) AS n_lines
+FROM pl JOIN stats s ON s.l_partkey = pl.l_partkey
+WHERE pl.qty * 5 * s.cnt < s.sum_qty
+""")
+def qg_small_qty_revenue(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): revenue lost
+    if orders below 20% of a part's average quantity were dropped.
+    The correlated AVG subquery is decorrelated the way a columnar
+    planner does it — ONE per-part aggregate reused via an equi-join
+    back to the lines — and the 20%-of-average test is exact integer
+    cross-multiplication (qty * 5 * cnt < sum_qty), immune to the
+    double-division ulp that makes threshold queries dice-roll row
+    membership across engines.  The brand filter prunes part before
+    its broadcast; the /7 yearly average is BIGINT floor division on
+    both engines."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#2")
+            .select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey",
+                  F.col("l_quantity").cast("long").alias("qty"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("price_c")))
+    pl = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .select("l_partkey", "qty", "price_c")
+          .persist())
+    stats = (pl.groupBy("l_partkey")
+             .agg(F.sum("qty").alias("sum_qty"),
+                  F.count(F.lit(1)).alias("cnt")))
+    return (pl.join(stats, "l_partkey")
+            .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+            .agg(F.expr("sum(price_c) DIV 7").alias("avg_yearly_cents"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("qg_min_cost_supplier", oracle="""
+WITH pairs AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(min((CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+                    // CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS unit_cents_x100
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+    SELECT l_partkey, min(unit_cents_x100) AS best_cents_x100
+    FROM pairs GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+       pr.unit_cents_x100
+FROM pairs pr
+JOIN best b ON b.l_partkey = pr.l_partkey
+           AND b.best_cents_x100 = pr.unit_cents_x100
+JOIN part p ON p.p_partkey = pr.l_partkey
+JOIN supplier s ON s.s_suppkey = pr.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+ORDER BY p.p_partkey, s.s_name
+""")
+def qg_min_cost_supplier(spark, sf_dir):
+    """Minimum-cost supplier (TPC-H Q2 shape): for each part in one
+    size/type slice, the supplier(s) offering the lowest observed
+    unit price.  The schema has no partsupp, so the supply relation
+    is derived from shipped lines: per (part, supplier) the minimum
+    unit price ever charged, as exact integer cents x100 (BIGINT
+    floor division of positives — identical on both engines).  The
+    correlated MIN subquery decorrelates into a per-part aggregate
+    equi-joined back (the standard rewrite); the part slice filter
+    prunes before its join, and at 100 TB the (part, supplier) pair
+    frame — orders of magnitude smaller than the fact — is the only
+    thing that flows into the dimension joins.  All ties returned,
+    deterministically ordered."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.expr("(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                         " * 100) DIV CAST(l_quantity AS BIGINT)")
+                  .alias("unit")))
+    pairs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.min("unit").alias("unit_cents_x100"))
+             .persist())
+    best = (pairs.groupBy(F.col("l_partkey").alias("b_partkey"))
+            .agg(F.min("unit_cents_x100").alias("best_cents_x100")))
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+            .select("p_partkey", "p_brand"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (pairs
+            .join(best, (pairs.l_partkey == F.col("b_partkey"))
+                  & (pairs.unit_cents_x100 == F.col("best_cents_x100")))
+            .drop("b_partkey")
+            .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .select("p_partkey", "p_brand", "s_name", "n_name",
+                    "unit_cents_x100")
+            .orderBy("p_partkey", "s_name"))
