@@ -1271,3 +1271,221 @@ def qg_min_cost_supplier(spark, sf_dir):
             .select("p_partkey", "p_brand", "s_name", "n_name",
                     "unit_cents_x100")
             .orderBy("p_partkey", "s_name"))
+
+
+@register("qg_waiting_suppliers", oracle="""
+WITH lines AS (
+    SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+), pa AS (SELECT DISTINCT ok, sk FROM lines),
+   pl AS (SELECT DISTINCT ok, sk FROM lines WHERE late = 1)
+SELECT s.s_name, count(*) AS numwait
+FROM pl
+JOIN supplier s ON s.s_suppkey = pl.sk
+WHERE EXISTS (SELECT 1 FROM pa WHERE pa.ok = pl.ok AND pa.sk <> pl.sk)
+  AND NOT EXISTS (SELECT 1 FROM pl p2
+                  WHERE p2.ok = pl.ok AND p2.sk <> pl.sk)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""")
+def qg_waiting_suppliers(spark, sf_dir):
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): on
+    finished multi-supplier orders, the supplier who was the ONLY
+    late shipper (late = shipped >90 days after ordering).  The
+    classic EXISTS + NOT EXISTS pair compiles to a LEFT SEMI and a
+    LEFT ANTI self-join on the order key with a supplier-inequality
+    residual — equi-shuffled on the order key at 100 TB, with the
+    per-(order, supplier) frames deduplicated BEFORE the self-joins
+    so the fact is never rejoined at line grain.  Top-20 by wait
+    count with a name tie-break via TakeOrderedAndProject."""
+    orders_f = (_t(spark, sf_dir, "orders")
+                .filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lines = (li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_suppkey").alias("sk"),
+                     (F.col("l_shipdate")
+                      > F.date_add(F.col("o_orderdate"), 90))
+                     .alias("late")))
+    pa = lines.select("ok", "sk").distinct()
+    pl = (lines.filter(F.col("late")).select("ok", "sk").distinct()
+          .persist())
+    others_all = pa.select(F.col("ok").alias("ok2"),
+                           F.col("sk").alias("sk2"))
+    others_late = pl.select(F.col("ok").alias("ok3"),
+                            F.col("sk").alias("sk3"))
+    waiting = (pl
+               .join(others_all,
+                     (F.col("ok") == F.col("ok2"))
+                     & (F.col("sk") != F.col("sk2")), "left_semi")
+               .join(others_late,
+                     (F.col("ok") == F.col("ok3"))
+                     & (F.col("sk") != F.col("sk3")), "left_anti"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (waiting.join(F.broadcast(supp),
+                         waiting.sk == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(20))
+
+
+@register("qg_sales_opportunity", oracle="""
+WITH pos AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_acctbal > 0.0
+), avg_line AS (
+    SELECT CAST(sum(bal_cents) AS DECIMAL(38,0)) AS s,
+           CAST(count(*) AS DECIMAL(38,0)) AS n
+    FROM pos
+)
+SELECT n.n_name, count(*) AS numcust,
+       CAST(sum(p.bal_cents) AS BIGINT) AS totacctbal_cents
+FROM pos p
+JOIN nation n ON n.n_nationkey = p.c_nationkey
+WHERE CAST(p.bal_cents AS DECIMAL(38,0)) * (SELECT n FROM avg_line)
+      > (SELECT s FROM avg_line)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = p.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+ORDER BY n.n_name
+""")
+def qg_sales_opportunity(spark, sf_dir):
+    """Global sales opportunity (TPC-H Q22 shape): lapsed customers —
+    above-average positive balance but NO order since 2000 — counted
+    per nation.  Two classic planner patterns in one query: the
+    global-scalar AVG threshold (computed once over positive
+    balances, broadcast as one row, compared by exact DECIMAL
+    cross-multiplication bal * n > sum — no double average), and the
+    NOT EXISTS anti-join against the date-pruned orders fact.  At
+    100 TB the anti-join shuffles on custkey; the customer side
+    arrives pre-filtered by the balance threshold so the anti-join's
+    probe side is already small."""
+    pos = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_acctbal") > 0.0)
+           .select("c_custkey", "c_nationkey",
+                   F.round(F.col("c_acctbal") * 100).cast("long")
+                   .alias("bal_cents"))
+           .persist())
+    dec = "decimal(38,0)"
+    stats = pos.agg(F.sum(F.col("bal_cents").cast(dec)).alias("_s"),
+                    F.count(F.lit(1)).cast(dec).alias("_n"))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = (pos.crossJoin(F.broadcast(stats))
+            .filter(F.col("bal_cents").cast(dec) * F.col("_n")
+                    > F.col("_s")))
+    lapsed = rich.join(recent,
+                       rich.c_custkey == recent.o_custkey, "left_anti")
+    return (lapsed.join(F.broadcast(nation),
+                        F.col("c_nationkey") == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("bal_cents").alias("totacctbal_cents"))
+            .orderBy("n_name"))
+
+
+@register("qg_supplier_part_count", oracle="""
+WITH supply AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT sp.l_suppkey) AS supplier_cnt
+FROM supply sp
+JOIN part p ON p.p_partkey = sp.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (5, 15, 25)
+  AND sp.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                           WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def qg_supplier_part_count(spark, sf_dir):
+    """Parts/supplier relationship (TPC-H Q16 shape): how many
+    eligible suppliers can supply each (brand, type, size) slice,
+    excluding one brand and suppliers in arrears — the NOT IN
+    anti-join query.  The supply relation is the deduplicated
+    (part, supplier) projection of the fact; the excluded-supplier
+    set (negative balance) is a broadcast LEFT ANTI join (safe here:
+    keys are non-null by construction, so NOT IN == anti-join); the
+    count-distinct runs on the post-join survivors.  Part's brand /
+    size predicates prune its scan before the broadcast."""
+    supply = (_t(spark, sf_dir, "lineitem")
+              .select("l_partkey", "l_suppkey").distinct())
+    bad_supp = (_t(spark, sf_dir, "supplier")
+                .filter(F.col("s_acctbal") < 0.0)
+                .select("s_suppkey"))
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#5")
+                    & F.col("p_size").isin(5, 15, 25))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (supply
+            .join(F.broadcast(bad_supp),
+                  supply.l_suppkey == bad_supp.s_suppkey, "left_anti")
+            .join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(),
+                     "p_brand", "p_type", "p_size"))
+
+
+@register("qg_potential_promotion", oracle="""
+WITH promo_parts AS (
+    SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+), heavy AS (
+    SELECT l_suppkey
+    FROM lineitem l
+    JOIN promo_parts pp ON pp.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING CAST(sum(l.l_quantity) AS BIGINT) > 50
+)
+SELECT DISTINCT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY s.s_name
+""")
+def qg_potential_promotion(spark, sf_dir):
+    """Potential part promotion (TPC-H Q20 shape): suppliers who
+    moved more than 50 units of some PROMO-type part in 1997 — the
+    nested-IN semi-join chain.  Evaluation is inside-out exactly as
+    a decorrelating planner does it: the part slice prunes first and
+    broadcasts into the date-pruned fact, the per-(supplier, part)
+    quantity aggregate applies the HAVING, and the surviving
+    supplier keys drive a LEFT SEMI join against the supplier dim
+    (IN == semi-join; no duplicate suppliers ever materialize).
+    Deterministic name ordering."""
+    promo = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_type") == "PROMO")
+             .select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    heavy = (li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum("l_quantity").cast("long").alias("qty"))
+             .filter(F.col("qty") > 50)
+             .select("l_suppkey"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (supp
+            .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .select("s_name", "n_name").distinct()
+            .orderBy("s_name"))
