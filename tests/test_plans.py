@@ -421,3 +421,85 @@ def test_hybrid_retrieval_is_funnel_not_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_single_table_forecast_is_pure_scan(spark, sf_dir):
+    """Q6 shape: no join anywhere — one pruned scan with the date /
+    quantity predicates pushed, then a 1-row aggregate."""
+    plan = plan_of(QUERIES["qg_forecast_revenue"](spark, sf_dir))
+    assert "Join" not in plan
+    m = re.search(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*\]", plan)
+    assert m, "shipdate predicate not pushed to the lineitem scan"
+    assert "l_quantity" in m.group(0), "quantity cap not pushed"
+
+
+def test_disjunctive_part_implicate_prunes_before_join(spark, sf_dir):
+    """Q19 shape: the part-only implicate of the OR-of-ANDs must
+    reach the part scan as pushed filters (brand disjunction), and
+    the join itself stays a broadcast hash join."""
+    plan = plan_of(QUERIES["qg_disjunctive_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Brand#1" in plan, "brand disjunction not pushed to part scan"
+
+
+def test_returned_items_topk_is_heap_not_sort(spark, sf_dir):
+    """Q10 shape: top-20 customers via TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["qg_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_threshold_queries_reuse_aggregate(spark, sf_dir):
+    """Q15/Q11 shapes: the view aggregate is computed once (persist)
+    and the scalar max/total joins back as a 1-row broadcast — never
+    a global window, never a cartesian of non-scalar frames."""
+    for name in ("qg_top_supplier", "qg_important_supply"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "InMemoryTableScan" in plan, \
+            f"{name}: per-key aggregate not reused via persist"
+        assert "Window" not in plan, name
+
+
+def test_small_qty_decorrelates_without_window(spark, sf_dir):
+    """Q17 shape: the correlated AVG becomes ONE per-part aggregate
+    equi-joined back (persisted line frame scanned twice in-memory),
+    with no window and no nested-loop."""
+    plan = plan_of(QUERIES["qg_small_qty_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "Window" not in plan
+
+
+def test_min_cost_supplier_is_equi_self_join(spark, sf_dir):
+    """Q2 shape: the per-part MIN joins back on (partkey, min) as an
+    equi-condition — no nested-loop, no cartesian."""
+    plan = plan_of(QUERIES["qg_min_cost_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_waiting_suppliers_plans_semi_and_anti(spark, sf_dir):
+    """Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both
+    equi-joined on the order key (the supplier inequality is the
+    residual condition, never the join key)."""
+    plan = plan_of(QUERIES["qg_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_shapes(spark, sf_dir):
+    """Q22/Q16/Q20 shapes: NOT EXISTS / NOT IN / IN compile to
+    anti- and semi-joins, never to a cartesian of the two frames."""
+    for name, op in (("qg_sales_opportunity", "LeftAnti"),
+                     ("qg_supplier_part_count", "LeftAnti"),
+                     ("qg_potential_promotion", "LeftSemi")):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert op in plan, name
+        assert "CartesianProduct" not in plan, name
