@@ -1,0 +1,48 @@
+"""Grouped-aggregate pandas UDAFs — the §2.13 aggregate-function
+surface (scalar pandas UDFs, mapInPandas, applyInPandas and UDTFs are
+covered elsewhere; this module adds the GROUPED_AGG shape, which
+Spark runs as a real partial-less aggregate over Arrow batches and
+which is also legal OVER a window).
+
+Only aggregates whose semantics built-ins cannot express belong here:
+a weighted median has no native Spark expression (percentile() is
+unweighted; percentile_approx() is both unweighted and approximate).
+The implementation is exact and integer-deterministic, so DuckDB can
+replay it with a window transcription and the driver can value-hash
+it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def weighted_median_udaf():
+    """Exact lower weighted median as a GROUPED_AGG pandas UDF:
+    the smallest value v whose cumulative weight reaches half the
+    group's total weight (2 * cum(v) >= total) — the deterministic
+    tie policy both engines can agree on, with no interpolation and
+    no floating point anywhere.
+
+    Scale shape: GROUPED_AGG ships each group's (value, weight)
+    columns as ONE Arrow batch to a worker — O(group) memory, fine
+    for per-key grains (a group = one source / author / day), wrong
+    for whole-table medians (use percentile_approx's mergeable
+    sketch there).  Sorting is in-worker numpy, never a Spark-side
+    global sort.
+    """
+
+    @pandas_udf("long")
+    def weighted_median(v: pd.Series, w: pd.Series) -> int:
+        arr = np.asarray(v, dtype=np.int64)
+        wt = np.asarray(w, dtype=np.int64)
+        order = np.argsort(arr, kind="stable")
+        arr = arr[order]
+        cum = np.cumsum(wt[order])
+        total = cum[-1]
+        idx = int(np.searchsorted(2 * cum, total, side="left"))
+        return int(arr[idx])
+
+    return weighted_median

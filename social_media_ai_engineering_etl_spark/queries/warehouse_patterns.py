@@ -1452,3 +1452,143 @@ def qx_distribution_drift(spark, sf_dir):
             .agg(F.sum(F.col("t1") + F.col("t2")).alias("chi2_x1e6"),
                  F.count(F.lit(1)).alias("n_buckets"))
             .orderBy("event_type"))
+
+
+@register("qx_weighted_median", oracle="""
+WITH w AS (
+    SELECT source, n_chars AS v, (doc_id % 7) + 1 AS wt FROM documents
+), per_v AS (
+    SELECT source, v, CAST(sum(wt) AS BIGINT) AS wv
+    FROM w GROUP BY source, v
+), c AS (
+    SELECT source, v,
+           sum(wv) OVER (PARTITION BY source ORDER BY v) AS cum,
+           sum(wv) OVER (PARTITION BY source) AS total
+    FROM per_v
+)
+SELECT source, CAST(min(v) AS BIGINT) AS wmedian_chars
+FROM c WHERE 2 * cum >= total
+GROUP BY source ORDER BY source
+""")
+def qx_weighted_median(spark, sf_dir):
+    """Per-source weighted median document length (weight = a
+    deterministic per-doc importance): the GROUPED_AGG pandas-UDAF
+    surface (operators/udafs.py) — Spark has no weighted-median
+    builtin, so this is the legitimate custom-aggregate case.  The
+    lower-median tie policy (smallest v with 2*cum >= total) is
+    integer-exact, so the oracle replays it with a window
+    transcription and the value hash must agree.  One shuffle on the
+    group key; each group is one Arrow batch in the worker."""
+    from ..operators.udafs import weighted_median_udaf
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    wm = weighted_median_udaf()
+    return (docs.select("source",
+                        F.col("n_chars").alias("v"),
+                        (F.col("doc_id") % 7 + 1).alias("wt"))
+            .groupBy("source")
+            .agg(wm(F.col("v"), F.col("wt")).alias("wmedian_chars"))
+            .orderBy("source"))
+
+
+@register("qx_referential_integrity", oracle="""
+SELECT 'customer.c_nationkey->nation' AS fk,
+       (SELECT count(*) FROM customer) AS n_rows,
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+           AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       (SELECT count(*) FROM nation),
+       (SELECT count(*) FROM nation n WHERE NOT EXISTS
+          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+ORDER BY fk
+""")
+def qx_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across the whole star schema: for
+    every foreign key, total rows and orphan rows (no matching
+    parent).  The oracle spells each check as NOT EXISTS; the engine
+    instead scans each child table ONCE — all of a table's FKs are
+    checked in a single pass by left-joining just the parent KEY
+    columns and counting nulls (lineitem's three FKs cost one scan,
+    not three).  Dim parents broadcast; the one fact-x-fact check
+    (lineitem->orders) shuffles on the order key.  A healthy
+    pipeline returns all-zero orphan counts — this query is the
+    gate that says so, cheaply enough to run per ingest."""
+    def _k(name, col):
+        t = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return t.select(F.col(col), F.lit(1).alias(f"_hit_{name}"))
+
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_orderkey", "l_partkey", "l_suppkey"))
+    li_audit = (li
+                .join(_k("orders", "o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"), "left")
+                .join(F.broadcast(_k("part", "p_partkey")),
+                      li.l_partkey == F.col("p_partkey"), "left")
+                .join(F.broadcast(_k("supplier", "s_suppkey")),
+                      li.l_suppkey == F.col("s_suppkey"), "left")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.when(F.col("_hit_orders").isNull(), 1)
+                           .otherwise(0)).alias("orph_o"),
+                     F.sum(F.when(F.col("_hit_part").isNull(), 1)
+                           .otherwise(0)).alias("orph_p"),
+                     F.sum(F.when(F.col("_hit_supplier").isNull(), 1)
+                           .otherwise(0)).alias("orph_s"))
+                .select(F.expr(
+                    "stack(3,"
+                    " 'lineitem.l_orderkey->orders', n, orph_o,"
+                    " 'lineitem.l_partkey->part', n, orph_p,"
+                    " 'lineitem.l_suppkey->supplier', n, orph_s)"
+                    " AS (fk, n_rows, n_orphans)")))
+
+    def _single(child, child_key, parent, parent_key, bcast_parent=True):
+        c = (spark.read.parquet(os.path.join(sf_dir, f"{child}.parquet"))
+             .select(F.col(child_key)))
+        p = _k(parent, parent_key)
+        if bcast_parent:
+            p = F.broadcast(p)
+        return (c.join(p, F.col(child_key) == F.col(parent_key), "left")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.when(F.col(f"_hit_{parent}").isNull(), 1)
+                           .otherwise(0)).alias("orph"))
+                .select(F.lit(f"{child}.{child_key}->{parent}").alias("fk"),
+                        F.col("n").alias("n_rows"),
+                        F.col("orph").alias("n_orphans")))
+
+    return (li_audit
+            # orders->customer is fact x fact at 100 TB: planner-chosen
+            .unionByName(_single("orders", "o_custkey",
+                                 "customer", "c_custkey",
+                                 bcast_parent=False))
+            .unionByName(_single("customer", "c_nationkey",
+                                 "nation", "n_nationkey"))
+            .unionByName(_single("supplier", "s_nationkey",
+                                 "nation", "n_nationkey"))
+            .unionByName(_single("nation", "n_regionkey",
+                                 "region", "r_regionkey"))
+            .orderBy("fk"))

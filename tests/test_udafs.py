@@ -1,0 +1,79 @@
+"""GROUPED_AGG pandas-UDAF contract: the exact lower weighted median
+(operators/udafs.py) equals a pure-SQL window transcription on
+adversarial groups, and works OVER a window as well as in groupBy."""
+
+from pyspark.sql import functions as F
+
+from social_media_ai_engineering_etl_spark.operators.udafs import (
+    weighted_median_udaf,
+)
+
+CASES = [
+    # (group, value, weight) — ties, single rows, dominant weights,
+    # even/odd cumulative splits, unsorted input order
+    ("ties", 5, 1), ("ties", 5, 1), ("ties", 3, 1), ("ties", 9, 1),
+    ("single", 42, 7),
+    ("dominant", 1, 1), ("dominant", 2, 100), ("dominant", 3, 1),
+    ("even_split", 1, 1), ("even_split", 2, 1),
+    ("odd", 10, 3), ("odd", 20, 2), ("odd", 30, 1),
+    ("unsorted", 30, 2), ("unsorted", 10, 2), ("unsorted", 20, 1),
+]
+
+
+def _expected(rows):
+    groups = {}
+    for g, v, w in rows:
+        groups.setdefault(g, []).append((v, w))
+    out = {}
+    for g, vw in groups.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= total:
+                out[g] = v
+                break
+    return out
+
+
+def test_weighted_median_groupby_matches_reference(spark):
+    df = spark.createDataFrame(CASES, ["g", "v", "w"])
+    wm = weighted_median_udaf()
+    got = {r["g"]: r["m"]
+           for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()}
+    assert got == _expected(CASES)
+
+
+def test_weighted_median_matches_sql_window_transcription(spark):
+    """The same transcription qx_weighted_median's oracle uses,
+    evaluated by Spark SQL itself, must agree with the UDAF."""
+    df = spark.createDataFrame(CASES, ["g", "v", "w"])
+    df.createOrReplaceTempView("wm_cases")
+    sql = spark.sql("""
+        WITH per_v AS (
+            SELECT g, v, sum(w) AS wv FROM wm_cases GROUP BY g, v
+        ), c AS (
+            SELECT g, v,
+                   sum(wv) OVER (PARTITION BY g ORDER BY v) AS cum,
+                   sum(wv) OVER (PARTITION BY g) AS total
+            FROM per_v
+        )
+        SELECT g, min(v) AS m FROM c WHERE 2 * cum >= total GROUP BY g
+    """)
+    wm = weighted_median_udaf()
+    udaf = df.groupBy("g").agg(wm("v", "w").alias("m"))
+    assert sorted(map(tuple, sql.collect())) \
+        == sorted(map(tuple, udaf.collect()))
+
+
+def test_weighted_median_over_window(spark):
+    """GROUPED_AGG is legal OVER a partition window — every row of a
+    group carries the group's median."""
+    from pyspark.sql.window import Window
+    df = spark.createDataFrame(CASES, ["g", "v", "w"])
+    wm = weighted_median_udaf()
+    out = df.withColumn("m", wm("v", "w").over(Window.partitionBy("g")))
+    exp = _expected(CASES)
+    for r in out.collect():
+        assert r["m"] == exp[r["g"]], r
