@@ -59,7 +59,17 @@ def main() -> None:
 
     names = ("qg_pricing_summary", "qg_shipping_priority",
              "qg_local_supplier_volume", "qg_large_orders",
-             "qg_priority_check", "qg_customer_distribution")
+             "qg_priority_check", "qg_customer_distribution",
+             # r3d additions: scan-only / conditional-agg shapes
+             "qg_forecast_revenue", "qg_promo_revenue",
+             "qg_disjunctive_revenue", "qg_returned_items",
+             "qg_latency_priority_mix",
+             # scalar-subquery shapes (view reuse + 1-row broadcast)
+             "qg_top_supplier", "qg_important_supply",
+             "qg_small_qty_revenue", "qg_min_cost_supplier",
+             # semi/anti shapes (incl. the Q21 double self-join)
+             "qg_waiting_suppliers", "qg_sales_opportunity",
+             "qg_supplier_part_count", "qg_potential_promotion")
 
     # warm codegen/readers on the registered queries once
     for n in names:

@@ -200,3 +200,85 @@ def read_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
         F.col("path").alias("media_uri"),
         F.col("length").alias("n_bytes"),
         "content", meta.alias("media"))
+
+
+def media_phash(df: DataFrame, content_col: str = "content",
+                out_col: str = "phash", bits: int = 60) -> DataFrame:
+    """Portable perceptual hash over an opaque media payload — the
+    near-dup companion to the exact content-digest dedup
+    (qmm_media_dedup): an aHash-shaped signature (each position's
+    sample compared against the payload's mean, bits packed into one
+    BIGINT), computed ENTIRELY with native JVM expressions, no UDF.
+
+    The "pixel" stream is the portable md5 stream both engines can
+    replay (seed = md5(payload); block c = md5(seed || '-' || c);
+    byte p = block[p % 16]) — the FakeDecoder convention restated in
+    hex strings so DuckDB (whose md5 takes VARCHAR only) can
+    transcribe it.  The mean test is integer cross-multiplication
+    (bv * bits > total), never a float mean.  With a REAL decoder the
+    same packing runs over actual downsampled luma — only the stream
+    source changes.
+
+    Scale shape: a narrow per-row projection (4 md5 calls + array
+    fold), no shuffle; the 60-bit width keeps every downstream
+    shift/xor inside one BIGINT with zero overflow on either engine.
+    """
+    payload = F.col(content_col)
+    seed = F.md5(payload.cast("binary"))
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.lit(bits // 16)),
+        lambda c: F.md5(F.concat(seed, F.lit("-"), c.cast("string"))
+                        .cast("binary")))
+    def bv(p):
+        block = F.element_at(blocks, (p / 16).cast("int") + 1)
+        return F.conv(F.substring(block, (p % 16) * 2 + 1, F.lit(2)),
+                      16, 10).cast("long")
+    bvs = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), bv)
+    out = df.withColumn("__bvs", bvs).withColumn(
+        "__total",
+        F.aggregate("__bvs", F.lit(0).cast("long"), lambda a, x: a + x))
+    packed = F.aggregate(
+        "__bvs", F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(
+            F.when(x * bits > F.col("__total"), F.lit(1).cast("long"))
+             .otherwise(F.lit(0).cast("long"))))
+    return (out.withColumn(out_col, packed)
+            .drop("__bvs", "__total"))
+
+
+def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        phash_col: str = "phash",
+                        max_hamming: int = 3,
+                        bits: int = 60,
+                        n_chunks: int = 4) -> DataFrame:
+    """Hamming-near pairs over a packed perceptual hash via the
+    pigeonhole principle: split the hash into ``n_chunks`` equal bit
+    chunks — any two hashes within ``max_hamming`` (< n_chunks) bits
+    share at least one chunk VERBATIM, so candidates come from a
+    (chunk_idx, chunk_value) self equi-join, never an all-pairs
+    comparison (the same blocking the SimHash dedup family uses).
+    Exact hamming verification (bit_count of xor) then filters the
+    candidates.  Shuffle cost: n_chunks rows per input row, keyed by
+    chunk value — linear in the corpus.
+    """
+    assert max_hamming < n_chunks, "pigeonhole needs chunks > hamming"
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = (df.select(F.col(id_col).alias("pid"),
+                        F.col(phash_col).alias("ph"))
+              .withColumn("k", F.explode(F.sequence(
+                  F.lit(0), F.lit(n_chunks - 1))))
+              .withColumn("cv", F.expr(
+                  f"shiftright(ph, k * {chunk_bits}) & {mask}")))
+    left = chunks.select(F.col("pid").alias("id1"),
+                         F.col("ph").alias("ph1"), "k", "cv")
+    right = chunks.select(F.col("pid").alias("id2"),
+                          F.col("ph").alias("ph2"), "k", "cv")
+    cand = (left.join(right, ["k", "cv"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "ph1", "ph2").distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))

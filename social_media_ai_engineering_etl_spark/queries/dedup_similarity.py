@@ -719,6 +719,72 @@ def qmm_media_dedup(spark, sf_dir):
             .orderBy("keep_doc_id"))
 
 
+@register("qmm_media_neardup", oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 50 = 0
+), hx AS (
+    SELECT doc_id, md5(text) AS seed FROM corpus
+), bytes AS (
+    SELECT doc_id, CAST(p AS INT) AS pos,
+           (strpos('0123456789abcdef',
+                   substr(md5(seed || '-' || CAST(p // 16 AS VARCHAR)),
+                          CAST(2 * (p % 16) + 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(seed || '-' || CAST(p // 16 AS VARCHAR)),
+                            CAST(2 * (p % 16) + 2 AS INT), 1)) - 1) AS bv
+    FROM hx, range(60) t(p)
+), tot AS (
+    SELECT doc_id, CAST(sum(bv) AS BIGINT) AS total
+    FROM bytes GROUP BY doc_id
+), ph AS (
+    SELECT b.doc_id,
+           CAST(sum(CASE WHEN b.bv * 60 > t.total
+                         THEN (CAST(1 AS BIGINT) << CAST(59 - b.pos AS INT))
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM bytes b JOIN tot t ON t.doc_id = b.doc_id
+    GROUP BY b.doc_id
+), chunks AS (
+    SELECT doc_id, phash, k, (phash >> CAST(k * 15 AS INT)) & 32767 AS cv
+    FROM ph, range(4) t(k)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           a.phash AS ph1, b.phash AS ph2
+    FROM chunks a JOIN chunks b
+      ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(ph1, ph2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ph1, ph2)) <= 3
+ORDER BY id1, id2
+""")
+def qmm_media_neardup(spark, sf_dir):
+    """Perceptual near-dup over the binary media column — the
+    image-dedup staple (aHash-style signature, hamming <= 3): a 2%
+    re-ingested shard is planted with shifted ids (the
+    qmm_media_dedup convention), and the pigeonhole-blocked pairs
+    must recover exactly those plants.  The phash is the portable
+    md5-stream signature (operators/multimodal.py::media_phash) both
+    engines compute natively — the oracle transcribes the stream,
+    the integer mean test, the bit packing, the 4x15-bit pigeonhole
+    blocking AND the exact hamming verify, so the whole near-dup
+    pipeline is value-hash checked end to end.  No UDF anywhere; the
+    candidate step is an equi-join on (chunk, value), never
+    all-pairs."""
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + 1000000000).alias("doc_id"),
+                    "text"))
+    media = mm.attach_fake_media(corpus)
+    hashed = mm.media_phash(media, content_col="content")
+    return (mm.phash_neardup_pairs(hashed, id_col="doc_id",
+                                   phash_col="phash", max_hamming=3)
+            .withColumn("hamming", F.col("hamming").cast("int"))
+            .orderBy("id1", "id2"))
+
+
 @register("qx_similarity_topk_ivf")
 def qx_similarity_topk_ivf(spark, sf_dir):
     """IVF-partitioned approximate top-5 (KMeans cells + n_probe=6

@@ -103,3 +103,63 @@ def test_arrow_feature_twin_is_bit_identical(spark, sf_dir):
         "doc_id", "features").collect()
     assert sorted(map(tuple, ((r.doc_id, tuple(r.features)) for r in a))) \
         == sorted(map(tuple, ((r.doc_id, tuple(r.features)) for r in b)))
+
+
+def test_media_phash_matches_python_reference(spark):
+    """The native-expression phash equals a pure-python transcription
+    of the portable md5 stream (seed -> blocks -> integer mean test
+    -> MSB-first packing)."""
+    import hashlib
+
+    from social_media_ai_engineering_etl_spark.operators import (
+        multimodal as mm,
+    )
+
+    def ref(txt: str, bits: int = 60) -> int:
+        seed = hashlib.md5(txt.encode()).hexdigest()
+        bvs = [int(hashlib.md5(f"{seed}-{p // 16}".encode())
+                   .hexdigest()[2 * (p % 16):2 * (p % 16) + 2], 16)
+               for p in range(bits)]
+        total = sum(bvs)
+        h = 0
+        for bv in bvs:
+            h = (h << 1) | (1 if bv * bits > total else 0)
+        return h
+
+    texts = ["hello world", "different text", "", "x", "hello world "]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "content"])
+    got = {r["doc_id"]: r["phash"]
+           for r in mm.media_phash(df).collect()}
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
+def test_phash_neardup_finds_near_misses_not_far(spark):
+    """Pigeonhole blocking + exact hamming verify: pairs at distance
+    1 and 3 are found, distance 4 (> max_hamming) and ~30 (random)
+    are not — i.e. this detects genuinely NEAR duplicates, not just
+    exact ones."""
+    from social_media_ai_engineering_etl_spark.operators import (
+        multimodal as mm,
+    )
+    base = 0b101101110001011011000101101011010110110101101101011010110101
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                      # hamming 1 -> pair
+        (3, base ^ 0b10100000000001),         # hamming 3 -> pair
+        (4, base ^ 0b1111000000000000000),    # hamming 4 -> no pair
+        (5, base ^ 0x0AAAAAAAAAAAAAA),        # far -> no pair
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "phash"])
+    got = sorted((r["id1"], r["id2"], r["hamming"])
+                 for r in mm.phash_neardup_pairs(df).collect())
+    import itertools
+    h = dict(rows)
+    exp = sorted((a, b, bin(h[a] ^ h[b]).count("1"))
+                 for a, b in itertools.combinations(sorted(h), 2)
+                 if bin(h[a] ^ h[b]).count("1") <= 3)
+    assert got == exp
+    assert (1, 2, 1) in got and (1, 3, 3) in got, \
+        "near misses at hamming 1 and 3 must be detected"
+    assert all(4 not in (a, b) and 5 not in (a, b) for a, b, _ in got), \
+        "docs at hamming > 3 from everything must not pair"
