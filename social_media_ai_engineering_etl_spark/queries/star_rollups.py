@@ -1239,24 +1239,27 @@ def qg_min_cost_supplier(spark, sf_dir):
     unit price ever charged, as exact integer cents x100 (BIGINT
     floor division of positives — identical on both engines).  The
     correlated MIN subquery decorrelates into a per-part aggregate
-    equi-joined back (the standard rewrite); the part slice filter
-    prunes before its join, and at 100 TB the (part, supplier) pair
-    frame — orders of magnitude smaller than the fact — is the only
-    thing that flows into the dimension joins.  All ties returned,
-    deterministically ordered."""
+    equi-joined back (the standard rewrite).  The part slice prunes
+    the FACT before the pair aggregate (broadcast semi-shaped join on
+    the handful of slice keys — filter-then-aggregate is exact per
+    part, and the oracle's aggregate-then-filter form must agree), so
+    at 100 TB only the slice's lines are ever grouped.  All ties
+    returned, deterministically ordered."""
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+            .select("p_partkey", "p_brand"))
     li = (_t(spark, sf_dir, "lineitem")
           .select("l_partkey", "l_suppkey",
                   F.expr("(CAST(round(l_extendedprice * 100) AS BIGINT)"
                          " * 100) DIV CAST(l_quantity AS BIGINT)")
-                  .alias("unit")))
+                  .alias("unit"))
+          .join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi"))
     pairs = (li.groupBy("l_partkey", "l_suppkey")
              .agg(F.min("unit").alias("unit_cents_x100"))
              .persist())
     best = (pairs.groupBy(F.col("l_partkey").alias("b_partkey"))
             .agg(F.min("unit_cents_x100").alias("best_cents_x100")))
-    part = (_t(spark, sf_dir, "part")
-            .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
-            .select("p_partkey", "p_brand"))
     supp = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
