@@ -207,8 +207,12 @@ def test_twenty_query_session_leaks_no_cached_blocks(spark, sf_dir):
         "qx_pagerank_suppliers", "qx_corpus_stats", "qx_heavy_hitters",
         "qx_hierarchical_rollup", "qx_asof_last_click",
         "qx_key_skew_profile",
+        # r3d persisting additions: scalar-subquery + semi/anti reports
+        "qg_top_supplier", "qg_important_supply", "qg_small_qty_revenue",
+        "qg_min_cost_supplier", "qg_waiting_suppliers",
+        "qg_sales_opportunity",
     ]
-    assert len(names) == 23 and all(n in QUERIES for n in names)
+    assert len(names) == 29 and all(n in QUERIES for n in names)
     for n in names:
         spark.catalog.clearCache()
         QUERIES[n](spark, sf_dir).limit(5).collect()
