@@ -260,6 +260,15 @@ def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     Exact hamming verification (bit_count of xor) then filters the
     candidates.  Shuffle cost: n_chunks rows per input row, keyed by
     chunk value — linear in the corpus.
+
+    Candidate volume is the honest scale knob: random non-dup pairs
+    collide on a chunk with probability n_chunks / 2^chunk_bits, so
+    expected junk candidates grow ~ n^2 * n_chunks / 2^chunk_bits —
+    at 10^9 rows the 15-bit chunks of a 60-bit hash drown in
+    collisions.  Same remedy as the embedding-LSH plane growth
+    (SCALING.md): widen the hash (128/256-bit phash) so chunk_bits
+    >= ~2*log2(n) while keeping n_chunks > max_hamming; the join
+    shape is unchanged.
     """
     assert max_hamming < n_chunks, "pigeonhole needs chunks > hamming"
     chunk_bits = bits // n_chunks
