@@ -46,10 +46,15 @@ GRADE_WINDOW: tuple[str, ...] = (
     # row transforms (P5-P10, P12, T3-T4, T11, T15, §2.9 describe)
     # (T15's emoji-count expression is graded via q02_emoji_binning,
     # which bins that same count — the standalone q02_emoji_count
-    # probe was consolidated out per VERDICT r2 #3 to free a slot)
+    # probe was consolidated out per VERDICT r2 #3 to free a slot.
+    # T4's punctuation counting rides q26_rewards_scalar's R6 reward
+    # (r_punct scores the same per-sentence punctuation counts), so
+    # the standalone q17_punctuation probe
+    # was consolidated out in r3d to seat the classic-report family's
+    # representative, qg_pricing_summary — same consolidation move.)
     "q02_length_buckets", "q02_emoji_binning",
     "q07_clean_topics", "q09_tone_normalize", "q15_clean_context",
-    "q17_line_breaks", "q17_punctuation", "q17_profanity",
+    "q17_line_breaks", "q17_profanity",
     "q17_author_top_texts", "q17_author_words", "q17_narrative_structure",
     "q18_describe_style", "q18_structure_normalize",
     # fan-out, classification, splits, validation (F1, P13-P15, B5-B6, P18)
@@ -75,8 +80,8 @@ GRADE_WINDOW: tuple[str, ...] = (
     "q06_extract_topic",
     # ML analytics §2.10 (M1/T2/A16; A11)
     "q20_feature_table", "q21_cluster_distribution",
-    # star rollups
-    "qg_engagement_by_geo",
+    # star rollups + classic reports (exact fixed-point TPC-H Q1)
+    "qg_engagement_by_geo", "qg_pricing_summary",
     # warehouse family (incremental rollup; quantile-bucket RFM)
     "qx_incremental_rollup", "qx_rfm_segments",
     # curation family (quality gate; sequence packing)
