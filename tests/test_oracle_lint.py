@@ -40,3 +40,11 @@ def test_no_oracle_emits_hugeint(con):
     assert not offenders, (
         "uncast integer aggregate(s) reach an oracle output column — "
         f"CAST them to BIGINT: {offenders}")
+
+
+def test_lint_fires_on_an_uncast_integer_sum(con):
+    """Negative control: the guard must actually catch the r2 class."""
+    cols = con.execute(
+        "DESCRIBE SELECT sum(n_chars) AS total FROM documents").fetchall()
+    assert any("HUGEINT" in c[1].upper() for c in cols), \
+        "DuckDB stopped typing integer sum() as HUGEINT — revisit lint"

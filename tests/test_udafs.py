@@ -77,3 +77,20 @@ def test_weighted_median_over_window(spark):
     exp = _expected(CASES)
     for r in out.collect():
         assert r["m"] == exp[r["g"]], r
+
+
+def test_weighted_median_property_random_groups(spark):
+    """Hypothesis-style sweep without per-example Spark jobs: many
+    random groups in ONE DataFrame, UDAF vs the pure-python fold."""
+    import random
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for g in range(40):
+        n = rng.randint(1, 30)
+        rows += [(f"g{g}", rng.randint(-1000, 1000), rng.randint(1, 50))
+                 for _ in range(n)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    wm = weighted_median_udaf()
+    got = {r["g"]: r["m"]
+           for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()}
+    assert got == _expected(rows)
