@@ -234,16 +234,25 @@ def media_phash(df: DataFrame, content_col: str = "content",
         return F.conv(F.substring(block, (p % 16) * 2 + 1, F.lit(2)),
                       16, 10).cast("long")
     bvs = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), bv)
-    out = df.withColumn("__bvs", bvs).withColumn(
-        "__total",
-        F.aggregate("__bvs", F.lit(0).cast("long"), lambda a, x: a + x))
+    # The total must ride INSIDE the fold's accumulator: an outer
+    # column reference would be inlined by CollapseProject and
+    # re-evaluated per element — 60x the whole md5 subtree per row
+    # (measured: ~170 s for a 1k-row pair step before this fix).
+    out = df.withColumn("__bvs", bvs)
+    zero = F.struct(
+        F.aggregate("__bvs", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("total"),
+        F.lit(0).cast("long").alias("acc"))
     packed = F.aggregate(
-        "__bvs", F.lit(0).cast("long"),
-        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(
-            F.when(x * bits > F.col("__total"), F.lit(1).cast("long"))
-             .otherwise(F.lit(0).cast("long"))))
+        "__bvs", zero,
+        lambda s, x: F.struct(
+            s.total.alias("total"),
+            F.shiftleft(s.acc, 1).bitwiseOR(
+                F.when(x * bits > s.total, F.lit(1).cast("long"))
+                 .otherwise(F.lit(0).cast("long"))).alias("acc")),
+        lambda s: s.acc)
     return (out.withColumn(out_col, packed)
-            .drop("__bvs", "__total"))
+            .drop("__bvs"))
 
 
 def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -273,8 +282,15 @@ def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     assert max_hamming < n_chunks, "pigeonhole needs chunks > hamming"
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    chunks = (df.select(F.col(id_col).alias("pid"),
-                        F.col(phash_col).alias("ph"))
+    # materialize (id, hash) ONCE before the explode + self-join: the
+    # hash may be an expensive expression (media_phash's md5 fold),
+    # and the join would otherwise re-evaluate it on both sides x
+    # n_chunks.  16 bytes/row; released by the harness's per-query
+    # clearCache (session.py cache-ownership contract).
+    base = (df.select(F.col(id_col).alias("pid"),
+                      F.col(phash_col).alias("ph"))
+            .persist())
+    chunks = (base
               .withColumn("k", F.explode(F.sequence(
                   F.lit(0), F.lit(n_chunks - 1))))
               .withColumn("cv", F.expr(
