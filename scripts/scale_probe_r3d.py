@@ -57,11 +57,15 @@ def main() -> None:
 
     for m in (1, 4, 16):
         d = multiply_docs(docs.select("doc_id", "text"), m)
-        # plant one exact twin per 50 base docs, as qmm_media_neardup does
+        # plant one exact twin per 50 base docs, as qmm_media_neardup does;
+        # repartition stands in for the parallel scan a cluster gets
+        # (the registered query widens its scan via _docs/widen_scan —
+        # the local single-row-group parquet would otherwise hash on
+        # one core and drown the curve in fixed cost)
         corpus = d.unionByName(
             d.filter(F.col("doc_id") % 50 == 0)
              .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
-                     "text"))
+                     "text")).repartition(64)
         n_docs = corpus.count()
 
         t0 = time.perf_counter()
