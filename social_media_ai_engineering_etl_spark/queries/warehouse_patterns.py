@@ -1540,8 +1540,12 @@ def qx_referential_integrity(spark, sf_dir):
     pipeline returns all-zero orphan counts — this query is the
     gate that says so, cheaply enough to run per ingest."""
     def _k(name, col):
+        # distinct parent keys: the null-count scheme is NOT EXISTS
+        # semantics only if the join can't fan out — a (dirty) parent
+        # with a duplicated key would otherwise inflate child counts
         t = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return t.select(F.col(col), F.lit(1).alias(f"_hit_{name}"))
+        return (t.select(F.col(col)).distinct()
+                .withColumn(f"_hit_{name}", F.lit(1)))
 
     li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
           .select("l_orderkey", "l_partkey", "l_suppkey"))
