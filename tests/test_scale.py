@@ -415,3 +415,61 @@ def test_compaction_plan_and_execute(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, docs.collect()))
     assert a == b
+
+
+def test_ri_audit_null_count_scheme_survives_dirty_parents(spark, tmp_path):
+    """qx_referential_integrity counts orphans via left-join null
+    counts — NOT EXISTS semantics, which a duplicated parent key
+    would silently break by fanning the child out. Plant a dirty
+    parent (duplicate nationkey) + one true orphan and check both
+    totals stay exact."""
+    import os
+
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+
+    sf = str(tmp_path)
+    # minimal star: every table the query reads
+    spark.createDataFrame(
+        [(0, "R0")], ["r_regionkey", "r_name"]).write.parquet(
+        os.path.join(sf, "region.parquet"))
+    # nation 7 is DUPLICATED (dirty parent); nation 9 missing
+    spark.createDataFrame(
+        [(7, "N7", 0), (7, "N7-dup", 0), (8, "N8", 0)],
+        ["n_nationkey", "n_name", "n_regionkey"]).write.parquet(
+        os.path.join(sf, "nation.parquet"))
+    # customers: two under the dup nation (must count ONCE each, not
+    # fan out), one orphan under missing nation 9
+    spark.createDataFrame(
+        [(1, "c1", 7, 0.0, "M"), (2, "c2", 7, 0.0, "M"),
+         (3, "c3", 9, 0.0, "M")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+         "c_mktsegment"]).write.parquet(
+        os.path.join(sf, "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "s1", 7, 0.0)],
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    ).write.parquet(os.path.join(sf, "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, "p", "B", "T", 1, 1.0)],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+         "p_retailprice"]).write.parquet(os.path.join(sf, "part.parquet"))
+    spark.createDataFrame(
+        [(10, 1, "O", 1.0, "1995-01-01", "1-URGENT")],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"]).write.parquet(
+        os.path.join(sf, "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-02")],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"]).write.parquet(
+        os.path.join(sf, "lineitem.parquet"))
+
+    rows = {r["fk"]: (r["n_rows"], r["n_orphans"])
+            for r in QUERIES["qx_referential_integrity"](
+                spark, sf).collect()}
+    # 3 customers total (no fan-out from the dup parent), 1 orphan
+    assert rows["customer.c_nationkey->nation"] == (3, 1)
+    assert rows["lineitem.l_orderkey->orders"] == (1, 0)
+    assert rows["supplier.s_nationkey->nation"] == (1, 0)
