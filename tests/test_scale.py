@@ -207,12 +207,13 @@ def test_twenty_query_session_leaks_no_cached_blocks(spark, sf_dir):
         "qx_pagerank_suppliers", "qx_corpus_stats", "qx_heavy_hitters",
         "qx_hierarchical_rollup", "qx_asof_last_click",
         "qx_key_skew_profile",
-        # r3d persisting additions: scalar-subquery + semi/anti reports
+        # r3d persisting additions: scalar-subquery + semi/anti reports,
+        # and the phash near-dup (persists inside phash_neardup_pairs)
         "qg_top_supplier", "qg_important_supply", "qg_small_qty_revenue",
         "qg_min_cost_supplier", "qg_waiting_suppliers",
-        "qg_sales_opportunity",
+        "qg_sales_opportunity", "qmm_media_neardup",
     ]
-    assert len(names) == 29 and all(n in QUERIES for n in names)
+    assert len(names) == 30 and all(n in QUERIES for n in names)
     for n in names:
         spark.catalog.clearCache()
         QUERIES[n](spark, sf_dir).limit(5).collect()
