@@ -46,3 +46,27 @@ def weighted_median_udaf():
         return int(arr[idx])
 
     return weighted_median
+
+
+def weighted_quantile_udaf(q_num: int, q_den: int):
+    """Exact lower weighted q-quantile (q = q_num/q_den, 0 < q <= 1)
+    as a GROUPED_AGG pandas UDF: the smallest value v with
+    cum_weight(v) * q_den >= total_weight * q_num — the same
+    integer cross-multiplied tie policy as :func:`weighted_median_udaf`
+    (which is the q=1/2 instance), so any quantile is replayable in
+    SQL with no floating point.  Same O(group)-memory scale shape."""
+    assert 0 < q_num <= q_den, "need 0 < q <= 1"
+
+    @pandas_udf("long")
+    def weighted_quantile(v: pd.Series, w: pd.Series) -> int:
+        arr = np.asarray(v, dtype=np.int64)
+        wt = np.asarray(w, dtype=np.int64)
+        order = np.argsort(arr, kind="stable")
+        arr = arr[order]
+        cum = np.cumsum(wt[order])
+        total = cum[-1]
+        idx = int(np.searchsorted(cum * q_den, total * q_num,
+                                  side="left"))
+        return int(arr[idx])
+
+    return weighted_quantile

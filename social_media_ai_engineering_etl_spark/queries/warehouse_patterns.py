@@ -1596,3 +1596,47 @@ def qx_referential_integrity(spark, sf_dir):
             .unionByName(_single("nation", "n_regionkey",
                                  "region", "r_regionkey"))
             .orderBy("fk"))
+
+
+@register("qx_weighted_quartile_bands", oracle="""
+WITH w AS (
+    SELECT source, n_chars AS v, (doc_id % 7) + 1 AS wt FROM documents
+), per_v AS (
+    SELECT source, v, CAST(sum(wt) AS BIGINT) AS wv
+    FROM w GROUP BY source, v
+), c AS (
+    SELECT source, v,
+           sum(wv) OVER (PARTITION BY source ORDER BY v) AS cum,
+           sum(wv) OVER (PARTITION BY source) AS total
+    FROM per_v
+)
+SELECT source,
+       CAST(min(CASE WHEN cum * 4 >= total * 1 THEN v END) AS BIGINT)
+           AS p25_chars,
+       CAST(min(CASE WHEN cum * 2 >= total * 1 THEN v END) AS BIGINT)
+           AS p50_chars,
+       CAST(min(CASE WHEN cum * 4 >= total * 3 THEN v END) AS BIGINT)
+           AS p75_chars
+FROM c GROUP BY source ORDER BY source
+""")
+def qx_weighted_quartile_bands(spark, sf_dir):
+    """Weighted quartile bands per source (p25/p50/p75 of document
+    length under per-doc importance weights) — the generalized
+    GROUPED_AGG quantile UDAF (operators/udafs.py), three quantiles
+    of the SAME (value, weight) columns in one groupBy.  The integer
+    cross-multiplied threshold (cum * den >= total * num) makes every
+    band SQL-replayable; the oracle computes all three from one
+    cumulative-window CTE."""
+    from ..operators.udafs import weighted_quantile_udaf
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p25 = weighted_quantile_udaf(1, 4)
+    p50 = weighted_quantile_udaf(1, 2)
+    p75 = weighted_quantile_udaf(3, 4)
+    return (docs.select("source",
+                        F.col("n_chars").alias("v"),
+                        (F.col("doc_id") % 7 + 1).alias("wt"))
+            .groupBy("source")
+            .agg(p25(F.col("v"), F.col("wt")).alias("p25_chars"),
+                 p50(F.col("v"), F.col("wt")).alias("p50_chars"),
+                 p75(F.col("v"), F.col("wt")).alias("p75_chars"))
+            .orderBy("source"))

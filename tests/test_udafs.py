@@ -94,3 +94,44 @@ def test_weighted_median_property_random_groups(spark):
     got = {r["g"]: r["m"]
            for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()}
     assert got == _expected(rows)
+
+
+def test_weighted_quantile_generalizes_median(spark):
+    """q=1/2 must equal the median UDAF exactly; bands are monotone;
+    random groups match a pure-python fold of the same policy."""
+    import random
+
+    from social_media_ai_engineering_etl_spark.operators.udafs import (
+        weighted_quantile_udaf,
+    )
+
+    rng = random.Random(1234)
+    rows = [(f"g{g}", rng.randint(-500, 500), rng.randint(1, 9))
+            for g in range(25) for _ in range(rng.randint(1, 25))]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+
+    def ref(vw, num, den):
+        vw = sorted(vw)
+        total = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if cum * den >= total * num:
+                return v
+
+    groups = {}
+    for g, v, w in rows:
+        groups.setdefault(g, []).append((v, w))
+
+    wm = weighted_median_udaf()
+    q25, q50, q75 = (weighted_quantile_udaf(1, 4),
+                     weighted_quantile_udaf(1, 2),
+                     weighted_quantile_udaf(3, 4))
+    got = {r["g"]: r for r in df.groupBy("g").agg(
+        wm("v", "w").alias("m"), q25("v", "w").alias("p25"),
+        q50("v", "w").alias("p50"), q75("v", "w").alias("p75")).collect()}
+    for g, vw in groups.items():
+        r = got[g]
+        assert r["p50"] == r["m"] == ref(vw, 1, 2), g
+        assert r["p25"] == ref(vw, 1, 4) and r["p75"] == ref(vw, 3, 4), g
+        assert r["p25"] <= r["p50"] <= r["p75"], g
