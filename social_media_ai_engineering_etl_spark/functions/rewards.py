@@ -265,19 +265,22 @@ def _emoji_cat_index(cat: Column) -> Column:
 
 def enhanced_emoji_usage(prompt: Column, completion: Column,
                          field: Column | None = None,
-                         emoji_count: Column | None = None) -> Column:
+                         emoji_count: Column | None = None,
+                         completion_len: Column | None = None) -> Column:
     """R3 (emoji.py:38-63): bin distance between required and actual
     emoji-frequency category -> 1.0/0.7/0.4/0.0. ``field`` = the
     pre-lowered Emoji Usage style field; ``emoji_count`` = precomputed
     emoji-regex match count (shared with R4/R5 so the giant codepoint
-    class runs ONCE per row, not three times)."""
+    class runs ONCE per row, not three times); ``completion_len`` =
+    precomputed length(completion), so a caller that caches primitives
+    need not carry the completion text itself."""
     req = (F.lower(F.trim(style_field(prompt, "Emoji Usage")))
            if field is None else F.trim(field))
     required_cat = (F.when(req.isin(*_EMOJI_ORDER), req)
                      .when(req == "infrequent", F.lit("low"))
                      .when(req == "frequent", F.lit("high"))
                      .otherwise(F.lit("medium")))
-    n = F.length(completion)
+    n = F.length(completion) if completion_len is None else completion_len
     ec = (F.regexp_count(completion, F.lit(EMOJI_CLASS))
           if emoji_count is None else emoji_count)
     freq = F.when(n > 0, ec.cast("double") / n).otherwise(F.lit(0.0))
@@ -292,9 +295,11 @@ def enhanced_emoji_usage(prompt: Column, completion: Column,
 
 def emoji_usage_coarse(prompt: Column, completion: Column,
                        field: Column | None = None,
-                       emoji_count: Column | None = None) -> Column:
+                       emoji_count: Column | None = None,
+                       completion_len: Column | None = None) -> Column:
     """R4 (emoji.py:66-102): coarse none/infrequent/frequent matrix.
-    ``field``/``emoji_count``: see enhanced_emoji_usage."""
+    ``field``/``emoji_count``/``completion_len``: see
+    enhanced_emoji_usage."""
     req = (F.lower(style_field(prompt, "Emoji Usage"))
            if field is None else field)
     simple_req = (F.when(req == "none", F.lit("none"))
@@ -303,7 +308,7 @@ def emoji_usage_coarse(prompt: Column, completion: Column,
                    .when(req.isin("frequent", "medium", "high", "extreme"),
                          F.lit("frequent"))
                    .otherwise(F.lit("infrequent")))
-    n = F.length(completion)
+    n = F.length(completion) if completion_len is None else completion_len
     ec = (F.regexp_count(completion, F.lit(EMOJI_CLASS))
           if emoji_count is None else emoji_count)
     freq = F.when(n > 0, ec.cast("double") / n).otherwise(F.lit(0.0))

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import rewards as rw
 from ..functions.textstats import EMOJI_CLASS
 from ..registry import register
-from ..session import widen_scan
+from ..session import cached_exprs, widen_scan
 
 
 def _docs(spark, sf_dir):
@@ -71,6 +71,13 @@ def _pick(d, options, mod):
 
 
 def _derive_reward_pairs(df):
+    # constant tree over (doc_id, text, source): built once per JVM
+    # gateway, shared by all four q26 reward queries (cached_exprs)
+    cols = cached_exprs("q26_pair_cols", _build_pair_cols)
+    return df.select(*cols)
+
+
+def _build_pair_cols():
     d, text = F.col("doc_id"), F.col("text")
     gen_prompt = F.concat(
         F.lit("# Request\nCreate a LinkedIn post that follows the writing "
@@ -106,8 +113,8 @@ def _derive_reward_pairs(df):
         extra(23, "Sign up for our newsletter today"),
         extra(29, "John Smith and Mary Jones agree"),
         extra(7, "#Launch #AI #Growth #Data #Cloud"))
-    return df.select("doc_id", prompt.alias("prompt"),
-                     completion.alias("completion"))
+    return ["doc_id", prompt.alias("prompt"),
+            completion.alias("completion")]
 
 
 def _sql_pick(options, mod):
@@ -394,68 +401,96 @@ FROM scored
 @register("q26_rewards_scalar", bench=True, oracle=_SCALAR_SQL)
 def q26_rewards_scalar(spark, sf_dir):
     """R1/R2, R6, R7, R15, R16, R17, R3, R4, R5, R20 + weighted
-    aggregate R19 — one wide native projection over derived pairs."""
-    # The pair table is persisted: the documented two-pass idiom (see
-    # plans/tiering.tier_counts) — at scale the same derived pairs
-    # feed all four q26 reward queries, and locally the cache boundary
-    # splits the codegen pipeline so the scan+derive stage compiles.
-    # Measured r3 ladder at sf0.1 (checksum action, warm): 4.1 s
-    # single wide select -> 2.1 s with widen_scan + primitives +
-    # persist.  KNOWN LIMITATION: the remaining fused reward stage
-    # still exceeds Janino's 64KB single-method limit (a while-loop
-    # agg pipeline cannot split methods over local variables), so
-    # Spark logs one codegen ERROR and runs that stage via the
-    # expression-interpreter path; measured interpreted == codegen
-    # for these expressions (0.32 vs 0.37 s for a 2-reward probe), so
-    # the fallback costs only the ~0.3 s doomed compile attempt per
-    # action, not a throughput cliff.
-    pairs = _derive_reward_pairs(_docs(spark, sf_dir)).persist()
+    aggregate R19 over derived pairs, in TWO codegen units.
+
+    Janino refuses methods > 64 KB of bytecode, and a projection's
+    expressions live in whole-stage-codegen local variables, so Spark
+    cannot auto-split them into helper methods
+    (``spark.sql.codegen.methodSplitThreshold`` is measured to be a
+    no-op here).  One fused projection of all ten rewards therefore
+    failed to compile and ran interpreted (VERDICT r3 #1).  The fix is
+    structural: place the single cache boundary so that each side is a
+    reward subset that compiles on its own (measured under
+    ``spark.sql.codegen.fallback=false``, which turns any compile
+    failure into a hard error — pinned by
+    tests/test_plans.py::test_q26_rewards_scalar_codegen_compiles):
+
+      unit 1 (built into the cache): scan -> derive pairs -> shared
+        primitives -> the six text/misc rewards + scenario id;
+      unit 2 (over the InMemoryTableScan): the emoji trio R3/R4/R5 —
+        the deepest when-chains — plus rounding and the R19 weighted
+        aggregate.
+
+    The cache is also the documented two-pass idiom (see
+    plans/tiering.tier_counts): at scale the derived pairs feed all
+    four q26 reward queries.  Primitives (style-field regexes and the
+    giant emoji codepoint-class regexp_extract_all) are computed once
+    per row inside unit 1.
+    """
+    stages = cached_exprs("q26_scalar_stages", _build_scalar_stage_cols)
+    pairs = _derive_reward_pairs(_docs(spark, sf_dir))
+    # The cache carries ONLY what unit 2 reads — the emoji primitives
+    # and an int completion length, never the pair text itself — so
+    # the cached footprint is O(rows * bytes-of-primitives), not
+    # O(corpus bytes).
+    stage1 = pairs.select(*stages["stage1"]).persist()
+    return stage1.select(*stages["scored"]).select(*stages["final"])
+
+
+_TEXT_REWARDS = ["r_length", "r_punct", "r_linebreaks", "r_vocab",
+                 "r_hashtags", "r_cjk"]
+
+
+def _build_scalar_stage_cols():
+    """Constant Column trees for q26_rewards_scalar's three stages
+    (see cached_exprs — ~8,200 py4j round-trips, built once)."""
     p, c = F.col("prompt"), F.col("completion")
-    # Three projections, like the oracle's base -> scored -> SELECT
-    # split.  Stage 1 extracts the shared PRIMITIVES once per row —
-    # the style-field regexes and, critically, the giant emoji
-    # codepoint-class regex, which the R3/R4/R5 trio would otherwise
-    # each run themselves.  Every primitive is non-cheap and
-    # referenced >= 2 times downstream, so CollapseProject keeps the
-    # stages apart and no reward tree is inlined twice via
-    # r_aggregate.
-    base = pairs.select(
-        "doc_id", "prompt", "completion",
-        F.trim(rw.style_field(p, "Suggested Post Length")).alias("__f_len"),
-        F.lower(rw.style_field(p, "Punctuation")).alias("__f_punct"),
-        F.lower(rw.style_field(p, "Line Break Usage")).alias("__f_lb"),
-        F.lower(rw.style_field(p, "Vocabulary Usage")).alias("__f_vocab"),
+    stage1 = [
+        "doc_id",
+        F.length(c).alias("__c_len"),
         F.lower(rw.style_field(p, "Emoji Usage")).alias("__f_emoji"),
         F.regexp_extract_all(c, F.lit(EMOJI_CLASS), 0).alias("__emojis"),
-        rw._alpha_tokens(c).alias("__words"))
-    ec = F.size("__emojis")
-    raw = {
-        "r_length": rw.precise_post_length(p, c, req=F.col("__f_len")),
-        "r_punct": rw.punctuation_usage(p, c, field=F.col("__f_punct")),
-        "r_linebreaks": rw.line_break_usage(p, c, field=F.col("__f_lb")),
-        "r_vocab": rw.vocabulary_usage(p, c, field=F.col("__f_vocab"),
-                                       words=F.col("__words")),
-        "r_hashtags": rw.hashtag_limit(c),
-        "r_cjk": rw.chinese_character_guard(c),
-        "r_emoji": rw.enhanced_emoji_usage(p, c, field=F.col("__f_emoji"),
-                                           emoji_count=ec),
-    }
-    scored = base.select(
-        "doc_id",
-        *[expr.alias(name) for name, expr in raw.items()],
+        rw.precise_post_length(
+            p, c, req=F.trim(rw.style_field(p, "Suggested Post Length"))
+        ).alias("r_length"),
+        rw.punctuation_usage(
+            p, c, field=F.lower(rw.style_field(p, "Punctuation"))
+        ).alias("r_punct"),
+        rw.line_break_usage(
+            p, c, field=F.lower(rw.style_field(p, "Line Break Usage"))
+        ).alias("r_linebreaks"),
+        rw.vocabulary_usage(
+            p, c, field=F.lower(rw.style_field(p, "Vocabulary Usage")),
+            words=rw._alpha_tokens(c)
+        ).alias("r_vocab"),
+        rw.hashtag_limit(c).alias("r_hashtags"),
+        rw.chinese_character_guard(c).alias("r_cjk"),
+        rw.scenario_type(p).alias("scenario_id"),
+    ]
+    ec, cl = F.size("__emojis"), F.col("__c_len")
+    scored = [
+        "doc_id", *_TEXT_REWARDS, "scenario_id",
+        rw.enhanced_emoji_usage(p, c, field=F.col("__f_emoji"),
+                                emoji_count=ec,
+                                completion_len=cl).alias("r_emoji"),
         rw.emoji_usage_coarse(p, c, field=F.col("__f_emoji"),
-                              emoji_count=ec).alias("r_emoji_coarse"),
+                              emoji_count=ec,
+                              completion_len=cl).alias("r_emoji_coarse"),
         rw.emoji_variety(c, emojis=F.col("__emojis"))
           .alias("r_emoji_variety"),
-        rw.scenario_type(p).alias("scenario_id"))
-    agg = rw.aggregate_rewards({k: F.col(k) for k in raw}, _AGG_WEIGHTS)
-    return scored.select(
+    ]
+    agg = rw.aggregate_rewards(
+        {k: F.col(k) for k in _TEXT_REWARDS + ["r_emoji"]}, _AGG_WEIGHTS)
+    final = [
         "doc_id",
-        *[F.round(F.col(name), 6).alias(name) for name in raw],
+        *[F.round(F.col(name), 6).alias(name) for name in _TEXT_REWARDS],
+        F.round(F.col("r_emoji"), 6).alias("r_emoji"),
         F.round(F.col("r_emoji_coarse"), 6).alias("r_emoji_coarse"),
         F.round(F.col("r_emoji_variety"), 6).alias("r_emoji_variety"),
         "scenario_id",
-        F.round(agg, 6).alias("r_aggregate"))
+        F.round(agg, 6).alias("r_aggregate"),
+    ]
+    return {"stage1": stage1, "scored": scored, "final": final}
 
 
 # --------------------------------------------------------------------------

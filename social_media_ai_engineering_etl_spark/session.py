@@ -180,3 +180,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         if t == "events":
             df = load_events(spark, os.path.join(sf_dir, "events.parquet"))
         df.createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# constant expression-tree cache
+# ---------------------------------------------------------------------------
+
+_EXPR_CACHE: dict = {}
+
+
+def cached_exprs(key: str, builder):
+    """Build-once cache for CONSTANT Column expression trees.
+
+    In classic (py4j) PySpark every ``F.when``/``F.col``/operator call
+    is a blocking JVM round-trip, so rebuilding a large constant tree
+    on every query invocation pays the same milliseconds again and
+    again — q26's reward tree is ~8,200 round-trips = ~1.4 s per build
+    (measured, cProfile r4).  Catalyst Column objects are immutable
+    and reference columns by NAME (unresolved attributes), so a tree
+    built once is valid for any DataFrame with those column names, for
+    the lifetime of the JVM gateway.  This caches ``builder()``'s
+    result per (key, gateway), making repeat builds O(1).
+
+    Use ONLY for trees that are genuinely constant: no data-dependent
+    literals, no session confs baked in, no nondeterministic exprs
+    whose identity matters (a cached ``rand(seed)`` is fine — same
+    seed, same tree).  The cache is invalidated automatically when a
+    new JVM gateway appears (old entries keyed to the dead gateway are
+    dropped).
+    """
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    gid = id(sc._gateway) if sc is not None else None
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] == gid:
+        return hit[1]
+    val = builder()
+    _EXPR_CACHE[key] = (gid, val)
+    return val
