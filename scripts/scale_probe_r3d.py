@@ -98,8 +98,12 @@ def main() -> None:
         for t in ("region", "nation", "customer", "supplier", "part",
                   "events", "documents", "embeddings"):
             dst = f"{tmp}/{t}.parquet"
-            if not os.path.exists(dst):
-                os.symlink(os.path.join(sf, f"{t}.parquet"), dst)
+            # recreate unconditionally: an exists-guard would keep a
+            # stale symlink to a previous run's sf_dir and silently
+            # mix scale factors in the RI timing (ADVICE r3)
+            if os.path.islink(dst) or os.path.exists(dst):
+                os.unlink(dst)
+            os.symlink(os.path.join(sf, f"{t}.parquet"), dst)
         t0 = time.perf_counter()
         QUERIES["qx_referential_integrity"](spark, tmp).count()
         t_ri = time.perf_counter() - t0

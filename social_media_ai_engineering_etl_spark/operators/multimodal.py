@@ -223,6 +223,11 @@ def media_phash(df: DataFrame, content_col: str = "content",
     fold), no shuffle; the 60-bit width keeps every downstream
     shift/xor inside one BIGINT with zero overflow on either engine.
     """
+    # single-BIGINT packing: shiftleft into bit 63+ silently corrupts
+    # (sign bit), so the documented widening path (128/256-bit hashes)
+    # must fail loudly until multi-word packing exists (ADVICE r3)
+    assert bits <= 63, "single-BIGINT packing holds <= 63 bits; " \
+                       "widen via multiple hash words, not `bits`"
     payload = F.col(content_col)
     seed = F.md5(payload.cast("binary"))
     blocks = F.transform(
@@ -280,6 +285,8 @@ def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     shape is unchanged.
     """
     assert max_hamming < n_chunks, "pigeonhole needs chunks > hamming"
+    assert bits <= 63, "single-BIGINT hashes hold <= 63 bits; " \
+                       "widen via multiple hash words, not `bits`"
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     # materialize (id, hash) ONCE before the explode + self-join: the

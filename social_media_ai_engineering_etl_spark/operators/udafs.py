@@ -36,8 +36,14 @@ def weighted_median_udaf():
 
     @pandas_udf("long")
     def weighted_median(v: pd.Series, w: pd.Series) -> int:
-        arr = np.asarray(v, dtype=np.int64)
-        wt = np.asarray(w, dtype=np.int64)
+        # drop null value/weight rows explicitly: np.asarray(int64) on
+        # a pandas Series holding NaN raises an opaque Arrow-worker
+        # error; SQL aggregates skip nulls, so the UDAF does too
+        mask = v.notna() & w.notna()
+        arr = np.asarray(v[mask], dtype=np.int64)
+        wt = np.asarray(w[mask], dtype=np.int64)
+        if arr.size == 0:
+            return None  # all-null group -> NULL, like any SQL agg
         order = np.argsort(arr, kind="stable")
         arr = arr[order]
         cum = np.cumsum(wt[order])
@@ -59,8 +65,13 @@ def weighted_quantile_udaf(q_num: int, q_den: int):
 
     @pandas_udf("long")
     def weighted_quantile(v: pd.Series, w: pd.Series) -> int:
-        arr = np.asarray(v, dtype=np.int64)
-        wt = np.asarray(w, dtype=np.int64)
+        # null handling: see weighted_median (SQL-aggregate skip-null
+        # semantics; avoids the Arrow int64-with-NaN cast error)
+        mask = v.notna() & w.notna()
+        arr = np.asarray(v[mask], dtype=np.int64)
+        wt = np.asarray(w[mask], dtype=np.int64)
+        if arr.size == 0:
+            return None  # all-null group -> NULL, like any SQL agg
         order = np.argsort(arr, kind="stable")
         arr = arr[order]
         cum = np.cumsum(wt[order])

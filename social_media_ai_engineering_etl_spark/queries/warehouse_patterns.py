@@ -96,10 +96,14 @@ def qx_incremental_rollup(spark, sf_dir):
         "event_type", F.date_format(F.date_trunc("day", "ts"),
                                     "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"))
-    cutoff = ev.agg(F.expr("percentile_approx(unix_date(to_date(day)), 0.8)")
-                    ).collect()[0][0]
-    cutoff_day = ev.select(F.date_from_unix_date(F.lit(int(cutoff)))
-                           .cast("string").alias("d")).first()["d"]
+    # The 80th-percentile cutoff day stays IN the plan as a broadcast
+    # 1-row aggregate (the J2 pattern) instead of a driver collect —
+    # no mid-plan job barrier, and the whole query remains one lazy
+    # plan (VERDICT r3 #4).
+    cutoff = ev.agg(
+        F.date_from_unix_date(
+            F.expr("percentile_approx(unix_date(to_date(day)), 0.8)")
+            .cast("int")).cast("string").alias("__cutoff_day"))
 
     def rollup(part):
         return part.groupBy("event_type", "day").agg(
@@ -107,8 +111,9 @@ def qx_incremental_rollup(spark, sf_dir):
             F.sum("cents").alias("sum_value_cents"),
             F.max("cents").alias("max_value_cents"))
 
-    old = rollup(ev.filter(F.col("day") < cutoff_day))
-    delta = rollup(ev.filter(F.col("day") >= cutoff_day))
+    ev = ev.crossJoin(F.broadcast(cutoff))
+    old = rollup(ev.filter(F.col("day") < F.col("__cutoff_day")))
+    delta = rollup(ev.filter(F.col("day") >= F.col("__cutoff_day")))
     merged = scale.merge_rollups(
         old, delta, ["event_type", "day"],
         {"n_events": "count", "sum_value_cents": "sum",
@@ -1362,9 +1367,13 @@ def qx_join_ivm_rollup(spark, sf_dir):
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
     left_old = orders.filter(F.col("o_year") < 1999)
     left_delta = orders.filter(F.col("o_year") >= 1999)
-    med = cust.agg(F.expr("percentile(o_custkey, 0.5)")).collect()[0][0]
-    right_old = cust.filter(F.col("o_custkey") <= med)
-    right_delta = cust.filter(F.col("o_custkey") > med)
+    # median dim key as a broadcast 1-row aggregate, not a driver
+    # collect (J2 pattern, VERDICT r3 #4) — keeps the whole IVM
+    # refresh a single lazy plan
+    med = cust.agg(F.expr("percentile(o_custkey, 0.5)").alias("__med"))
+    cust = cust.crossJoin(F.broadcast(med))
+    right_old = cust.filter(F.col("o_custkey") <= F.col("__med")).drop("__med")
+    right_delta = cust.filter(F.col("o_custkey") > F.col("__med")).drop("__med")
     mat = left_old.join(right_old, "o_custkey")
     refreshed = maintain_join(mat, left_old, left_delta,
                               right_old, right_delta, ["o_custkey"])

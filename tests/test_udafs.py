@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from social_media_ai_engineering_etl_spark.operators.udafs import (
     weighted_median_udaf,
+    weighted_quantile_udaf,
 )
 
 CASES = [
@@ -135,3 +136,20 @@ def test_weighted_quantile_generalizes_median(spark):
         assert r["p50"] == r["m"] == ref(vw, 1, 2), g
         assert r["p25"] == ref(vw, 1, 4) and r["p75"] == ref(vw, 3, 4), g
         assert r["p25"] <= r["p50"] <= r["p75"], g
+
+
+def test_weighted_udafs_skip_nulls_like_sql_aggregates(spark):
+    """ADVICE r3: nulls in value or weight must not crash the Arrow
+    worker — they are skipped (SQL aggregate semantics), and an
+    all-null group aggregates to NULL."""
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", None, 5), ("a", 20, None), ("a", 30, 1),
+         ("b", None, None), ("b", None, 1)],
+        "g string, v long, w long")
+    wm = weighted_median_udaf()
+    q75 = weighted_quantile_udaf(3, 4)
+    got = {r["g"]: r for r in df.groupBy("g").agg(
+        wm("v", "w").alias("m"), q75("v", "w").alias("p75")).collect()}
+    # group a reduces to [(10,1),(30,1)] -> lower median 10, p75 30
+    assert got["a"]["m"] == 10 and got["a"]["p75"] == 30
+    assert got["b"]["m"] is None and got["b"]["p75"] is None
