@@ -669,23 +669,51 @@ def qx_hll_mergeable(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @register("qmm_media_features", oracle="""
-SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
-       count(*) AS n, sum(len(text))::BIGINT AS total_bytes
+SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+            ELSE 'avi' END AS format,
+       count(*) AS n,
+       sum(len(text) + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
+                            ELSE 88 END)::BIGINT AS total_bytes,
+       CAST(sum(CASE WHEN doc_id % 3 IN (0, 2)
+                     THEN 64 + (doc_id % 16) * 32 END) AS BIGINT)
+           AS sum_width,
+       CAST(sum(CASE WHEN doc_id % 3 IN (0, 2)
+                     THEN 64 + (doc_id % 9) * 32 END) AS BIGINT)
+           AS sum_height,
+       CAST(sum(CASE WHEN doc_id % 3 = 1
+                     THEN 8000 * (1 + doc_id % 5) END) AS BIGINT)
+           AS sum_sample_rate,
+       CAST(sum(CASE WHEN doc_id % 3 = 2
+                     THEN 24 + doc_id % 240 END) AS BIGINT) AS sum_frames
 FROM documents GROUP BY 1 ORDER BY 1
 """)
 def qmm_media_features(spark, sf_dir):
-    """Multimodal pipeline: attach binary payload + typed metadata,
-    extract (stub-decoded) features via mapInPandas, roll up per
-    media_type. The oracle checks the metadata/payload plumbing
-    (byte counts); feature values are covered by determinism tests."""
+    """Multimodal pipeline with a REAL decode step (VERDICT r3 #5):
+    attach_synthetic_media writes actual PNG/WAV/AVI container bytes
+    (id-derived metadata in the header, utf-8 text as body),
+    decode_media parses those headers back with the dependency-free
+    HeaderDecoder, FakeDecoder still extracts the 16-dim stand-in
+    feature vector, and the rollup aggregates the DECODED columns.
+    The oracle predicts every decoded value from doc_id arithmetic +
+    the constant header sizes (33/44/88 bytes), so a wrong parser —
+    endianness, offset, chunk walk — is a hash mismatch, not a silent
+    stub."""
     from ..operators import multimodal as mm
-    media = mm.attach_fake_media(_docs(spark, sf_dir))
-    feats = mm.extract_media_features(media, dim=16)
-    return (feats.groupBy(F.col("media.media_type").alias("media_type"))
+    media = mm.attach_synthetic_media(_docs(spark, sf_dir))
+    decoded = mm.decode_media(media)
+    feats = mm.extract_media_features(decoded, dim=16)
+    return (feats.groupBy(F.col("decoded.format").alias("format"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.length(F.col("content"))).alias("total_bytes"))
-            .orderBy("media_type"))
+                 F.sum(F.length(F.col("content"))).alias("total_bytes"),
+                 F.sum(F.col("decoded.width").cast("long"))
+                  .alias("sum_width"),
+                 F.sum(F.col("decoded.height").cast("long"))
+                  .alias("sum_height"),
+                 F.sum(F.col("decoded.sample_rate").cast("long"))
+                  .alias("sum_sample_rate"),
+                 F.sum(F.col("decoded.n_frames").cast("long"))
+                  .alias("sum_frames"))
+            .orderBy("format"))
 
 
 @register("qmm_media_dedup", oracle="""
