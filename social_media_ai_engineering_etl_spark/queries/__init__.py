@@ -52,13 +52,26 @@ GRADE_WINDOW: tuple[str, ...] = (
     # the standalone q17_punctuation probe
     # was consolidated out in r3d to seat the classic-report family's
     # representative, qg_pricing_summary — same consolidation move.)
-    "q02_length_buckets", "q02_emoji_binning",
-    "q07_clean_topics", "q09_tone_normalize", "q15_clean_context",
-    "q17_line_breaks", "q17_profanity",
+    # r4 ROTATION (VERDICT r3 #7): every family already has >= 1
+    # judge-green representative, so seven rows graded green by the
+    # driver in BOTH r2 and r3 rotate out for seven never-driver-graded
+    # ones — driver-issued evidence accumulates across rounds instead
+    # of re-proving the same 50.  Out: q02_length_buckets (P6),
+    # q09_tone_normalize (P10), q15_clean_context (P9),
+    # q17_line_breaks (T3), q17_profanity (T11), q23_from_chosen (P15),
+    # q26_topic_shifts (R13) — all remain registered and judge-sweep
+    # checked; their operators keep in-window coverage via the
+    # composing rows (q26 rewards quad, q17 narrative, q23 splits).
+    # In: qx_weighted_median (UDAF), qx_scd2_intervals (UDTF),
+    # qmm_media_neardup (perceptual near-dup), qx_referential_integrity
+    # (warehouse audit), qg_returned_items (classic-report top-k),
+    # qx_similarity_topk_lsh (ANN LSH, oracle NEW in r4),
+    # qx_hll_mergeable_portable (sketch-merge hierarchy, NEW in r4).
+    "q02_emoji_binning", "q07_clean_topics",
     "q17_author_top_texts", "q17_author_words", "q17_narrative_structure",
     "q18_describe_style", "q18_structure_normalize",
     # fan-out, classification, splits, validation (F1, P13-P15, B5-B6, P18)
-    "q22_fanout_pairs", "q23_from_chosen", "q23_split_counts",
+    "q22_fanout_pairs", "q23_split_counts",
     "qv_record_validation",
     # sampling/balancing (B1-B4, A4-A5, J3)
     "q04_sample_sizes", "q05_balance_counts", "qb4_prefer_downsample",
@@ -66,7 +79,10 @@ GRADE_WINDOW: tuple[str, ...] = (
     "q24_negatives", "q25_chat_template",
     # rewards (R1-R20, T1, T5-T6, T9)
     "q26_rewards_scalar", "q26_rewards_textual", "q26_rewards_sentiment",
-    "q26_fabrication", "q26_topic_shifts",
+    "q26_fabrication",
+    # UDAF / UDTF surface (§2.13): exact weighted median GROUPED_AGG;
+    # SCD2 interval UDTF
+    "qx_weighted_median", "qx_scd2_intervals",
     # whole-pipeline e2e composition (F1+P13+B6-hash+R20)
     "qe2e_training_mix",
     # streaming §2.12 (window agg, session windows, stateful; as-of
@@ -80,22 +96,28 @@ GRADE_WINDOW: tuple[str, ...] = (
     "q06_extract_topic",
     # ML analytics §2.10 (M1/T2/A16; A11)
     "q20_feature_table", "q21_cluster_distribution",
-    # star rollups + classic reports (exact fixed-point TPC-H Q1)
-    "qg_engagement_by_geo", "qg_pricing_summary",
-    # warehouse family (incremental rollup; quantile-bucket RFM)
+    # star rollups + classic reports (exact fixed-point TPC-H Q1;
+    # Q10-shaped top-20 heap)
+    "qg_engagement_by_geo", "qg_pricing_summary", "qg_returned_items",
+    # warehouse family (incremental rollup; quantile-bucket RFM;
+    # whole-star FK audit)
     "qx_incremental_rollup", "qx_rfm_segments",
+    "qx_referential_integrity",
     # curation family (quality gate; sequence packing)
     "qx_gopher_quality", "qx_pack_sequences",
     # graph family
     "qx_copurchase_pairs",
     # dedup: exact + near (inverted-index n-gram Jaccard)
     "qx_dedup_exact", "qx_dedup_ngram_jaccard",
-    # ANN / similarity (distributed GEMM top-k)
-    "qx_similarity_topk_gemm",
-    # corpus stats (exact twin of the sketch path)
-    "qx_corpus_stats",
-    # multimodal metadata path
-    "qmm_media_features",
+    # ANN / similarity (distributed GEMM top-k; hyperplane LSH whose
+    # whole pipeline is SQL-transcribed since r4)
+    "qx_similarity_topk_gemm", "qx_similarity_topk_lsh",
+    # corpus stats (exact twin of the sketch path; exact-distinct
+    # merge-hierarchy twin of the HLL union)
+    "qx_corpus_stats", "qx_hll_mergeable_portable",
+    # multimodal: REAL header-decode metadata path + perceptual
+    # near-dup (portable phash, pigeonhole hamming)
+    "qmm_media_features", "qmm_media_neardup",
     # temporal joins (unbounded as-of; DuckDB ASOF JOIN oracle)
     "qx_asof_last_click",
 )

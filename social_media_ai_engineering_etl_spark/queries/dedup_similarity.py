@@ -350,10 +350,74 @@ def qx_similarity_topk_filtered(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-@register("qx_similarity_topk_lsh")
+def _lsh_oracle_sql(num_planes: int = 4, num_tables: int = 12,
+                    dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    """Transcribe the ENTIRE hyperplane-LSH pipeline into DuckDB SQL
+    (VERDICT r3 #6, the portable-twin pattern): the planes come from
+    the deterministic LCG (similarity.hyperplane_planes), so their
+    float values are inlined as literal DOUBLE[] arrays — both engines
+    hash with bit-identical constants.  Sign-bit buckets, OR-of-ANDs
+    multi-table candidate union, distinct pairs, exact cosine rerank,
+    row_number top-k: every stage replayed."""
+    planes = similarity.hyperplane_planes(dim, num_planes * num_tables, seed)
+
+    def bucket(vcol: str, t: int) -> str:
+        bits = []
+        for i in range(num_planes):
+            arr = "[" + ",".join(repr(x) for x in planes[t * num_planes + i]) \
+                + "]::DOUBLE[]"
+            bits.append(f"(CASE WHEN list_dot_product({vcol}, {arr}) >= 0 "
+                        f"THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    cb = ",\n       ".join(f"{bucket('cv', t)} AS b{t}"
+                           for t in range(num_tables))
+    qb = ",\n       ".join(f"{bucket('qv', t)} AS b{t}"
+                           for t in range(num_tables))
+    blist = "[" + ", ".join(f"b{t}" for t in range(num_tables)) + "]"
+    return f"""
+WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 25 = 0),
+cbk AS (SELECT corpus_id, cv, sqrt(list_dot_product(cv, cv)) AS cn,
+       {cb}
+        FROM c),
+qbk AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn,
+       {qb}
+        FROM q),
+cp AS (SELECT corpus_id, cv, cn, i - 1 AS t, bs[i] AS b
+       FROM (SELECT *, {blist} AS bs FROM cbk),
+            generate_series(1, {num_tables}) s(i)),
+qp AS (SELECT query_id, qv, qn, i - 1 AS t, bs[i] AS b
+       FROM (SELECT *, {blist} AS bs FROM qbk),
+            generate_series(1, {num_tables}) s(i)),
+cand AS (
+    SELECT DISTINCT qp.query_id, cp.corpus_id,
+           CASE WHEN cp.cn * qp.qn > 0
+                THEN list_dot_product(cp.cv, qp.qv) / (cp.cn * qp.qn)
+                ELSE 0.0 END AS cos
+    FROM cp JOIN qp ON cp.t = qp.t AND cp.b = qp.b
+                   AND cp.corpus_id <> qp.query_id
+), ranked AS (
+    SELECT query_id, corpus_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, corpus_id) AS rank
+    FROM cand
+)
+SELECT query_id, rank, corpus_id, round(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("qx_similarity_topk_lsh", oracle=_lsh_oracle_sql())
 def qx_similarity_topk_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed top-5 (approximate scale path);
-    rows-only + recall-vs-bruteforce test in tests/test_dedup.py."""
+    """Hyperplane-LSH bucketed top-5 (approximate scale path).
+    Oracle-checked end to end since r4: the deterministic LCG planes
+    are inlined into the DuckDB transcription (_lsh_oracle_sql), so
+    bucketing, the multi-table candidate union AND the cosine rerank
+    are all value-hash verified — plus the recall-vs-bruteforce
+    contract in tests/test_dedup.py."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.cosine_topk_lsh(emb, queries, "vec_id", "embedding",
@@ -661,6 +725,38 @@ def qx_hll_mergeable(spark, sf_dir):
               .select(F.lit("__ALL__").alias("source"),
                       F.hll_sketch_estimate("sk").alias("est_distinct"),
                       "exact_distinct"))
+    return per_source.unionByName(merged).orderBy("source")
+
+
+@register("qx_hll_mergeable_portable", oracle="""
+WITH fp AS (
+    SELECT DISTINCT source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+)
+SELECT source, count(*) AS n_distinct FROM fp GROUP BY source
+UNION ALL
+SELECT '__ALL__' AS source, count(DISTINCT fp) AS n_distinct FROM fp
+ORDER BY source
+""")
+def qx_hll_mergeable_portable(spark, sf_dir):
+    """Exact-distinct twin of qx_hll_mergeable, one oracle row per
+    MERGE LEVEL (VERDICT r3 #6): the per-source distinct-fingerprint
+    sets are materialized ONCE, each level counts them, and —
+    exactly like the sketch union — the global level merges the
+    per-source sets instead of rescanning documents (cross-source
+    duplicate fingerprints must collapse, which is what distinguishes
+    a merge from a sum).  Everything here is exact and DuckDB
+    hash-checked; the sketch query keeps its error-bound +
+    mergeability pytest contracts."""
+    docs = _docs(spark, sf_dir)
+    fp = textquality.fingerprint(F.col("text"))
+    sets = docs.select("source", fp.alias("fp")).distinct().persist()
+    per_source = sets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct"))
+    merged = sets.select("fp").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct")).select(
+        F.lit("__ALL__").alias("source"), "n_distinct")
     return per_source.unionByName(merged).orderBy("source")
 
 
