@@ -18,16 +18,16 @@ from pyspark.sql import functions as F
 
 from ..operators import curation
 from ..registry import register
-from ..session import widen_scan
+from ..session import read_parquet_cached, widen_scan
 
 
 def _docs(spark, sf_dir):
     p = os.path.join(sf_dir, "documents.parquet")
-    return widen_scan(spark.read.parquet(p), p)
+    return widen_scan(read_parquet_cached(spark, p), p)
 
 
 def _docs_narrow(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_cached(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 _WS = "string_split(trim(text), ' ')"

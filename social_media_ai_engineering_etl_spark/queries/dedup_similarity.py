@@ -13,17 +13,17 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, scale, similarity, textquality
 from ..registry import register
-from ..session import widen_scan
+from ..session import read_parquet_cached, widen_scan
 
 
 def _docs(spark, sf_dir):
     p = os.path.join(sf_dir, "documents.parquet")
-    return widen_scan(spark.read.parquet(p), p)
+    return widen_scan(read_parquet_cached(spark, p), p)
 
 
 def _emb(spark, sf_dir):
     p = os.path.join(sf_dir, "embeddings.parquet")
-    return widen_scan(spark.read.parquet(p), p)
+    return widen_scan(read_parquet_cached(spark, p), p)
 
 
 def _emb_narrow(spark, sf_dir):
@@ -31,7 +31,7 @@ def _emb_narrow(spark, sf_dir):
     # evaluates the interpreted HOF cosine; widening multiplies the
     # concurrent interpreted tasks and OOMs — keep the stream side
     # narrow (the GEMM variant is the wide/fast path)
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_cached(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -928,7 +928,7 @@ def qx_similarity_topk_ivf(spark, sf_dir):
 def _docs_narrow(spark, sf_dir):
     # cheap-aggregate consumers: no widen_scan (the repartition shuffle
     # costs more than the agg it feeds — measured; see README)
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_cached(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 
@@ -1398,7 +1398,7 @@ def qv_constraints_report(spark, sf_dir):
     NULL-propagating predicate (the r1 ADVICE _validate_split trap,
     now a framework guarantee)."""
     from ..operators import validation
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = read_parquet_cached(spark, os.path.join(sf_dir, "orders.parquet"))
     rules = [
         {"rule": "not_null", "col": "o_custkey"},
         {"rule": "in_range", "col": "o_totalprice", "min": 0,
@@ -1618,5 +1618,5 @@ def qx_hybrid_retrieval(spark, sf_dir):
     float-identity pattern of qx_similarity_topk)."""
     return similarity.hybrid_retrieval_topk(
         _docs(spark, sf_dir),
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        read_parquet_cached(spark, os.path.join(sf_dir, "embeddings.parquet"))
     ).orderBy("query_id", "rank")

@@ -14,10 +14,11 @@ from pyspark.sql import functions as F
 
 from ..operators import graph
 from ..registry import register
+from ..session import read_parquet_cached
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 _EDGES_CTE = """

@@ -10,10 +10,11 @@ from pyspark.sql import functions as F
 
 from ..plans.tiering import order_engagement, tier_counts
 from ..registry import register
+from ..session import read_parquet_cached
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # Shared oracle CTE: per-order engagement ratio (P1 over the star).

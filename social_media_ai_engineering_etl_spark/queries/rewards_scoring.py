@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import rewards as rw
 from ..functions.textstats import EMOJI_CLASS
 from ..registry import register
-from ..session import cached_exprs, widen_scan
+from ..session import cached_exprs, read_parquet_cached, widen_scan
 
 
 def _docs(spark, sf_dir):
@@ -32,7 +32,7 @@ def _docs(spark, sf_dir):
     # session.widen_scan; found via the r3 bench fix, where the whole
     # reward projection ran on 1 of 32 cores)
     path = os.path.join(sf_dir, "documents.parquet")
-    return widen_scan(spark.read.parquet(path), path)
+    return widen_scan(read_parquet_cached(spark, path), path)
 
 
 # --------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cleaning, describe, textstats
 from ..registry import register
-from ..session import widen_scan
+from ..session import read_parquet_cached, widen_scan
 
 
 def _docs(spark, sf_dir):
@@ -25,7 +25,7 @@ def _docs(spark, sf_dir):
     # session.widen_scan; found via the r3 bench fix, where the whole
     # reward projection ran on 1 of 32 cores)
     path = os.path.join(sf_dir, "documents.parquet")
-    return widen_scan(spark.read.parquet(path), path)
+    return widen_scan(read_parquet_cached(spark, path), path)
 
 
 # --------------------------------------------------------------------------

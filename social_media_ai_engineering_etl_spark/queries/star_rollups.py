@@ -13,10 +13,11 @@ from pyspark.sql import functions as F
 
 from ..plans.tiering import order_engagement
 from ..registry import register
+from ..session import read_parquet_cached
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 @register("qg_engagement_by_geo", bench=True, oracle="""

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import negatives as neg
 from ..registry import register
-from ..session import widen_scan
+from ..session import read_parquet_cached, widen_scan
 from .rewards_scoring import _RP_CTE, _derive_reward_pairs
 
 
@@ -22,7 +22,7 @@ def _docs(spark, sf_dir):
     # session.widen_scan; found via the r3 bench fix, where the whole
     # reward projection ran on 1 of 32 cores)
     path = os.path.join(sf_dir, "documents.parquet")
-    return widen_scan(spark.read.parquet(path), path)
+    return widen_scan(read_parquet_cached(spark, path), path)
 
 
 _EMOJI_SQL = "[" + ", ".join(f"'{e}'" for e in neg.EMOJI_ALPHABET) + "]"

@@ -13,6 +13,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session import read_parquet_cached
 from ..streaming.windows import load_events
 
 
@@ -444,7 +445,7 @@ def qx_snapshot_diff(spark, sf_dir):
     gone) and inserts (doc_id%50 cloned high); the diff classifies
     each via one full-outer key join on md5 fingerprints."""
     from ..operators import scale
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_parquet_cached(spark, os.path.join(sf_dir, "documents.parquet"))
     old = docs.select("doc_id", F.md5("text").alias("fp"))
     new = (docs.filter(F.col("doc_id") % 7 != 0)
            .select("doc_id",
@@ -1489,7 +1490,7 @@ def qx_weighted_median(spark, sf_dir):
     transcription and the value hash must agree.  One shuffle on the
     group key; each group is one Arrow batch in the worker."""
     from ..operators.udafs import weighted_median_udaf
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_parquet_cached(spark, os.path.join(sf_dir, "documents.parquet"))
     wm = weighted_median_udaf()
     return (docs.select("source",
                         F.col("n_chars").alias("v"),
@@ -1552,11 +1553,11 @@ def qx_referential_integrity(spark, sf_dir):
         # distinct parent keys: the null-count scheme is NOT EXISTS
         # semantics only if the join can't fan out — a (dirty) parent
         # with a duplicated key would otherwise inflate child counts
-        t = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        t = read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
         return (t.select(F.col(col)).distinct()
                 .withColumn(f"_hit_{name}", F.lit(1)))
 
-    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = (read_parquet_cached(spark, os.path.join(sf_dir, "lineitem.parquet"))
           .select("l_orderkey", "l_partkey", "l_suppkey"))
     li_audit = (li
                 .join(_k("orders", "o_orderkey"),
@@ -1580,7 +1581,7 @@ def qx_referential_integrity(spark, sf_dir):
                     " AS (fk, n_rows, n_orphans)")))
 
     def _single(child, child_key, parent, parent_key, bcast_parent=True):
-        c = (spark.read.parquet(os.path.join(sf_dir, f"{child}.parquet"))
+        c = (read_parquet_cached(spark, os.path.join(sf_dir, f"{child}.parquet"))
              .select(F.col(child_key)))
         p = _k(parent, parent_key)
         if bcast_parent:
@@ -1637,7 +1638,7 @@ def qx_weighted_quartile_bands(spark, sf_dir):
     band SQL-replayable; the oracle computes all three from one
     cumulative-window CTE."""
     from ..operators.udafs import weighted_quantile_udaf
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_parquet_cached(spark, os.path.join(sf_dir, "documents.parquet"))
     p25 = weighted_quantile_udaf(1, 4)
     p50 = weighted_quantile_udaf(1, 2)
     p75 = weighted_quantile_udaf(3, 4)

@@ -219,3 +219,32 @@ def cached_exprs(key: str, builder):
     val = builder()
     _EXPR_CACHE[key] = (gid, val)
     return val
+
+
+_SCAN_CACHE: dict = {}
+
+
+def read_parquet_cached(spark: SparkSession, path: str):
+    """Scan-construction cache for IMMUTABLE inputs (the sf_dir test
+    tables): ``spark.read.parquet`` costs ~100 ms of driver-side work
+    per call (file listing, footer/schema read, plan construction) and
+    a star query pays it 4-6 times, every time it is built.  The
+    returned DataFrame is an immutable lazy plan, so reusing it across
+    query builds within one JVM gateway is free and safe — actions
+    re-execute the scan; ``persist``/``clearCache`` behave normally.
+
+    Contract: use ONLY for inputs that do not change during the
+    session.  Paths a query itself writes (sinks, compaction dirs,
+    probe outputs) must keep calling ``spark.read`` directly — this
+    cache would serve a stale file listing.
+    """
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    gid = id(sc._gateway) if sc is not None else None
+    key = (gid, path)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _SCAN_CACHE[key] = df
+    return df
