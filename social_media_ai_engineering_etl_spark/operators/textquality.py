@@ -628,3 +628,58 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple]):
 
     enc = df.mapInPandas(run, schema=f"id {id_field}, tokens array<string>")
     return enc.select("id", "tokens", F.size("tokens").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style gate)
+# ---------------------------------------------------------------------------
+
+
+def quality_model_weights(spark, n_buckets: int = 4096):
+    """Deterministic stand-in for a TRAINED linear quality model:
+    bucket -> integer milli-weight in [-1000, 1000] via a Knuth
+    multiplicative mix, so both engines derive the identical table
+    arithmetically and the whole gate is value-hash checkable.  A real
+    deployment swaps this for the trained (bucket, weight) table —
+    same schema, everything downstream unchanged.  Weights are integer
+    milli-units: the per-document logit is an exact BIGINT sum, and
+    the sigmoid gate sigmoid(logit) > 0.5 is equivalently logit > 0 —
+    no float anywhere."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000)
+        .cast("long").alias("w_milli"))
+
+
+def linear_quality_score(df: DataFrame, id_col: str, text_col: str,
+                         n_buckets: int = 4096) -> DataFrame:
+    """fastText-shaped document quality gate: hash each whitespace
+    token into one of ``n_buckets`` feature buckets (portable 60-bit
+    md5 hash — DuckDB computes the identical bucket), BROADCAST-join
+    the model weight table, sum per document, keep where the logit is
+    positive.
+
+    This is the missing "apply a trained classifier at corpus scale"
+    shape next to the heuristic gates (Gopher/C4) and the LM
+    familiarity score: one explode + one broadcast join + one groupBy
+    — the fact never shuffles except on its own id for the final sum.
+    At 100 TB the model table (even fastText's 2M buckets x 1 weight)
+    broadcasts in single-digit MB; tokens flow map-side through the
+    join, so cost is linear in corpus tokens.
+    """
+    from .dedup import portable_hash60
+
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    tok = tok.withColumn(
+        "bucket", F.pmod(portable_hash60(F.col("t")), F.lit(n_buckets)))
+    w = quality_model_weights(spark, n_buckets)
+    return (tok.join(F.broadcast(w), "bucket")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("w_milli").alias("logit_milli"))
+            .withColumn("kept",
+                        (F.col("logit_milli") > 0).cast("int")))

@@ -1076,3 +1076,44 @@ def qe2e_corpus_curation(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"))
             .orderBy("source"))
+
+
+# --------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style gate) — r4
+# --------------------------------------------------------------------------
+
+@register("qx_quality_classifier", oracle=r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS t
+    FROM documents
+), b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS bucket
+    FROM tok
+), w AS (
+    SELECT range AS bucket,
+           (range * 2654435761) % 2001 - 1000 AS w_milli
+    FROM range(4096)
+)
+SELECT b.doc_id AS id, count(*) AS n_tokens,
+       CAST(sum(w.w_milli) AS BIGINT) AS logit_milli,
+       CAST(CASE WHEN sum(w.w_milli) > 0 THEN 1 ELSE 0 END AS INT) AS kept
+FROM b JOIN w USING (bucket)
+GROUP BY b.doc_id ORDER BY id
+""")
+def qx_quality_classifier(spark, sf_dir):
+    """Model-based quality gate (fastText shape): portable-hashed
+    bag-of-words buckets, BROADCAST-joined integer milli-weights
+    (deterministic stand-in for the trained table — swap-in point
+    documented in operators/textquality.quality_model_weights),
+    exact BIGINT logit per document, sigmoid gate as logit > 0.
+    Completes the quality-gate ladder: heuristic (Gopher/C4) ->
+    corpus-LM familiarity -> trained-classifier scoring.  The oracle
+    recomputes weights AND buckets arithmetically, so hashing,
+    bucketing, the broadcast join and the gate are all value-checked."""
+    from ..operators import textquality
+    return (textquality.linear_quality_score(
+        _docs(spark, sf_dir), "doc_id", "text", n_buckets=4096)
+        .orderBy("id"))

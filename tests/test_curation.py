@@ -544,3 +544,38 @@ def test_normalize_unicode_matches_duckdb_nfc(spark, duck):
     nfkc = {r["id"]: r["text"]
             for r in normalize_unicode(df, "text", "NFKC").collect()}
     assert nfkc[4] == "file" and got[4][0] == "ﬁle"
+
+
+def test_quality_classifier_gate_matches_python_reference(spark):
+    """The hashed-linear gate equals a pure-python transcription
+    (md5-prefix bucket, Knuth-mix milli-weights, logit > 0) and the
+    model table rides a broadcast join, not a shuffle."""
+    import hashlib
+
+    from social_media_ai_engineering_etl_spark.operators.textquality import (
+        linear_quality_score)
+
+    texts = ["the quick brown fox", "lorem ipsum dolor sit amet",
+             "one", "  spaced   out   tokens  "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["id"]: r for r in
+           linear_quality_score(df, "doc_id", "text", 4096).collect()}
+
+    def ref(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        logit = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 4096
+            logit += (b * 2654435761) % 2001 - 1000
+        return len(toks), logit, int(logit > 0)
+
+    for i, t in enumerate(texts):
+        n, logit, kept = ref(t)
+        r = got[i]
+        assert (r["n_tokens"], r["logit_milli"], r["kept"]) \
+            == (n, logit, kept), t
+
+    plan = (linear_quality_score(df, "doc_id", "text", 4096)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
