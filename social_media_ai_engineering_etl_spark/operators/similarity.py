@@ -844,3 +844,59 @@ def hybrid_retrieval_topk(docs: DataFrame, emb: DataFrame,
             .select("query_id", "rank", F.col("cand_id").alias("doc_id"),
                     "shared_grams",
                     F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str, vec_col: str,
+                           threshold: float = 0.35) -> DataFrame:
+    """Embedding-based eval-set decontamination: for every corpus
+    vector, the maximum cosine to ANY benchmark vector (+ which one),
+    flagged where it clears ``threshold`` — the semantic companion to
+    the n-gram decontamination gate (curation.decontaminate), catching
+    paraphrased eval leakage that exact grams miss.
+
+    Scale shape: the benchmark matrix is collected driver-side
+    (bounded by contract — eval sets are thousands of rows, not
+    corpora) and shipped in the closure; each corpus Arrow batch does
+    ONE ``C @ B.T`` GEMM and reduces to a per-ROW max — output is one
+    row per corpus vector, no shuffle at all (narrower than top-k,
+    which shuffles partial heaps).  Cost is linear in corpus size.
+    Ties on the max take the smallest benchmark id (benchmark matrix
+    is id-sorted; np.argmax returns the first maximum).
+    """
+    import numpy as np
+
+    bpd = (benchmark.select(F.col(id_col).alias("bid"),
+                            _as_double(F.col(vec_col)).alias("bv"))
+           .orderBy("bid").toPandas())
+    out_schema = (f"{id_col} long, nearest_benchmark_id long, "
+                  "max_benchmark_cosine double, contaminated int")
+    if bpd.empty:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    bids = bpd["bid"].to_numpy()
+    B = np.stack(bpd["bv"].to_numpy()).astype(np.float64)
+    bn = np.linalg.norm(B, axis=1, keepdims=True)
+    Bn = B / np.where(bn == 0, 1.0, bn)
+
+    c = corpus.select(F.col(id_col).alias("cid"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(cn == 0, 1.0, cn)
+            S = Cn @ Bn.T
+            j = np.argmax(S, axis=1)
+            mx = S[np.arange(len(S)), j]
+            yield pd.DataFrame({
+                id_col: pdf["cid"].to_numpy(),
+                "nearest_benchmark_id": bids[j],
+                "max_benchmark_cosine": np.round(mx, 6),
+                "contaminated": (mx >= threshold).astype("int32"),
+            })
+
+    return c.mapInPandas(score, out_schema)

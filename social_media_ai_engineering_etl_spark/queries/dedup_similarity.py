@@ -1620,3 +1620,46 @@ def qx_hybrid_retrieval(spark, sf_dir):
         _docs(spark, sf_dir),
         read_parquet_cached(spark, os.path.join(sf_dir, "embeddings.parquet"))
     ).orderBy("query_id", "rank")
+
+
+@register("qx_semantic_decontamination", oracle="""
+WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 100 <> 0),
+scored AS (
+    SELECT c.vec_id, b.bid,
+           CASE WHEN sqrt(list_dot_product(c.cv, c.cv))
+                     * sqrt(list_dot_product(b.bv, b.bv)) > 0
+                THEN list_dot_product(c.cv, b.bv)
+                     / (sqrt(list_dot_product(c.cv, c.cv))
+                        * sqrt(list_dot_product(b.bv, b.bv)))
+                ELSE 0.0 END AS cos
+    FROM c CROSS JOIN b
+), best AS (
+    SELECT vec_id, bid, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, bid) AS rn
+    FROM scored
+)
+SELECT vec_id, bid AS nearest_benchmark_id,
+       round(cos, 6) AS max_benchmark_cosine,
+       CAST(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END AS INT)
+           AS contaminated
+FROM best WHERE rn = 1 ORDER BY vec_id
+""")
+def qx_semantic_decontamination(spark, sf_dir):
+    """Embedding-based eval-set decontamination (r4): vectors with
+    vec_id % 100 = 0 stand in for the benchmark/eval set; every other
+    corpus vector gets its max cosine to any benchmark vector via one
+    GEMM + per-row max (operators/similarity.semantic_contamination)
+    and a contaminated flag at 0.35.  Catches paraphrased leakage the
+    n-gram decontamination gate (qx_decontamination) structurally
+    misses; the oracle replays the full cross product in SQL — the
+    engine side never builds it (per-row reduce, no shuffle)."""
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    return similarity.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.35
+    ).orderBy("vec_id")

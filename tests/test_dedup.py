@@ -512,3 +512,31 @@ def test_filtered_topk_scopes_by_label_and_beats_postfilter(emb):
         emb, queries, "vec_id", "embedding", k=5).collect()
     assert any(labels[r["corpus_id"]] != labels[r["query_id"]]
                for r in glob)
+
+
+def test_semantic_contamination_flags_planted_leak(spark):
+    """A corpus vector equal to a benchmark vector (paraphrase-free
+    leak) is flagged at cosine 1.0 against the RIGHT benchmark;
+    orthogonal vectors are not flagged; the zero vector scores 0."""
+    from social_media_ai_engineering_etl_spark.operators.similarity import (
+        semantic_contamination)
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),      # exact leak of bench 100
+         (2, [0.0, 0.0, 1.0, 0.0]),      # orthogonal to both
+         (3, [0.0, 2.0, 0.0, 0.0]),      # scaled leak of bench 200
+         (4, [0.0, 0.0, 0.0, 0.0])],     # zero vector
+        ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.9).collect()}
+    assert got[1]["contaminated"] == 1 \
+        and got[1]["nearest_benchmark_id"] == 100 \
+        and got[1]["max_benchmark_cosine"] == 1.0
+    assert got[3]["contaminated"] == 1 \
+        and got[3]["nearest_benchmark_id"] == 200
+    assert got[2]["contaminated"] == 0
+    assert got[4]["contaminated"] == 0 \
+        and got[4]["max_benchmark_cosine"] == 0.0
