@@ -443,13 +443,21 @@ _TEXT_REWARDS = ["r_length", "r_punct", "r_linebreaks", "r_vocab",
 
 def _build_scalar_stage_cols():
     """Constant Column trees for q26_rewards_scalar's three stages
-    (see cached_exprs — ~8,200 py4j round-trips, built once)."""
+    (see cached_exprs — ~8,200 py4j round-trips, built once).
+
+    The cache carries the emoji COUNTS (total + distinct), not the
+    match array: R3/R4 need only the count and R5's variety ratio is
+    re-expressed as integer cross-multiplication (10*distinct >= 9*n
+    etc. — exact for BIGINT-range counts), so the cached row is all
+    ints + one short string."""
     p, c = F.col("prompt"), F.col("completion")
+    em = F.regexp_extract_all(c, F.lit(EMOJI_CLASS), 0)
     stage1 = [
         "doc_id",
         F.length(c).alias("__c_len"),
         F.lower(rw.style_field(p, "Emoji Usage")).alias("__f_emoji"),
-        F.regexp_extract_all(c, F.lit(EMOJI_CLASS), 0).alias("__emojis"),
+        F.size(em).alias("__ec"),
+        F.size(F.array_distinct(em)).alias("__ecd"),
         rw.precise_post_length(
             p, c, req=F.trim(rw.style_field(p, "Suggested Post Length"))
         ).alias("r_length"),
@@ -467,7 +475,12 @@ def _build_scalar_stage_cols():
         rw.chinese_character_guard(c).alias("r_cjk"),
         rw.scenario_type(p).alias("scenario_id"),
     ]
-    ec, cl = F.size("__emojis"), F.col("__c_len")
+    ec, ecd, cl = F.col("__ec"), F.col("__ecd"), F.col("__c_len")
+    variety = (F.when(ec == 0, F.lit(0.0))
+                .when(10 * ecd >= 9 * ec, F.lit(1.0))
+                .when(10 * ecd >= 7 * ec, F.lit(0.8))
+                .when(2 * ecd >= ec, F.lit(0.6))
+                .otherwise(F.lit(0.4)))
     scored = [
         "doc_id", *_TEXT_REWARDS, "scenario_id",
         rw.enhanced_emoji_usage(p, c, field=F.col("__f_emoji"),
@@ -476,8 +489,7 @@ def _build_scalar_stage_cols():
         rw.emoji_usage_coarse(p, c, field=F.col("__f_emoji"),
                               emoji_count=ec,
                               completion_len=cl).alias("r_emoji_coarse"),
-        rw.emoji_variety(c, emojis=F.col("__emojis"))
-          .alias("r_emoji_variety"),
+        variety.alias("r_emoji_variety"),
     ]
     agg = rw.aggregate_rewards(
         {k: F.col(k) for k in _TEXT_REWARDS + ["r_emoji"]}, _AGG_WEIGHTS)
