@@ -48,7 +48,13 @@ def rf_importance(df: DataFrame, numeric_cols: list[str], target: str,
                   n_trees: int = 100, max_depth: int = 10,
                   seed: int = 42):
     """M4/M5 (20:314-359): 80/20 split, RF fit, (mse, r2, per-feature
-    importances) — returns (metrics_dict, importance_rows)."""
+    importances) — returns (metrics_dict, importance_rows).
+
+    Zero input rows (an empty date slice / filter survivor set — the
+    routine 100 TB edge) -> no model: returns (None-metrics, [], None)
+    instead of MLlib's IllegalArgumentException."""
+    if df.isEmpty():
+        return {"mse": None, "r2": None}, [], None
     data = assemble_features(df, numeric_cols)
     train, test = data.randomSplit([0.8, 0.2], seed=seed)
     model = RandomForestRegressor(
@@ -92,6 +98,10 @@ def permutation_importance(df: DataFrame, numeric_cols: list[str],
                            seed: int = 42) -> list[tuple[str, float]]:
     """M6 (20:361-382): baseline r2 minus r2 with one column shuffled.
 
+    ``model is None`` (rf_importance's empty-input result) or an empty
+    frame -> no importances ([]), mirroring the SQL empty-aggregate
+    convention.
+
     Distributed shuffle of the feature columns: one random-index
     construction per repeat (``with_random_index`` — salted, partitioned
     windows only) pairs every row with a uniformly random donor row via
@@ -102,6 +112,8 @@ def permutation_importance(df: DataFrame, numeric_cols: list[str],
     scores each column independently, so reusing one permutation per
     repeat changes nothing statistically while doing one join per
     repeat instead of one per (column, repeat)."""
+    if model is None or df.isEmpty():
+        return []
     evaluator = RegressionEvaluator(labelCol=target, metricName="r2")
     base = evaluator.evaluate(model.transform(
         assemble_features(df, numeric_cols)))
@@ -129,8 +141,12 @@ def permutation_importance(df: DataFrame, numeric_cols: list[str],
 def kmeans_sweep(df: DataFrame, vec_col: str, k_range=range(2, 9),
                  seed: int = 42) -> DataFrame:
     """M11 (21:315-380): silhouette + inertia per k. Returns a small
-    driver-built DataFrame (k, silhouette, inertia)."""
+    driver-built DataFrame (k, silhouette, inertia).  Empty input ->
+    empty sweep (no k can be fit)."""
     spark = df.sparkSession
+    if df.isEmpty():
+        return spark.createDataFrame(
+            [], "k int, silhouette double, inertia double")
     data = df.withColumn("features",
                          array_to_vector(F.col(vec_col).cast("array<double>")))
     data = data.cache()
@@ -158,7 +174,13 @@ def kmeans_assign(df: DataFrame, vec_col: str, k: int,
 
 def pca_project(df: DataFrame, vec_col: str, n_components: int = 2,
                 out: str = "pca") -> DataFrame:
-    """M13 (21:275-313): PCA to n components, back to array<double>."""
+    """M13 (21:275-313): PCA to n components, back to array<double>.
+    Empty input -> zero rows with the output column typed (no fit;
+    a NULL literal, not array() — ConstantFolding would evaluate a
+    caller's element_at(array(), i) at PLAN time and raise even with
+    zero rows)."""
+    if df.isEmpty():
+        return df.withColumn(out, F.lit(None).cast("array<double>"))
     data = df.withColumn("__vec",
                          array_to_vector(F.col(vec_col).cast("array<double>")))
     model = PCA(k=n_components, inputCol="__vec", outputCol="__pca").fit(data)
@@ -196,6 +218,9 @@ def project_2d(df: DataFrame, id_col: str, vec_col: str,
     degrades to PCA, mirroring the reference. The ``method`` output
     column records which path actually ran, so the fallback is
     observable. Never part of a data pipeline — viz-only scope."""
+    if df.isEmpty():  # nothing to plot; no reducer can fit zero rows
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, x double, y double, method string")
     if method != "pca":
         try:
             reducer = _import_reducer(method)

@@ -282,6 +282,12 @@ def global_ntile(df: DataFrame, n: int, order_cols: list[str],
                   for r in d.groupBy("__pid")
                   .agg(F.count(F.lit(1)).alias("cnt")).collect()}
         total = sum(counts.values())
+        if not counts:
+            # zero rows: create_map() with no args types as
+            # map<void,void> and the lookup fails analysis — the
+            # empty-date-slice case must plan like any other
+            return (d.withColumn(out_col, F.lit(None).cast("long"))
+                    .drop("__pid"))
         args, acc = [], 0
         for pid in sorted(counts):
             args += [F.lit(pid), F.lit(acc)]

@@ -172,6 +172,12 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
     corpus (cell ids are precomputed by the fitted model). Candidate
     generation is a (cell) equi-join touching ~n_probe/n_centroids of
     the corpus per query; recall/latency trades via n_probe."""
+    if corpus.isEmpty() or queries.isEmpty():
+        # empty slice (or no queries): no codebook/centroids can be
+        # trained -> empty result with the standard top-k schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, corpus_id long, "
+                "cosine_sim double")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -595,6 +601,11 @@ def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
     import numpy as np
     import pandas as pd
 
+    if corpus.isEmpty():
+        # no corpus -> no codebooks to train, nothing to retrieve
+        col = "cosine_sim" if rerank_factor > 0 else "approx_sim"
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, rank int, corpus_id long, {col} double")
     if codebooks is None:
         codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc)
     m_, kc_, dsub = codebooks.shape
@@ -703,6 +714,11 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
+    if corpus.isEmpty() or queries.isEmpty():
+        # empty slice: neither codebooks nor centroids can be trained
+        return spark.createDataFrame(
+            [], "query_id long, rank int, corpus_id long, "
+                "cosine_sim double")
     codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc, seed=seed)
     m_, kc_, dsub = codebooks.shape
 

@@ -226,6 +226,9 @@ def qm_fpgrowth_itemsets(spark, sf_dir):
     from ..operators import baskets as bk
     b = bk.baskets(_t(spark, sf_dir, "lineitem"))
     n = b.count()
+    if n == 0:  # empty fact -> no baskets -> no itemsets (not a crash)
+        return spark.createDataFrame([], "items array<bigint>, "
+                                         "n_orders bigint")
     model = bk.fpgrowth_itemsets(b, min_support=3.0 / n)
     return (model.freqItemsets
             .select(F.array_sort("items").alias("items"),

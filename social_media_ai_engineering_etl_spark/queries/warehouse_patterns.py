@@ -1301,7 +1301,10 @@ def qx_arrival_gaps(spark, sf_dir):
             .join(F.broadcast(
                 missing.agg(F.count(F.lit(1)).alias("n_silent"))))
             .select("n_hours", "n_silent",
-                    F.expr("n_silent * 1000000 DIV n_hours")
+                    # empty fact -> empty spine -> n_hours = 0: NULL
+                    # ppm, not an ANSI divide-by-zero crash
+                    F.expr("CASE WHEN n_hours > 0 THEN "
+                           "n_silent * 1000000 DIV n_hours END")
                     .alias("silent_ppm")))
 
 

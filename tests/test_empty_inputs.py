@@ -1,0 +1,51 @@
+"""Empty-input robustness pins (r4): the queries that CRASHED on
+zero-row tables before the guards landed — model fits, codebook
+training, the global-ntile offset map, ANSI divisions.  A 100 TB job
+routinely plans over empty date slices / filter survivors, so "no
+data -> empty result", never an exception.
+
+The full-registry version is scripts/empty_input_sweep.py (241/241
+ok); this pins the 13 previously-crashing queries so regressions fail
+fast in CI.
+"""
+
+import os
+
+import pytest
+
+import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+from social_media_ai_engineering_etl_spark.registry import QUERIES
+
+PREVIOUSLY_CRASHING = [
+    "qx_rfm_segments",            # create_map() on empty offset map
+    "qx_revenue_concentration",   # same (global_ntile)
+    "qx_arrival_gaps",            # ANSI divide-by-zero on empty spine
+    "qm_rf_importance",           # MLlib fit on empty RDD
+    "qm_permutation_importance",
+    "qm_importance_merged",
+    "qm_kmeans_sweep",
+    "qm_pca_projection",          # + plan-time element_at(array(), 1)
+    "qm_projection_2d",
+    "qm_fpgrowth_itemsets",       # min_support = 3/0
+    "qx_similarity_topk_ivf",     # KMeans/codebooks on empty corpus
+    "qx_similarity_topk_pq",
+    "qx_similarity_topk_ivfpq",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        (spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+         .limit(0).write.mode("overwrite")
+         .parquet(str(d / f"{t}.parquet")))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", PREVIOUSLY_CRASHING)
+def test_query_survives_zero_row_input(spark, empty_dir, name):
+    rows = QUERIES[name](spark, empty_dir).collect()
+    assert rows == [] or all(r is not None for r in rows)
+    spark.catalog.clearCache()
