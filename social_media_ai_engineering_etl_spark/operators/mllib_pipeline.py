@@ -57,12 +57,19 @@ def rf_importance(df: DataFrame, numeric_cols: list[str], target: str,
         return {"mse": None, "r2": None}, [], None
     data = assemble_features(df, numeric_cols)
     train, test = data.randomSplit([0.8, 0.2], seed=seed)
+    if train.isEmpty():  # 1-row inputs can land entirely in test
+        return {"mse": None, "r2": None}, [], None
     model = RandomForestRegressor(
         featuresCol="features", labelCol=target,
         numTrees=n_trees, maxDepth=max_depth, seed=seed).fit(train)
-    pred = model.transform(test)
-    mse = RegressionEvaluator(labelCol=target, metricName="mse").evaluate(pred)
-    r2 = RegressionEvaluator(labelCol=target, metricName="r2").evaluate(pred)
+    if test.isEmpty():  # tiny inputs: the 20% side can be empty —
+        mse = r2 = None  # model + importances exist, metrics don't
+    else:
+        pred = model.transform(test)
+        mse = RegressionEvaluator(labelCol=target,
+                                  metricName="mse").evaluate(pred)
+        r2 = RegressionEvaluator(labelCol=target,
+                                 metricName="r2").evaluate(pred)
     imps = list(model.featureImportances.toArray())
     rows = [(c, float(i)) for c, i in zip(numeric_cols, imps)]
     return {"mse": mse, "r2": r2}, rows, model
@@ -144,9 +151,11 @@ def kmeans_sweep(df: DataFrame, vec_col: str, k_range=range(2, 9),
     driver-built DataFrame (k, silhouette, inertia).  Empty input ->
     empty sweep (no k can be fit)."""
     spark = df.sparkSession
-    if df.isEmpty():
+    n = df.limit(max(k_range) + 1).count()
+    if n < 2:
         return spark.createDataFrame(
             [], "k int, silhouette double, inertia double")
+    k_range = [k for k in k_range if k <= n]
     data = df.withColumn("features",
                          array_to_vector(F.col(vec_col).cast("array<double>")))
     data = data.cache()
@@ -179,7 +188,9 @@ def pca_project(df: DataFrame, vec_col: str, n_components: int = 2,
     a NULL literal, not array() — ConstantFolding would evaluate a
     caller's element_at(array(), i) at PLAN time and raise even with
     zero rows)."""
-    if df.isEmpty():
+    if df.limit(2).count() < 2:
+        # zero or one row: components are undefined (covariance of
+        # <= 1 point) -> NULL, rows preserved
         return df.withColumn(out, F.lit(None).cast("array<double>"))
     data = df.withColumn("__vec",
                          array_to_vector(F.col(vec_col).cast("array<double>")))
@@ -218,9 +229,12 @@ def project_2d(df: DataFrame, id_col: str, vec_col: str,
     degrades to PCA, mirroring the reference. The ``method`` output
     column records which path actually ran, so the fallback is
     observable. Never part of a data pipeline — viz-only scope."""
-    if df.isEmpty():  # nothing to plot; no reducer can fit zero rows
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, x double, y double, method string")
+    if df.limit(2).count() < 2:
+        # zero/one point: no reducer is defined; keep the rows with
+        # NULL coordinates and an observable method marker
+        return df.select(F.col(id_col), F.lit(None).cast("double").alias("x"),
+                         F.lit(None).cast("double").alias("y"),
+                         F.lit("degenerate").alias("method"))
     if method != "pca":
         try:
             reducer = _import_reducer(method)

@@ -172,12 +172,20 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
     corpus (cell ids are precomputed by the fitted model). Candidate
     generation is a (cell) equi-join touching ~n_probe/n_centroids of
     the corpus per query; recall/latency trades via n_probe."""
-    if corpus.isEmpty() or queries.isEmpty():
+    n_avail = corpus.limit(n_centroids).count()
+    if n_avail == 0 or queries.isEmpty():
         # empty slice (or no queries): no codebook/centroids can be
         # trained -> empty result with the standard top-k schema
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, rank int, corpus_id long, "
                 "cosine_sim double")
+    # tiny corpora: KMeans refuses k > points (FAISS clamps the same
+    # way) and requires k >= 2 — below that, cells are meaningless and
+    # exact GEMM over the whole corpus IS the flat-index fallback
+    n_centroids = min(n_centroids, n_avail)
+    if n_centroids < 2:
+        return cosine_topk_gemm(corpus, queries, id_col, vec_col, k=k)
+    n_probe = min(n_probe, n_centroids)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -714,11 +722,16 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    if corpus.isEmpty() or queries.isEmpty():
+    n_avail = corpus.limit(n_centroids).count()
+    if n_avail == 0 or queries.isEmpty():
         # empty slice: neither codebooks nor centroids can be trained
         return spark.createDataFrame(
             [], "query_id long, rank int, corpus_id long, "
                 "cosine_sim double")
+    n_centroids = min(n_centroids, n_avail)
+    if n_centroids < 2:  # flat-index fallback, same as cosine_topk_ivf
+        return cosine_topk_gemm(corpus, queries, id_col, vec_col, k=k)
+    n_probe = min(n_probe, n_centroids)
     codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc, seed=seed)
     m_, kc_, dsub = codebooks.shape
 

@@ -229,7 +229,7 @@ def qm_fpgrowth_itemsets(spark, sf_dir):
     if n == 0:  # empty fact -> no baskets -> no itemsets (not a crash)
         return spark.createDataFrame([], "items array<bigint>, "
                                          "n_orders bigint")
-    model = bk.fpgrowth_itemsets(b, min_support=3.0 / n)
+    model = bk.fpgrowth_itemsets(b, min_support=min(1.0, 3.0 / n))
     return (model.freqItemsets
             .select(F.array_sort("items").alias("items"),
                     F.col("freq").alias("n_orders"))

@@ -254,11 +254,15 @@ def qg_discount_quantity_corr(spark, sf_dir):
         F.sum(F.col("d") * F.col("q")).alias("sdq"),
         F.sum(F.col("d") * F.col("d")).alias("sdd"),
         F.sum(F.col("q") * F.col("q")).alias("sqq"))
-    corr = ((F.col("n") * F.col("sdq") - F.col("sd") * F.col("sq"))
-            / (F.sqrt((F.col("n") * F.col("sdd")
-                       - F.col("sd") * F.col("sd")).cast("double"))
-               * F.sqrt((F.col("n") * F.col("sqq")
-                         - F.col("sq") * F.col("sq")).cast("double"))))
+    denom = (F.sqrt((F.col("n") * F.col("sdd")
+                     - F.col("sd") * F.col("sd")).cast("double"))
+             * F.sqrt((F.col("n") * F.col("sqq")
+                       - F.col("sq") * F.col("sq")).cast("double")))
+    # zero variance (n = 1 or a constant column): corr is undefined ->
+    # NULL, the SQL corr() convention, never an ANSI divide error
+    corr = F.when(denom > 0,
+                  (F.col("n") * F.col("sdq") - F.col("sd") * F.col("sq"))
+                  / denom)
     return s.select("n", "sd", "sq", "sdq", "sdd", "sqq",
                     F.round(corr, 6).alias("corr"))
 

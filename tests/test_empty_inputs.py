@@ -49,3 +49,36 @@ def test_query_survives_zero_row_input(spark, empty_dir, name):
     rows = QUERIES[name](spark, empty_dir).collect()
     assert rows == [] or all(r is not None for r in rows)
     spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("one_sf")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        (spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+         .limit(1).write.mode("overwrite")
+         .parquet(str(d / f"{t}.parquet")))
+    return str(d)
+
+
+ONE_ROW_CRASHERS = [
+    "qg_discount_quantity_corr",  # zero variance -> ANSI divide error
+    "qm_rf_importance",           # 80/20 split leaves a side empty
+    "qm_permutation_importance",
+    "qm_kmeans_sweep",            # k > points
+    "qm_pca_projection",          # covariance needs >= 2 rows
+    "qm_projection_2d",
+    "qm_fpgrowth_itemsets",       # minSupport 3/1 > 1 invalid
+    "qx_similarity_topk_ivf",     # KMeans k >= 2 -> flat fallback
+    "qx_similarity_topk_ivfpq",
+]
+
+
+@pytest.mark.parametrize("name", ONE_ROW_CRASHERS)
+def test_query_survives_single_row_input(spark, one_row_dir, name):
+    """Degenerate-statistics regime: one row means zero variance,
+    empty split sides, k > points — every gate must yield a defined
+    result (NULL metrics / flat fallback / empty sweep), not raise."""
+    QUERIES[name](spark, one_row_dir).collect()
+    spark.catalog.clearCache()
