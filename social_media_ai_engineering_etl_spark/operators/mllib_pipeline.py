@@ -164,8 +164,14 @@ def kmeans_sweep(df: DataFrame, vec_col: str, k_range=range(2, 9),
         for k in k_range:
             model = KMeans(k=k, seed=seed, featuresCol="features").fit(data)
             pred = model.transform(data)
-            sil = ClusteringEvaluator(featuresCol="features").evaluate(pred)
-            rows.append((k, float(sil), float(model.summary.trainingCost)))
+            try:
+                sil = float(ClusteringEvaluator(
+                    featuresCol="features").evaluate(pred))
+            except Exception:
+                # all-identical points collapse into one cluster and
+                # silhouette is undefined — report NaN, keep the row
+                sil = float("nan")
+            rows.append((k, sil, float(model.summary.trainingCost)))
     finally:
         data.unpersist()
     return spark.createDataFrame(rows, "k int, silhouette double, inertia double")

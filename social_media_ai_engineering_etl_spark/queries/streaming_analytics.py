@@ -582,10 +582,13 @@ def qs_expanding_zscore(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
+    sd = F.stddev_samp("value").over(w)
     scored = ev.select(
         "event_id", "user_id",
-        ((F.col("value") - F.avg("value").over(w))
-         / F.stddev_samp("value").over(w)).alias("z"),
+        # zero-variance history (constant values): z is undefined ->
+        # NULL (filtered below), never an ANSI divide error
+        F.when(sd > 0,
+               (F.col("value") - F.avg("value").over(w)) / sd).alias("z"),
         F.count(F.lit(1)).over(w).alias("n_prior"))
     return (scored.filter((F.col("n_prior") >= 2) & F.col("z").isNotNull())
             .select("event_id", "user_id", F.round("z", 6).alias("z"))

@@ -82,3 +82,27 @@ def test_query_survives_single_row_input(spark, one_row_dir, name):
     result (NULL metrics / flat fallback / empty sweep), not raise."""
     QUERIES[name](spark, one_row_dir).collect()
     spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def const_dir(spark, sf_dir, tmp_path_factory):
+    """100 identical rows per table — the constant-column regime
+    (zero variance with n >> 1)."""
+    from pyspark.sql import functions as F
+    d = tmp_path_factory.mktemp("const_sf")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        one = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(1)
+        (one.crossJoin(spark.range(100).select(F.lit(1).alias("__d")))
+         .drop("__d").write.mode("overwrite")
+         .parquet(str(d / f"{t}.parquet")))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["qs_expanding_zscore", "qm_kmeans_sweep"])
+def test_query_survives_constant_columns(spark, const_dir, name):
+    """Zero variance with many rows: the expanding z-score treats an
+    undefined z as NULL (filtered) and the KMeans sweep reports NaN
+    silhouette when all points collapse into one cluster."""
+    QUERIES[name](spark, const_dir).collect()
+    spark.catalog.clearCache()
