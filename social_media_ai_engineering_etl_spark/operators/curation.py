@@ -271,6 +271,9 @@ def pack_sequences(df: DataFrame, group_cols: list[str], id_col: str,
     sum_tokens)."""
     base = df.select(*group_cols, F.col(id_col).alias("__id"),
                      token_count_col.cast("long").alias("__tok"))
+    # a NULL token count (null text) has nothing to pack — skip-null,
+    # like every aggregate over the corpus
+    base = base.filter(F.col("__tok").isNotNull())
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in base.schema if f.name in group_cols)

@@ -53,6 +53,7 @@ def rf_importance(df: DataFrame, numeric_cols: list[str], target: str,
     Zero input rows (an empty date slice / filter survivor set — the
     routine 100 TB edge) -> no model: returns (None-metrics, [], None)
     instead of MLlib's IllegalArgumentException."""
+    df = df.filter(F.col(target).isNotNull())  # MLlib: labels non-null
     if df.isEmpty():
         return {"mse": None, "r2": None}, [], None
     data = assemble_features(df, numeric_cols)
@@ -119,6 +120,7 @@ def permutation_importance(df: DataFrame, numeric_cols: list[str],
     scores each column independently, so reusing one permutation per
     repeat changes nothing statistically while doing one join per
     repeat instead of one per (column, repeat)."""
+    df = df.filter(F.col(target).isNotNull())  # MLlib: labels non-null
     if model is None or df.isEmpty():
         return []
     evaluator = RegressionEvaluator(labelCol=target, metricName="r2")
@@ -151,6 +153,7 @@ def kmeans_sweep(df: DataFrame, vec_col: str, k_range=range(2, 9),
     driver-built DataFrame (k, silhouette, inertia).  Empty input ->
     empty sweep (no k can be fit)."""
     spark = df.sparkSession
+    df = df.filter(F.col(vec_col).isNotNull())
     n = df.limit(max(k_range) + 1).count()
     if n < 2:
         return spark.createDataFrame(
@@ -179,7 +182,9 @@ def kmeans_sweep(df: DataFrame, vec_col: str, k_range=range(2, 9),
 
 def kmeans_assign(df: DataFrame, vec_col: str, k: int,
                   seed: int = 42) -> DataFrame:
-    """M12: final fit_predict — adds a ``cluster`` column."""
+    """M12: final fit_predict — adds a ``cluster`` column (null
+    vectors dropped: nothing to assign)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     data = df.withColumn("features",
                          array_to_vector(F.col(vec_col).cast("array<double>")))
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(data)
@@ -194,6 +199,7 @@ def pca_project(df: DataFrame, vec_col: str, n_components: int = 2,
     a NULL literal, not array() — ConstantFolding would evaluate a
     caller's element_at(array(), i) at PLAN time and raise even with
     zero rows)."""
+    df = df.filter(F.col(vec_col).isNotNull())  # no vector, no projection
     if df.limit(2).count() < 2:
         # zero or one row: components are undefined (covariance of
         # <= 1 point) -> NULL, rows preserved
@@ -235,6 +241,7 @@ def project_2d(df: DataFrame, id_col: str, vec_col: str,
     degrades to PCA, mirroring the reference. The ``method`` output
     column records which path actually ran, so the fallback is
     observable. Never part of a data pipeline — viz-only scope."""
+    df = df.filter(F.col(vec_col).isNotNull())
     if df.limit(2).count() < 2:
         # zero/one point: no reducer is defined; keep the rows with
         # NULL coordinates and an observable method marker

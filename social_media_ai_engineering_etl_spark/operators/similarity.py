@@ -52,10 +52,10 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
     BEFORE the pair join: per-pair work is one dot product, not
     dot + two norm re-computations (a 3x expression saving on an
     n_corpus x n_queries blowup)."""
-    c = corpus.select(F.col(id_col).alias("corpus_id"),
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
     c = c.withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(F.col(id_col).alias("query_id"),
+    q = queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qn", _norm(F.col("qv")))
     dot = F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
@@ -124,11 +124,11 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
     cross-joins; per-bucket candidate lists stay bounded by tuning P
     upward as the corpus grows."""
     planes = hyperplane_planes(dim, num_planes * num_tables, seed)
-    c = corpus.select(F.col(id_col).alias("corpus_id"),
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
     c = c.withColumn("cn", _norm(F.col("cv"))).withColumn("tb", F.explode(
         _table_buckets(F.col("cv"), planes, num_tables, num_planes)))
-    q = queries.select(F.col(id_col).alias("query_id"),
+    q = queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qn", _norm(F.col("qv"))).withColumn("tb", F.explode(
         _table_buckets(F.col("qv"), planes, num_tables, num_planes)))
@@ -152,8 +152,8 @@ def pairwise_aligned_cosine(df_a: DataFrame, df_b: DataFrame, id_col: str,
     """M15: cosine between same-id vector pairs from two tables
     (4-structure-micro-ablation.py:136-150 with/without-feature
     generations)."""
-    a = df_a.select(F.col(id_col), _as_double(F.col(vec_col)).alias("va"))
-    b = df_b.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vb"))
+    a = df_a.filter(F.col(vec_col).isNotNull()).select(F.col(id_col), _as_double(F.col(vec_col)).alias("va"))
+    b = df_b.filter(F.col(vec_col).isNotNull()).select(F.col(id_col), _as_double(F.col(vec_col)).alias("vb"))
     return (a.join(b, id_col)
             .select(id_col,
                     F.round(cosine(F.col("va"), F.col("vb")), 6)
@@ -190,7 +190,7 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    c = corpus.select(F.col(id_col).alias("corpus_id"),
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
     data = c.withColumn("features", array_to_vector(F.col("cv")))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(data)
@@ -203,7 +203,7 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
         [(i, [float(x) for x in ctr]) for i, ctr in
          enumerate(model.clusterCenters())],
         "cell int, centroid array<double>")
-    q = queries.select(F.col(id_col).alias("query_id"),
+    q = queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qn", _norm(F.col("qv")))
     cdist = F.aggregate(
@@ -252,7 +252,7 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
     import numpy as np
     import pandas as pd
 
-    qpd = (queries.select(F.col(id_col).alias("qid"),
+    qpd = (queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("qid"),
                           _as_double(F.col(vec_col)).alias("qv"))
            .toPandas())
     out_schema = "query_id long, rank int, corpus_id long, cosine_sim double"
@@ -263,7 +263,7 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     Qn = Q / np.where(qn == 0, 1.0, qn)   # zero vectors stay zero -> cos 0
 
-    c = corpus.select(F.col(id_col).alias("corpus_id"),
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
 
     def score(batches):
@@ -320,7 +320,7 @@ def cosine_topk_gemm_filtered(corpus: DataFrame, queries: DataFrame,
     import numpy as np
     import pandas as pd
 
-    qpd = (queries.select(F.col(id_col).alias("qid"),
+    qpd = (queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("qid"),
                           F.col(filter_col).alias("fv"),
                           _as_double(F.col(vec_col)).alias("qv"))
            .toPandas())
@@ -335,6 +335,7 @@ def cosine_topk_gemm_filtered(corpus: DataFrame, queries: DataFrame,
                       Q / np.where(qn == 0, 1.0, qn))
 
     c = (corpus
+         .filter(F.col(vec_col).isNotNull())
          .filter(F.col(filter_col).isin([v.item() if hasattr(v, "item")
                                          else v for v in groups]))
          .select(F.col(id_col).alias("corpus_id"),
@@ -402,7 +403,7 @@ def embedding_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
     import numpy as np
     import pandas as pd
 
-    v = (df.select(F.col(id_col).cast("long").alias("id"),
+    v = (df.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).cast("long").alias("id"),
                    _as_double(F.col(vec_col)).alias("v"))
          .withColumn("b", F.pmod(F.hash("id"), F.lit(n_blocks))))
     groups = F.array_distinct(F.array(*[
@@ -484,7 +485,7 @@ def embedding_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     import pandas as pd
 
     planes = hyperplane_planes(dim, num_planes * num_tables, seed)
-    v = df.select(F.col(id_col).cast("long").alias("id"),
+    v = df.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).cast("long").alias("id"),
                   _as_double(F.col(vec_col)).alias("v"))
     bucketed = (v.withColumn("tb", F.explode(
         _table_buckets(F.col("v"), planes, num_tables, num_planes)))
@@ -533,7 +534,7 @@ def pq_train_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
     iterations."""
     import numpy as np
 
-    pdf = (corpus.select(_as_double(F.col(vec_col)).alias("v"))
+    pdf = (corpus.filter(F.col(vec_col).isNotNull()).select(_as_double(F.col(vec_col)).alias("v"))
            .limit(sample_size).toPandas())
     X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     n = np.linalg.norm(X, axis=1, keepdims=True)
@@ -584,7 +585,7 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                 "codes": list(codes)})
 
-    v = corpus.select(F.col(id_col).alias("id"),
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
     return v.mapInPandas(enc, "id long, codes array<long>")
 
@@ -618,7 +619,7 @@ def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
         codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc)
     m_, kc_, dsub = codebooks.shape
 
-    qpd = (queries.select(F.col(id_col).alias("qid"),
+    qpd = (queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("qid"),
                           _as_double(F.col(vec_col)).alias("qv"))
            .toPandas())
     out_schema = "query_id long, rank int, corpus_id long, approx_sim double"
@@ -686,7 +687,7 @@ def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
                                 "cosine_sim": sims})
 
     cand = shortlist.select("query_id", "corpus_id").join(
-        corpus.select(F.col(id_col).alias("corpus_id"),
+        corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv")),
         "corpus_id")
     rescored = cand.mapInPandas(
@@ -735,7 +736,7 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
     codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc, seed=seed)
     m_, kc_, dsub = codebooks.shape
 
-    c = corpus.select(F.col(id_col).cast("long").alias("id"),
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).cast("long").alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
     data = c.withColumn("features", array_to_vector(F.col("v")))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(data)
@@ -743,7 +744,7 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
         "id", F.col("prediction").alias("cell"))
     enc = pq_encode(corpus, id_col, vec_col, codebooks).join(cells, "id")
 
-    qpd = (queries.select(F.col(id_col).alias("qid"),
+    qpd = (queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("qid"),
                           _as_double(F.col(vec_col)).alias("qv"))
            .toPandas())
     out_schema = "query_id long, rank int, corpus_id long, cosine_sim double"
@@ -809,7 +810,7 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
                                 "cosine_sim": sims})
 
     cand = shortlist.join(
-        corpus.select(F.col(id_col).alias("corpus_id"),
+        corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv")), "corpus_id")
     rescored = cand.mapInPandas(
         exact, "query_id long, corpus_id long, cosine_sim double")
@@ -854,8 +855,9 @@ def hybrid_retrieval_topk(docs: DataFrame, emb: DataFrame,
                  .filter(F.col("lrank") <= n_candidates)
                  .drop("lrank"))
 
-    v = emb.select(F.col(vec_id).alias("vid"),
-                   _as_double(F.col(vec_col)).alias("vec"))
+    v = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_id).alias("vid"),
+        _as_double(F.col(vec_col)).alias("vec"))
     v = v.withColumn("n", _norm(F.col("vec")))
     qv = v.select(F.col("vid").alias("query_id"),
                   F.col("vec").alias("qv"), F.col("n").alias("qn"))
@@ -895,7 +897,7 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
     """
     import numpy as np
 
-    bpd = (benchmark.select(F.col(id_col).alias("bid"),
+    bpd = (benchmark.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("bid"),
                             _as_double(F.col(vec_col)).alias("bv"))
            .orderBy("bid").toPandas())
     out_schema = (f"{id_col} long, nearest_benchmark_id long, "
@@ -907,7 +909,7 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
     bn = np.linalg.norm(B, axis=1, keepdims=True)
     Bn = B / np.where(bn == 0, 1.0, bn)
 
-    c = corpus.select(F.col(id_col).alias("cid"),
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("cid"),
                       _as_double(F.col(vec_col)).alias("cv"))
 
     def score(batches):

@@ -37,6 +37,8 @@ class NextFitPackUDTF:
         self.bin = -1
 
     def eval(self, row):
+        if row["tok"] is None:  # null text -> nothing to pack (skip-null)
+            return
         t = int(row["tok"])
         if self.fill is not None and self.fill + t <= self.BUDGET:
             self.fill += t

@@ -106,3 +106,52 @@ def test_query_survives_constant_columns(spark, const_dir, name):
     silhouette when all points collapse into one cluster."""
     QUERIES[name](spark, const_dir).collect()
     spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def null_dir(spark, sf_dir, tmp_path_factory):
+    """~30% NULLs in every non-key column (keys keep join semantics) —
+    the null-heavy regime of real-world data lakes."""
+    from pyspark.sql import functions as F
+    KEYS = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+            "c_custkey", "s_suppkey", "p_partkey", "n_nationkey",
+            "r_regionkey", "user_id", "o_custkey", "l_partkey",
+            "l_suppkey", "n_regionkey", "s_nationkey", "c_nationkey",
+            "l_linenumber", "ts"}
+    d = tmp_path_factory.mktemp("null_sf")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        key = [c for c in df.columns if c in KEYS][:1] or None
+        cols = [F.col(f.name) if f.name in KEYS else
+                F.when(F.xxhash64(F.lit(t),
+                                  *(F.col(k) for k in (key or [])),
+                                  F.lit(f.name)) % 10 < 3,
+                       F.lit(None).cast(f.dataType))
+                 .otherwise(F.col(f.name)).alias(f.name)
+                for f in df.schema.fields]
+        df.select(*cols).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet"))
+    return str(d)
+
+
+NULL_REGIME_CRASHERS = [
+    # null embeddings broke np.stack / MLlib vector assembly
+    "qx_similarity_topk_gemm", "qx_similarity_topk_filtered",
+    "qx_embedding_dedup_pairs", "qx_semantic_decontamination",
+    "qx_hard_negatives", "qm_kmeans_sweep", "qm_pca_projection",
+    # null labels broke the RF evaluator
+    "qm_rf_importance", "qm_permutation_importance",
+    # null token counts broke the packers
+    "qx_pack_sequences", "qx_pack_udtf",
+]
+
+
+@pytest.mark.parametrize("name", NULL_REGIME_CRASHERS)
+def test_query_survives_null_heavy_input(spark, null_dir, name):
+    """Skip-null at operator boundaries: null vectors are dropped
+    before any stack/normalize/code step, null labels before model
+    fit/eval, null token counts before packing — the SQL aggregate
+    convention applied to every library operator."""
+    QUERIES[name](spark, null_dir).collect()
+    spark.catalog.clearCache()
