@@ -172,6 +172,10 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
     corpus (cell ids are precomputed by the fitted model). Candidate
     generation is a (cell) equi-join touching ~n_probe/n_centroids of
     the corpus per query; recall/latency trades via n_probe."""
+    # the k-clamp must count the SAME frame KMeans is fit on (the
+    # null-filtered one) — a corpus dominated by null vectors would
+    # otherwise pass a k > actual-points to MLlib and crash the fit
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     n_avail = corpus.limit(n_centroids).count()
     if n_avail == 0 or queries.isEmpty():
         # empty slice (or no queries): no codebook/centroids can be
@@ -190,7 +194,7 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("corpus_id"),
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
     data = c.withColumn("features", array_to_vector(F.col("cv")))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(data)
@@ -610,8 +614,11 @@ def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
     import numpy as np
     import pandas as pd
 
-    if corpus.isEmpty():
-        # no corpus -> no codebooks to train, nothing to retrieve
+    # all-NULL vectors would reach pq_train_codebooks as an empty
+    # pandas frame (np.stack crash) — skip-null convention applies to
+    # the TRAINABLE rows, not mere row count
+    if corpus.filter(F.col(vec_col).isNotNull()).isEmpty():
+        # no trainable corpus -> no codebooks, nothing to retrieve
         col = "cosine_sim" if rerank_factor > 0 else "approx_sim"
         return corpus.sparkSession.createDataFrame(
             [], f"query_id long, rank int, corpus_id long, {col} double")
@@ -723,6 +730,9 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
+    # count the null-filtered frame (what KMeans/PQ actually train on),
+    # not the raw corpus — see cosine_topk_ivf's k-clamp note
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     n_avail = corpus.limit(n_centroids).count()
     if n_avail == 0 or queries.isEmpty():
         # empty slice: neither codebooks nor centroids can be trained
@@ -736,7 +746,7 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
     codebooks = pq_train_codebooks(corpus, vec_col, m=m, k=kc, seed=seed)
     m_, kc_, dsub = codebooks.shape
 
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).cast("long").alias("id"),
+    c = corpus.select(F.col(id_col).cast("long").alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
     data = c.withColumn("features", array_to_vector(F.col("v")))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(data)
@@ -879,55 +889,129 @@ def hybrid_retrieval_topk(docs: DataFrame, emb: DataFrame,
 
 def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
                            id_col: str, vec_col: str,
-                           threshold: float = 0.35) -> DataFrame:
+                           threshold: float = 0.35,
+                           max_broadcast_rows: int = 100_000,
+                           n_blocks: int = 8) -> DataFrame:
     """Embedding-based eval-set decontamination: for every corpus
     vector, the maximum cosine to ANY benchmark vector (+ which one),
     flagged where it clears ``threshold`` — the semantic companion to
     the n-gram decontamination gate (curation.decontaminate), catching
     paraphrased eval leakage that exact grams miss.
 
-    Scale shape: the benchmark matrix is collected driver-side
-    (bounded by contract — eval sets are thousands of rows, not
-    corpora) and shipped in the closure; each corpus Arrow batch does
-    ONE ``C @ B.T`` GEMM and reduces to a per-ROW max — output is one
-    row per corpus vector, no shuffle at all (narrower than top-k,
-    which shuffles partial heaps).  Cost is linear in corpus size.
-    Ties on the max take the smallest benchmark id (benchmark matrix
-    is id-sorted; np.argmax returns the first maximum).
+    Scale shape, small benchmark (<= ``max_broadcast_rows``, the
+    normal eval-suite case): the benchmark matrix is collected once
+    and shipped via ``sc.broadcast`` (torrent distribution, one copy
+    per executor — not re-serialized into every task closure); each
+    corpus Arrow batch does ONE ``C @ B.T`` GEMM and reduces to a
+    per-ROW max — output is one row per corpus vector, no shuffle at
+    all. Cost is linear in corpus size.
+
+    Beyond ``max_broadcast_rows`` the driver-side matrix stops being
+    "bounded by contract", so the operator switches to a distributed
+    blocked-GEMM plan (same shape as :func:`embedding_pairs_blocked`):
+    benchmark rows hash into ``n_blocks`` blocks, every corpus row
+    replicates to each block, one ``applyInPandas`` group per block
+    runs the partial GEMM and emits that block's per-corpus-row best,
+    and a final ``max_by``-style aggregate merges block winners. One
+    corpus-sized x n_blocks shuffle; per-task memory is one benchmark
+    block — the scale knob.
+
+    Tie-break (both paths): cosines are rounded to the 6-decimal
+    output precision BEFORE argmax, and ties take the smallest
+    benchmark id — matching the DuckDB oracle's round + ORDER BY bid,
+    so last-ulp float noise between BLAS and DuckDB accumulation
+    orders cannot flip the reported id.
     """
     import numpy as np
 
-    bpd = (benchmark.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("bid"),
-                            _as_double(F.col(vec_col)).alias("bv"))
-           .orderBy("bid").toPandas())
     out_schema = (f"{id_col} long, nearest_benchmark_id long, "
                   "max_benchmark_cosine double, contaminated int")
-    if bpd.empty:
-        return corpus.sparkSession.createDataFrame([], out_schema)
-    bids = bpd["bid"].to_numpy()
-    B = np.stack(bpd["bv"].to_numpy()).astype(np.float64)
-    bn = np.linalg.norm(B, axis=1, keepdims=True)
-    Bn = B / np.where(bn == 0, 1.0, bn)
+    spark = corpus.sparkSession
+    b = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("bid"),
+        _as_double(F.col(vec_col)).alias("bv"))
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
 
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("cid"),
-                      _as_double(F.col(vec_col)).alias("cv"))
+    n_bench = b.limit(max_broadcast_rows + 1).count()
+    if n_bench == 0:
+        return spark.createDataFrame([], out_schema)
 
-    def score(batches):
-        import pandas as pd
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-            cn = np.linalg.norm(C, axis=1, keepdims=True)
-            Cn = C / np.where(cn == 0, 1.0, cn)
-            S = Cn @ Bn.T
-            j = np.argmax(S, axis=1)
-            mx = S[np.arange(len(S)), j]
-            yield pd.DataFrame({
-                id_col: pdf["cid"].to_numpy(),
-                "nearest_benchmark_id": bids[j],
-                "max_benchmark_cosine": np.round(mx, 6),
-                "contaminated": (mx >= threshold).astype("int32"),
-            })
+    def _best_in_block(C, cn, Bm, bids_sorted):
+        """Per-row (best_cos, best_bid) of C against one benchmark
+        block; bids_sorted must be ascending so argmax's first-max
+        rule realises the smallest-bid tie-break."""
+        Cn = C / np.where(cn == 0, 1.0, cn)
+        bn = np.linalg.norm(Bm, axis=1, keepdims=True)
+        Bn = Bm / np.where(bn == 0, 1.0, bn)
+        S = np.round(Cn @ Bn.T, 6)
+        j = np.argmax(S, axis=1)
+        return S[np.arange(len(S)), j], bids_sorted[j]
 
-    return c.mapInPandas(score, out_schema)
+    if n_bench <= max_broadcast_rows:
+        bpd = b.orderBy("bid").toPandas()
+        bids = bpd["bid"].to_numpy()
+        B = np.stack(bpd["bv"].to_numpy()).astype(np.float64)
+        bcast = spark.sparkContext.broadcast((bids, B))
+
+        def score(batches):
+            import pandas as pd
+            bids_, B_ = bcast.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+                cn = np.linalg.norm(C, axis=1, keepdims=True)
+                mx, nb = _best_in_block(C, cn, B_, bids_)
+                yield pd.DataFrame({
+                    id_col: pdf["cid"].to_numpy(),
+                    "nearest_benchmark_id": nb,
+                    "max_benchmark_cosine": mx,
+                    "contaminated": (mx >= threshold).astype("int32"),
+                })
+
+        return c.mapInPandas(score, out_schema)
+
+    # --- large-benchmark path: distributed blocked GEMM -------------
+    import pandas as pd
+
+    blocks = F.array(*[F.lit(i) for i in range(n_blocks)])
+    tagged = (b.withColumn("blk", F.pmod(F.hash("bid"), F.lit(n_blocks)))
+              .select("blk", F.col("bid").alias("rid"),
+                      F.col("bv").alias("v"), F.lit(1).alias("is_bench"))
+              .unionByName(
+                  c.withColumn("blk", F.explode(blocks))
+                  .select("blk", F.col("cid").alias("rid"),
+                          F.col("cv").alias("v"),
+                          F.lit(0).alias("is_bench"))))
+
+    empty = pd.DataFrame({"cid": np.array([], dtype=np.int64),
+                          "part_bid": np.array([], dtype=np.int64),
+                          "part_cos": np.array([], dtype=np.float64)})
+
+    def block_best(key, pdf):
+        bench = pdf[pdf["is_bench"] == 1].sort_values("rid")
+        docs = pdf[pdf["is_bench"] == 0]
+        if not len(bench) or not len(docs):
+            return empty
+        Bm = np.stack(bench["v"].to_numpy()).astype(np.float64)
+        C = np.stack(docs["v"].to_numpy()).astype(np.float64)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        mx, nb = _best_in_block(C, cn, Bm,
+                                bench["rid"].to_numpy())
+        return pd.DataFrame({"cid": docs["rid"].to_numpy(),
+                             "part_bid": nb, "part_cos": mx})
+
+    partial = tagged.groupBy("blk").applyInPandas(
+        block_best, "cid long, part_bid long, part_cos double")
+    # merge block winners: max cosine, then smallest bid — encoded as
+    # max(struct(cos, -bid)) so one aggregate realises both orders
+    best = (partial.groupBy("cid")
+            .agg(F.max(F.struct(F.col("part_cos").alias("cos"),
+                                (-F.col("part_bid")).alias("nb")))
+                 .alias("w")))
+    return best.select(
+        F.col("cid").alias(id_col),
+        (-F.col("w.nb")).alias("nearest_benchmark_id"),
+        F.col("w.cos").alias("max_benchmark_cosine"),
+        (F.col("w.cos") >= threshold).cast("int").alias("contaminated"))

@@ -768,8 +768,9 @@ def qx_hll_mergeable_portable(spark, sf_dir):
 SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
             ELSE 'avi' END AS format,
        count(*) AS n,
-       sum(len(text) + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
-                            ELSE 88 END)::BIGINT AS total_bytes,
+       sum(octet_length(encode(text))
+           + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
+                  ELSE 88 END)::BIGINT AS total_bytes,
        CAST(sum(CASE WHEN doc_id % 3 IN (0, 2)
                      THEN 64 + (doc_id % 16) * 32 END) AS BIGINT)
            AS sum_width,

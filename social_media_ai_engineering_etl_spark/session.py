@@ -205,20 +205,36 @@ def cached_exprs(key: str, builder):
     Use ONLY for trees that are genuinely constant: no data-dependent
     literals, no session confs baked in, no nondeterministic exprs
     whose identity matters (a cached ``rand(seed)`` is fine — same
-    seed, same tree).  The cache is invalidated automatically when a
-    new JVM gateway appears (old entries keyed to the dead gateway are
-    dropped).
+    seed, same tree).  Entries store the gateway OBJECT and validate
+    with ``is`` — identity on a live strong reference can't be spoofed
+    by CPython address reuse after a stop/restart (an ``id()`` key
+    could collide with a dead gateway's recycled address); a gateway
+    change also sweeps every stale entry so the caches can't grow
+    across restarts.
     """
+    gw = _live_gateway()
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] is gw:
+        return hit[1]
+    val = builder()
+    _EXPR_CACHE[key] = (gw, val)
+    return val
+
+
+def _live_gateway():
+    """Current JVM gateway object (or None), sweeping both caches when
+    it differs from the one entries were built against."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    gid = id(sc._gateway) if sc is not None else None
-    hit = _EXPR_CACHE.get(key)
-    if hit is not None and hit[0] == gid:
-        return hit[1]
-    val = builder()
-    _EXPR_CACHE[key] = (gid, val)
-    return val
+    gw = sc._gateway if sc is not None else None
+    stale_e = [k for k, v in _EXPR_CACHE.items() if v[0] is not gw]
+    for k in stale_e:
+        del _EXPR_CACHE[k]
+    stale_s = [k for k, v in _SCAN_CACHE.items() if v[0] is not gw]
+    for k in stale_s:
+        del _SCAN_CACHE[k]
+    return gw
 
 
 _SCAN_CACHE: dict = {}
@@ -237,14 +253,15 @@ def read_parquet_cached(spark: SparkSession, path: str):
     session.  Paths a query itself writes (sinks, compaction dirs,
     probe outputs) must keep calling ``spark.read`` directly — this
     cache would serve a stale file listing.
-    """
-    from pyspark import SparkContext
 
-    sc = SparkContext._active_spark_context
-    gid = id(sc._gateway) if sc is not None else None
-    key = (gid, path)
-    df = _SCAN_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        _SCAN_CACHE[key] = df
+    Validity is gateway-IDENTITY based (see :func:`cached_exprs`):
+    entries hold the gateway object itself, and a gateway change
+    sweeps all stale entries.
+    """
+    gw = _live_gateway()
+    hit = _SCAN_CACHE.get(path)
+    if hit is not None and hit[0] is gw:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _SCAN_CACHE[path] = (gw, df)
     return df

@@ -540,3 +540,61 @@ def test_semantic_contamination_flags_planted_leak(spark):
     assert got[2]["contaminated"] == 0
     assert got[4]["contaminated"] == 0 \
         and got[4]["max_benchmark_cosine"] == 0.0
+
+
+def test_ann_ladder_survives_null_dominated_corpus(spark):
+    """ADVICE r4 (medium): the IVF/PQ/IVF-PQ k-clamps must count the
+    null-filtered frame KMeans/PQ actually train on. A 32-row corpus
+    with ONE non-null vector used to pass n_centroids > trainable
+    points into MLlib and crash the fit; all-NULL corpora used to
+    reach np.stack on an empty frame in pq_train_codebooks."""
+    rows = [(i, None) for i in range(31)] + [(31, [1.0, 0.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    for fn in (similarity.cosine_topk_ivf, similarity.cosine_topk_ivfpq):
+        got = fn(corpus, queries, "vec_id", "embedding",
+                 k=3, n_centroids=16).collect()
+        # one trainable point < 2 centroids -> exact-GEMM fallback
+        assert [r["corpus_id"] for r in got] == [31]
+    got = similarity.cosine_topk_pq(corpus, queries, "vec_id",
+                                    "embedding", k=3, m=2, kc=4).collect()
+    assert [r["corpus_id"] for r in got] == [31]
+    # all-NULL corpora: empty result with the standard schema, no crash
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(8)], "vec_id long, embedding array<double>")
+    for fn in (similarity.cosine_topk_ivf, similarity.cosine_topk_ivfpq,
+               similarity.cosine_topk_pq):
+        assert fn(all_null, queries, "vec_id", "embedding", k=3).count() == 0
+
+
+def test_semantic_contamination_blocked_path_matches_broadcast(spark):
+    """The large-benchmark blocked-GEMM path (forced via
+    max_broadcast_rows=0) returns exactly the broadcast path's
+    answer, including the rounded-cosine smallest-bid tie-break."""
+    from social_media_ai_engineering_etl_spark.operators.similarity import (
+        semantic_contamination)
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0]),
+         (300, [2.0, 0.0, 0.0, 0.0]),   # parallel to 100: cosine tie
+         (400, [0.6, 0.8, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), float(i % 2), 1.0])
+         for i in range(1, 41)] + [(41, [1.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    small = {r["vec_id"]: (r["nearest_benchmark_id"],
+                           r["max_benchmark_cosine"], r["contaminated"])
+             for r in semantic_contamination(
+                 corpus, bench, "vec_id", "embedding",
+                 threshold=0.9).collect()}
+    large = {r["vec_id"]: (r["nearest_benchmark_id"],
+                           r["max_benchmark_cosine"], r["contaminated"])
+             for r in semantic_contamination(
+                 corpus, bench, "vec_id", "embedding", threshold=0.9,
+                 max_broadcast_rows=0, n_blocks=3).collect()}
+    assert small == large
+    # the planted tie (bench 100 vs 300 both cosine 1.0 to doc 41)
+    # resolves to the smaller id on both paths
+    assert small[41][0] == 100

@@ -59,3 +59,21 @@ def test_read_parquet_cached_plays_well_with_persist(spark, sf_dir):
     n1 = derived.count()
     spark.catalog.clearCache()
     assert S.read_parquet_cached(spark, p).count() >= n1
+
+
+def test_caches_sweep_stale_gateway_entries(spark):
+    """ADVICE r4: entries are validated by gateway IDENTITY (``is`` on
+    the stored object — immune to CPython id() address reuse after a
+    SparkContext restart) and entries keyed to any other gateway are
+    swept on the next access, so the caches cannot grow across
+    restarts."""
+    class DeadGateway:  # stands in for a stopped JVM's gateway
+        pass
+
+    S._EXPR_CACHE["__test_dead"] = (DeadGateway(), ["stale"])
+    S._SCAN_CACHE["__test_dead_path"] = (DeadGateway(), "stale-df")
+    S.cached_exprs("__test_live", lambda: [F.lit(1)])
+    assert "__test_dead" not in S._EXPR_CACHE, "stale expr entry swept"
+    assert "__test_dead_path" not in S._SCAN_CACHE, "stale scan entry swept"
+    # live entries survive the sweep
+    assert "__test_live" in S._EXPR_CACHE
