@@ -67,51 +67,79 @@ GRADE_WINDOW: tuple[str, ...] = (
     # (warehouse audit), qg_returned_items (classic-report top-k),
     # qx_similarity_topk_lsh (ANN LSH, oracle NEW in r4),
     # qx_hll_mergeable_portable (sketch-merge hierarchy, NEW in r4).
-    "q02_emoji_binning", "q07_clean_topics",
-    "q17_author_top_texts", "q17_author_words", "q17_narrative_structure",
-    "q18_describe_style", "q18_structure_normalize",
+    # r5 ROTATION (VERDICT r4 #3): seven rows graded green by the
+    # driver in r2+r3+r4 (thrice-graded) rotate out for seven
+    # never-driver-graded representatives.  Out: q02_emoji_binning
+    # (P5/T15 — the emoji-count expression still grades in-window via
+    # the q26 rewards R3-R5 rows), q04_sample_sizes (B1 — size
+    # contract pytest-pinned; B2-B3 stay via q05_balance_counts),
+    # q17_author_top_texts (A6 — same WindowGroupLimit machinery as
+    # the staying A7 row), q18_structure_normalize (P12 —
+    # judge-sweep + composing q18_describe_style stays),
+    # q23_split_counts (P13/B5/B6 — P13+B6-hash grade via
+    # qe2e_training_mix; B5's plan guard is pytest-pinned),
+    # q26_rewards_sentiment (T9/R8 — rewards family keeps three
+    # in-window rows), qs_last_touch (as-of semantics stay graded via
+    # qx_asof_last_click; streaming keeps 3 rows + new windowed topk).
+    # All seven remain registered and full-sweep checked.
+    # In (never driver-graded): qx_quality_classifier (hashed linear
+    # model gate), qx_semantic_decontamination (embedding decontam),
+    # qx_dedup_ngram_prefix (PPJoin prefix filter),
+    # qx_label_propagation (graph communities), qx_bpe_pair_counts
+    # (BPE trainer stats), qg_top_supplier (classic-report semi-join),
+    # qs_windowed_topk (§2.7 windowed top-k, WindowGroupLimit).
+    "q07_clean_topics",
+    "q17_author_words", "q17_narrative_structure",
+    "q18_describe_style",
     # fan-out, classification, splits, validation (F1, P13-P15, B5-B6, P18)
-    "q22_fanout_pairs", "q23_split_counts",
+    "q22_fanout_pairs",
     "qv_record_validation",
-    # sampling/balancing (B1-B4, A4-A5, J3)
-    "q04_sample_sizes", "q05_balance_counts", "qb4_prefer_downsample",
+    # sampling/balancing (B2-B4, A4-A5, J3)
+    "q05_balance_counts", "qb4_prefer_downsample",
     # training prep (P16, P19-P20)
     "q24_negatives", "q25_chat_template",
-    # rewards (R1-R20, T1, T5-T6, T9)
-    "q26_rewards_scalar", "q26_rewards_textual", "q26_rewards_sentiment",
+    # rewards (R1-R20, T1, T5-T6)
+    "q26_rewards_scalar", "q26_rewards_textual",
     "q26_fabrication",
     # UDAF / UDTF surface (§2.13): exact weighted median GROUPED_AGG;
     # SCD2 interval UDTF
     "qx_weighted_median", "qx_scd2_intervals",
     # whole-pipeline e2e composition (F1+P13+B6-hash+R20)
     "qe2e_training_mix",
-    # streaming §2.12 (window agg, session windows, stateful; as-of
-    # join coverage rides qs_last_touch — conversion_join is its
-    # interval-join front half)
-    "qs_tumbling_engagement", "qs_session_windows", "qs_last_touch",
+    # streaming §2.12 (window agg, session windows; as-of join
+    # coverage rides qx_asof_last_click since the r5 rotation)
+    "qs_tumbling_engagement", "qs_session_windows",
     # streaming near-dup: oracle-checked portable-hash twin of the
     # stateful MinHash/LSH operator (streaming/neardup.py)
     "qs_neardup_pairs_portable",
+    # §2.7 sorts/top-k: per-window top-k via WindowGroupLimit
+    "qs_windowed_topk",
     # LLM stages (P11, A3, §2.13)
     "q06_extract_topic",
     # ML analytics §2.10 (M1/T2/A16; A11)
     "q20_feature_table", "q21_cluster_distribution",
     # star rollups + classic reports (exact fixed-point TPC-H Q1;
-    # Q10-shaped top-20 heap)
+    # Q10-shaped top-20 heap; Q15-shaped top-supplier semi-join)
     "qg_engagement_by_geo", "qg_pricing_summary", "qg_returned_items",
+    "qg_top_supplier",
     # warehouse family (incremental rollup; quantile-bucket RFM;
     # whole-star FK audit)
     "qx_incremental_rollup", "qx_rfm_segments",
     "qx_referential_integrity",
-    # curation family (quality gate; sequence packing)
+    # curation family (quality gate; sequence packing; hashed linear
+    # quality-classifier gate; BPE-trainer pair counts)
     "qx_gopher_quality", "qx_pack_sequences",
-    # graph family
-    "qx_copurchase_pairs",
-    # dedup: exact + near (inverted-index n-gram Jaccard)
-    "qx_dedup_exact", "qx_dedup_ngram_jaccard",
+    "qx_quality_classifier", "qx_bpe_pair_counts",
+    # graph family (co-purchase pairs; label-propagation communities)
+    "qx_copurchase_pairs", "qx_label_propagation",
+    # dedup: exact + near (inverted-index n-gram Jaccard; PPJoin
+    # prefix-filtered twin)
+    "qx_dedup_exact", "qx_dedup_ngram_jaccard", "qx_dedup_ngram_prefix",
     # ANN / similarity (distributed GEMM top-k; hyperplane LSH whose
-    # whole pipeline is SQL-transcribed since r4)
+    # whole pipeline is SQL-transcribed since r4; embedding-based
+    # eval-set decontamination)
     "qx_similarity_topk_gemm", "qx_similarity_topk_lsh",
+    "qx_semantic_decontamination",
     # corpus stats (exact twin of the sketch path; exact-distinct
     # merge-hierarchy twin of the HLL union)
     "qx_corpus_stats", "qx_hll_mergeable_portable",

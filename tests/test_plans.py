@@ -343,7 +343,13 @@ def test_grade_window_is_first_50_with_oracles():
                        "qx_similarity_topk_gemm", "qx_corpus_stats",
                        "qx_asof_last_click",
                        "qmm_media_features", "qg_engagement_by_geo",
-                       "q20_feature_table", "q06_extract_topic"):
+                       "q20_feature_table", "q06_extract_topic",
+                       # r5 rotation: never-driver-graded reps in
+                       "qx_quality_classifier",
+                       "qx_semantic_decontamination",
+                       "qx_dedup_ngram_prefix", "qx_label_propagation",
+                       "qx_bpe_pair_counts", "qg_top_supplier",
+                       "qs_windowed_topk"):
         assert family_rep in GRADE_WINDOW, family_rep
 
 
