@@ -233,7 +233,7 @@ def media_phash(df: DataFrame, content_col: str = "content",
     # (sign bit), so the documented widening path (128/256-bit hashes)
     # must fail loudly until multi-word packing exists (ADVICE r3)
     assert bits <= 63, "single-BIGINT packing holds <= 63 bits; " \
-                       "widen via multiple hash words, not `bits`"
+                       "use media_phash_wide for 128/256-bit hashes"
     payload = F.col(content_col)
     seed = F.md5(payload.cast("binary"))
     blocks = F.transform(
@@ -266,6 +266,106 @@ def media_phash(df: DataFrame, content_col: str = "content",
             .drop("__bvs"))
 
 
+def media_phash_wide(df: DataFrame, content_col: str = "content",
+                     out_col: str = "phash_words", bits: int = 128,
+                     word_bits: int = 32) -> DataFrame:
+    """Multi-word perceptual hash (VERDICT r4 #5): the same portable
+    md5-stream aHash as :func:`media_phash`, packed into an
+    ``array<bigint>`` of ``bits // word_bits`` words instead of one
+    BIGINT — the realistic media-dedup setting (128/256-bit hashes)
+    that the single-word form's ``bits <= 63`` assert refuses.
+
+    Packing: sample p lives in word ``p // word_bits`` at bit
+    ``word_bits-1 - p % word_bits`` (MSB-first within each word, the
+    same shiftleft-accumulate order as the 60-bit form).  The mean
+    test stays integer cross-multiplication over the GLOBAL total of
+    all ``bits`` samples.  ``word_bits <= 60`` keeps every word
+    positive in a signed BIGINT on both engines, so the DuckDB oracle
+    reproduces each word bit-for-bit.
+
+    Scale shape: unchanged from media_phash — a narrow per-row
+    projection, no shuffle; per-word folds run over slices of the ONE
+    materialized sample array (the md5 subtree is never re-inlined;
+    the global total recomputes per word as a cheap long-array sum).
+    """
+    assert bits % word_bits == 0, "bits must divide into whole words"
+    assert word_bits <= 60, "words must stay positive signed BIGINTs"
+    n_words = bits // word_bits
+    payload = F.col(content_col)
+    seed = F.md5(payload.cast("binary"))
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.lit(bits // 16)),
+        lambda c: F.md5(F.concat(seed, F.lit("-"), c.cast("string"))
+                        .cast("binary")))
+
+    def bv(p):
+        block = F.element_at(blocks, (p / 16).cast("int") + 1)
+        return F.conv(F.substring(block, (p % 16) * 2 + 1, F.lit(2)),
+                      16, 10).cast("long")
+
+    bvs = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), bv)
+    out = df.withColumn("__bvs", bvs)
+
+    def word(w: int):
+        # total rides in the fold's accumulator (see media_phash's
+        # CollapseProject note); recomputing it per word is a 128-long
+        # array sum, not an md5 re-evaluation
+        zero = F.struct(
+            F.aggregate("__bvs", F.lit(0).cast("long"),
+                        lambda a, x: a + x).alias("total"),
+            F.lit(0).cast("long").alias("acc"))
+        return F.aggregate(
+            F.slice("__bvs", w * word_bits + 1, word_bits), zero,
+            lambda s, x: F.struct(
+                s.total.alias("total"),
+                F.shiftleft(s.acc, 1).bitwiseOR(
+                    F.when(x * bits > s.total, F.lit(1).cast("long"))
+                     .otherwise(F.lit(0).cast("long"))).alias("acc")),
+            lambda s: s.acc)
+
+    return (out.withColumn(out_col, F.array(*[word(w)
+                                              for w in range(n_words)]))
+            .drop("__bvs"))
+
+
+def phash_neardup_pairs_wide(df: DataFrame, id_col: str = "doc_id",
+                             phash_col: str = "phash_words",
+                             max_hamming: int = 3,
+                             n_words: int = 4) -> DataFrame:
+    """Hamming-near pairs over a MULTI-WORD perceptual hash: the
+    pigeonhole chunks ARE the words — two hashes within
+    ``max_hamming < n_words`` differing bits must share at least one
+    word VERBATIM, so candidates come from a (word_idx, word_value)
+    self equi-join (posexplode of the array), and the exact verify is
+    the summed per-word ``bit_count(xor)`` via ``zip_with`` —
+    everything JVM-native, no UDF, same linear shuffle shape as the
+    single-word form.  This is the widening path the single-BIGINT
+    asserts in media_phash/phash_neardup_pairs point at: chunk width
+    grows with the hash (32 -> 64-bit chunks at 256-bit hashes), so
+    junk-candidate volume ~ n^2 * n_words / 2^word_bits keeps falling
+    as the corpus and hash widen together."""
+    assert max_hamming < n_words, "pigeonhole needs words > hamming"
+    base = (df.select(F.col(id_col).alias("pid"),
+                      F.col(phash_col).alias("ph"))
+            .persist())
+    chunks = base.select(
+        "pid", "ph", F.posexplode("ph").alias("k", "cv"))
+    left = chunks.select(F.col("pid").alias("id1"),
+                         F.col("ph").alias("ph1"), "k", "cv")
+    right = chunks.select(F.col("pid").alias("id2"),
+                          F.col("ph").alias("ph2"), "k", "cv")
+    cand = (left.join(right, ["k", "cv"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "ph1", "ph2").distinct())
+    hamming = F.aggregate(
+        F.zip_with(F.col("ph1"), F.col("ph2"),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))
+
+
 def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                         phash_col: str = "phash",
                         max_hamming: int = 3,
@@ -292,7 +392,7 @@ def phash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     assert max_hamming < n_chunks, "pigeonhole needs chunks > hamming"
     assert bits <= 63, "single-BIGINT hashes hold <= 63 bits; " \
-                       "widen via multiple hash words, not `bits`"
+                       "use phash_neardup_pairs_wide for multi-word hashes"
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     # materialize (id, hash) ONCE before the explode + self-join: the

@@ -145,6 +145,26 @@ def percent_gate(df: DataFrame, sample_percent: float,
     return df.sample(fraction=sample_percent / 100.0, seed=seed)
 
 
+def percent_gate_hash(df: DataFrame, key: Column,
+                      sample_percent: float) -> DataFrame:
+    """B8 scale variant: DETERMINISTIC content-keyed percent gate —
+    keep rows whose md5-bucket (basis points, 10000 buckets for
+    fractional percents) falls below ``sample_percent``.  Same move as
+    :func:`hash_split`: unlike seeded Bernoulli ``df.sample`` (whose
+    draw sequence is partition-order-defined and reshuffles when the
+    input reshards), the gate is a pure function of the key — stable
+    across repartitions, re-runs, engines and incremental appends, and
+    therefore oracle-checkable bit-for-bit in DuckDB as
+    ``('0x' || substr(md5(key), 1, 8))::BIGINT % 10000 < pct*100``."""
+    if sample_percent >= 100:
+        return df
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string").cast("binary")),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(10000))
+    return df.filter(bucket < F.lit(int(round(sample_percent * 100))))
+
+
 def top_n_per_group(df: DataFrame, keys: list[str], order: list[Column],
                     n: int) -> DataFrame:
     """A6: keep the top-N rows per group under a deterministic order

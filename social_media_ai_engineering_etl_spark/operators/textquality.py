@@ -346,8 +346,30 @@ def heavy_hitters_exact(df, text_col: str, k: int = 20) -> "DataFrame":
             .limit(k))
 
 
+def _cms_cell(col: Column, d: int, seed: int, width: int,
+              portable: bool) -> Column:
+    """Bucket of hash row ``d`` for one item.  Default family is
+    xxhash64(item, seed+d) — the production path.  ``portable=True``
+    swaps in the md5-prefix 60-bit hash of ``"{seed+d}:" || item``
+    (dedup.portable_hash60), which DuckDB reproduces bit-for-bit as
+    ``('0x' || substr(md5((seed+d)::VARCHAR || ':' || item), 1, 15))::
+    BIGINT % width`` — the seam that makes a CMS estimate
+    ORACLE-CHECKABLE (qx_heavy_hitters_cms, qx_lm_familiarity_cms)
+    instead of rows-only.  Same pairwise-independence story (md5 mixes
+    at least as well as xxhash64); ~2x per-item cost, so production
+    keeps xxhash64."""
+    if portable:
+        from .dedup import portable_hash60
+        h = portable_hash60(
+            F.concat(F.lit(f"{seed + d}:"), col).cast("binary"))
+    else:
+        h = F.xxhash64(col, F.lit(seed + d))
+    return F.pmod(h, F.lit(width))
+
+
 def cms_sketch(df, text_col: str, depth: int = 5,
-               width: int = 8192, seed: int = 42) -> "DataFrame":
+               width: int = 8192, seed: int = 42,
+               portable: bool = False) -> "DataFrame":
     """Count-min sketch (Cormode/Muthukrishnan 2005) as a MERGEABLE
     counter table, not an opaque driver-side object: one row per
     non-empty (row, bucket) cell, ``cnt`` = number of token
@@ -368,8 +390,8 @@ def cms_sketch(df, text_col: str, depth: int = 5,
             .filter(F.col("token") != ""))
     rows = F.explode(F.array(*[
         F.struct(F.lit(d).alias("row"),
-                 F.pmod(F.xxhash64(F.col("token"), F.lit(seed + d)),
-                        F.lit(width)).alias("bucket"))
+                 _cms_cell(F.col("token"), d, seed, width, portable)
+                 .alias("bucket"))
         for d in range(depth)])).alias("rb")
     return (toks.select(rows)
             .select(F.col("rb.row").alias("row"),
@@ -389,7 +411,8 @@ def cms_merge(*sketches: "DataFrame") -> "DataFrame":
 
 def cms_estimate(sketch: "DataFrame", items: "DataFrame",
                  item_col: str = "token", depth: int = 5,
-                 width: int = 8192, seed: int = 42) -> "DataFrame":
+                 width: int = 8192, seed: int = 42,
+                 portable: bool = False) -> "DataFrame":
     """Point-estimate counts for candidate items against a sketch
     table: re-hash each item into its depth cells, join the
     (item, row, bucket) probe rows to the counter table, take the MIN
@@ -403,8 +426,8 @@ def cms_estimate(sketch: "DataFrame", items: "DataFrame",
         F.col(item_col).alias("token"),
         F.explode(F.array(*[
             F.struct(F.lit(d).alias("row"),
-                     F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + d)),
-                            F.lit(width)).alias("bucket"))
+                     _cms_cell(F.col(item_col), d, seed, width, portable)
+                     .alias("bucket"))
             for d in range(depth)])).alias("rb")) \
         .select("token", F.col("rb.row").alias("row"),
                 F.col("rb.bucket").alias("bucket"))
@@ -464,7 +487,8 @@ def lm_familiarity(df, id_col: str, text_col: str):
 
 
 def lm_familiarity_cms(df, id_col: str, text_col: str, depth: int = 5,
-                       width: int = 8192, seed: int = 42):
+                       width: int = 8192, seed: int = 42,
+                       portable: bool = False):
     """Fixed-size-model twin of :func:`lm_familiarity` — the 100 TB
     path: bigram counts live in a count-min sketch (depth*width cells,
     bounded regardless of corpus size) that BROADCASTS to every
@@ -481,15 +505,15 @@ def lm_familiarity_cms(df, id_col: str, text_col: str, depth: int = 5,
                    .alias("pos", "g"))
     sketch = (bg.select(F.explode(F.array(*[
         F.struct(F.lit(d).alias("row"),
-                 F.pmod(F.xxhash64(F.col("g"), F.lit(seed + d)),
-                        F.lit(width)).alias("bucket"))
+                 _cms_cell(F.col("g"), d, seed, width, portable)
+                 .alias("bucket"))
         for d in range(depth)])).alias("rb"))
         .select("rb.row", "rb.bucket")
         .groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
     probes = bg.select("id", "pos", F.explode(F.array(*[
         F.struct(F.lit(d).alias("row"),
-                 F.pmod(F.xxhash64(F.col("g"), F.lit(seed + d)),
-                        F.lit(width)).alias("bucket"))
+                 _cms_cell(F.col("g"), d, seed, width, portable)
+                 .alias("bucket"))
         for d in range(depth)])).alias("rb")) \
         .select("id", "pos", F.col("rb.row").alias("row"),
                 F.col("rb.bucket").alias("bucket"))

@@ -255,12 +255,63 @@ def qx_embedding_dedup_pairs(spark, sf_dir):
         threshold=0.4).orderBy("id1", "id2")
 
 
-@register("qx_embedding_dedup_pairs_lsh")
+def _lsh_pairs_oracle_sql(num_planes: int = 2, num_tables: int = 24,
+                          dim: int = 64, seed: int = 42,
+                          threshold: float = 0.4) -> str:
+    """DuckDB transcription of the FULL embedding_pairs_lsh pipeline
+    (VERDICT r4 #4, the portable-twin pattern of _lsh_oracle_sql):
+    the deterministic LCG hyperplanes are inlined as literal DOUBLE[]
+    arrays, so sign-bit bucketing, the multi-table candidate union
+    (DISTINCT id1 < id2 colliding in ANY table) and the exact cosine
+    verification replay with bit-identical constants.  Cosines are
+    computed once per DISTINCT pair (not per collision) so the oracle
+    stays O(pairs), matching the engine's narrow post-bucket verify."""
+    planes = similarity.hyperplane_planes(
+        dim, num_planes * num_tables, seed)
+
+    def bucket(vcol: str, t: int) -> str:
+        bits = []
+        for i in range(num_planes):
+            arr = "[" + ",".join(repr(x) for x in planes[t * num_planes + i]) \
+                + "]::DOUBLE[]"
+            bits.append(f"(CASE WHEN list_dot_product({vcol}, {arr}) >= 0 "
+                        f"THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    vb = ",\n       ".join(f"{bucket('v', t)} AS b{t}"
+                           for t in range(num_tables))
+    blist = "[" + ", ".join(f"b{t}" for t in range(num_tables)) + "]"
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+bk AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+       {vb}
+        FROM v),
+p AS (SELECT id, i - 1 AS t, bs[i] AS b
+      FROM (SELECT *, {blist} AS bs FROM bk),
+           generate_series(1, {num_tables}) s(i)),
+cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+         FROM p a JOIN p b ON a.t = b.t AND a.b = b.b AND a.id < b.id),
+scored AS (
+    SELECT cand.id1, cand.id2,
+           CASE WHEN x.n * y.n > 0
+                THEN list_dot_product(x.v, y.v) / (x.n * y.n)
+                ELSE 0.0 END AS cos
+    FROM cand JOIN bk x ON cand.id1 = x.id JOIN bk y ON cand.id2 = y.id
+)
+SELECT id1, id2, round(cos, 6) AS cosine_sim
+FROM scored WHERE cos >= {threshold} ORDER BY id1, id2
+"""
+
+
+@register("qx_embedding_dedup_pairs_lsh", oracle=_lsh_pairs_oracle_sql())
 def qx_embedding_dedup_pairs_lsh(spark, sf_dir):
     """Embedding near-dup pairs via hyperplane-LSH candidate buckets +
     exact cosine verification of candidates — the sublinear scale path.
-    Rows-only by design (recall < 1 is the point); the recall-vs-exact
-    contract lives in tests/test_dedup.py."""
+    Oracle-checked end to end since r5 (_lsh_pairs_oracle_sql inlines
+    the LCG planes into DuckDB, replaying bucket generation, the
+    multi-table candidate union and the cosine verify); the
+    recall-vs-exact contract additionally lives in tests/test_dedup.py."""
     return similarity.embedding_pairs_lsh(
         _emb_narrow(spark, sf_dir), "vec_id", "embedding",
         threshold=0.4).orderBy("id1", "id2")
@@ -483,16 +534,58 @@ def qx_lm_familiarity(spark, sf_dir):
             .orderBy("id"))
 
 
-@register("qx_lm_familiarity_cms")
+# DuckDB mirror of textquality._cms_cell(portable=True): 60-bit
+# md5-prefix hash of "{seed+d}:item", mod width (seed 42, width 8192)
+_CMS_CELL = ("('0x' || substr(md5((42 + {d})::VARCHAR || ':' || {col}), "
+             "1, 15))::BIGINT % 8192")
+
+_LM_FAMILIARITY_CMS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+), bg AS (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'g': w[i] || ' ' || w[i+1]}}
+                   for i in generate_series(1, len(w) - 1)],
+                  recursive := true)
+    FROM toks
+), cells AS (
+    SELECT d, {_CMS_CELL.format(d='d', col='g')} AS bucket,
+           count(*) AS cnt
+    FROM bg, generate_series(0, 4) s2(d)
+    GROUP BY 1, 2
+), probes AS (
+    SELECT bg.doc_id, bg.pos, s2.d,
+           {_CMS_CELL.format(d='s2.d', col='bg.g')} AS bucket
+    FROM bg, generate_series(0, 4) s2(d)
+), est AS (
+    SELECT p.doc_id, p.pos, min(coalesce(c.cnt, 0)) AS est
+    FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+    GROUP BY p.doc_id, p.pos
+)
+SELECT doc_id AS id, count(*) AS n_bigrams,
+       round(sum(length(printf('%b', greatest(est, 1))))::DOUBLE
+             / count(*), 6) AS familiarity
+FROM est GROUP BY doc_id ORDER BY id
+"""
+
+
+@register("qx_lm_familiarity_cms", oracle=_LM_FAMILIARITY_CMS_SQL)
 def qx_lm_familiarity_cms(spark, sf_dir):
     """Fixed-size-model familiarity twin: bigram counts in a broadcast
     count-min sketch (depth*width cells regardless of corpus size) —
     the 100 TB shape where the exact count table would be corpus-sized.
-    Rows-only (sketch cells are xxhash64-placed); the pytest contract
-    bounds drift vs the exact familiarity (CMS only over-counts)."""
+    Oracle-checked since r5 via the portable md5-prefix cell hash
+    (textquality._cms_cell): DuckDB rebuilds the identical sketch and
+    per-occurrence min-estimates, so the bit-length familiarity score
+    is value-hash verified including every CMS collision.  The pytest
+    contract additionally bounds drift vs the exact familiarity (CMS
+    only over-counts); the xxhash64 family stays the production
+    default."""
     docs = _docs(spark, sf_dir).filter(
         F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 2)
-    return (textquality.lm_familiarity_cms(docs, "doc_id", "text")
+    return (textquality.lm_familiarity_cms(docs, "doc_id", "text",
+                                           portable=True)
             .orderBy("id"))
 
 
@@ -910,6 +1003,75 @@ def qmm_media_neardup(spark, sf_dir):
             .orderBy("id1", "id2"))
 
 
+@register("qmm_media_neardup_wide", oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 50 = 0
+), hx AS (
+    SELECT doc_id, md5(text) AS seed FROM corpus
+), bytes AS (
+    SELECT doc_id, CAST(p AS INT) AS pos,
+           (strpos('0123456789abcdef',
+                   substr(md5(seed || '-' || CAST(p // 16 AS VARCHAR)),
+                          CAST(2 * (p % 16) + 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(seed || '-' || CAST(p // 16 AS VARCHAR)),
+                            CAST(2 * (p % 16) + 2 AS INT), 1)) - 1) AS bv
+    FROM hx, range(128) t(p)
+), tot AS (
+    SELECT doc_id, CAST(sum(bv) AS BIGINT) AS total
+    FROM bytes GROUP BY doc_id
+), words AS (
+    SELECT b.doc_id, CAST(b.pos // 32 AS INT) AS k,
+           CAST(sum(CASE WHEN b.bv * 128 > t.total
+                         THEN (CAST(1 AS BIGINT)
+                               << CAST(31 - (b.pos % 32) AS INT))
+                         ELSE 0 END) AS BIGINT) AS cv
+    FROM bytes b JOIN tot t ON t.doc_id = b.doc_id
+    GROUP BY 1, 2
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM words a JOIN words b
+      ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id
+), ham AS (
+    SELECT c.id1, c.id2,
+           CAST(sum(bit_count(xor(w1.cv, w2.cv))) AS INT) AS hamming
+    FROM cand c
+    JOIN words w1 ON w1.doc_id = c.id1
+    JOIN words w2 ON w2.doc_id = c.id2 AND w2.k = w1.k
+    GROUP BY 1, 2
+)
+SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
+ORDER BY id1, id2
+""")
+def qmm_media_neardup_wide(spark, sf_dir):
+    """128-bit perceptual near-dup (VERDICT r4 #5) — the realistic
+    media-dedup hash width the single-BIGINT form's ``bits <= 63``
+    assert refuses: media_phash_wide packs the same portable md5
+    aHash stream into FOUR 32-bit words (array<bigint>), the
+    pigeonhole chunks ARE the words (hamming <= 3 < 4 words -> one
+    word shared verbatim), and the verify is the summed per-word
+    bit_count(xor) via zip_with.  Same planted 2% re-ingested shard
+    as qmm_media_neardup; the oracle transcribes the stream, global
+    mean test, per-word MSB-first packing, word-level blocking AND
+    the multi-word hamming — end-to-end value-hash checked."""
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + 1000000000).alias("doc_id"),
+                    "text"))
+    media = mm.attach_fake_media(corpus)
+    hashed = mm.media_phash_wide(media, content_col="content",
+                                 bits=128, word_bits=32)
+    return (mm.phash_neardup_pairs_wide(hashed, id_col="doc_id",
+                                        phash_col="phash_words",
+                                        max_hamming=3, n_words=4)
+            .withColumn("hamming", F.col("hamming").cast("int"))
+            .orderBy("id1", "id2"))
+
+
 @register("qx_similarity_topk_ivf")
 def qx_similarity_topk_ivf(spark, sf_dir):
     """IVF-partitioned approximate top-5 (KMeans cells + n_probe=6
@@ -1127,18 +1289,47 @@ def qx_heavy_hitters(spark, sf_dir):
     return textquality.heavy_hitters_exact(_docs(spark, sf_dir), "text", k=20)
 
 
-@register("qx_heavy_hitters_cms")
+_HEAVY_HITTERS_CMS_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+), tk AS (SELECT token FROM tok WHERE token <> ''),
+cells AS (
+    SELECT d, {_CMS_CELL.format(d='d', col='token')} AS bucket,
+           count(*) AS cnt
+    FROM tk, generate_series(0, 4) s(d)
+    GROUP BY 1, 2
+), exact AS (
+    SELECT token, count(*) AS cnt FROM tk GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 20
+), probes AS (
+    SELECT e.token, e.cnt, s.d,
+           {_CMS_CELL.format(d='s.d', col='e.token')} AS bucket
+    FROM exact e, generate_series(0, 4) s(d)
+)
+SELECT p.token, p.cnt, min(coalesce(c.cnt, 0)) AS est_cnt
+FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.token, p.cnt ORDER BY p.cnt DESC, p.token
+"""
+
+
+@register("qx_heavy_hitters_cms", oracle=_HEAVY_HITTERS_CMS_SQL)
 def qx_heavy_hitters_cms(spark, sf_dir):
     """Count-min-sketch estimates for the exact top-20 tokens: build
     the mergeable (row, bucket, cnt) counter table (depth 5 x width
     8192, bounded size regardless of corpus), then broadcast-probe the
-    candidates and take the min counter per token. Rows-only for the
-    driver (xxhash64 cells are engine-specific); the pytest contract
-    asserts est >= exact and est <= exact + eps*N."""
+    candidates and take the min counter per token.  Oracle-checked
+    since r5 (VERDICT r4 #4): the registered query uses the PORTABLE
+    md5-prefix hash family (textquality._cms_cell portable=True), so
+    DuckDB rebuilds the identical counter table and min-estimates —
+    every cell placement, collision and over-count is value-hash
+    verified.  The xxhash64 production family keeps the pytest
+    error-bound contract (est >= exact, est <= exact + eps*N)."""
     docs = _docs(spark, sf_dir)
-    sketch = textquality.cms_sketch(docs, "text")
+    sketch = textquality.cms_sketch(docs, "text", portable=True)
     hitters = textquality.heavy_hitters_exact(docs, "text", k=20)
-    return (textquality.cms_estimate(sketch, hitters, "token")
+    return (textquality.cms_estimate(sketch, hitters, "token",
+                                     portable=True)
             .join(hitters, "token")
             .select("token", "cnt", "est_cnt")
             .orderBy(F.col("cnt").desc(), F.col("token").asc()))

@@ -506,13 +506,23 @@ def qb7_hash_split(spark, sf_dir):
             .orderBy("split"))
 
 
-@register("qb8_percent_sample")
+@register("qb8_percent_sample", oracle="""
+SELECT count(*) AS n_sampled, count(DISTINCT doc_id) AS n_distinct
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 2500
+""")
 def qb8_percent_sample(spark, sf_dir):
-    """B8 (17:783-786): percent sampling gate as df.sample(pct, seed).
-    Rows-only (Bernoulli size varies); contract tests assert bounds +
-    determinism."""
-    sampled = _docs(spark, sf_dir).sample(fraction=0.25, seed=42)
-    return sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    """B8 (17:783-786): 25% sampling gate — registered on the
+    deterministic md5 hash-gate (sampling.percent_gate_hash, VERDICT
+    r4 #4) so the kept set is a pure function of doc_id and the gate
+    is oracle-checkable bit-for-bit; the reference's seeded Bernoulli
+    ``df.sample`` form survives as sampling.percent_gate with its
+    bounds+determinism pytest contract."""
+    docs = _docs(spark, sf_dir)
+    sampled = sampling.percent_gate_hash(docs, F.col("doc_id"), 25.0)
+    return sampled.agg(F.count(F.lit(1)).alias("n_sampled"),
+                       F.count_distinct(F.col("doc_id"))
+                       .alias("n_distinct"))
 
 
 # --------------------------------------------------------------------------

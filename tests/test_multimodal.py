@@ -231,3 +231,79 @@ def test_decode_media_roundtrips_synthetic_headers(spark, sf_dir):
         else:
             assert dec["format"] == "avi"
             assert dec["n_frames"] == 24 + d % 240
+
+
+def test_media_phash_wide_matches_python_reference(spark):
+    """The 128-bit multi-word phash equals a pure-python transcription
+    (same md5 stream, GLOBAL mean over all 128 samples, per-word
+    MSB-first packing into four 32-bit words)."""
+    import hashlib
+
+    from social_media_ai_engineering_etl_spark.operators import (
+        multimodal as mm,
+    )
+
+    def ref(txt: str, bits: int = 128, word_bits: int = 32) -> list[int]:
+        seed = hashlib.md5(txt.encode()).hexdigest()
+        bvs = [int(hashlib.md5(f"{seed}-{p // 16}".encode())
+                   .hexdigest()[2 * (p % 16):2 * (p % 16) + 2], 16)
+               for p in range(bits)]
+        total = sum(bvs)
+        words = []
+        for w in range(bits // word_bits):
+            acc = 0
+            for bv in bvs[w * word_bits:(w + 1) * word_bits]:
+                acc = (acc << 1) | (1 if bv * bits > total else 0)
+            words.append(acc)
+        return words
+
+    texts = ["hello world", "different text", "", "x", "hello world "]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "content"])
+    got = {r["doc_id"]: list(r["phash_words"])
+           for r in mm.media_phash_wide(df).collect()}
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+    # every word fits a positive signed BIGINT (the portability seam)
+    assert all(0 <= w < (1 << 32) for ws in got.values() for w in ws)
+
+
+def test_phash_neardup_wide_finds_near_misses_not_far(spark):
+    """Word-level pigeonhole over 128-bit (4x32) signatures: pairs at
+    total hamming 1 and 3 found, 4 and far not — including a distance-3
+    pair whose flips SPAN THREE different words (the case that forces
+    the summed multi-word verify; a single-word hamming would
+    undercount it)."""
+    import itertools
+
+    from social_media_ai_engineering_etl_spark.operators import (
+        multimodal as mm,
+    )
+    base = [0xB1C5B15A, 0x5B5A6D2C, 0x1E4D3A90, 0x7F00A5C3]
+
+    def flip(ws, *bits):
+        out = list(ws)
+        for b in bits:
+            out[b // 32] ^= 1 << (31 - b % 32)
+        return out
+
+    rows = [
+        (1, base),
+        (2, flip(base, 5)),            # hamming 1 -> pair
+        (3, flip(base, 3, 40, 100)),   # hamming 3 across 3 words -> pair
+        (4, flip(base, 0, 33, 66, 99)),  # hamming 4, one per word -> no
+        (5, [w ^ 0x0AAAAAAA for w in base]),  # far -> no
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ph array<bigint>")
+    got = sorted((r["id1"], r["id2"], r["hamming"])
+                 for r in mm.phash_neardup_pairs_wide(
+                     df, phash_col="ph").collect())
+    h = {i: ws for i, ws in rows}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(h[a], h[b]))
+
+    exp = sorted((a, b, ham(a, b))
+                 for a, b in itertools.combinations(sorted(h), 2)
+                 if ham(a, b) <= 3)
+    assert got == exp
+    assert (1, 2, 1) in got and (1, 3, 3) in got

@@ -175,3 +175,23 @@ def test_priority_sample_weight_proportional_and_stable(spark):
     plan = priority_sample(df, F.col("id"), F.col("w"), 21) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_percent_gate_hash_deterministic_and_reshard_stable(spark, sf_dir):
+    """B8 hash-gate (r5): kept set is a pure function of the key —
+    identical across re-runs AND repartitions (where seeded Bernoulli
+    sample shifts), rate within a generous band of the target."""
+    import os as _os
+    from social_media_ai_engineering_etl_spark.operators import sampling
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    kept = sampling.percent_gate_hash(docs, F.col("doc_id"), 25.0)
+    ids_a = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in sampling.percent_gate_hash(
+        docs.repartition(7), F.col("doc_id"), 25.0)
+        .select("doc_id").collect()}
+    assert ids_a == ids_b, "reshard must not change the kept set"
+    total = docs.count()
+    assert 0.1 <= len(ids_a) / total <= 0.4
+    # 100% is a no-op
+    assert sampling.percent_gate_hash(
+        docs, F.col("doc_id"), 100.0).count() == total
