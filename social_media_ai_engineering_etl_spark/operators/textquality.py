@@ -676,7 +676,9 @@ def quality_model_weights(spark, n_buckets: int = 4096):
 
 
 def linear_quality_score(df: DataFrame, id_col: str, text_col: str,
-                         n_buckets: int = 4096) -> DataFrame:
+                         n_buckets: int = 4096,
+                         weights: DataFrame | None = None,
+                         intercept_milli: int = 0) -> DataFrame:
     """fastText-shaped document quality gate: hash each whitespace
     token into one of ``n_buckets`` feature buckets (portable 60-bit
     md5 hash — DuckDB computes the identical bucket), BROADCAST-join
@@ -690,6 +692,16 @@ def linear_quality_score(df: DataFrame, id_col: str, text_col: str,
     At 100 TB the model table (even fastText's 2M buckets x 1 weight)
     broadcasts in single-digit MB; tokens flow map-side through the
     join, so cost is linear in corpus tokens.
+
+    ``weights`` is the trained-model swap-in seam: pass the
+    (bucket, w_milli) table exported by
+    :func:`train_quality_classifier` (plus its ``intercept_milli``)
+    and the gate scores with the REAL model — identical plan, the
+    broadcast side just changes provenance.  Default stays the
+    deterministic stand-in so the oracle row keeps hashing.  The
+    trained path left-joins (unseen buckets carry weight 0, exactly
+    LR's view of features it never saw); the stand-in path keeps the
+    inner join (every bucket has a weight by construction).
     """
     from .dedup import portable_hash60
 
@@ -700,10 +712,78 @@ def linear_quality_score(df: DataFrame, id_col: str, text_col: str,
     tok = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
     tok = tok.withColumn(
         "bucket", F.pmod(portable_hash60(F.col("t")), F.lit(n_buckets)))
-    w = quality_model_weights(spark, n_buckets)
-    return (tok.join(F.broadcast(w), "bucket")
+    trained = weights is not None
+    w = weights if trained else quality_model_weights(spark, n_buckets)
+    joined = tok.join(F.broadcast(w), "bucket", "left" if trained else "inner")
+    return (joined
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.sum("w_milli").alias("logit_milli"))
+                 (F.sum(F.coalesce(F.col("w_milli"), F.lit(0)))
+                  + F.lit(int(intercept_milli))).alias("logit_milli"))
             .withColumn("kept",
                         (F.col("logit_milli") > 0).cast("int")))
+
+
+def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
+                             label_col: str, n_buckets: int = 4096,
+                             max_iter: int = 50, reg_param: float = 0.0,
+                             seed_note: str = "deterministic"):
+    """Train the REAL model behind :func:`linear_quality_score`
+    (VERDICT r4 #6): MLlib LogisticRegression over the EXACT feature
+    space the gate scores — portable-md5-hashed bag-of-words counts in
+    ``n_buckets`` buckets — exported as the integer milli-weight table
+    the gate broadcasts.
+
+    Featurization is JVM-native end to end (no Python UDF): explode
+    tokens -> bucket counts per doc -> ``map_from_entries`` scatter
+    into a dense ``n_buckets`` array -> ``array_to_vector``.  Dense
+    vectors bound the training input to n_docs x n_buckets doubles —
+    training runs on a bounded labeled SAMPLE by design (fastText
+    practice: the 100 TB corpus is gated, only thousands-to-millions
+    of labeled rows are fit), so the dense form is the simple right
+    shape; the gate itself never materializes vectors.
+
+    Returns ``(weights_df, intercept_milli, model)``: weights_df is
+    (bucket, w_milli) for the NONZERO coefficients (w_milli =
+    round(coef * 1000) — the same integer milli-unit contract as the
+    stand-in table, so the exact-BIGINT logit property carries over;
+    quantization moves the boundary by < 0.001 per token, an
+    irrelevance next to LR's own margin).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from .dedup import portable_hash60
+
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "")
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.col(label_col).alias("label"),
+                    F.explode(toks).alias("t"))
+    tok = tok.withColumn(
+        "bucket", F.pmod(portable_hash60(F.col("t")), F.lit(n_buckets)))
+    counts = (tok.groupBy("id", "label", "bucket")
+              .agg(F.count(F.lit(1)).alias("c")))
+    grouped = (counts.groupBy("id", "label")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("bucket", "c"))).alias("m")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("m"), i.cast("long")), F.lit(0))
+        .cast("double"))
+    train = grouped.select(
+        "id", F.col("label").cast("double").alias("label"),
+        array_to_vector(dense).alias("features"))
+    model = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                               featuresCol="features",
+                               labelCol="label").fit(train)
+    w_milli = [(b, int(round(float(c) * 1000)))
+               for b, c in enumerate(model.coefficients)]
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in w_milli if w != 0],
+        "bucket long, w_milli long")
+    intercept_milli = int(round(float(model.intercept) * 1000))
+    return weights, intercept_milli, model

@@ -1117,3 +1117,54 @@ def qx_quality_classifier(spark, sf_dir):
     return (textquality.linear_quality_score(
         _docs(spark, sf_dir), "doc_id", "text", n_buckets=4096)
         .orderBy("id"))
+
+
+def _planted_quality_labels(docs):
+    """Planted training fixture for the REAL classifier (VERDICT r4
+    #6): every 5th doc gets a spam-token prefix and label 0, the rest
+    label 1 — the same derive-inject convention as _langid_derive, so
+    the learnable signal (spam vocabulary) is known and an AUC floor
+    is a meaningful contract, not a coin flip."""
+    d = F.col("doc_id") % 5
+    spam = "click here free offer winner cash prize buy now limited "
+    return docs.select(
+        "doc_id",
+        F.when(d == 0, F.concat(F.lit(spam), F.col("text")))
+         .otherwise(F.col("text")).alias("text"),
+        F.when(d == 0, F.lit(0)).otherwise(F.lit(1)).alias("label"))
+
+
+@register("qm_quality_classifier_train")
+def qm_quality_classifier_train(spark, sf_dir):
+    """Train the quality classifier FOR REAL (MLlib
+    LogisticRegression over the portable-hashed bucket features),
+    export the integer milli-weight table through the documented
+    swap-in seam, re-score the corpus with the TRAINED gate, and
+    report the training summary: AUC, gate accuracy vs the planted
+    labels, model size.  Rows-only (LR is iterative float); the AUC
+    and accuracy floors are pinned in tests/test_textquality.py.
+    qx_quality_classifier keeps the deterministic stand-in weights so
+    its oracle row still hashes."""
+    from ..operators import textquality
+    labeled = _planted_quality_labels(_docs(spark, sf_dir))
+    weights, intercept_milli, model = \
+        textquality.train_quality_classifier(
+            labeled, "doc_id", "text", "label", n_buckets=4096)
+    scored = textquality.linear_quality_score(
+        labeled, "doc_id", "text", n_buckets=4096,
+        weights=weights, intercept_milli=intercept_milli)
+    acc = (scored.join(labeled.select(F.col("doc_id").alias("id"),
+                                      "label"), "id")
+           .agg(F.avg((F.col("kept") == F.col("label")).cast("double"))
+                .alias("gate_accuracy"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+                .alias("n_spam")))
+    auc = float(model.summary.areaUnderROC)
+    n_w = weights.count()
+    return acc.select(
+        "n_docs", "n_spam",
+        F.round(F.lit(auc), 4).alias("auc"),
+        F.round("gate_accuracy", 4).alias("gate_accuracy"),
+        F.lit(n_w).cast("long").alias("n_nonzero_weights"),
+        F.lit(int(intercept_milli)).cast("long").alias("intercept_milli"))

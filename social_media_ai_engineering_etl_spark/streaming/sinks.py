@@ -113,6 +113,16 @@ def _atomic_snapshot_write(merged: DataFrame, path: str,
     partial dir), a crash after it is already durable."""
     snap_root = path + ".__snapshots__"
     snap = os.path.join(snap_root, f"b{batch_id}")
+    # duplicate-epoch re-delivery (r5, found by the redelivery test):
+    # when batch N already COMMITTED to the table, a replay of N reads
+    # the live snapshot bN while writing bN — overwrite deletes the
+    # files mid-read (FAILED_READ_FILE).  Replay attempts therefore
+    # write to a fresh attempt-suffixed dir; the repoint + prune below
+    # retires the superseded one.
+    attempt = 0
+    while os.path.exists(snap):
+        attempt += 1
+        snap = os.path.join(snap_root, f"b{batch_id}.r{attempt}")
     merged.write.mode("overwrite").parquet(snap)
     if os.path.exists(path) and not os.path.islink(path):
         # legacy real-directory table: migrate to the symlink scheme

@@ -707,7 +707,10 @@ def test_upsert_sink_crash_windows_never_truncate_live_table(spark,
     # superseded snapshot pruned, temp link gone
     assert not os.path.lexists(out + ".__repoint__")
     snaps = os.listdir(out + ".__snapshots__")
-    assert snaps == ["b1"]
+    # the partial b1 dir existed, so the replay wrote the attempt-
+    # suffixed b1.r1 and the prune retired the garbage b1
+    assert snaps == ["b1.r1"]
+    assert os.path.basename(os.path.realpath(out)).startswith("b1")
 
 
 def test_stickiness_hll_tracks_exact_within_error(spark, sf_dir):
@@ -1004,3 +1007,80 @@ def test_streaming_drift_equals_batch_chisq(spark, sf_dir, tmp_path):
     again = drift_vs_reference(spark, out, ref).toPandas() \
         .sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(again, want[again.columns])
+
+
+def test_upsert_sink_exactly_once_under_real_epoch_redelivery(
+        spark, tmp_path):
+    """VERDICT r4 #8, duplicate-replay proof against a REAL streaming
+    query: run a checkpointed two-batch file stream into the
+    idempotent sink, then delete the last epoch's commit marker from
+    the checkpoint and restart — Structured Streaming re-executes that
+    epoch (same batch id, same rows re-delivered), and the table must
+    be byte-identical to the pre-tamper exactly-once result."""
+    import shutil
+
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        upsert_parquet_sink)
+
+    src = str(tmp_path / "src")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string")
+    rows.filter(F.col("k") < 10).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    rows.filter(F.col("k") >= 10).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (spark.readStream.schema(rows.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(upsert_parquet_sink(out, ["k"]))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    want = sorted(map(tuple, spark.read.parquet(out)
+                      .select("k", "v").collect()))
+    assert want == [(i, f"v{i}") for i in range(20)]
+
+    # tamper: drop the newest commit marker -> the engine considers
+    # that epoch uncommitted and REPLAYS it on restart (the crash-
+    # between-sink-and-commit window)
+    commits = os.path.join(ckpt, "commits")
+    epochs = [f for f in os.listdir(commits) if f.isdigit()]
+    last = max(epochs, key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("k", "v").collect()))
+    assert got == want, "re-delivered epoch must have exactly-once effect"
+
+
+def test_upsert_sink_replay_replaces_partial_failed_attempt(spark,
+                                                            tmp_path):
+    """The harder replay case: the FAILED attempt of an epoch wrote a
+    partial/garbled subset before dying; the re-delivered epoch (same
+    batch id, full rows) must REPLACE everything the failed attempt
+    wrote — no stacking, no orphaned rows from the dead attempt."""
+    from social_media_ai_engineering_etl_spark.streaming.sinks import (
+        upsert_parquet_sink)
+
+    out = str(tmp_path / "tbl")
+    sink = upsert_parquet_sink(out, ["k"])
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    # failed attempt of batch 1: wrote only part of the batch, and a
+    # row (k=9) the recomputed batch will NOT contain
+    sink(spark.createDataFrame([(3, "c-part"), (9, "ghost")],
+                               "k long, v string"), 1)
+    # re-delivery of batch 1, full contents
+    sink(spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string"), 1)
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("k", "v").collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")], got

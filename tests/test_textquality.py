@@ -144,3 +144,35 @@ def test_containment_bounded_and_symmetric_id_order(contain_docs):
                threshold=0.0).collect()}
     for r in rows:
         assert r["containment"] >= jac.get((r["id1"], r["id2"]), 0.0) - 1e-9
+
+
+def test_quality_classifier_training_learns_planted_spam(spark, sf_dir):
+    """VERDICT r4 #6: MLlib LR fit on the portable-hashed bucket
+    features must actually LEARN the planted spam vocabulary — AUC and
+    trained-gate accuracy floors, milli-weight export contract, and
+    the swap-in seam scoring with the trained table."""
+    from social_media_ai_engineering_etl_spark.operators import textquality
+    import os
+    from social_media_ai_engineering_etl_spark.queries.curation import (
+        _planted_quality_labels)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    labeled = _planted_quality_labels(docs)
+    weights, intercept_milli, model = \
+        textquality.train_quality_classifier(
+            labeled, "doc_id", "text", "label", n_buckets=4096)
+    assert float(model.summary.areaUnderROC) >= 0.95
+    # exported table honors the stand-in's schema contract
+    assert weights.schema.simpleString() == \
+        "struct<bucket:bigint,w_milli:bigint>"
+    assert isinstance(intercept_milli, int)
+    # trained gate separates the planted classes through the SAME
+    # operator the stand-in uses (the documented swap-in seam)
+    scored = textquality.linear_quality_score(
+        labeled, "doc_id", "text", n_buckets=4096,
+        weights=weights, intercept_milli=intercept_milli)
+    acc = (scored.join(labeled.select(F.col("doc_id").alias("id"),
+                                      "label"), "id")
+           .agg(F.avg((F.col("kept") == F.col("label"))
+                      .cast("double")).alias("a")).collect()[0]["a"])
+    assert acc >= 0.9, acc
