@@ -417,9 +417,29 @@ def banded_rows(sig: DataFrame, num_hashes: int, bands: int,
 
 
 def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
-                             bands: int) -> DataFrame:
-    """Banded bucket join over a precomputed (id, sig) table."""
+                             bands: int,
+                             max_bucket: int | None = None) -> DataFrame:
+    """Banded bucket join over a precomputed (id, sig) table.
+
+    ``max_bucket`` is the HOT-BUCKET guard (r5 skew probe): a cluster
+    of m near-identical documents maps to ONE bucket in EVERY band,
+    so candidate generation emits ~bands * C(m,2) join rows before
+    the cross-band distinct — cost that grows with the square of the
+    largest duplicate cluster, not the corpus.  With ``max_bucket``
+    set, buckets wider than it are dropped from pair generation (one
+    cheap count per (band, bucket), same move as the inverted index's
+    max_df): a true near-dup cluster still pairs through its OTHER
+    bands unless it exceeds max_bucket in ALL of them, at which point
+    the honest production answer is handling the pathological cluster
+    out of band (it is, by construction, a single boilerplate
+    template).  None (default) keeps the exact candidate semantics.
+    """
     banded = banded_rows(sig, num_hashes, bands)
+    if max_bucket is not None:
+        width = (banded.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("__w")))
+        banded = (banded.join(width.filter(F.col("__w") <= max_bucket),
+                              ["band", "bucket"], "leftsemi"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -520,7 +540,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, num_hashes: int = 128, bands: int = 32,
                         threshold: float = 0.8,
-                        impl: str = "arrow", base_hash=None) -> DataFrame:
+                        impl: str = "arrow", base_hash=None,
+                        max_bucket: int | None = None) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold.
 
     The shingle table is computed ONCE and persisted: it feeds the
@@ -529,13 +550,15 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     expensive shingling expression — measured ~3x slower cold at
     sf0.1. At 100 TB this persisted (id, shingles) table is the same
     artifact a production MinHash pipeline would checkpoint before
-    banding."""
+    banding.  ``max_bucket`` passes through to the hot-bucket guard
+    (see :func:`_lsh_candidates_from_sig`)."""
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), n).alias("sh")).persist()
     kw = {} if base_hash is None else {"base_hash": base_hash}
     sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
                                         num_hashes, **kw).alias("sig"))
-    cands = _lsh_candidates_from_sig(sig, num_hashes, bands)
+    cands = _lsh_candidates_from_sig(sig, num_hashes, bands,
+                                     max_bucket=max_bucket)
     joined = (cands
               .join(sh.select(F.col("id").alias("id1"),
                               F.col("sh").alias("sh1")), "id1")

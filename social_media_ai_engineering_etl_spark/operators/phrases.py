@@ -39,11 +39,30 @@ STOPWORDS_EN = (
 
 
 def author_texts(df: DataFrame, author_col: str, text_col: str,
-                 id_col: str, max_posts: int = 20) -> DataFrame:
+                 id_col: str, max_posts: int = 20,
+                 shards: int | None = None) -> DataFrame:
     """A6: keep the ``max_posts`` longest texts per author
-    (17-writing-style.py:776-802), deterministic tie-break on id."""
-    w = Window.partitionBy(author_col).orderBy(
-        F.length(F.col(text_col)).desc(), F.col(id_col))
+    (17-writing-style.py:776-802), deterministic tie-break on id.
+
+    ``shards`` is the HOT-AUTHOR knob (r5 skew probe): the plain
+    window sorts every row of an author inside ONE task, so a zipfian
+    author holding p% of a 100 TB corpus serializes p% of the sort on
+    one core.  With ``shards=k`` a two-phase top-k runs first — each
+    (author, xxhash64(id) mod k) shard keeps its own top
+    ``max_posts`` under the same order, so no task ever sorts more
+    than ~1/k of the hot author — and the final window ranks only the
+    surviving k * max_posts rows per author.  Output is IDENTICAL to
+    the plain form (every global top-max_posts row is in its shard's
+    top-max_posts; equivalence-pinned in tests/test_scale.py)."""
+    order = (F.length(F.col(text_col)).desc(), F.col(id_col))
+    if shards and shards > 1:
+        wp = Window.partitionBy(
+            author_col,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        ).orderBy(*order)
+        df = (df.withColumn("__prn", F.row_number().over(wp))
+              .filter(F.col("__prn") <= max_posts).drop("__prn"))
+    w = Window.partitionBy(author_col).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= max_posts))
 
@@ -54,14 +73,16 @@ def author_uncommon_words(df: DataFrame, author_col: str, text_col: str,
                           max_texts: int = 5, max_chars: int = 20000,
                           min_freq: int = 2, min_len: int = 4,
                           common_threshold: int = 1000,
-                          top_k: int = 15) -> DataFrame:
+                          top_k: int = 15,
+                          shards: int | None = None) -> DataFrame:
     """A8: per-author uncommon-but-regular words.
 
     Returns (author, word, freq) of the top ``top_k`` words per
-    author under (freq desc, word asc).
-    """
+    author under (freq desc, word asc).  ``shards`` passes through to
+    :func:`author_texts`'s hot-author two-phase top-k (result
+    identical; see its docstring)."""
     ranked = author_texts(df, author_col, text_col, id_col,
-                          max_posts=max_texts)
+                          max_posts=max_texts, shards=shards)
     # Rebuild the reference's ' '.join(texts[:5])[:20000] with a fixed
     # order: sort_array over (rank, text) structs pins concat order.
     joined = (ranked.groupBy(author_col)

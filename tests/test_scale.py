@@ -474,3 +474,55 @@ def test_ri_audit_null_count_scheme_survives_dirty_parents(spark, tmp_path):
     assert rows["customer.c_nationkey->nation"] == (3, 1)
     assert rows["lineitem.l_orderkey->orders"] == (1, 0)
     assert rows["supplier.s_nationkey->nation"] == (1, 0)
+
+
+def test_sharded_author_topk_equals_plain(spark, sf_dir):
+    """r5 hot-author knob: author_texts/author_uncommon_words with
+    shards=k must return EXACTLY the plain window's rows (two-phase
+    top-k is lossless: every global top-N row is in its shard's
+    top-N)."""
+    import os as _os
+
+    from social_media_ai_engineering_etl_spark.operators import phrases
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    plain = sorted(map(tuple, phrases.author_uncommon_words(
+        docs, "source", "text", "doc_id").collect()))
+    sharded = sorted(map(tuple, phrases.author_uncommon_words(
+        docs, "source", "text", "doc_id", shards=8).collect()))
+    assert plain == sharded
+    a = sorted(map(tuple, phrases.author_texts(
+        docs, "source", "text", "doc_id", max_posts=7)
+        .select("doc_id", "__rn").collect()))
+    b = sorted(map(tuple, phrases.author_texts(
+        docs, "source", "text", "doc_id", max_posts=7, shards=8)
+        .select("doc_id", "__rn").collect()))
+    assert a == b
+
+
+def test_minhash_max_bucket_guard_caps_hot_cluster(spark):
+    """r5 hot-bucket knob: a 40-doc near-identical cluster pairs fully
+    without the guard; with max_bucket below the cluster width the
+    pathological bucket is dropped from pair generation while pairs
+    in ordinary buckets survive."""
+    from social_media_ai_engineering_etl_spark.operators import dedup
+    template = " ".join(f"tok{i}" for i in range(60))
+    rows = ([(i, f"{template} variant {i}") for i in range(40)]
+            + [(100, "a completely different document about spark joins "
+                     "and shuffle behavior under load today"),
+               (101, "a completely different document about spark joins "
+                     "and shuffle behavior under load tomorrow")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.minhash_dedup_pairs(df, "doc_id", "text",
+                                     threshold=0.5).collect()
+    full_pairs = {(r.id1, r.id2) for r in full}
+    assert (100, 101) in full_pairs
+    assert sum(1 for a, b in full_pairs if a < 40 and b < 40) \
+        == 40 * 39 // 2, "cluster pairs fully without the guard"
+    capped = dedup.minhash_dedup_pairs(df, "doc_id", "text",
+                                       threshold=0.5,
+                                       max_bucket=8).collect()
+    capped_pairs = {(r.id1, r.id2) for r in capped}
+    assert (100, 101) in capped_pairs, \
+        "ordinary-bucket pairs survive the cap"
+    assert not any(a < 40 and b < 40 for a, b in capped_pairs), \
+        "the pathological cluster's buckets are dropped in every band"
