@@ -56,8 +56,10 @@ def main() -> None:
                     "text", "lang", "source", "n_chars")) \
             .select("doc_id", "text")
         media = mm.attach_fake_media(corpus)
-        hashed = mm.media_phash_wide(media, content_col="content",
-                                     bits=128, word_bits=32)
+        # the registered query's path: Arrow fast twin (bit-identical
+        # to the native fold, parity-pinned)
+        hashed = mm.media_phash_wide_arrow(media, content_col="content",
+                                           bits=128, word_bits=32)
         return mm.phash_neardup_pairs_wide(
             hashed, id_col="doc_id", phash_col="phash_words",
             max_hamming=3, n_words=4)

@@ -307,3 +307,19 @@ def test_phash_neardup_wide_finds_near_misses_not_far(spark):
                  if ham(a, b) <= 3)
     assert got == exp
     assert (1, 2, 1) in got and (1, 3, 3) in got
+
+
+def test_media_phash_wide_arrow_matches_native(spark):
+    """The Arrow fast twin is BIT-IDENTICAL to the native-expression
+    wide phash on every payload shape (empty, short, unicode)."""
+    from social_media_ai_engineering_etl_spark.operators import (
+        multimodal as mm,
+    )
+    texts = ["hello world", "", "x", "naïve café ☕", "hello world "]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "content"])
+    a = {r["doc_id"]: list(r["phash_words"])
+         for r in mm.media_phash_wide(df).collect()}
+    b = {r["doc_id"]: list(r["phash_words"])
+         for r in mm.media_phash_wide_arrow(df).collect()}
+    assert a == b
