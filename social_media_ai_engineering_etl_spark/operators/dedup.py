@@ -61,6 +61,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])))
 
 
+def word_shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct HASHED n-word shingles — the shuffle-ready form the
+    count-based Jaccard paths consume.  Fuses what used to be two
+    interpreted lambda passes (concat_ws string build, then
+    xxhash64(string)) into one ``xxhash64(w0, .., w{n-1})`` multi-arg
+    hash per zipped slice: no shingle string is ever materialized and
+    the distinct runs over longs, not strings (~25% off the shingle
+    pass, measured sf0.1).  A DIFFERENT hash family than
+    xxhash64(concat_ws(shingle)) — safe exactly where the hash family
+    is already immaterial: intersection-COUNT Jaccard (values depend
+    only on set cardinalities, identical modulo 64-bit collisions —
+    the same documented tolerance as the string-hash path).  Paths
+    that compare shingle STRINGS across tables (decontamination) or
+    feed hash-specific signatures (MinHash, portable twins) keep
+    :func:`word_shingles`."""
+    words = F.split(F.trim(text), "\\s+")
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, 1 + j, m) for j in range(n)])
+    return F.array_distinct(F.transform(
+        zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)])))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays; 0.0 when both
     are empty (ANSI mode would otherwise raise DIVIDE_BY_ZERO the
@@ -128,7 +150,7 @@ def ngram_jaccard_pairs_inverted(df: DataFrame, id_col: str, text_col: str,
     set is byte-identical on the fixtures).
     """
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), n).alias("sh"))
+                   word_shingle_hashes(F.col(text_col), n).alias("sh"))
     # the shingle table feeds sizes (x2 joins), the explode, and both
     # sides of the self-join — persist or the shingling (regex split +
     # n-way zip + distinct) recomputes per branch (no DAG CSE; the
@@ -136,8 +158,7 @@ def ngram_jaccard_pairs_inverted(df: DataFrame, id_col: str, text_col: str,
     sh = (sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
           .persist())
     sizes = sh.select("id", "sz")
-    tok = sh.select("id", F.explode(
-        F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    tok = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
         dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         tok = (tok.join(dfreq.filter(F.col("df") <= max_df), "s", "leftsemi"))
@@ -195,12 +216,11 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     from pyspark.sql import Window
 
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), n).alias("sh"))
+                   word_shingle_hashes(F.col(text_col), n).alias("sh"))
     sh = (sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
           .persist())
     sizes = sh.select("id", "sz")
-    tok = sh.select("id", "sz", F.explode(
-        F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    tok = sh.select("id", "sz", F.explode("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = (tok.join(dfreq, "s")
               .withColumn("rk", F.row_number().over(
@@ -217,9 +237,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     # verify: per-candidate exact Jaccard over the two hashed-shingle
     # ARRAYS (array_intersect is a per-pair hash probe — no token
     # re-explosion, no per-pair row blowup; two equi-joins ship each
-    # doc's array once per candidate role)
-    harr = sh.select("id", F.transform("sh", lambda x: F.xxhash64(x))
-             .alias("hs"), "sz")
+    # doc's array once per candidate role; sh already holds hashes)
+    harr = sh.select("id", F.col("sh").alias("hs"), "sz")
     ver = (cand
            .join(harr.select(F.col("id").alias("id1"),
                              F.col("hs").alias("hs1"),

@@ -255,14 +255,19 @@ def gram_hashes(text: Column, k: int = 3,
     words = F.split(F.lower(F.trim(text)), "\\s+")
     m = F.greatest(F.size(words) - (k - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(words, 1 + j, m) for j in range(k)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
     if mirrorable:
+        grams = F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
         return F.transform(
             grams,
             lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15),
                              16, 10).cast("bigint"))
-    return F.transform(grams, lambda g: F.xxhash64(g))
+    # production path: multi-arg xxhash64 straight off the zipped
+    # slices — no gram string is ever built (the word_shingle_hashes
+    # fusion; hash family is already free here, r5)
+    return F.transform(
+        zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]))
 
 
 def winnow_fingerprint(hashes: Column, w: int = 4) -> Column:

@@ -63,6 +63,16 @@ def get_spark(app_name: str = "social-media-ai-engineering-etl-spark",
         # semi-join pruning pattern, planner-managed — `might_contain`
         # isn't exposed to SQL in Spark 4, so this config IS the API)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # whole-stage-codegen CLASS cache: the default 100-entry LRU
+        # thrashes once a session runs more codegen units than that —
+        # a 23-query bench pass was re-Janino-compiling EVERY query's
+        # units on EVERY pass (measured r5: total 25.3s -> 18.7s, and
+        # q26's giant reward units alone 2.1s -> 1.2s, from this one
+        # knob).  2,000 entries × ~KB of bytecode is megabytes of
+        # driver heap — free insurance for any many-query session;
+        # irrelevant-but-harmless on a cluster where stages run long
+        # enough to amortize compiles.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # initial shuffle parallelism; AQE coalesces down at runtime.
         .config("spark.sql.shuffle.partitions", str(max(n, 32)))
         .config("spark.default.parallelism", str(max(n, 32)))
