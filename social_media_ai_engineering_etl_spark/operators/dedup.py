@@ -740,6 +740,106 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return votes.select("id", sig.alias("sig"))
 
 
+def md5_window_hash60(s: Column, w: int) -> Column:
+    """w-th disjoint 60-bit window of md5(s)'s hex digest (windows 0
+    and 1 cover hex chars 1-15 and 16-30) — two independent portable
+    hashes from ONE md5, the cross-engine seam for multi-word SimHash.
+    DuckDB: ``('0x' || substr(md5(s), 1 + 15*w, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s), 1 + 15 * w, 15), 16, 10) \
+        .cast("long")
+
+
+def simhash_signatures_wide(df: DataFrame, id_col: str, text_col: str,
+                            word_bits: int = 60, n_words: int = 2,
+                            word_hash=None) -> DataFrame:
+    """Multi-word SimHash signatures (VERDICT r4 #5 — the >63-bit
+    packing the single-BIGINT form's assert refuses): per-bit majority
+    vote over ``n_words`` independent token hashes, packed into an
+    ``array<bigint>`` of ``word_bits``-bit words (<= 60 so every word
+    stays positive signed on both engines).
+
+    ``word_hash(tok, w)`` supplies word w's token hash — default
+    ``xxhash64(tok, w)`` (production); pass
+    :func:`md5_window_hash60` for the oracle-checked portable twin.
+
+    Shape unchanged from :func:`simhash_signatures`: explode distinct
+    tokens -> ONE shuffle groupBy(id) carrying n_words*word_bits SUM
+    aggregates (map-side combinable) -> fold bits into the word array.
+    Returns (id, sig array<bigint>)."""
+    if word_hash is None:
+        def word_hash(tok, w):
+            return F.xxhash64(tok, F.lit(w))
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(
+                          F.split(F.lower(F.trim(F.col(text_col))), "\\s+")))
+                      .alias("tok"))
+            .select("id", *[word_hash(F.col("tok"), w).alias(f"h{w}")
+                            for w in range(n_words)]))
+    votes = toks.groupBy("id").agg(*[
+        F.sum(F.when(F.shiftrightunsigned(F.col(f"h{w}"), j)
+                     .bitwiseAND(F.lit(1).cast("long")) == 1,
+                     1).otherwise(-1)).alias(f"b{w}_{j}")
+        for w in range(n_words) for j in range(word_bits)])
+    words = []
+    for w in range(n_words):
+        sig = F.lit(0).cast("long")
+        for j in range(word_bits):
+            sig = sig.bitwiseOR(
+                F.when(F.col(f"b{w}_{j}") >= 0,
+                       F.lit(1 << j).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        words.append(sig)
+    return votes.select("id", F.array(*words).alias("sig"))
+
+
+def simhash_dedup_pairs_wide(df: DataFrame, id_col: str, text_col: str,
+                             max_hamming: int = 3, word_bits: int = 60,
+                             n_words: int = 2, chunks_per_word: int = 2,
+                             word_hash=None) -> DataFrame:
+    """Near-dup pairs over MULTI-WORD SimHash signatures: pigeonhole
+    chunks are sub-word bit windows (``n_words * chunks_per_word``
+    total — two hashes within ``max_hamming < total_chunks`` bits
+    share one chunk VERBATIM), candidates come from a
+    (word, chunk, value) self equi-join, and the exact verify is the
+    summed per-word ``bit_count(xor)`` via ``zip_with`` — the same
+    widening recipe as phash_neardup_pairs_wide.  Chunk width
+    word_bits/chunks_per_word grows with the hash, so junk-candidate
+    volume keeps falling as corpus and hash widen together."""
+    n_chunks = n_words * chunks_per_word
+    assert max_hamming < n_chunks, "pigeonhole needs chunks > hamming"
+    assert word_bits % chunks_per_word == 0
+    chunk_bits = word_bits // chunks_per_word
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures_wide(df, id_col, text_col,
+                                  word_bits=word_bits, n_words=n_words,
+                                  word_hash=word_hash).persist()
+    entries = F.array(*[
+        F.struct(F.lit(w).alias("w"), F.lit(c).alias("c"),
+                 F.shiftrightunsigned(F.element_at("sig", w + 1),
+                                      c * chunk_bits)
+                 .bitwiseAND(F.lit(mask).cast("long")).alias("val"))
+        for w in range(n_words) for c in range(chunks_per_word)])
+    chunked = (sig.withColumn("cc", F.explode(entries))
+               .select("id", "sig", "cc.w", "cc.c", "cc.val"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.c") == F.col("b.c"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id1"),
+                     F.col("b.id").alias("id2"),
+                     F.col("a.sig").alias("sig1"),
+                     F.col("b.sig").alias("sig2"))
+             .distinct())
+    hamming = F.aggregate(
+        F.zip_with(F.col("sig1"), F.col("sig2"),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))
+
+
 def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         max_hamming: int = 3,
                         chunks: int = 4, bits: int = 64,

@@ -598,3 +598,31 @@ def test_semantic_contamination_blocked_path_matches_broadcast(spark):
     # the planted tie (bench 100 vs 300 both cosine 1.0 to doc 41)
     # resolves to the smaller id on both paths
     assert small[41][0] == 100
+
+
+def test_simhash_wide_production_path_finds_near_not_far(spark):
+    """Multi-word SimHash with the production per-word xxhash64: docs
+    sharing most tokens pair within hamming<=3 across the summed
+    two-word distance; unrelated docs do not; signature words stay
+    positive (the <=60-bit packing contract)."""
+    from social_media_ai_engineering_etl_spark.operators import dedup
+    base_toks = [f"tok{i}" for i in range(40)]
+    # same DISTINCT token set, different order + repeats -> identical
+    # majority votes -> hamming 0 (SimHash is a bag-of-distinct-tokens
+    # signature; a 1-token edit flips ~bits/sqrt(n_tokens) bits, which
+    # exceeds 3 at this fixture size — hamming<=3 catches REORDERINGS
+    # and near-identical vocabularies, the boilerplate-template case)
+    rows = [(1, " ".join(base_toks)),
+            (2, " ".join(reversed(base_toks)) + " " + base_toks[0]),
+            (3, "completely different vocabulary about other things "
+                "entirely with many fresh words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.id: list(r.sig) for r in dedup.simhash_signatures_wide(
+        df, "doc_id", "text").collect()}
+    assert all(len(ws) == 2 and all(0 <= w < (1 << 60) for w in ws)
+               for ws in sig.values())
+    got = {(r.id1, r.id2) for r in dedup.simhash_dedup_pairs_wide(
+        df, "doc_id", "text", max_hamming=3).collect()}
+    assert (1, 2) in got
+    assert sig[1] == sig[2], "equal distinct token sets -> hamming 0"
+    assert not any(3 in p for p in got)
