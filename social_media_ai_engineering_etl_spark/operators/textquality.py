@@ -782,6 +782,14 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
     train = grouped.select(
         "id", F.col("label").cast("double").alias("label"),
         array_to_vector(dense).alias("features"))
+    # boundary guard (r4 degenerate-regime convention): zero rows
+    # crash MLlib's summarizer and a single class drives the intercept
+    # to +/-inf (OverflowError at the milli conversion) — fail loudly
+    # with the actual contract instead
+    if train.select("label").distinct().limit(2).count() < 2:
+        raise ValueError(
+            "train_quality_classifier needs BOTH classes present; "
+            "callers should skip training on degenerate inputs")
     model = LogisticRegression(maxIter=max_iter, regParam=reg_param,
                                featuresCol="features",
                                labelCol="label").fit(train)

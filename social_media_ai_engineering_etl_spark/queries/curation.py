@@ -1147,6 +1147,16 @@ def qm_quality_classifier_train(spark, sf_dir):
     its oracle row still hashes."""
     from ..operators import textquality
     labeled = _planted_quality_labels(_docs(spark, sf_dir))
+    out_schema = ("n_docs bigint, n_spam bigint, auc double, "
+                  "gate_accuracy double, n_nonzero_weights bigint, "
+                  "intercept_milli bigint")
+    # degenerate regimes (empty corpus, single row, constant columns):
+    # LR needs BOTH classes present — zero rows crash the summarizer
+    # and a single class drives the intercept to +/-inf (OverflowError
+    # at the milli conversion).  No trainable signal -> empty result.
+    classes = labeled.select("label").distinct().limit(2).count()
+    if classes < 2:
+        return spark.createDataFrame([], out_schema)
     weights, intercept_milli, model = \
         textquality.train_quality_classifier(
             labeled, "doc_id", "text", "label", n_buckets=4096)

@@ -155,3 +155,29 @@ def test_query_survives_null_heavy_input(spark, null_dir, name):
     convention applied to every library operator."""
     QUERIES[name](spark, null_dir).collect()
     spark.catalog.clearCache()
+
+
+def test_quality_classifier_train_degenerate_regimes(spark, tmp_path):
+    """r5: LR training needs both classes — zero-row and single-class
+    corpora return the empty summary frame instead of crashing the
+    MLlib summarizer (empty) or overflowing the intercept (single
+    class makes it +/-inf); the operator itself fails loudly."""
+    import pytest as _pytest
+
+    from social_media_ai_engineering_etl_spark.operators import textquality
+    from social_media_ai_engineering_etl_spark.queries.curation import (
+        qm_quality_classifier_train)
+
+    empty_dir = str(tmp_path / "docs_empty")
+    docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint")
+    docs.write.parquet(f"{empty_dir}/documents.parquet")
+    assert qm_quality_classifier_train(spark, empty_dir).count() == 0
+
+    one_class = spark.createDataFrame(
+        [(1, "some words here", 1), (2, "other words there", 1)],
+        "doc_id long, text string, label int")
+    with _pytest.raises(ValueError, match="BOTH classes"):
+        textquality.train_quality_classifier(
+            one_class, "doc_id", "text", "label", n_buckets=64)
