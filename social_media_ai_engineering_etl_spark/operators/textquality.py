@@ -748,7 +748,8 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
     of labeled rows are fit), so the dense form is the simple right
     shape; the gate itself never materializes vectors.
 
-    Returns ``(weights_df, intercept_milli, model)``: weights_df is
+    Returns ``(weights_df, intercept_milli, model, train_auc)``:
+    weights_df is
     (bucket, w_milli) for the NONZERO coefficients (w_milli =
     round(coef * 1000) — the same integer milli-unit contract as the
     stand-in table, so the exact-BIGINT logit property carries over;
@@ -799,4 +800,33 @@ def train_quality_classifier(df: DataFrame, id_col: str, text_col: str,
         [(b, w) for b, w in w_milli if w != 0],
         "bucket long, w_milli long")
     intercept_milli = int(round(float(model.intercept) * 1000))
-    return weights, intercept_milli, model
+    # Training AUC of the DEPLOYED quantized gate, computed from the
+    # exported weight table — never via model.summary / the RDD-based
+    # evaluator / model.transform: all three ship the model (or its
+    # fit-time dataset) into task closures, and the model's
+    # trainingSummary field holds the SparkSession, whose
+    # ObservationManager is unserializable the moment ANY job in the
+    # session registered an Observation ("Task not serializable",
+    # found by the r5 full-suite run).  AUC is rank-based, so scoring
+    # with the milli-quantized BIGINT logit is the sigmoid-invariant
+    # equivalent — and it grades the artifact a deployment actually
+    # gates with.  Exact Mann-Whitney with tie handling over
+    # per-distinct-logit class counts; only that bounded table (<=
+    # training-sample rows) reaches the driver.
+    scores = (counts.join(F.broadcast(weights), "bucket", "left")
+              .groupBy("id", "label")
+              .agg((F.sum(F.coalesce(F.col("w_milli"), F.lit(0))
+                          * F.col("c"))
+                    + F.lit(intercept_milli)).alias("s")))
+    spdf = (scores.groupBy("s")
+            .agg(F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+                 .alias("p"),
+                 F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+                 .alias("n"))
+            .orderBy("s").toPandas())
+    P, N = int(spdf["p"].sum()), int(spdf["n"].sum())
+    cum_n = spdf["n"].cumsum() - spdf["n"]
+    auc = float(((spdf["p"] * cum_n).sum()
+                 + 0.5 * (spdf["p"] * spdf["n"]).sum()) / (P * N)) \
+        if P and N else float("nan")
+    return weights, intercept_milli, model, auc

@@ -1157,7 +1157,7 @@ def qm_quality_classifier_train(spark, sf_dir):
     classes = labeled.select("label").distinct().limit(2).count()
     if classes < 2:
         return spark.createDataFrame([], out_schema)
-    weights, intercept_milli, model = \
+    weights, intercept_milli, model, auc = \
         textquality.train_quality_classifier(
             labeled, "doc_id", "text", "label", n_buckets=4096)
     scored = textquality.linear_quality_score(
@@ -1170,7 +1170,6 @@ def qm_quality_classifier_train(spark, sf_dir):
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
                 .alias("n_spam")))
-    auc = float(model.summary.areaUnderROC)
     n_w = weights.count()
     return acc.select(
         "n_docs", "n_spam",

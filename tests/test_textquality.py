@@ -158,10 +158,10 @@ def test_quality_classifier_training_learns_planted_spam(spark, sf_dir):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     labeled = _planted_quality_labels(docs)
-    weights, intercept_milli, model = \
+    weights, intercept_milli, model, auc = \
         textquality.train_quality_classifier(
             labeled, "doc_id", "text", "label", n_buckets=4096)
-    assert float(model.summary.areaUnderROC) >= 0.95
+    assert auc >= 0.95
     # exported table honors the stand-in's schema contract
     assert weights.schema.simpleString() == \
         "struct<bucket:bigint,w_milli:bigint>"
@@ -176,3 +176,29 @@ def test_quality_classifier_training_learns_planted_spam(spark, sf_dir):
            .agg(F.avg((F.col("kept") == F.col("label"))
                       .cast("double")).alias("a")).collect()[0]["a"])
     assert acc >= 0.9, acc
+
+
+def test_quality_classifier_train_survives_session_observations(spark, sf_dir):
+    """r5 regression: once ANY job in the session registers an
+    Observation, a model whose trainingSummary rides into a task
+    closure dies with 'Task not serializable: ObservationManager'
+    (model.summary, the RDD evaluator AND model.transform all ship
+    it). The trainer must stay DataFrame-only: AUC from the exported
+    quantized weight table."""
+    import os
+
+    from pyspark.sql import Observation
+
+    from social_media_ai_engineering_etl_spark.operators import textquality
+    from social_media_ai_engineering_etl_spark.queries.curation import (
+        _planted_quality_labels)
+
+    obs = Observation("r5_pollution_probe")
+    spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 5
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    labeled = _planted_quality_labels(docs)
+    weights, intercept_milli, model, auc = \
+        textquality.train_quality_classifier(
+            labeled, "doc_id", "text", "label", n_buckets=4096)
+    assert auc >= 0.95
