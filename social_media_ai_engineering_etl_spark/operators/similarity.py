@@ -235,6 +235,75 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
                     F.round("cosine_sim", 6).alias("cosine_sim")))
 
 
+def cosine_topk_ivf_fixed(corpus: DataFrame, queries: DataFrame,
+                          id_col: str, vec_col: str,
+                          centroids: list[list[float]], k: int = 5,
+                          n_probe: int = 4) -> DataFrame:
+    """IVF top-k with a FIXED coarse quantizer — the pluggable-
+    quantizer form of :func:`cosine_topk_ivf` (FAISS's IndexIVF takes
+    any coarse quantizer; k-means is merely the common trainer).  With
+    deterministic centroid literals (e.g. the LCG unit vectors of
+    :func:`hyperplane_planes`) the ENTIRE pipeline — cell assignment,
+    query probing, candidate equi-join, exact rerank — is
+    value-checkable cross-engine, which the KMeans-trained variant
+    can never be (MLlib's fit is engine-specific).
+
+    Cell assignment is argmin squared-L2 ROUNDED to 6 decimals with a
+    smallest-cell tie-break (the r4 decontamination lesson: unrounded
+    float argmins flip between engines on last-ulp ties).  Same plan
+    shape as cosine_topk_ivf: centroids are literals (nothing
+    broadcast), candidate generation is a (cell) equi-join touching
+    ~n_probe/n_centroids of the corpus per query."""
+    spark = corpus.sparkSession
+    n_cent = len(centroids)
+    n_probe = min(n_probe, n_cent)
+
+    def d2(vec):
+        return [F.round(F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in ctr]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v), 6)
+            for ctr in centroids]
+
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("cv"))
+    cd = F.array(*d2(F.col("cv")))
+    # first index of the min = smallest cell id on ties
+    c = (c.withColumn("cell",
+                      F.array_position(cd, F.array_min(cd)).cast("int") - 1)
+         .withColumn("cn", _norm(F.col("cv"))))
+
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"))
+    qd = F.array(*d2(F.col("qv")))
+    probes = (q.withColumn("qn", _norm(F.col("qv")))
+              .withColumn("dc", F.explode(F.arrays_zip(
+                  F.sequence(F.lit(0), F.lit(n_cent - 1)).alias("cell"),
+                  qd.alias("d"))))
+              .select("query_id", "qv", "qn",
+                      F.col("dc.cell").cast("int").alias("cell"),
+                      F.col("dc.d").alias("d")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cell"))
+    probes = (probes.withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= n_probe)
+              .select("query_id", "qv", "qn", "cell"))
+
+    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    scored = (c.join(F.broadcast(probes), "cell")
+              .filter(F.col("corpus_id") != F.col("query_id"))
+              .withColumn("cosine_sim", _safe_cosine(dot)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
 def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
                      id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Exact top-k via vectorized BLAS matmul (``mapInPandas``) — the

@@ -1138,6 +1138,89 @@ def qmm_media_neardup_wide(spark, sf_dir):
             .orderBy("id1", "id2"))
 
 
+def _ivf_fixed_oracle_sql(n_centroids: int = 16, n_probe: int = 6,
+                          dim: int = 64, seed: int = 7,
+                          k: int = 5) -> str:
+    """DuckDB transcription of the fixed-quantizer IVF pipeline: the
+    LCG centroid literals are inlined (with their precomputed
+    self-dot), cell assignment is argmin of the 6-dp-ROUNDED squared
+    L2 with a smallest-cell tie-break (cross-engine-stable — the
+    decontamination argmax lesson), probing keeps each query's
+    n_probe nearest cells, and the rerank is exact cosine."""
+    cents = similarity.hyperplane_planes(dim, n_centroids, seed)
+    rows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            i, ",".join(repr(x) for x in ctr),
+            sum(x * x for x in ctr))
+        for i, ctr in enumerate(cents))
+    return f"""
+WITH cents(cell, ctr, cc) AS (VALUES
+        {rows}),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE embedding IS NOT NULL),
+ca AS (
+    SELECT corpus_id, cv, cell,
+           round(list_dot_product(cv, cv)
+                 - 2 * list_dot_product(cv, ctr) + cc, 6) AS d2
+    FROM c CROSS JOIN cents),
+cassign AS (
+    SELECT corpus_id, cv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY corpus_id
+                                     ORDER BY d2, cell) AS rn
+        FROM ca) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 25 = 0 AND embedding IS NOT NULL),
+qa AS (
+    SELECT query_id, qv, cell,
+           round(list_dot_product(qv, qv)
+                 - 2 * list_dot_product(qv, ctr) + cc, 6) AS d2
+    FROM q CROSS JOIN cents),
+qprobe AS (
+    SELECT query_id, qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2, cell) AS rn
+        FROM qa) WHERE rn <= {n_probe}),
+cand AS (
+    SELECT p.query_id, a.corpus_id,
+           CASE WHEN sqrt(list_dot_product(a.cv, a.cv))
+                     * sqrt(list_dot_product(p.qv, p.qv)) > 0
+                THEN list_dot_product(a.cv, p.qv)
+                     / (sqrt(list_dot_product(a.cv, a.cv))
+                        * sqrt(list_dot_product(p.qv, p.qv)))
+                ELSE 0.0 END AS cos
+    FROM cassign a JOIN qprobe p USING (cell)
+    WHERE a.corpus_id <> p.query_id),
+ranked AS (
+    SELECT query_id, corpus_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, corpus_id) AS rank
+    FROM cand)
+SELECT query_id, rank, corpus_id, round(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("qx_similarity_topk_ivf_fixed",
+          oracle=_ivf_fixed_oracle_sql())
+def qx_similarity_topk_ivf_fixed(spark, sf_dir):
+    """IVF approximate top-5 with a FIXED deterministic coarse
+    quantizer (16 LCG unit-vector centroids, n_probe=6) — the
+    pluggable-quantizer IVF form, and therefore the first
+    ORACLE-CHECKED row of the IVF family: cell assignment (rounded
+    argmin L2, smallest-cell ties), query probing, the (cell)
+    candidate equi-join and the exact cosine rerank all replay in
+    DuckDB (_ivf_fixed_oracle_sql).  The KMeans-trained variant
+    (qx_similarity_topk_ivf) stays rows-only with its recall
+    contract — MLlib's fit is engine-specific; the quantizer is the
+    only difference between the two plans."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    cents = similarity.hyperplane_planes(64, 16, seed=7)
+    return similarity.cosine_topk_ivf_fixed(
+        emb, queries, "vec_id", "embedding", centroids=cents,
+        k=5, n_probe=6).orderBy("query_id", "rank")
+
+
 @register("qx_similarity_topk_ivf")
 def qx_similarity_topk_ivf(spark, sf_dir):
     """IVF-partitioned approximate top-5 (KMeans cells + n_probe=6
