@@ -633,11 +633,16 @@ def pq_train_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
 
 
 def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
-              codebooks) -> DataFrame:
+              codebooks, portable: bool = False) -> DataFrame:
     """Encode each (normalized) vector as ``m`` centroid indices —
     64 float64 dims compress to m small ints (m=8: 32x memory cut),
     which is what lets a 100 TB embedding corpus live in scan-speed
-    storage. Narrow mapInPandas, no shuffle."""
+    storage. Narrow mapInPandas, no shuffle.
+
+    ``portable=True`` rounds the sub-distance to the 6-decimal output
+    precision BEFORE the argmin (first-min = smallest code on ties) —
+    the cross-engine-stable assignment the DuckDB PQ oracle replays
+    (same argmin lesson as semantic_contamination / IVF-fixed)."""
     import numpy as np
     import pandas as pd
 
@@ -654,6 +659,8 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
             for j in range(m):
                 S = Xn[:, j * dsub:(j + 1) * dsub]
                 d = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+                if portable:
+                    d = np.round(d, 6)
                 codes[:, j] = d.argmin(1)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                 "codes": list(codes)})
@@ -665,7 +672,8 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
 
 def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
                    vec_col: str, k: int = 5, m: int = 32, kc: int = 64,
-                   codebooks=None, rerank_factor: int = 0) -> DataFrame:
+                   codebooks=None, rerank_factor: int = 0,
+                   portable_encode: bool = False) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance: queries stay
     exact (normalized floats), the corpus is scanned as codes; each
     query precomputes an (m, kc) inner-product lookup table against
@@ -709,7 +717,8 @@ def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
     lut = np.einsum("qjd,jcd->qjc",
                     Qn.reshape(len(Qn), m_, dsub), codebooks)
 
-    enc = pq_encode(corpus, id_col, vec_col, codebooks)
+    enc = pq_encode(corpus, id_col, vec_col, codebooks,
+                    portable=portable_encode)
     # per-batch partial top-k must keep the WIDER rerank shortlist,
     # or batch-level truncation silently caps recall at the raw-PQ@k
     k_scan = k * rerank_factor if rerank_factor > 0 else k

@@ -1679,6 +1679,100 @@ def qx_dedup_incremental(spark, sf_dir):
         "doc_id", "text", threshold=0.5).orderBy("id1", "id2")
 
 
+def _pq_fixed_oracle_sql(m: int = 8, kc: int = 16, dsub: int = 8,
+                         seed: int = 11, k: int = 5) -> str:
+    """DuckDB transcription of the fixed-codebook PQ pipeline: the LCG
+    codebook literals (m*kc sub-vectors + self-dots) are inlined;
+    corpus vectors L2-normalize, each dsub-slice encodes to the argmin
+    codebook entry under 6-dp-ROUNDED squared L2 (smallest-code ties —
+    the portable encode), and every query scores each corpus row as
+    the sum over j of <qn_sub_j, codebook[j][code_j]> — the asymmetric
+    distance computation, replayed exactly."""
+    import numpy as np
+
+    cb = np.array(similarity.hyperplane_planes(dsub, m * kc, seed)) \
+        .reshape(m, kc, dsub)
+    rows = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[], {!r})".format(
+            j, c, ",".join(repr(float(x)) for x in cb[j, c]),
+            float((cb[j, c] * cb[j, c]).sum()))
+        for j in range(m) for c in range(kc))
+    return f"""
+WITH cb(j, code, v, vv) AS (VALUES
+        {rows}),
+jj AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+craw AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) AS nrm
+         FROM embeddings WHERE embedding IS NOT NULL),
+c AS (SELECT corpus_id,
+             CASE WHEN nrm > 0 THEN list_transform(cv, x -> x / nrm)
+                  ELSE cv END AS cvn
+      FROM craw),
+subs AS (SELECT corpus_id, jj.j,
+                cvn[jj.j * {dsub} + 1 : jj.j * {dsub} + {dsub}] AS sub
+         FROM c CROSS JOIN jj),
+enc AS (
+    SELECT corpus_id, j, code FROM (
+        SELECT s.corpus_id, s.j, cb.code,
+               row_number() OVER (
+                   PARTITION BY s.corpus_id, s.j
+                   ORDER BY round(list_dot_product(s.sub, s.sub)
+                                  - 2 * list_dot_product(s.sub, cb.v)
+                                  + cb.vv, 6), cb.code) AS rn
+        FROM subs s JOIN cb ON cb.j = s.j
+    ) WHERE rn = 1),
+qraw AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) AS nrm
+         FROM embeddings WHERE vec_id % 25 = 0 AND embedding IS NOT NULL),
+q AS (SELECT query_id,
+             CASE WHEN nrm > 0 THEN list_transform(qv, x -> x / nrm)
+                  ELSE qv END AS qvn
+      FROM qraw),
+qsubs AS (SELECT query_id, jj.j,
+                 qvn[jj.j * {dsub} + 1 : jj.j * {dsub} + {dsub}] AS qsub
+          FROM q CROSS JOIN jj),
+terms AS (
+    SELECT qs.query_id, e.corpus_id, list_dot_product(qs.qsub, cb.v) AS t
+    FROM enc e
+    JOIN cb ON cb.j = e.j AND cb.code = e.code
+    JOIN qsubs qs ON qs.j = e.j),
+score AS (
+    SELECT query_id, corpus_id, sum(t) AS s
+    FROM terms WHERE query_id <> corpus_id GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, corpus_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, corpus_id) AS rank
+    FROM score)
+SELECT query_id, rank, corpus_id, round(s, 6) AS approx_sim
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("qx_similarity_topk_pq_fixed",
+          oracle=_pq_fixed_oracle_sql())
+def qx_similarity_topk_pq_fixed(spark, sf_dir):
+    """PQ asymmetric-distance top-5 with FIXED deterministic codebooks
+    (8 sub-spaces x 16 LCG entries) and the portable rounded-argmin
+    encode — the first ORACLE-CHECKED row of the PQ family: vector
+    normalization, per-sub-space code assignment, the LUT scan's
+    sum-of-sub-dot scores and the top-k rerank all replay in DuckDB
+    (_pq_fixed_oracle_sql).  The k-means-trained variant
+    (qx_similarity_topk_pq) stays rows-only with its recall contract —
+    the codebook trainer is the only difference."""
+    import numpy as np
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    cb = np.array(similarity.hyperplane_planes(8, 128, seed=11)) \
+        .reshape(8, 16, 8)
+    return similarity.cosine_topk_pq(
+        emb, queries, "vec_id", "embedding", k=5, m=8, kc=16,
+        codebooks=cb, rerank_factor=0, portable_encode=True
+    ).orderBy("query_id", "rank")
+
+
 @register("qx_similarity_topk_pq")
 def qx_similarity_topk_pq(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011): corpus compressed
