@@ -304,6 +304,117 @@ def cosine_topk_ivf_fixed(corpus: DataFrame, queries: DataFrame,
                     F.round("cosine_sim", 6).alias("cosine_sim")))
 
 
+def cosine_topk_ivfpq_fixed(corpus: DataFrame, queries: DataFrame,
+                            id_col: str, vec_col: str,
+                            centroids: list[list[float]], codebooks,
+                            k: int = 5, n_probe: int = 4) -> DataFrame:
+    """IVF-PQ with FIXED coarse quantizer AND codebooks — the
+    deterministic form of the FAISS-style composition
+    (:func:`cosine_topk_ivfpq`): cells prune WHICH corpus rows are
+    scanned, PQ codes shrink WHAT is scanned, and with both
+    quantizers as literals the whole composed pipeline is
+    value-checkable cross-engine.  Assignments use 6-dp-ROUNDED
+    argmins with smallest-index ties (the portable convention shared
+    with cosine_topk_ivf_fixed / pq_encode(portable=True)).
+
+    Plan: ONE narrow mapInPandas pass computes (id, cell, codes) per
+    corpus row; query probes are picked driver-side against the tiny
+    centroid matrix; scoring is LUT adds inside mapInPandas with
+    per-batch partial top-k — the same shuffle contract as
+    cosine_topk_pq/gemm.  No rerank (rerank_factor composes exactly
+    as in cosine_topk_pq when wanted)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_cent = len(cents)
+    n_probe = min(n_probe, n_cent)
+    m, kc, dsub = codebooks.shape
+    out_schema = "query_id long, rank int, corpus_id long, approx_sim double"
+
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("v"))
+    qpd = (queries.filter(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).alias("qid"),
+                   _as_double(F.col(vec_col)).alias("qv")).toPandas())
+    if qpd.empty or c.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    qids = qpd["qid"].to_numpy()
+    Q = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub),
+                    codebooks)
+    # probe cells driver-side: rounded d2, first-min = smallest cell
+    qd = np.round(((Q[:, None, :] - cents[None, :, :]) ** 2).sum(-1), 6)
+    # stable sort: exact ties of the rounded distance keep index
+    # order, i.e. the smallest cell id wins (the portable tie-break)
+    probe_cells = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    probed = {int(q): set(map(int, cs))
+              for q, cs in zip(qids, probe_cells)}
+
+    def index(batches):
+        """(id, cell, codes): rounded-argmin cell + portable PQ codes
+        in one pass."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = np.round(((X[:, None, :] - cents[None, :, :]) ** 2)
+                          .sum(-1), 6)
+            cell = d2.argmin(1)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(n == 0, 1.0, n)
+            codes = np.empty((len(Xn), m), dtype=np.int64)
+            for j in range(m):
+                S = Xn[:, j * dsub:(j + 1) * dsub]
+                dj = np.round(((S[:, None, :]
+                                - codebooks[j][None, :, :]) ** 2).sum(-1),
+                              6)
+                codes[:, j] = dj.argmin(1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "cell": cell, "codes": list(codes)})
+
+    enc = c.mapInPandas(index, "id long, cell int, codes array<long>")
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for qi, q in enumerate(qids):
+                mask = np.fromiter((int(cl) in probed[int(q)]
+                                    for cl in cells), bool, len(cells))
+                mask &= ids != q
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                s = np.zeros(len(sub))
+                for j in range(m):
+                    s += lut[qi, j, sub[:, j]]
+                cand_ids = ids[mask]
+                order = np.lexsort((cand_ids, -s))[:k]
+                out_q.extend([q] * len(order))
+                out_c.extend(cand_ids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c,
+                                "approx_sim": out_s})
+
+    scored = enc.mapInPandas(
+        scan, "query_id long, corpus_id long, approx_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "corpus_id",
+                    F.round("approx_sim", 6).alias("approx_sim")))
+
+
 def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame,
                      id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Exact top-k via vectorized BLAS matmul (``mapInPandas``) — the

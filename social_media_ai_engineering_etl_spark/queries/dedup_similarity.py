@@ -1847,6 +1847,134 @@ def qv_constraints_report(spark, sf_dir):
     return validation.check(orders, rules)
 
 
+def _ivfpq_fixed_oracle_sql(n_centroids: int = 16, n_probe: int = 6,
+                            dim: int = 64, cent_seed: int = 7,
+                            m: int = 8, kc: int = 16, dsub: int = 8,
+                            cb_seed: int = 11, k: int = 5) -> str:
+    """DuckDB transcription of the COMPOSED fixed IVF-PQ: the
+    IVF-fixed cell/probe CTEs (rounded-argmin assignment, n_probe
+    nearest cells per query) gate which corpus rows the PQ-fixed
+    LUT scoring ever sees — cells prune WHICH, codes shrink WHAT,
+    both replayed from the same inlined literals."""
+    import numpy as np
+
+    cents = similarity.hyperplane_planes(dim, n_centroids, cent_seed)
+    crows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            i, ",".join(repr(x) for x in ctr), sum(x * x for x in ctr))
+        for i, ctr in enumerate(cents))
+    cb = np.array(similarity.hyperplane_planes(dsub, m * kc, cb_seed)) \
+        .reshape(m, kc, dsub)
+    cbrows = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[], {!r})".format(
+            j, c, ",".join(repr(float(x)) for x in cb[j, c]),
+            float((cb[j, c] * cb[j, c]).sum()))
+        for j in range(m) for c in range(kc))
+    return f"""
+WITH cents(cell, ctr, cc) AS (VALUES
+        {crows}),
+cb(j, code, v, vv) AS (VALUES
+        {cbrows}),
+jj AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+craw AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) AS nrm
+         FROM embeddings WHERE embedding IS NOT NULL),
+ca AS (
+    SELECT corpus_id, cell,
+           round(list_dot_product(cv, cv)
+                 - 2 * list_dot_product(cv, ctr) + cc, 6) AS d2
+    FROM craw CROSS JOIN cents),
+cassign AS (
+    SELECT corpus_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY corpus_id
+                                     ORDER BY d2, cell) AS rn
+        FROM ca) WHERE rn = 1),
+c AS (SELECT corpus_id,
+             CASE WHEN nrm > 0 THEN list_transform(cv, x -> x / nrm)
+                  ELSE cv END AS cvn
+      FROM craw),
+subs AS (SELECT corpus_id, jj.j,
+                cvn[jj.j * {dsub} + 1 : jj.j * {dsub} + {dsub}] AS sub
+         FROM c CROSS JOIN jj),
+enc AS (
+    SELECT corpus_id, j, code FROM (
+        SELECT s.corpus_id, s.j, cb.code,
+               row_number() OVER (
+                   PARTITION BY s.corpus_id, s.j
+                   ORDER BY round(list_dot_product(s.sub, s.sub)
+                                  - 2 * list_dot_product(s.sub, cb.v)
+                                  + cb.vv, 6), cb.code) AS rn
+        FROM subs s JOIN cb ON cb.j = s.j
+    ) WHERE rn = 1),
+qraw AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) AS nrm
+         FROM embeddings WHERE vec_id % 25 = 0 AND embedding IS NOT NULL),
+qa AS (
+    SELECT query_id, cell,
+           round(list_dot_product(qv, qv)
+                 - 2 * list_dot_product(qv, ctr) + cc, 6) AS d2
+    FROM qraw CROSS JOIN cents),
+qprobe AS (
+    SELECT query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2, cell) AS rn
+        FROM qa) WHERE rn <= {n_probe}),
+q AS (SELECT query_id,
+             CASE WHEN nrm > 0 THEN list_transform(qv, x -> x / nrm)
+                  ELSE qv END AS qvn
+      FROM qraw),
+qsubs AS (SELECT query_id, jj.j,
+                 qvn[jj.j * {dsub} + 1 : jj.j * {dsub} + {dsub}] AS qsub
+          FROM q CROSS JOIN jj),
+cand AS (
+    SELECT p.query_id, a.corpus_id
+    FROM cassign a JOIN qprobe p USING (cell)
+    WHERE a.corpus_id <> p.query_id),
+terms AS (
+    SELECT cd.query_id, cd.corpus_id,
+           list_dot_product(qs.qsub, cb.v) AS t
+    FROM cand cd
+    JOIN enc e ON e.corpus_id = cd.corpus_id
+    JOIN cb ON cb.j = e.j AND cb.code = e.code
+    JOIN qsubs qs ON qs.query_id = cd.query_id AND qs.j = e.j),
+score AS (
+    SELECT query_id, corpus_id, sum(t) AS s
+    FROM terms GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, corpus_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, corpus_id) AS rank
+    FROM score)
+SELECT query_id, rank, corpus_id, round(s, 6) AS approx_sim
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("qx_similarity_topk_ivfpq_fixed",
+          oracle=_ivfpq_fixed_oracle_sql())
+def qx_similarity_topk_ivfpq_fixed(spark, sf_dir):
+    """The COMPOSED fixed IVF-PQ (FAISS-style production index shape,
+    deterministic quantizers): 16 LCG centroids prune WHICH corpus
+    rows each query scans (n_probe=6), 8x16 LCG codebooks shrink WHAT
+    is scanned to 8 small ints/row, LUT adds score the candidates —
+    and with both quantizers inlined as literals the ENTIRE
+    composition replays in DuckDB.  Completes the ANN oracle ladder:
+    GEMM / LSH / IVF / PQ / IVF-PQ each have a value-hash-checked
+    row; only the k-means TRAINERS remain rows-only (engine-specific
+    fits, recall-contracted)."""
+    import numpy as np
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    cents = similarity.hyperplane_planes(64, 16, seed=7)
+    cb = np.array(similarity.hyperplane_planes(8, 128, seed=11)) \
+        .reshape(8, 16, 8)
+    return similarity.cosine_topk_ivfpq_fixed(
+        emb, queries, "vec_id", "embedding", centroids=cents,
+        codebooks=cb, k=5, n_probe=6).orderBy("query_id", "rank")
+
+
 @register("qx_similarity_topk_ivfpq")
 def qx_similarity_topk_ivfpq(spark, sf_dir):
     """IVF-PQ ANN (the FAISS-style composition): KMeans cells prune
