@@ -626,3 +626,51 @@ def test_simhash_wide_production_path_finds_near_not_far(spark):
     assert (1, 2) in got
     assert sig[1] == sig[2], "equal distinct token sets -> hamming 0"
     assert not any(3 in p for p in got)
+
+
+def test_fixed_quantizer_ann_recall_floors(spark, sf_dir):
+    """r5 fixed-quantizer ANN trio: recall@5 vs the exact GEMM on the
+    fixture. Deterministic LCG quantizers exist for CROSS-ENGINE
+    verification of the mechanism, not for recall — random anchors
+    recall far less than k-means-trained ones (which is exactly why
+    the production variants train; those carry their own contracts).
+    Floors are set from measured values (0.64 / 0.24 / 0.19) with
+    headroom, all >> the ~0.01 chance level, and the PQ exact-rerank
+    must strictly improve the raw scan."""
+    import os as _os
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {}
+    for r in similarity.cosine_topk_gemm(
+            emb, queries, "vec_id", "embedding", k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.corpus_id)
+    total = sum(len(s) for s in exact.values())
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.corpus_id)
+        return sum(len(got.get(q, set()) & s)
+                   for q, s in exact.items()) / total
+
+    cents = similarity.hyperplane_planes(64, 16, seed=7)
+    cb = np.array(similarity.hyperplane_planes(8, 128, seed=11)) \
+        .reshape(8, 16, 8)
+    assert recall(similarity.cosine_topk_ivf_fixed(
+        emb, queries, "vec_id", "embedding", centroids=cents,
+        k=5, n_probe=6).collect()) >= 0.5
+    raw = recall(similarity.cosine_topk_pq(
+        emb, queries, "vec_id", "embedding", k=5, m=8, kc=16,
+        codebooks=cb, rerank_factor=0, portable_encode=True).collect())
+    rr = recall(similarity.cosine_topk_pq(
+        emb, queries, "vec_id", "embedding", k=5, m=8, kc=16,
+        codebooks=cb, rerank_factor=4, portable_encode=True).collect())
+    assert raw >= 0.15
+    assert rr > raw, "exact rerank must recover recall over raw PQ"
+    assert recall(similarity.cosine_topk_ivfpq_fixed(
+        emb, queries, "vec_id", "embedding", centroids=cents,
+        codebooks=cb, k=5, n_probe=6).collect()) >= 0.1
