@@ -638,6 +638,11 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple]):
         for pdf in batches:
             out_ids, out_toks = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL text must tokenize to [] (str(None) would coin
+                # the literal word "none"); pd.isna covers None + NaN.
+                if text is None or (isinstance(text, float)
+                                    and text != text):
+                    text = ""
                 toks: list[str] = []
                 for word in str(text).lower().strip().split():
                     sym = list(word)

@@ -88,7 +88,14 @@ GRADE_WINDOW: tuple[str, ...] = (
     # qx_label_propagation (graph communities), qx_bpe_pair_counts
     # (BPE trainer stats), qg_top_supplier (classic-report semi-join),
     # qs_windowed_topk (§2.7 windowed top-k, WindowGroupLimit).
-    "q07_clean_topics",
+    # r5 LATE SWAPS (the round's two DIRECT oracle attachments enter
+    # as first-time-graded rows): thrice-graded q07_clean_topics
+    # (P7/P8 — judge-sweep kept; topic-stage coverage stays in-window
+    # via q06_extract_topic) -> qx_bpe_token_stats (trainer-replay
+    # oracle); qx_copurchase_pairs -> qm_fpgrowth_itemsets, which is
+    # strictly stronger (its size-2 slice IS copurchase_pairs,
+    # equality-pinned in tests/test_graph.py; copurchase stays
+    # registered + judge-sweep).
     "q17_author_words", "q17_narrative_structure",
     "q18_describe_style",
     # fan-out, classification, splits, validation (F1, P13-P15, B5-B6, P18)
@@ -130,8 +137,10 @@ GRADE_WINDOW: tuple[str, ...] = (
     # quality-classifier gate; BPE-trainer pair counts)
     "qx_gopher_quality", "qx_pack_sequences",
     "qx_quality_classifier", "qx_bpe_pair_counts",
-    # graph family (co-purchase pairs; label-propagation communities)
-    "qx_copurchase_pairs", "qx_label_propagation",
+    "qx_bpe_token_stats",
+    # graph family (frequent itemsets — size-2 slice IS
+    # qx_copurchase_pairs; label-propagation communities)
+    "qm_fpgrowth_itemsets", "qx_label_propagation",
     # dedup: exact + near (inverted-index n-gram Jaccard; PPJoin
     # prefix-filtered twin)
     "qx_dedup_exact", "qx_dedup_ngram_jaccard", "qx_dedup_ngram_prefix",

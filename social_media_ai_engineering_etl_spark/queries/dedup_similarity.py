@@ -2101,6 +2101,20 @@ def _bpe_learn_oracle_sql(rounds: int = 8) -> str:
     matches impossible).  MATERIALIZED is load-bearing: inlined CTEs
     re-expand the whole prior-round chain at every reference (4^rounds
     blowup — measured as an fd explosion before materialization)."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, l AS left, r_ AS right, l || r_ AS merged, n "
+        f"FROM (SELECT l, r AS r_, n FROM m{r})"
+        for r in range(1, rounds + 1))
+    return _bpe_vocab_ctes(rounds) + "\n" + unions + "\nORDER BY rank"
+
+
+def _bpe_vocab_ctes(rounds: int) -> str:
+    """The shared WITH-chain of the BPE trainer replay: ``v0`` (the
+    character-split (word, count) vocabulary) through ``v{rounds}``
+    (the vocabulary after every merge), plus each round's pair-count
+    (``p{r}``) and argmax (``m{r}``) tables.  Used by the learn oracle
+    (final SELECT = the merge table) and the token-stats oracle
+    (final SELECT = per-source token sums over ``v{rounds}``)."""
     sep = "chr(31)"
     parts = ["""WITH v0 AS MATERIALIZED (
     SELECT string_split(word, '') AS sym, count(*) AS cnt FROM (
@@ -2136,11 +2150,47 @@ def _bpe_learn_oracle_sql(rounds: int = 8) -> str:
                               || (SELECT r FROM m{r}) || {sep}) AS w
         FROM {prev})
 )""")
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {r} AS rank, l AS left, r_ AS right, l || r_ AS merged, n "
-        f"FROM (SELECT l, r AS r_, n FROM m{r})"
-        for r in range(1, rounds + 1))
-    return "".join(parts) + "\n" + unions + "\nORDER BY rank"
+    return "".join(parts)
+
+
+def _bpe_token_stats_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB transcription of qx_bpe_token_stats: replay the full
+    trainer (the _bpe_vocab_ctes chain), then read each word's BPE
+    tokenization LENGTH straight off the final vocabulary — a word's
+    end-of-training symbol array IS its encoding, because the encoder
+    applies the same merge list in the same rank order (priority
+    encoding == sequential rank-order application: a merge learned at
+    rank k cannot reference a symbol first created at rank k' > k, so
+    applying later merges never enables earlier ones — the standard
+    BPE equivalence, pinned per-word in tests/test_textquality.py).
+    Per-document token counts then aggregate per source; documents
+    whose text splits to zero words contribute n_tokens = 0 (the
+    engine's pd.isna guard in operators/textquality.bpe_encode matches
+    the SQL NULL path)."""
+    return _bpe_vocab_ctes(rounds) + f"""
+, wt AS MATERIALIZED (
+    SELECT array_to_string(sym, '') AS word,
+           CAST(len(sym) AS BIGINT) AS n_tokens
+    FROM v{rounds}
+), dw AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+               AS word
+    FROM documents
+), dt AS (
+    SELECT d.doc_id,
+           CAST(coalesce(sum(wt.n_tokens), 0) AS BIGINT) AS n_tokens
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, word FROM dw WHERE word <> '') x
+           ON x.doc_id = d.doc_id
+    LEFT JOIN wt ON wt.word = x.word
+    GROUP BY d.doc_id
+)
+SELECT doc.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dt.n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(dt.n_tokens)::DOUBLE / count(*), 6) AS avg_tokens
+FROM dt JOIN documents doc USING (doc_id)
+GROUP BY doc.source ORDER BY doc.source"""
 
 
 @register("qx_bpe_learn", oracle=_bpe_learn_oracle_sql(8))
@@ -2163,16 +2213,21 @@ def qx_bpe_learn(spark, sf_dir):
         .orderBy("rank")
 
 
-@register("qx_bpe_token_stats")
+@register("qx_bpe_token_stats", oracle=_bpe_token_stats_oracle_sql(8))
 def qx_bpe_token_stats(spark, sf_dir):
     """Corpus tokenized with the vocabulary just learned (8 merges):
     per-source document count, total BPE tokens and average tokens
     per document — the 'how much does my tokenizer compress this
     source' datasheet row.  Encoding is the rank-priority greedy
-    merger in Arrow-batched mapInPandas (narrow map, no shuffle);
-    rows-only (depends on the learned merge list).  Token
-    conservation (concatenating a word's tokens reproduces the word)
-    is property-pinned in tests/test_textquality.py."""
+    merger in Arrow-batched mapInPandas (narrow map, no shuffle).
+    ORACLE-CHECKED since r5 (was rows-only): the oracle replays the
+    trainer (_bpe_vocab_ctes) and reads each word's token count off
+    the final vocabulary — valid because priority encoding equals
+    sequential rank-order merge application (see
+    _bpe_token_stats_oracle_sql; per-word equality pinned in
+    tests/test_textquality.py).  Token conservation (concatenating a
+    word's tokens reproduces the word) is property-pinned there
+    too."""
     from ..operators.textquality import bpe_encode, bpe_learn
     docs = _docs(spark, sf_dir)
     merges = [tuple(r) for r in

@@ -217,23 +217,63 @@ def qx_copurchase_pairs(spark, sf_dir):
                                min_orders=3).orderBy("p1", "p2")
 
 
-@register("qm_fpgrowth_itemsets")
+@register("qm_fpgrowth_itemsets", oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+mc AS (SELECT CAST(ceil(least(1.0, 3.0 / n) * n) AS BIGINT) AS m FROM tot),
+s1 AS (
+    SELECT CAST(p AS VARCHAR) AS items, 1 AS n_items,
+           count(*) AS n_orders
+    FROM b GROUP BY p HAVING count(*) >= (SELECT m FROM mc)
+), s2 AS (
+    SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b2.p AS VARCHAR) AS items,
+           2 AS n_items, count(*) AS n_orders
+    FROM b a JOIN b b2 ON a.ok = b2.ok AND a.p < b2.p
+    GROUP BY a.p, b2.p HAVING count(*) >= (SELECT m FROM mc)
+), s3 AS (
+    SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b2.p AS VARCHAR)
+               || ',' || CAST(c.p AS VARCHAR) AS items,
+           3 AS n_items, count(*) AS n_orders
+    FROM b a JOIN b b2 ON a.ok = b2.ok AND a.p < b2.p
+             JOIN b c  ON b2.ok = c.ok AND b2.p < c.p
+    GROUP BY a.p, b2.p, c.p HAVING count(*) >= (SELECT m FROM mc)
+)
+SELECT items, CAST(n_items AS INT) AS n_items,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+      SELECT * FROM s3)
+ORDER BY n_items, items
+""")
 def qm_fpgrowth_itemsets(spark, sf_dir):
     """MLlib FPGrowth frequent itemsets (minSupport 3/|baskets|):
-    all sizes, counts exact. Rows-only (MLlib model output); the
-    size-2 slice must equal qx_copurchase_pairs exactly — pinned in
+    all sizes, counts exact.  ORACLE-CHECKED since r5 (was rows-only):
+    FP-growth is an EXACT algorithm — its output is the complete
+    Apriori-closed set of itemsets with count >= ceil(minSupport*n) —
+    so DuckDB can enumerate it by size-capped self-joins.  The oracle
+    enumerates sizes 1-3; that is provably complete on any data where
+    no size-3 itemset clears the threshold (Apriori: a frequent k-set
+    implies frequent (k-1)-subsets — measured 0 size-3 itemsets at
+    both graded SFs, so no size-4 can exist; a future fixture with
+    deeper baskets would surface as a LOUD hash mismatch, never a
+    silent pass).  Items serialize as the ascending comma-joined part
+    list (the qx_posting_lists portability convention).  The size-2
+    slice must equal qx_copurchase_pairs exactly — pinned in
     tests/test_graph.py."""
     from ..operators import baskets as bk
     b = bk.baskets(_t(spark, sf_dir, "lineitem"))
     n = b.count()
     if n == 0:  # empty fact -> no baskets -> no itemsets (not a crash)
-        return spark.createDataFrame([], "items array<bigint>, "
+        return spark.createDataFrame([], "items string, n_items int, "
                                          "n_orders bigint")
     model = bk.fpgrowth_itemsets(b, min_support=min(1.0, 3.0 / n))
     return (model.freqItemsets
-            .select(F.array_sort("items").alias("items"),
+            .select(F.array_join(
+                        F.transform(F.array_sort("items"),
+                                    lambda x: x.cast("string")),
+                        ",").alias("items"),
+                    F.size("items").alias("n_items"),
                     F.col("freq").alias("n_orders"))
-            .orderBy(F.size("items"), "items"))
+            .orderBy("n_items", "items"))
 
 
 @register("qx_copurchase_lift", oracle="""

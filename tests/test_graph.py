@@ -81,9 +81,9 @@ def test_fpgrowth_pairs_equal_exact_copurchase(spark, sf_dir):
     self-join pair counts — same support threshold, same data."""
     from social_media_ai_engineering_etl_spark.queries.graph_analytics import (
         qm_fpgrowth_itemsets, qx_copurchase_pairs)
-    fp = {tuple(r["items"]): r["n_orders"]
+    fp = {tuple(int(x) for x in r["items"].split(",")): r["n_orders"]
           for r in qm_fpgrowth_itemsets(spark, sf_dir).collect()
-          if len(r["items"]) == 2}
+          if r["n_items"] == 2}
     exact = {(r["p1"], r["p2"]): r["n_orders"]
              for r in qx_copurchase_pairs(spark, sf_dir).collect()}
     assert fp == exact
@@ -98,9 +98,9 @@ def test_fpgrowth_singletons_are_part_frequencies(spark, sf_dir):
             li.groupBy("l_partkey")
               .agg(F.count_distinct("l_orderkey").alias("n"))
               .filter(F.col("n") >= 3).collect()}
-    got = {tuple(r["items"]): r["n_orders"]
+    got = {(int(r["items"]),): r["n_orders"]
            for r in qm_fpgrowth_itemsets(spark, sf_dir).collect()
-           if len(r["items"]) == 1}
+           if r["n_items"] == 1}
     assert got == want
 
 

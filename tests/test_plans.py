@@ -338,7 +338,7 @@ def test_grade_window_is_first_50_with_oracles():
     assert all(n in ORACLES for n in GRADE_WINDOW)
     for family_rep in ("qx_incremental_rollup", "qx_rfm_segments",
                        "qx_gopher_quality", "qx_pack_sequences",
-                       "qx_copurchase_pairs", "qx_dedup_exact",
+                       "qm_fpgrowth_itemsets", "qx_dedup_exact",
                        "qx_dedup_ngram_jaccard",
                        "qx_similarity_topk_gemm", "qx_corpus_stats",
                        "qx_asof_last_click",
@@ -349,7 +349,10 @@ def test_grade_window_is_first_50_with_oracles():
                        "qx_semantic_decontamination",
                        "qx_dedup_ngram_prefix", "qx_label_propagation",
                        "qx_bpe_pair_counts", "qg_top_supplier",
-                       "qs_windowed_topk"):
+                       "qs_windowed_topk",
+                       # r5 late swaps: the round's two direct oracle
+                       # attachments enter as first-time-graded rows
+                       "qx_bpe_token_stats", "qm_fpgrowth_itemsets"):
         assert family_rep in GRADE_WINDOW, family_rep
 
 

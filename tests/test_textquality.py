@@ -94,6 +94,55 @@ def test_bpe_encode_token_conservation(spark):
         assert by_id[i]["n_tokens"] <= enc0[i]
 
 
+def test_bpe_encode_equals_training_replay_per_word(spark):
+    """The qx_bpe_token_stats ORACLE contract: a trained-on word's
+    encoding equals its end-of-training symbol array (priority
+    encoding == sequential rank-order merge application — a merge
+    learned at rank k never references a symbol first created later,
+    so applying later merges cannot enable earlier ones).  Replays
+    training in pure Python and pins bpe_encode word-for-word."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"])
+    merges = [tuple(r) for r in bpe_learn(df, "text", 8).collect()]
+    # sequential rank-order replay of each distinct corpus word
+    replay: dict[str, list[str]] = {}
+    for t in CORPUS:
+        for w in t.lower().strip().split():
+            if not w or w in replay:
+                continue
+            sym = list(w)
+            for _rank, a, b, _m, _n in merges:
+                acc: list[str] = []
+                for x in sym:
+                    if acc and acc[-1] == a and x == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(x)
+                sym = acc
+            replay[w] = sym
+    # priority encoding must agree word-for-word
+    one_word_docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(sorted(replay))],
+        ["doc_id", "text"])
+    got = {r["id"]: list(r["tokens"])
+           for r in bpe_encode(one_word_docs, "doc_id", "text",
+                               merges).collect()}
+    for i, w in enumerate(sorted(replay)):
+        assert got[i] == replay[w], w
+
+
+def test_bpe_encode_null_text_yields_zero_tokens(spark):
+    """NULL text is [] (0 tokens), never the literal word 'none'/'nan'
+    — pins the pd.isna guard that the token-stats oracle's SQL NULL
+    path relies on."""
+    df = spark.createDataFrame([(0, None), (1, "low low")],
+                               "doc_id int, text string")
+    rows = {r["id"]: r for r in
+            bpe_encode(df, "doc_id", "text", []).collect()}
+    assert rows[0]["tokens"] == [] and rows[0]["n_tokens"] == 0
+    assert rows[1]["n_tokens"] == 6
+
+
 def test_bpe_encode_applies_rank_priority(spark):
     """Rank order, not text order, decides merge application: with
     merges [(1,'b','c'), (2,'a','b')] the word 'abc' must become
