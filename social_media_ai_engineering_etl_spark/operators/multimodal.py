@@ -606,12 +606,21 @@ def attach_synthetic_media(df: DataFrame, text_col: str = "text",
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            # NULL text -> empty body (str(None) would embed the
+            # literal bytes b"None"); NULL id rows are dropped by the
+            # isNotNull gate below (no format derivable without an id)
             pdf["content"] = [
-                _synth_payload(int(i), str(t).encode("utf-8"))
+                _synth_payload(int(i),
+                               ("" if t is None
+                                or (isinstance(t, float) and t != t)
+                                else str(t)).encode("utf-8"))
                 for i, t in zip(pdf[id_col], pdf[text_col])]
             yield pdf
 
-    return df.mapInPandas(fn, out_schema)
+    # skip-null at the operator boundary (same convention as the ANN
+    # vec_col gates): a row without an id cannot carry id-derived
+    # container metadata
+    return df.filter(F.col(id_col).isNotNull()).mapInPandas(fn, out_schema)
 
 
 def decode_media(df: DataFrame, content_col: str = "content",

@@ -924,7 +924,7 @@ def qx_hll_mergeable_portable(spark, sf_dir):
 SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
             ELSE 'avi' END AS format,
        count(*) AS n,
-       sum(octet_length(encode(text))
+       sum(coalesce(octet_length(encode(text)), 0)
            + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
                   ELSE 88 END)::BIGINT AS total_bytes,
        CAST(sum(CASE WHEN doc_id % 3 IN (0, 2)
@@ -938,7 +938,7 @@ SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
            AS sum_sample_rate,
        CAST(sum(CASE WHEN doc_id % 3 = 2
                      THEN 24 + doc_id % 240 END) AS BIGINT) AS sum_frames
-FROM documents GROUP BY 1 ORDER BY 1
+FROM documents WHERE doc_id IS NOT NULL GROUP BY 1 ORDER BY 1
 """)
 def qmm_media_features(spark, sf_dir):
     """Multimodal pipeline with a REAL decode step (VERDICT r3 #5):

@@ -233,6 +233,27 @@ def test_decode_media_roundtrips_synthetic_headers(spark, sf_dir):
             assert dec["n_frames"] == 24 + d % 240
 
 
+def test_attach_synthetic_media_null_semantics(spark):
+    """NULL text embeds an EMPTY body (never the literal bytes
+    b'None'), and NULL-id rows are dropped at the operator boundary —
+    the exact contract the qmm_media_features oracle transcribes as
+    coalesce(octet_length(encode(text)), 0) + WHERE doc_id IS NOT
+    NULL."""
+    from social_media_ai_engineering_etl_spark.operators import (
+        multimodal as mm)
+
+    docs = spark.createDataFrame(
+        [(0, None, "a"), (3, "hey", "a"), (None, "dropped", "a")],
+        "doc_id long, text string, source string")
+    rows = {r["doc_id"]: r for r in
+            mm.attach_synthetic_media(docs).collect()}
+    assert set(rows) == {0, 3}          # null id dropped
+    # PNG header is 33 bytes; null text -> header only, no b"None"
+    assert len(rows[0]["content"]) == 33
+    assert len(rows[3]["content"]) == 33 + 3
+    assert b"None" not in rows[0]["content"]
+
+
 def test_media_phash_wide_matches_python_reference(spark):
     """The 128-bit multi-word phash equals a pure-python transcription
     (same md5 stream, GLOBAL mean over all 128 samples, per-word
