@@ -227,11 +227,39 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
                   Window.partitionBy("id").orderBy("df", "s"))))
     # prefix length |x| - ceil(t|x|) + 1 (>= 1 for t <= 1)
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = ranked.filter(F.col("rk") <= plen).select("id", "s").persist()
+    prefix = (ranked.filter(F.col("rk") <= plen)
+              .select("id", "s", "sz", "rk").persist())
+    # two more LOSSLESS PPJoin prunes applied inside the token join,
+    # before the distinct and the array verify ever see a candidate:
+    #   length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|);
+    #   positional filter: a shared prefix token at sorted ranks
+    #     (rk1, rk2) caps the overlap at
+    #       min(rk1, rk2)                  (tokens at-or-before it)
+    #       + min(sz1 - rk1, sz2 - rk2)    (tokens after it),
+    #     which must still reach the equivalent overlap threshold
+    #     ceil(t/(1+t) * (sz1+sz2))  (J >= t  <=>  inter >= that).
+    #     NOTE the min(rk1, rk2) term: the textbook PPJoin bound
+    #     (accumulated-overlap + 1 + min remaining) relies on a
+    #     sequential probe that KNOWS the overlap so far; a set-based
+    #     join does not, and using "1 +" here would wrongly prune a
+    #     qualifying pair whose earlier shared tokens sit in only one
+    #     side's prefix.  A qualifying pair always survives via its
+    #     first-in-both-prefixes shared token, where this row bound is
+    #     >= the true overlap.  Equality with the inverted-index twin
+    #     stays pinned in tests/test_dedup.py.
+    t = float(threshold)
+    olap = F.ceil(F.lit(t / (1.0 + t))
+                  * (F.col("a.sz") + F.col("b.sz")))
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   (F.col("a.s") == F.col("b.s"))
-                  & (F.col("a.id") < F.col("b.id")))
+                  & (F.col("a.id") < F.col("b.id"))
+                  & (F.col("b.sz") * t <= F.col("a.sz"))
+                  & (F.col("a.sz") * t <= F.col("b.sz"))
+                  & (F.least(F.col("a.rk"), F.col("b.rk"))
+                     + F.least(F.col("a.sz") - F.col("a.rk"),
+                               F.col("b.sz") - F.col("b.rk"))
+                     >= olap))
             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
             .distinct())
     # verify: per-candidate exact Jaccard over the two hashed-shingle
