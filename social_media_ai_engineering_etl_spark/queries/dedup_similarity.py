@@ -1602,7 +1602,13 @@ _MINHASH_PARAMS128_SQL = ", ".join(
 # band-slice equality with at least one NEW (doc_id % 10 = 0) side,
 # verify = exact Jaccard over the string shingle lists.  Mirrors
 # operators/dedup.py::incremental_minhash_dedup exactly.
-_INCREMENTAL_PORTABLE_SQL = f"""
+def _minhash_portable_sql(cand_where: str = "") -> str:
+    """DuckDB replay of the portable-hash banded MinHash dedup: md5-
+    prefix base hash, 128 affine permutations, 32 band slices joined
+    as strings, bucket equi-join candidates, exact-Jaccard verify at
+    0.5.  ``cand_where`` optionally restricts candidate pairs (the
+    incremental twin keeps only pairs touching the 'new batch')."""
+    return f"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
     FROM documents
@@ -1630,7 +1636,7 @@ WITH toks AS (
     SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
     FROM bands l JOIN bands r
       ON l.band = r.band AND l.slice = r.slice AND l.doc_id < r.doc_id
-    WHERE l.doc_id % 10 = 0 OR r.doc_id % 10 = 0
+    {cand_where}
 )
 SELECT c.id1, c.id2,
        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -1641,6 +1647,28 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
 ORDER BY id1, id2
 """
+
+
+_INCREMENTAL_PORTABLE_SQL = _minhash_portable_sql(
+    "WHERE l.doc_id % 10 = 0 OR r.doc_id % 10 = 0")
+
+
+@register("qx_dedup_minhash_portable", oracle=_minhash_portable_sql())
+def qx_dedup_minhash_portable(spark, sf_dir):
+    """The FULL-CORPUS banded MinHash dedup with the portable
+    md5-prefix base hash — the ORACLE-CHECKED twin of the rows-only
+    flagship qx_dedup_minhash (which keeps xxhash64): same
+    128-permutation signatures, same 32-band blocking, same bucket
+    equi-join + exact-Jaccard verify at 0.5; only the per-shingle
+    base hash swaps to the md5 prefix both engines compute.  With the
+    incremental twin this completes the family: BOTH deployment
+    shapes of the flagship dedup operator (one-shot corpus self-dedup
+    and daily-ingest) are value-hash-checked end to end."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 3)
+    return dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5,
+        base_hash=dedup.portable_hash31).orderBy("id1", "id2")
 
 
 @register("qx_dedup_incremental_portable", oracle=_INCREMENTAL_PORTABLE_SQL)
