@@ -113,9 +113,10 @@ GRADE_WINDOW: tuple[str, ...] = (
     "qx_weighted_median", "qx_scd2_intervals",
     # whole-pipeline e2e composition (F1+P13+B6-hash+R20)
     "qe2e_training_mix",
-    # streaming §2.12 (window agg, session windows; as-of join
-    # coverage rides qx_asof_last_click since the r5 rotation)
-    "qs_tumbling_engagement", "qs_session_windows",
+    # streaming §2.12 (window agg; session windows rotated out in the
+    # r5 late swaps after three green gradings — streaming keeps three
+    # in-window rows, and as-of coverage rides qx_asof_last_click)
+    "qs_tumbling_engagement",
     # streaming near-dup: oracle-checked portable-hash twin of the
     # stateful MinHash/LSH operator (streaming/neardup.py)
     "qs_neardup_pairs_portable",
@@ -142,8 +143,11 @@ GRADE_WINDOW: tuple[str, ...] = (
     # qx_copurchase_pairs; label-propagation communities)
     "qm_fpgrowth_itemsets", "qx_label_propagation",
     # dedup: exact + near (inverted-index n-gram Jaccard; PPJoin
-    # prefix-filtered twin)
+    # prefix-filtered twin; NEW r5 — the flagship banded-MinHash
+    # mechanism itself, driver-gradeable for the first time via the
+    # portable-hash twin)
     "qx_dedup_exact", "qx_dedup_ngram_jaccard", "qx_dedup_ngram_prefix",
+    "qx_dedup_minhash_portable",
     # ANN / similarity (distributed GEMM top-k; hyperplane LSH whose
     # whole pipeline is SQL-transcribed since r4; embedding-based
     # eval-set decontamination)
