@@ -24,7 +24,6 @@ import hashlib
 import json
 import os
 import re
-import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -303,9 +302,16 @@ class DeterministicEmbeddingBackend:
 class HashedNgramEmbeddingBackend:
     """Content-SENSITIVE deterministic embedder: signed feature-hashed
     character n-grams (3..5) -> ``dim`` buckets, L2-normalized — the
-    classic hashing-trick featurizer (torch/ONNX-free, zlib.crc32 so
-    it is stable across processes and executors, unlike salted
-    ``hash()``).
+    classic hashing-trick featurizer (torch/ONNX-free; the 32-bit
+    md5-prefix hash is stable across processes and executors, unlike
+    salted ``hash()``, AND portable: DuckDB computes the identical
+    bucket + sign via ('0x' || substr(md5(g), 1, 8))::BIGINT, which is
+    what lets qm_text_embeddings and q17_topic_shifts_model carry
+    full value-hash oracles — same portability move as
+    dedup.portable_hash31.  r5 note: this replaced zlib.crc32, which
+    no SQL engine exposes; the hashing-trick statistics are
+    hash-agnostic, so the semantic contracts pinned in
+    tests/test_inference.py are unchanged).
 
     Unlike :class:`DeterministicEmbeddingBackend` (md5 stream — every
     distinct text is an independent random point, so all cosine
@@ -329,7 +335,8 @@ class HashedNgramEmbeddingBackend:
             row = out[r]
             for n in range(self.lo, self.hi + 1):
                 for i in range(len(s) - n + 1):
-                    h = zlib.crc32(s[i:i + n].encode("utf-8"))
+                    h = int(hashlib.md5(
+                        s[i:i + n].encode("utf-8")).hexdigest()[:8], 16)
                     row[h % self.dim] += 1.0 if h & 0x80000000 else -1.0
             norm = float(np.sqrt((row * row).sum()))
             if norm > 0:

@@ -643,14 +643,71 @@ def qm_importance_merged(spark, sf_dir):
 # M10: embedding inference + feature-vector concat (21:252-273)
 # --------------------------------------------------------------------------
 
-@register("qm_text_embeddings")
+@register("qm_text_embeddings", oracle=r"""
+WITH f AS (
+    SELECT doc_id, text,
+           coalesce(len(text), 0) AS x1,
+           coalesce(len(string_split_regex(trim(text), '\s+')), 0) AS x2
+    FROM documents
+), m AS (
+    SELECT count(*)::DOUBLE AS n,
+           CAST(sum(x1) AS BIGINT)::DOUBLE AS sx1,
+           CAST(sum(x1 * x1) AS BIGINT)::DOUBLE AS sxx1,
+           CAST(sum(x2) AS BIGINT)::DOUBLE AS sx2,
+           CAST(sum(x2 * x2) AS BIGINT)::DOUBLE AS sxx2
+    FROM f
+), sc AS (
+    SELECT doc_id,
+           round(CASE WHEN sqrt(sxx1 / n - (sx1 / n) * (sx1 / n)) > 0
+                      THEN (x1 - sx1 / n)
+                           / sqrt(sxx1 / n - (sx1 / n) * (sx1 / n))
+                      ELSE 0.0 END, 6) AS r1,
+           round(CASE WHEN sqrt(sxx2 / n - (sx2 / n) * (sx2 / n)) > 0
+                      THEN (x2 - sx2 / n)
+                           / sqrt(sxx2 / n - (sx2 / n) * (sx2 / n))
+                      ELSE 0.0 END, 6) AS r2
+    FROM f, m
+), st AS (
+    SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS s FROM f
+), grams AS (
+    SELECT doc_id, unnest(list_concat(list_concat(
+        [substr(s, i, 3) for i in generate_series(1, len(s) - 2)],
+        [substr(s, i, 4) for i in generate_series(1, len(s) - 3)]),
+        [substr(s, i, 5) for i in generate_series(1, len(s) - 4)])) AS g
+    FROM st
+), v AS (
+    SELECT doc_id, h % 32 AS bucket,
+           CAST(sum(CASE WHEN h >= 2147483648 THEN 1 ELSE -1 END)
+                AS BIGINT) AS vb
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams)
+    GROUP BY 1, 2
+), nrm AS (
+    SELECT doc_id, CAST(sum(vb * vb) AS BIGINT) AS S FROM v GROUP BY 1
+), esq AS (
+    SELECT v.doc_id,
+           sum(CAST(CAST(vb / sqrt(S) AS REAL) AS DOUBLE)
+               * CAST(CAST(vb / sqrt(S) AS REAL) AS DOUBLE)) AS e2
+    FROM v JOIN nrm USING (doc_id) WHERE S > 0
+    GROUP BY v.doc_id
+)
+SELECT sc.doc_id, 34 AS dim,
+       round(coalesce(e.e2, 0.0) + sc.r1 * sc.r1 + sc.r2 * sc.r2, 6)
+           AS sq_norm
+FROM sc LEFT JOIN esq e ON e.doc_id = sc.doc_id
+""")
 def qm_text_embeddings(spark, sf_dir):
     """M10: batched text embedding (hashed char-ngram featurizer by
     default — content-sensitive and deterministic; the real
     sentence-transformers path stays env-gated behind
     SPARK_GRAFT_EMBED_BACKEND=st) concatenated with scaled numeric
-    features — the stage-21 combined-vector input.  Rows-only;
-    determinism + shape + content-sensitivity asserted in tests."""
+    features — the stage-21 combined-vector input.  ORACLE-CHECKED
+    since r5 (was rows-only): the embedder's md5-prefix hash is
+    portable, so DuckDB rebuilds every signed bucket sum, replays the
+    float32 Arrow quantization with CAST(... AS REAL), and predicts
+    the combined vector's exact rounded squared norm (unit embedding
+    + the two scaled features); determinism + shape +
+    content-sensitivity stay asserted in tests."""
     from ..operators.inference import default_embedding_backend, embed_column
     feats = analytics.standard_scale(
         analytics.text_feature_table(_docs(spark, sf_dir), "text"),
@@ -723,7 +780,71 @@ def qm_keywords(spark, sf_dir):
             .orderBy("doc_id", "kw"))
 
 
-@register("q17_topic_shifts_model")
+@register("q17_topic_shifts_model", oracle=r"""
+WITH sl AS (
+    SELECT doc_id,
+           list_filter(
+               [trim(p, ' ' || chr(9) || chr(10) || chr(13)
+                        || chr(12) || chr(11))
+                for p in string_split(
+                    regexp_replace(coalesce(text, ''),
+                                   '([.!?])\s+', '\1' || chr(30), 'g'),
+                    chr(30))],
+               x -> x <> '') AS sents
+    FROM documents
+), sent AS (
+    SELECT doc_id, i AS sidx, ' ' || lower(sents[i]) || ' ' AS s
+    FROM sl, unnest(generate_series(1, len(sents))) AS t(i)
+    WHERE len(sents) >= 2
+), grams AS (
+    SELECT doc_id, sidx, unnest(list_concat(list_concat(
+        [substr(s, i, 3) for i in generate_series(1, len(s) - 2)],
+        [substr(s, i, 4) for i in generate_series(1, len(s) - 3)]),
+        [substr(s, i, 5) for i in generate_series(1, len(s) - 4)])) AS g
+    FROM sent
+), v AS (
+    SELECT doc_id, sidx, h % 64 AS bucket,
+           CAST(sum(CASE WHEN h >= 2147483648 THEN 1 ELSE -1 END)
+                AS BIGINT) AS vb
+    FROM (SELECT doc_id, sidx,
+                 ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams)
+    GROUP BY 1, 2, 3
+), nrm AS (
+    SELECT doc_id, sidx, CAST(sum(vb * vb) AS BIGINT) AS S
+    FROM v GROUP BY 1, 2
+), bound AS (
+    SELECT doc_id, i AS idx
+    FROM sl, unnest(generate_series(1, len(sents) - 1)) AS t(i)
+    WHERE len(sents) >= 2
+), dots AS (
+    SELECT a.doc_id, a.sidx AS idx,
+           CAST(sum(a.vb * b.vb) AS BIGINT) AS dp
+    FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.sidx = a.sidx + 1
+                     AND a.bucket = b.bucket
+    GROUP BY 1, 2
+), dist AS (
+    SELECT b.doc_id, b.idx,
+           1.0 - CASE WHEN coalesce(n1.S, 0) > 0 AND coalesce(n2.S, 0) > 0
+                      THEN coalesce(d.dp, 0)
+                           / (sqrt(n1.S) * sqrt(n2.S))
+                      ELSE 0.0 END AS d
+    FROM bound b
+    LEFT JOIN dots d ON d.doc_id = b.doc_id AND d.idx = b.idx
+    LEFT JOIN nrm n1 ON n1.doc_id = b.doc_id AND n1.sidx = b.idx
+    LEFT JOIN nrm n2 ON n2.doc_id = b.doc_id AND n2.sidx = b.idx + 1
+), agg AS (
+    SELECT doc_id,
+           CAST(count(*) FILTER (d >= 0.5) AS INT) AS n_shifts,
+           round(coalesce(max(round(d, 6)) FILTER (d >= 0.5), 0.0), 6)
+               AS max_shift
+    FROM dist GROUP BY doc_id
+)
+SELECT sl.doc_id,
+       coalesce(a.n_shifts, 0) AS n_shifts,
+       coalesce(a.max_shift, 0.0) AS max_shift
+FROM sl LEFT JOIN agg a USING (doc_id)
+ORDER BY sl.doc_id
+""")
 def q17_topic_shifts_model(spark, sf_dir):
     """T12 model-backed variant (17-writing-style.py:175-218): topic
     shifts as cosine distance between adjacent-sentence embeddings.
@@ -732,8 +853,14 @@ def q17_topic_shifts_model(spark, sf_dir):
     changes (pinned in tests/test_inference.py); the reference's BERT
     stays behind the env-gated seam (main path emits the disabled-
     default empty array — narrative17.topic_transitions_disabled).
-    Returns per-doc shift count + max score. Rows-only
-    (model-derived)."""
+    Returns per-doc shift count + max score.  ORACLE-CHECKED since r5
+    (was rows-only): the md5-prefix embedder hash is portable, so
+    DuckDB replays the whole model path — sentence splitting (the
+    lookbehind split becomes capture-replace + split, RE2 has no
+    lookbehind), per-sentence signed bucket sums, and the cosine from
+    exact integer dot products over sqrt of integer norms (the
+    engine's f64 normalize-then-dot differs by ~1e-15, nine orders
+    below the 6-dp rounding grid and the 0.5 threshold margin)."""
     from ..operators.inference import (default_embedding_backend,
                                        topic_shift_scores)
     docs = _docs(spark, sf_dir)
