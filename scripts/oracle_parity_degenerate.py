@@ -54,8 +54,18 @@ def build_fixture(spark, regime: str) -> str:
         if regime == "single":
             out = df.limit(1)
         elif regime == "const":
+            # 100 copies of row 1 with FRESH primary keys: duplicated
+            # keys violate every table's uniqueness contract and make
+            # GROUP-BY-key oracles diverge from per-row engines for a
+            # reason that cannot occur on real data — constant NON-KEY
+            # columns are the regime under test
+            key = [c for c in df.columns if c in KEYS][:1]
             out = df.limit(1).crossJoin(
-                spark.range(100).select(F.lit(1).alias("__d"))).drop("__d")
+                spark.range(100).select(F.col("id").alias("__i")))
+            if key:
+                ktype = df.schema[key[0]].dataType
+                out = out.withColumn(key[0], F.col("__i").cast(ktype))
+            out = out.drop("__i")
         elif regime == "null":
             key = [c for c in df.columns if c in KEYS][:1] or None
             out = df.select(*[
@@ -76,6 +86,13 @@ def main() -> int:
     regimes = ["null", "const", "single"]
     if "--regime" in sys.argv:
         regimes = [sys.argv[sys.argv.index("--regime") + 1]]
+    only = None
+    if "--only" in sys.argv:
+        only = [s.strip() for s in
+                sys.argv[sys.argv.index("--only") + 1].split(",")]
+    fixture_dir = None
+    if "--fixture-dir" in sys.argv:  # reuse a prebuilt fixture when iterating
+        fixture_dir = sys.argv[sys.argv.index("--fixture-dir") + 1]
 
     import social_media_ai_engineering_etl_spark.queries  # noqa: F401
     from social_media_ai_engineering_etl_spark.registry import ORACLES, QUERIES
@@ -85,7 +102,14 @@ def main() -> int:
     spark = get_spark("oracle-parity-degenerate")
     failures: list[tuple[str, str, str]] = []
     for regime in regimes:
-        d = build_fixture(spark, regime)
+        if fixture_dir:
+            d = os.path.join(fixture_dir, regime)
+            if not os.path.isdir(d):
+                os.makedirs(fixture_dir, exist_ok=True)
+                built = build_fixture(spark, regime)
+                os.rename(built, d)
+        else:
+            d = build_fixture(spark, regime)
         con = duckdb.connect()
         for t in TABLES:
             # Spark writes a part-file DIRECTORY named <t>.parquet
@@ -95,6 +119,8 @@ def main() -> int:
         for name, fn in QUERIES.items():
             sql = ORACLES.get(name)
             if sql is None:
+                continue
+            if only and not any(o in name for o in only):
                 continue
             try:
                 got = fn(spark, d).toPandas()

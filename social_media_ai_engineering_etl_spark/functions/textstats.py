@@ -143,11 +143,15 @@ def word_count(text: Column) -> Column:
 
 
 def avg_word_length(text: Column) -> Column:
-    """Mean token length; 0.0 for empty text."""
+    """Mean token length; 0.0 for empty text; NULL for NULL text —
+    the unconditional otherwise(0.0) silently scored missing text as
+    zero-length words while every sibling stat (length, word_count)
+    stayed NULL (r5 degenerate-parity finding)."""
     toks = F.split(F.trim(text), "\\s+")
     total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(toks) > 0,
-                  total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+                  total.cast("double") / F.size(toks)).otherwise(
+        F.when(text.isNotNull(), F.lit(0.0)))
 
 
 def distinct_word_count(text: Column) -> Column:

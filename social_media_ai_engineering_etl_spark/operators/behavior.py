@@ -47,8 +47,19 @@ def funnel_steps(events: DataFrame, steps: tuple[str, ...],
     out = tiers[0]
     for t in tiers[1:]:
         out = out.unionByName(t)
-    return (out.groupBy("step", "event_type")
-            .agg(F.count(F.lit(1)).alias("n_users"))
+    counts = (out.groupBy("step", "event_type")
+              .agg(F.count(F.lit(1)).alias("n_users")))
+    # every step appears in the report even when nobody reached it —
+    # a groupBy drops empty groups, but "0 users purchased" is the
+    # funnel's whole point (r5 degenerate-parity finding: single-row
+    # fixtures made steps vanish while the oracle reported zeros)
+    spine = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, event_type string")
+    return (F.broadcast(spine).join(counts, ["step", "event_type"], "left")
+            .select("step", "event_type",
+                    F.coalesce("n_users", F.lit(0).cast("long"))
+                     .alias("n_users"))
             .orderBy("step"))
 
 

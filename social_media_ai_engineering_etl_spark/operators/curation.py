@@ -187,6 +187,11 @@ def mixture_plan(df: DataFrame, domain_col: str) -> DataFrame:
     smallest domain's count, i.e. downsample-to-min) and the excess to
     drop. One groupBy + a broadcast of two scalars (total, min) —
     scale-free."""
+    # skip-null at the operator boundary: a NULL domain is "domain
+    # unknown", not a domain — and a planned-but-unjoinable NULL group
+    # would break the plan/apply contract (NULL never equi-joins;
+    # r5 degenerate-parity finding)
+    df = df.filter(F.col(domain_col).isNotNull())
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs"))
     scalars = counts.agg(F.sum("n_docs").alias("total"),
@@ -208,6 +213,7 @@ def mixture_downsample(df: DataFrame, domain_col: str, id_col: str,
     one shuffle on the domain key; skew-safe because every group is
     cut to the same size."""
     from pyspark.sql import Window
+    df = df.filter(F.col(domain_col).isNotNull())  # see mixture_plan
     plan = mixture_plan(df, domain_col).select(
         F.col("domain").alias(domain_col), "keep_target")
     w = (Window.partitionBy(domain_col)
@@ -483,6 +489,7 @@ def mixture_temperature(df: DataFrame, domain_col: str,
     mixture_downsample.  Returns the per-domain plan + actual kept
     count (the deterministic contract an oracle can check)."""
     from pyspark.sql import Window
+    df = df.filter(F.col(domain_col).isNotNull())  # see mixture_plan
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs"))
     weights = counts.withColumn(

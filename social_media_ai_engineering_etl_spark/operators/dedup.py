@@ -918,13 +918,18 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, computed
     JVM-side with zip_with + aggregate (no UDF); 0.0 for zero-norm
-    vectors (ANSI mode raises DIVIDE_BY_ZERO otherwise)."""
+    vectors (ANSI mode raises DIVIDE_BY_ZERO otherwise); NULL when
+    either input is NULL — a missing vector has no similarity, and
+    the old unconditional otherwise(0.0) silently scored it as
+    "orthogonal", dragging group means down on null-heavy inputs
+    (r5 degenerate-parity finding)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     denom = na * nb
-    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    return F.when(denom > 0, dot / denom).otherwise(
+        F.when(a.isNotNull() & b.isNotNull(), F.lit(0.0)))
 
 
 def embedding_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,

@@ -73,9 +73,14 @@ def balance_to_average(df: DataFrame, keys: list[str],  # noqa: E501  (J3: per-c
     The scalar (total, combos) aggregate is broadcast — the fact side
     shuffles once on the combo keys.
     """
+    # count_distinct over bare columns SKIPS any row with a NULL key,
+    # but the window balancing treats a NULL key as a combo like any
+    # other — wrapping in a struct (never NULL itself) makes the combo
+    # count match the combos actually balanced (r5 parity finding)
     stats = df.agg(
         F.count(F.lit(1)).alias("__total"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("__combos"))
+        F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+         .alias("__combos"))
     avg = F.floor(F.col("__total")
                   / F.greatest(F.col("__combos"), F.lit(1))).cast("long")
     if target_cap is not None:
@@ -188,9 +193,14 @@ def prefer_downsample_balance(df: DataFrame, keys: list[str],
     band are untouched — so the balancer prefers cutting over
     cloning. One scalar aggregate broadcast back; the fact side
     shuffles once per window pass on the combo keys."""
+    # count_distinct over bare columns SKIPS any row with a NULL key,
+    # but the window balancing treats a NULL key as a combo like any
+    # other — wrapping in a struct (never NULL itself) makes the combo
+    # count match the combos actually balanced (r5 parity finding)
     stats = df.agg(
         F.count(F.lit(1)).alias("__total"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("__combos"))
+        F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+         .alias("__combos"))
     avg = (F.col("__total").cast("double")
            / F.greatest(F.col("__combos"), F.lit(1)))
     min_c = F.greatest(F.lit(1), F.floor(avg * (1.0 - band))).cast("long")

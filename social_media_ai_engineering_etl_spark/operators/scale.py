@@ -229,16 +229,25 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     co-partitioned shuffle join on the key — the pattern that turns
     nightly full snapshots into an incremental feed when the source
     system cannot emit CDC itself."""
+    # presence must be tracked with explicit flags, NOT fingerprint
+    # nullness: a row whose fingerprint is genuinely NULL (e.g.
+    # md5(NULL text)) exists in its snapshot all the same — the
+    # fp-as-presence shortcut misclassified it as insert/delete
+    # (r5 degenerate-parity finding).  Fingerprint comparison is
+    # null-safe: NULL -> 'x' IS a change, NULL -> NULL is not.
     o = old.select(F.col(key).alias("k"),
-                   F.col(fingerprint_col).alias("old_fp"))
+                   F.col(fingerprint_col).alias("old_fp"),
+                   F.lit(True).alias("__in_old"))
     n = new.select(F.col(key).alias("k"),
-                   F.col(fingerprint_col).alias("new_fp"))
+                   F.col(fingerprint_col).alias("new_fp"),
+                   F.lit(True).alias("__in_new"))
     j = o.join(n, "k", "full_outer")
     return (j.withColumn(
         "change_type",
-        F.when(F.col("old_fp").isNull(), F.lit("insert"))
-         .when(F.col("new_fp").isNull(), F.lit("delete"))
-         .when(F.col("old_fp") != F.col("new_fp"), F.lit("update")))
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+         .when(F.col("__in_new").isNull(), F.lit("delete"))
+         .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")),
+               F.lit("update")))
         .filter(F.col("change_type").isNotNull())
         .select(F.col("k").alias(key), "change_type"))
 

@@ -398,7 +398,8 @@ def cosine_topk_ivfpq_fixed(corpus: DataFrame, queries: DataFrame,
                 for j in range(m):
                     s += lut[qi, j, sub[:, j]]
                 cand_ids = ids[mask]
-                order = np.lexsort((cand_ids, -s))[:k]
+                # rank at the 6-dp output precision (see cosine_topk_pq)
+                order = np.lexsort((cand_ids, -np.round(s, 6)))[:k]
                 out_q.extend([q] * len(order))
                 out_c.extend(cand_ids[order])
                 out_s.extend(s[order])
@@ -408,7 +409,7 @@ def cosine_topk_ivfpq_fixed(corpus: DataFrame, queries: DataFrame,
     scored = enc.mapInPandas(
         scan, "query_id long, corpus_id long, approx_sim double")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("corpus_id"))
+        F.round("approx_sim", 6).desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "corpus_id",
@@ -850,15 +851,21 @@ def cosine_topk_pq(corpus: DataFrame, queries: DataFrame, id_col: str,
                 "approx_sim": scores.ravel(),
             })
             out = out[out.query_id != out.corpus_id]
-            out = (out.sort_values(["query_id", "approx_sim", "corpus_id"],
+            # cut at the 6-dp OUTPUT precision: ranking by raw floats
+            # lets accumulation-order ulps (engine-specific) reorder
+            # scores that round to the same value — on near-constant
+            # data the ulps ARE the order (r5 degenerate-parity
+            # finding); id-tiebreak at rounded precision is portable
+            out["__r6"] = out["approx_sim"].round(6)
+            out = (out.sort_values(["query_id", "__r6", "corpus_id"],
                                    ascending=[True, False, True])
-                   .groupby("query_id").head(k_scan))
+                   .groupby("query_id").head(k_scan).drop(columns="__r6"))
             yield out
 
     scored = enc.mapInPandas(
         scan, "query_id long, corpus_id long, approx_sim double")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("corpus_id"))
+        F.round("approx_sim", 6).desc(), F.col("corpus_id"))
     shortlist = (scored.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k_scan))
     if rerank_factor <= 0:
@@ -980,9 +987,15 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
                                 "corpus_id": pdf["id"].to_numpy(),
                                 "approx_sim": s})
             out = out[out.query_id != out.corpus_id]
-            out = (out.sort_values(["query_id", "approx_sim", "corpus_id"],
+            # cut at the 6-dp OUTPUT precision: ranking by raw floats
+            # lets accumulation-order ulps (engine-specific) reorder
+            # scores that round to the same value — on near-constant
+            # data the ulps ARE the order (r5 degenerate-parity
+            # finding); id-tiebreak at rounded precision is portable
+            out["__r6"] = out["approx_sim"].round(6)
+            out = (out.sort_values(["query_id", "__r6", "corpus_id"],
                                    ascending=[True, False, True])
-                   .groupby("query_id").head(k_scan))
+                   .groupby("query_id").head(k_scan).drop(columns="__r6"))
             yield out
 
     cand_codes = enc.join(F.broadcast(probes), "cell") \

@@ -85,8 +85,13 @@ def quality_score(text: Column,
     mean_len = F.when(n > 0, total_chars.cast("double") / n).otherwise(F.lit(0.0))
     len_sane = F.when((mean_len >= 3.0) & (mean_len <= 12.0),
                       F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round(0.25 * length_score + 0.25 * alpha_ratio
-                   + 0.25 * sw_score + 0.25 * len_sane, 6)
+    # NULL text -> NULL quality: Spark's least() SKIPS null operands,
+    # so least(length(NULL)/ideal, 1.0) = 1.0 and a missing document
+    # scored 0.25 on the strength of a "perfect" length it doesn't
+    # have (r5 degenerate-parity finding)
+    return F.when(text.isNotNull(),
+                  F.round(0.25 * length_score + 0.25 * alpha_ratio
+                          + 0.25 * sw_score + 0.25 * len_sane, 6))
 
 
 def fingerprint(text: Column) -> Column:

@@ -53,14 +53,16 @@ WITH tok AS (
                 THEN cnt ELSE 0 END) AS BIGINT) AS stopword_hits
     FROM tok GROUP BY doc_id
 )
-SELECT doc_id, n_words, n_distinct_words, sum_word_chars,
-       top_token_count, stopword_hits,
-       CASE WHEN n_words BETWEEN 20 AND 100000
-             AND sum_word_chars BETWEEN 3 * n_words AND 10 * n_words
-             AND 5 * top_token_count <= n_words
-             AND stopword_hits >= 1
+SELECT d.doc_id, p.n_words, p.n_distinct_words, p.sum_word_chars,
+       p.top_token_count, p.stopword_hits,
+       CASE WHEN p.n_words IS NULL THEN NULL
+            WHEN p.n_words BETWEEN 20 AND 100000
+             AND p.sum_word_chars BETWEEN 3 * p.n_words AND 10 * p.n_words
+             AND 5 * p.top_token_count <= p.n_words
+             AND p.stopword_hits >= 1
             THEN 1 ELSE 0 END AS keep
-FROM per_doc ORDER BY doc_id
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
 """)
 def qx_gopher_quality(spark, sf_dir):
     """Per-document Gopher-style quality metrics and keep flag
@@ -88,7 +90,8 @@ SELECT doc_id,
        len(list_distinct(g2)) AS n_distinct_2grams,
        len(g3) AS n_3grams,
        len(list_distinct(g3)) AS n_distinct_3grams,
-       CASE WHEN 2 * (len(ws) - len(list_distinct(ws))) > len(ws)
+       CASE WHEN ws IS NULL THEN NULL
+            WHEN 2 * (len(ws) - len(list_distinct(ws))) > len(ws)
               OR 5 * (len(g3) - len(list_distinct(g3))) > len(g3)
             THEN 1 ELSE 0 END AS repetitive
 FROM g ORDER BY doc_id
@@ -139,7 +142,7 @@ def qx_decontamination(spark, sf_dir):
 
 @register("qx_domain_mixture", oracle="""
 WITH counts AS (SELECT lang AS domain, count(*) AS n_docs
-                FROM documents GROUP BY lang)
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang)
 SELECT domain, n_docs,
        CAST(n_docs * 1000000 //
             CAST((SELECT sum(n_docs) FROM counts) AS BIGINT)
@@ -156,7 +159,8 @@ def qx_domain_mixture(spark, sf_dir):
 
 
 @register("qx_mixture_downsample", oracle="""
-WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+WITH counts AS (SELECT lang, count(*) AS n FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang)
 SELECT lang, (SELECT min(n) FROM counts) AS n_kept
 FROM counts ORDER BY lang
 """)
@@ -210,7 +214,7 @@ WITH RECURSIVE base AS (
            len({_WS}) AS tok,
            row_number() OVER (PARTITION BY lang, doc_id % 8
                               ORDER BY doc_id) AS rn
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ), walk AS (
     SELECT lang, shard, rn, tok, tok AS fill, 0 AS bin_id
     FROM base WHERE rn = 1
@@ -221,7 +225,8 @@ WITH RECURSIVE base AS (
            CASE WHEN w.fill + b.tok <= 512
                 THEN w.bin_id ELSE w.bin_id + 1 END
     FROM base b
-    JOIN walk w ON b.lang = w.lang AND b.shard = w.shard
+    JOIN walk w ON b.lang IS NOT DISTINCT FROM w.lang
+               AND b.shard = w.shard
                AND b.rn = w.rn + 1
 )
 SELECT lang, shard, CAST(bin_id AS BIGINT) AS bin_id,
@@ -305,7 +310,7 @@ WITH RECURSIVE base AS (
            len({_WS}) AS tok,
            row_number() OVER (PARTITION BY lang, doc_id % 8
                               ORDER BY doc_id) AS rn
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ), walk AS (
     SELECT lang, shard, doc_id, rn, tok, tok AS fill, 0 AS bin_id
     FROM base WHERE rn = 1
@@ -316,7 +321,8 @@ WITH RECURSIVE base AS (
            CASE WHEN w.fill + b.tok <= 512
                 THEN w.bin_id ELSE w.bin_id + 1 END
     FROM base b
-    JOIN walk w ON b.lang = w.lang AND b.shard = w.shard
+    JOIN walk w ON b.lang IS NOT DISTINCT FROM w.lang
+               AND b.shard = w.shard
                AND b.rn = w.rn + 1
 )
 SELECT lang, shard, doc_id, CAST(bin_id AS BIGINT) AS bin_id,
@@ -413,16 +419,18 @@ g AS (SELECT doc_id, unnest({_G5}) AS gram FROM w),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
 hits AS (SELECT DISTINCT doc_id FROM g WHERE gram IN
          (SELECT gram FROM bench))
-SELECT p.doc_id,
+SELECT d.doc_id,
        CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated,
        n_words, n_distinct_words, sum_word_chars,
        top_token_count, stopword_hits,
-       CASE WHEN n_words BETWEEN 20 AND 100000
+       CASE WHEN n_words IS NULL THEN NULL
+            WHEN n_words BETWEEN 20 AND 100000
              AND sum_word_chars BETWEEN 3 * n_words AND 10 * n_words
              AND 5 * top_token_count <= n_words
              AND stopword_hits >= 1
             THEN 1 ELSE 0 END AS keep
-FROM per_doc p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id ORDER BY d.doc_id
 """)
 def qs_curated_ingest(spark, sf_dir):
     """Batch twin of the streaming ingest curation gate
@@ -504,7 +512,7 @@ def qx_decontamination_bloom(spark, sf_dir):
 
 @register("qx_mixture_temperature", oracle="""
 WITH counts AS (SELECT lang AS domain, count(*) AS n_docs
-                FROM documents GROUP BY lang),
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang),
 w AS (SELECT domain, n_docs,
              CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
                  AS w_isqrt
@@ -846,8 +854,11 @@ def qx_injection_scan(spark, sf_dir):
     hit = F.lit(False)
     for pat in _INJECTION_PATTERNS:
         hit = hit | t.contains(pat)
+    # NULL text contains no marker: coalesce keeps the flag count an
+    # integer 0 rather than a NULL that poisons a group's sum
     return (_docs(spark, sf_dir)
-            .select("source", hit.cast("int").alias("hit"))
+            .select("source",
+                    F.coalesce(hit.cast("int"), F.lit(0)).alias("hit"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("hit").cast("long").alias("n_flagged"),
@@ -899,7 +910,11 @@ def qx_split_leakage(spark, sf_dir):
                       .alias("leaked_docs"))
             .join(F.broadcast(
                 s.groupBy().pivot("split", ["test", "train"]).count()
-                .selectExpr("test AS n_test", "train AS n_train"))))
+                # pivot-count yields NULL (not 0) for an absent
+                # category — a one-row corpus has no 'test' docs
+                # (r5 degenerate-parity finding)
+                .selectExpr("coalesce(test, 0) AS n_test",
+                            "coalesce(train, 0) AS n_train"))))
 
 
 # --------------------------------------------------------------------------
@@ -907,8 +922,8 @@ def qx_split_leakage(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @register("qx_contiguous_ids", oracle="""
-SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
-           AS example_id,
+SELECT CAST(row_number() OVER (ORDER BY n_chars NULLS FIRST, doc_id)
+            AS BIGINT) AS example_id,
        doc_id, n_chars
 FROM documents
 ORDER BY example_id

@@ -302,7 +302,9 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
            AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
+JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+  ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
@@ -382,8 +384,10 @@ def qx_embedding_dedup_pairs_lsh(spark, sf_dir):
 
 _TOPK_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 25 = 0),
-c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           FROM embeddings WHERE vec_id % 25 = 0
+             AND embedding IS NOT NULL),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE embedding IS NOT NULL),
 scored AS (
     SELECT q.query_id, c.corpus_id,
            list_dot_product(c.cv, q.qv) /
@@ -427,9 +431,10 @@ def qx_similarity_topk_gemm(spark, sf_dir):
 
 _TOPK_FILTERED_SQL = """
 WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 25 = 0),
+           FROM embeddings WHERE vec_id % 25 = 0
+             AND embedding IS NOT NULL),
 c AS (SELECT vec_id AS corpus_id, label, embedding::DOUBLE[] AS cv
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL),
 scored AS (
     SELECT q.query_id, c.corpus_id,
            list_dot_product(c.cv, q.qv) /
@@ -491,9 +496,10 @@ def _lsh_oracle_sql(num_planes: int = 4, num_tables: int = 12,
     blist = "[" + ", ".join(f"b{t}" for t in range(num_tables)) + "]"
     return f"""
 WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id % 25 = 0),
+      FROM embeddings WHERE vec_id % 25 = 0
+             AND embedding IS NOT NULL),
 cbk AS (SELECT corpus_id, cv, sqrt(list_dot_product(cv, cv)) AS cn,
        {cb}
         FROM c),
@@ -671,7 +677,8 @@ def qx_lm_familiarity_cms(spark, sf_dir):
 )
 SELECT lang_guess, count(*) AS n FROM (
     SELECT CASE
-        WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'unknown'
+        WHEN greatest(s_en, s_de, s_fr, s_es) IS NULL
+          OR greatest(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'unknown'
         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
@@ -751,7 +758,10 @@ def qx_tfidf_topk(spark, sf_dir):
 
 @register("qx_fingerprint_winnow", oracle=r"""
 WITH words AS (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    -- NULL text -> zero fingerprints and the signature of the empty
+    -- set (the engine's array_join of an empty fps array)
+    SELECT doc_id,
+           string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
     FROM documents
 ), hashes AS (
     SELECT doc_id,
@@ -770,7 +780,7 @@ WITH words AS (
     FROM hashes
 )
 SELECT doc_id, len(fps) AS n_fp,
-       md5(array_to_string(fps, ',')) AS fp_sig
+       md5(coalesce(array_to_string(fps, ','), '')) AS fp_sig
 FROM fp
 """)
 def qx_fingerprint_winnow(spark, sf_dir):
@@ -888,7 +898,7 @@ def qx_hll_mergeable(spark, sf_dir):
 WITH fp AS (
     SELECT DISTINCT source,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT source, count(*) AS n_distinct FROM fp GROUP BY source
 UNION ALL
@@ -907,7 +917,10 @@ def qx_hll_mergeable_portable(spark, sf_dir):
     mergeability pytest contracts."""
     docs = _docs(spark, sf_dir)
     fp = textquality.fingerprint(F.col("text"))
-    sets = docs.select("source", fp.alias("fp")).distinct().persist()
+    # a NULL fingerprint (NULL text) is not a distinct fingerprint —
+    # SQL count(DISTINCT) skips NULL and so does this exact twin
+    sets = (docs.select("source", fp.alias("fp"))
+            .filter(F.col("fp").isNotNull()).distinct().persist())
     per_source = sets.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_distinct"))
     merged = sets.select("fp").distinct().agg(
@@ -1324,7 +1337,9 @@ def qx_dedup_components(spark, sf_dir):
 @register("qx_semantic_dedup_keep", oracle="""
 WITH RECURSIVE pairs AS (
     SELECT a.vec_id AS id1, b.vec_id AS id2
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
+JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+  ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
@@ -1367,12 +1382,14 @@ def qx_semantic_dedup_keep(spark, sf_dir):
 @register("qx_language_id_ngram", oracle="""
 SELECT lang_detected, count(*) AS n FROM (
     SELECT CASE
+        WHEN ng = 0 THEN 'unknown'
         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
         WHEN s_fr >= s_es THEN 'fr'
         ELSE 'es' END AS lang_detected
     FROM (
-        SELECT len(list_intersect(grams, ['the','ing','and','ion','ent',
+        SELECT len(grams) AS ng,
+               len(list_intersect(grams, ['the','ing','and','ion','ent',
                    'he ',' th','nd ','of ',' to']))::DOUBLE / 10 AS s_en,
                len(list_intersect(grams, ['der','ich','sch','ein','die',
                    'und','en ','ch ',' de','cht']))::DOUBLE / 10 AS s_de,
@@ -1772,7 +1789,8 @@ score AS (
 ranked AS (
     SELECT query_id, corpus_id, s,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY s DESC, corpus_id) AS rank
+                              ORDER BY round(s, 6) DESC, corpus_id)
+               AS rank
     FROM score)
 SELECT query_id, rank, corpus_id, round(s, 6) AS approx_sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
@@ -1973,7 +1991,8 @@ score AS (
 ranked AS (
     SELECT query_id, corpus_id, s,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY s DESC, corpus_id) AS rank
+                              ORDER BY round(s, 6) DESC, corpus_id)
+               AS rank
     FROM score)
 SELECT query_id, rank, corpus_id, round(s, 6) AS approx_sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
@@ -2022,8 +2041,10 @@ def qx_similarity_topk_ivfpq(spark, sf_dir):
 
 _HARDNEG_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 25 = 0),
-c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           FROM embeddings WHERE vec_id % 25 = 0
+             AND embedding IS NOT NULL),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE embedding IS NOT NULL),
 scored AS (
     SELECT q.query_id, c.corpus_id,
            list_dot_product(c.cv, q.qv) /
@@ -2302,7 +2323,9 @@ WITH toks AS (
                                     qe.embedding::DOUBLE[]))) AS cos
     FROM shortlist t
     JOIN embeddings qe ON qe.vec_id = t.query_id
+                      AND qe.embedding IS NOT NULL
     JOIN embeddings ce ON ce.vec_id = t.cand_id
+                      AND ce.embedding IS NOT NULL
 )
 SELECT query_id, rank, cand_id AS doc_id, shared_grams,
        round(cos, 6) AS cosine_sim
@@ -2329,9 +2352,11 @@ def qx_hybrid_retrieval(spark, sf_dir):
 
 @register("qx_semantic_decontamination", oracle="""
 WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
-           FROM embeddings WHERE vec_id % 100 = 0),
+           FROM embeddings WHERE vec_id % 100 = 0
+             AND embedding IS NOT NULL),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 100 <> 0),
+      FROM embeddings WHERE vec_id % 100 <> 0
+        AND embedding IS NOT NULL),
 scored AS (
     SELECT c.vec_id, b.bid,
            CASE WHEN sqrt(list_dot_product(c.cv, c.cv))

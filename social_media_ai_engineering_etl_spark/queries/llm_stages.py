@@ -44,7 +44,7 @@ WITH posts AS (
     FROM documents
 ), labeled AS (
     SELECT doc_id,
-        CASE WHEN trim(post_text) = '' THEN 'unknown'
+        CASE WHEN post_text IS NULL OR trim(post_text) = '' THEN 'unknown'
              WHEN contains(lower(post_text), 'how to')
                OR contains(lower(post_text), 'step') THEN 'instructional'
              WHEN contains(lower(post_text), 'data')
@@ -88,7 +88,7 @@ WITH posts AS (
     FROM documents
 )
 SELECT doc_id,
-    CASE WHEN trim(post_text) = '' THEN 'unknown'
+    CASE WHEN post_text IS NULL OR trim(post_text) = '' THEN 'unknown'
          ELSE coalesce(
              list_filter(string_split_regex(lower(post_text), '\\s+'),
                          w -> len(w) >= 6)[1], 'unknown')
@@ -119,7 +119,7 @@ WITH posts AS (
     FROM documents
 )
 SELECT doc_id,
-    CASE WHEN trim(post_text) = '' THEN 'unknown'
+    CASE WHEN post_text IS NULL OR trim(post_text) = '' THEN 'unknown'
          -- free-decode drift: md5 bucket 0 mod 7 emits raw (non-JSON)
          WHEN ('0x' || substr(md5(post_text), 1, 6))::BIGINT % 7 = 0
               THEN 'unknown'
@@ -171,7 +171,7 @@ WITH posts AS (
     FROM h
 )
 SELECT doc_id,
-    CASE WHEN trim(post_text) = '' THEN 'Unknown'
+    CASE WHEN post_text IS NULL OR trim(post_text) = '' THEN 'Unknown'
          WHEN k = 1 THEN t0
          WHEN k = 2 THEN
              CASE WHEN t1 = t0 THEN t0 ELSE t0 || ', ' || t1 END

@@ -118,11 +118,11 @@ WITH f AS (
 )
 SELECT doc_id,
        round(CASE WHEN sqrt(sxx1 / n - (sx1 / n) * (sx1 / n)) > 0
-                  THEN (x1 - sx1 / n)
+                  THEN (coalesce(x1, 0) - sx1 / n)
                        / sqrt(sxx1 / n - (sx1 / n) * (sx1 / n))
                   ELSE 0.0 END, 6) AS text_length_scaled,
        round(CASE WHEN sqrt(sxx2 / n - (sx2 / n) * (sx2 / n)) > 0
-                  THEN (x2 - sx2 / n)
+                  THEN (coalesce(x2, 0) - sx2 / n)
                        / sqrt(sxx2 / n - (sx2 / n) * (sx2 / n))
                   ELSE 0.0 END, 6) AS word_count_scaled
 FROM f, m
@@ -370,15 +370,19 @@ _PERTURB_CTE = """
 
 @register("q04_grouped_similarity", oracle="WITH p AS (" + _PERTURB_CTE + """
 ), scored AS (
+    -- null vectors leave the cosine NULL but still count toward n;
+    -- the WHERE (not a CASE) keeps DuckDB's vectorized executor from
+    -- ever touching list_dot_product with a NULL argument
     SELECT structure,
            list_dot_product(va, vb)
            / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
                AS sim
-    FROM p
-)
-SELECT structure, round(avg(sim), 6) AS mean_sim,
-       round(stddev_samp(sim), 6) AS std_sim, count(*) AS n
-FROM scored GROUP BY structure ORDER BY structure
+    FROM p WHERE va IS NOT NULL
+), cnt AS (SELECT structure, count(*) AS n FROM p GROUP BY structure)
+SELECT cnt.structure, round(avg(s.sim), 6) AS mean_sim,
+       round(stddev_samp(s.sim), 6) AS std_sim, cnt.n
+FROM cnt LEFT JOIN scored s USING (structure)
+GROUP BY cnt.structure, cnt.n ORDER BY structure
 """)
 def q04_grouped_similarity(spark, sf_dir):
     """M15 + A9 (4-structure-micro-ablation.py:136-150, 228): aligned

@@ -210,14 +210,17 @@ SELECT lang, eligible, sample_n FROM (
            least(count(*),
                  least(greatest(CAST(floor(0.2 * count(*)) AS BIGINT), 5), 20))
                AS sample_n
-    FROM documents GROUP BY lang
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang
 ) ORDER BY lang
 """)
 def q04_sample_sizes(spark, sf_dir):
     """B1: reservoir size = clamp(int(0.2*eligible), 5, 20) per group
     (4-structure-micro-ablation.py:31-34); realized by actually
     sampling and counting."""
-    df = _docs(spark, sf_dir)
+    # NULL lang is not a stratum: the plan's groupBy would count it
+    # but the equi-join back can never sample it (r5 degenerate-parity
+    # finding, same class as the mixture operators)
+    df = _docs(spark, sf_dir).filter(F.col("lang").isNotNull())
     eligible = df.groupBy("lang").agg(F.count(F.lit(1)).alias("eligible"))
     target = sampling.reservoir_target(F.col("eligible"))
     with_t = df.join(F.broadcast(eligible.withColumn("__t", target)), "lang")

@@ -72,9 +72,16 @@ def _pick(d, options, mod):
 
 def _derive_reward_pairs(df):
     # constant tree over (doc_id, text, source): built once per JVM
-    # gateway, shared by all four q26 reward queries (cached_exprs)
+    # gateway, shared by all four q26 reward queries (cached_exprs).
+    # A doc with NULL text/source derives a NULL prompt or completion
+    # (Spark concat null-propagates) — there is no pair to score, so
+    # it is dropped at this boundary rather than letting every reward
+    # expression score an absent completion with its own accidental
+    # default (r5 degenerate-parity finding; oracle twin: the WHERE in
+    # _RP_CTE)
     cols = cached_exprs("q26_pair_cols", _build_pair_cols)
-    return df.select(*cols)
+    return df.select(*cols).filter(
+        F.col("prompt").isNotNull() & F.col("completion").isNotNull())
 
 
 def _build_pair_cols():
@@ -160,6 +167,8 @@ _RP_CTE = f"""
               THEN chr(10) || '#Launch #AI #Growth #Data #Cloud' ELSE '' END
         AS completion
     FROM documents
+    WHERE text IS NOT NULL
+      AND (doc_id % 19 <= 3 OR source IS NOT NULL)
 """
 
 # shared SQL fragments ------------------------------------------------------

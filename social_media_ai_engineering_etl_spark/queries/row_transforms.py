@@ -172,7 +172,10 @@ WITH words AS (
            AS ks
     FROM words
 )
-SELECT doc_id, array_to_string(ks[1:3], ', ') AS tone FROM kept
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN 'Unknown'
+            ELSE array_to_string(ks[1:3], ', ') END AS tone
+FROM kept JOIN documents USING (doc_id)
 """)
 def q09_tone_normalize(spark, sf_dir):
     """P10: lowercase, order-preserving dedupe, cap 3, join ', '
@@ -338,7 +341,8 @@ WITH pt AS (
     FROM feats
 )
 SELECT doc_id,
-       CASE WHEN avg_len < 10 THEN 'Short sentences, suggesting brevity and conciseness.'
+       CASE WHEN avg_len IS NULL THEN 'No sentences found.'
+            WHEN avg_len < 10 THEN 'Short sentences, suggesting brevity and conciseness.'
             WHEN avg_len > 20 THEN 'Long and complex sentences, indicating a detailed and elaborate style.'
             ELSE 'A mix of short and long sentences, showing a balanced style.' END
        AS sentence_description,
@@ -374,6 +378,7 @@ def q18_describe_style(spark, sf_dir):
 @register("q23_prompt_type", oracle="""
 SELECT prompt_type, count(*) AS n FROM (
     SELECT CASE
+        WHEN p IS NULL OR p = '' THEN 'unknown'
         WHEN lower(p) LIKE '%identify its primary topic%' THEN 'topic'
         WHEN lower(p) LIKE '%extract the core opinion%' THEN 'opinion'
         WHEN lower(p) LIKE '%identify up to three primary tones%' THEN 'tone'
@@ -497,12 +502,15 @@ WITH feats AS (
         '- **Tone**: ' || (CASE doc_id % 3 WHEN 0 THEN 'friendly, cheerful'
             WHEN 1 THEN 'professional' ELSE 'serious' END) AS p8,
         '### Writing Style Features' AS p9,
+        CASE WHEN text IS NULL THEN NULL ELSE
         '- **Sentence Structure**: ' ||
             (CASE WHEN list_sum(slens)::DOUBLE / len(slens) < 10
                   THEN 'Short sentences, suggesting brevity and conciseness.'
                   WHEN list_sum(slens)::DOUBLE / len(slens) > 20
                   THEN 'Long and complex sentences, indicating a detailed and elaborate style.'
-                  ELSE 'A mix of short and long sentences, showing a balanced style.' END) AS p10,
+                  ELSE 'A mix of short and long sentences, showing a balanced style.' END)
+        END AS p10,
+        CASE WHEN text IS NULL THEN NULL ELSE
         '- **Vocabulary Usage**: ' ||
             (CASE WHEN vocab::DOUBLE / greatest(alpha, 1) > 0.5
                   THEN 'A rich vocabulary, showcasing extensive language use and depth.'
@@ -512,15 +520,18 @@ WITH feats AS (
                   THEN 'A normal vocabulary, reflecting a balanced and versatile use of language.'
                   WHEN vocab::DOUBLE / greatest(alpha, 1) > 0.15
                   THEN 'A conservative vocabulary, suggesting a focused and deliberate choice of words.'
-                  ELSE 'A very narrow vocabulary, highlighting a specific and targeted use of language.' END) AS p11,
+                  ELSE 'A very narrow vocabulary, highlighting a specific and targeted use of language.' END)
+        END AS p11,
         CASE WHEN doc_id % 2 = 0
              THEN '- **Common Phrases**: data driven, key insight' END AS p12,
         CASE WHEN doc_id % 5 = 0 THEN '- **Section Divider**: `-`' END AS p13,
+        CASE WHEN text IS NULL THEN NULL ELSE
         '- **Line Break Usage**: ' ||
             (CASE WHEN lb = 0 THEN 'No line breaks, indicating a continuous block of text.'
                   WHEN lb > 10 THEN 'Frequent line breaks, contributing to an easy-to-read structure.'
                   WHEN avg_lb < 0.2 THEN 'Fewer line breaks, indicating a more compact writing style.'
-                  ELSE 'A moderate number of line breaks, balancing readability and density.' END) AS p14,
+                  ELSE 'A moderate number of line breaks, balancing readability and density.' END)
+        END AS p14,
         '- **Punctuation**: ' ||
             (CASE WHEN n < 1 THEN 'No punctuation data.'
                   ELSE coalesce(nullif(array_to_string(list_filter([

@@ -120,9 +120,11 @@ WITH rev AS (
     GROUP BY 1, 2
 )
 SELECT region_name, month, rev_cents,
-       CAST(sum(rev_cents) OVER (PARTITION BY region_name ORDER BY month)
+       CAST(sum(rev_cents) OVER (PARTITION BY region_name
+                                 ORDER BY month NULLS FIRST)
             AS BIGINT) AS running_cents,
-       lag(rev_cents) OVER (PARTITION BY region_name ORDER BY month)
+       lag(rev_cents) OVER (PARTITION BY region_name
+                            ORDER BY month NULLS FIRST)
            AS prev_cents
 FROM rev ORDER BY region_name, month
 """)
@@ -176,10 +178,12 @@ WITH rev AS (
     GROUP BY 1, 2
 )
 SELECT region_name, month,
-       CAST(sum(rev_cents) OVER (PARTITION BY region_name ORDER BY month
+       CAST(sum(rev_cents) OVER (PARTITION BY region_name
+                                 ORDER BY month NULLS FIRST
                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS BIGINT) AS mov3_cents,
-       CAST(count(*) OVER (PARTITION BY region_name ORDER BY month
+       CAST(count(*) OVER (PARTITION BY region_name
+                           ORDER BY month NULLS FIRST
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS BIGINT) AS mov3_n
 FROM rev ORDER BY region_name, month

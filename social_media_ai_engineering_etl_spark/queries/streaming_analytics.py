@@ -270,7 +270,7 @@ def qs_engagement_rollup(spark, sf_dir):
 SELECT event_type,
        CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
            AS sum_value_micros,
-       count(*) AS n,
+       count(value) AS n,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """)
@@ -472,10 +472,7 @@ def qs_props_variant(spark, sf_dir):
 
 
 @register("qs_engagement_cube", oracle="""
-SELECT CASE WHEN event_type IS NOT NULL AND dow IS NULL THEN 1
-            WHEN event_type IS NULL AND dow IS NOT NULL THEN 2
-            WHEN event_type IS NULL AND dow IS NULL THEN 3
-            ELSE 0 END AS gid,
+SELECT CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT) AS gid,
        event_type, dow, count(*) AS n_events,
        CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
            AS sum_value_micros
@@ -506,7 +503,9 @@ def qs_engagement_cube(spark, sf_dir):
 @register("qs_hourly_type_unpivot", oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type, count(*) AS n_events
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
+FROM events
+WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def qs_hourly_type_unpivot(spark, sf_dir):
     """Round-trip of the pivot: melt the wide hour x type matrix back
@@ -631,7 +630,8 @@ WITH c AS (
 ), r AS (
     SELECT hour, event_type, n,
            row_number() OVER (PARTITION BY hour
-                              ORDER BY n DESC, event_type) AS rnk
+                              ORDER BY n DESC, event_type NULLS FIRST)
+               AS rnk
     FROM c
 )
 SELECT hour, event_type, n, rnk FROM r

@@ -433,9 +433,11 @@ new AS (
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'insert'
             WHEN n.doc_id IS NULL THEN 'delete'
-            WHEN o.fp <> n.fp THEN 'update' END AS change_type
+            WHEN o.fp IS DISTINCT FROM n.fp THEN 'update' END
+           AS change_type
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp)
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.fp IS DISTINCT FROM n.fp)
 ORDER BY doc_id
 """)
 def qx_snapshot_diff(spark, sf_dir):
@@ -501,7 +503,8 @@ WITH p AS (
     SELECT user_id, frequency, monetary_cents,
            ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
            ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
-           ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+           ntile(5) OVER (ORDER BY monetary_cents NULLS FIRST,
+                          user_id) AS m_score
     FROM p
 )
 SELECT user_id, frequency, monetary_cents,
@@ -898,7 +901,8 @@ def qx_conversion_latency_bands(spark, sf_dir):
 WITH spend AS (
     SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT))
                         AS BIGINT) AS cents
-    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY user_id
 ), dec AS (
     SELECT user_id, cents,
            ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
@@ -919,8 +923,12 @@ def qx_revenue_concentration(spark, sf_dir):
     to SQL ntile with NO unpartitioned window — the r2 RFM fix
     reused), so the ranking survives billions of users."""
     from ..operators import scale
+    # a purchase with NULL value carries no spend; a user with only
+    # such rows has no rankable spend (NULL cents would shift every
+    # later decile by one under engine-specific NULL ordering)
     spend = (_events(spark, sf_dir)
-             .filter(F.col("event_type") == "purchase")
+             .filter((F.col("event_type") == "purchase")
+                     & F.col("value").isNotNull())
              .groupBy("user_id")
              .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
                   .alias("cents")))
@@ -1045,8 +1053,11 @@ WITH o AS (
                               ORDER BY ts, event_id) AS rn
     FROM events
 ), heads AS (
+    -- coalesce: both engines SKIP null event types inside the path
+    -- (Spark array_join / DuckDB string_agg), but an all-null head
+    -- aggregates to '' in Spark and NULL in DuckDB
     SELECT user_id,
-           string_agg(event_type, '>' ORDER BY rn) AS path
+           coalesce(string_agg(event_type, '>' ORDER BY rn), '') AS path
     FROM o WHERE rn <= 3 GROUP BY user_id
 )
 SELECT path, count(*) AS n_users
@@ -1194,9 +1205,16 @@ def qx_cdc_apply_roundtrip(spark, sf_dir):
     n = new.withColumn("fp", F.md5(F.concat_ws("|", "user_id", "k")))
     feed = scale.snapshot_diff(o, n, "user_id", "fp")
     applied = scale.apply_cdc(old, feed, "user_id", new)
-    # roundtrip assertion inside the plan: applied must equal new
-    n_new_via_apply = (applied
-                       .join(new, ["user_id", "k"], "inner"))
+    # roundtrip assertion inside the plan: applied must equal new.
+    # k compares NULL-SAFELY — a user whose latest props.k is NULL is
+    # still a row the roundtrip must preserve; the plain equality join
+    # silently dropped such users from the assertion itself
+    # (r5 degenerate-parity finding)
+    n_new_via_apply = (applied.alias("a")
+                       .join(new.alias("b"),
+                             (F.col("a.user_id") == F.col("b.user_id"))
+                             & F.col("a.k").eqNullSafe(F.col("b.k")),
+                             "inner"))
     counts = feed.groupBy().pivot(
         "change_type", ["insert", "update", "delete"]).count()
     return (old.agg(F.count(F.lit(1)).alias("n_old"))
@@ -1218,7 +1236,7 @@ def qx_cdc_apply_roundtrip(spark, sf_dir):
 WITH c AS (
     SELECT event_type, event_id,
            CAST(round(value * 100) AS BIGINT) AS cents
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ), r AS (
     SELECT event_type, cents,
            row_number() OVER (PARTITION BY event_type
@@ -1243,9 +1261,13 @@ def qx_trimmed_mean(spark, sf_dir):
     disagree on.  One partitioned window + rollup; integer cents
     and integer division throughout."""
     from pyspark.sql import Window
-    c = _events(spark, sf_dir).select(
-        "event_type", "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    # a NULL value is not a rankable observation: Spark sorts NULLS
+    # FIRST, so unfiltered nulls would soak up the bottom-percentile
+    # trim and deflate the mean (r5 degenerate-parity finding)
+    c = (_events(spark, sf_dir)
+         .filter(F.col("value").isNotNull())
+         .select("event_type", "event_id",
+                 F.round(F.col("value") * 100).cast("long").alias("cents")))
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     wn = Window.partitionBy("event_type")
     r = (c.withColumn("rn", F.row_number().over(w))
@@ -1369,8 +1391,14 @@ def qx_join_ivm_rollup(spark, sf_dir):
     cust = spark.read.parquet(
         os.path.join(sf_dir, "customer.parquet")).select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
-    left_old = orders.filter(F.col("o_year") < 1999)
-    left_delta = orders.filter(F.col("o_year") >= 1999)
+    # NULL-SAFE split: `y < 1999` and `y >= 1999` do NOT partition a
+    # nullable column — a NULL-year order would fall out of BOTH
+    # sides and silently vanish from the maintained view (r5
+    # degenerate-parity finding).  Unknown-date orders ride history.
+    left_old = orders.filter(
+        F.coalesce(F.col("o_year") < 1999, F.lit(True)))
+    left_delta = orders.filter(
+        F.coalesce(F.col("o_year") >= 1999, F.lit(False)))
     # median dim key as a broadcast 1-row aggregate, not a driver
     # collect (J2 pattern, VERDICT r3 #4) — keeps the whole IVM
     # refresh a single lazy plan
@@ -1470,6 +1498,7 @@ def qx_distribution_drift(spark, sf_dir):
 @register("qx_weighted_median", oracle="""
 WITH w AS (
     SELECT source, n_chars AS v, (doc_id % 7) + 1 AS wt FROM documents
+    WHERE n_chars IS NOT NULL
 ), per_v AS (
     SELECT source, v, CAST(sum(wt) AS BIGINT) AS wv
     FROM w GROUP BY source, v
@@ -1614,6 +1643,7 @@ def qx_referential_integrity(spark, sf_dir):
 @register("qx_weighted_quartile_bands", oracle="""
 WITH w AS (
     SELECT source, n_chars AS v, (doc_id % 7) + 1 AS wt FROM documents
+    WHERE n_chars IS NOT NULL
 ), per_v AS (
     SELECT source, v, CAST(sum(wt) AS BIGINT) AS wv
     FROM w GROUP BY source, v

@@ -1,0 +1,112 @@
+"""Pins for the r5 degenerate-parity engine fixes.
+
+scripts/oracle_parity_degenerate.py compares every oracle-paired query
+against DuckDB on null-heavy / constant / single-row fixtures; its
+first run surfaced a class of REAL engine bugs where a NULL silently
+took a default instead of propagating (str(None) tokens, least()
+skipping NULL operands, fp-nullness standing in for row presence,
+non-null-safe predicate splits).  Each fix gets a direct pin here so
+the class cannot regress without the full sweep.
+"""
+
+from pyspark.sql import functions as F
+
+
+def test_cosine_null_vector_is_null_not_zero(spark):
+    """cosine(NULL, v) must be NULL (missing vector), never 0.0
+    ('orthogonal') — otherwise(0.0) caught NULLs before r5."""
+    from social_media_ai_engineering_etl_spark.operators.dedup import cosine
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]),
+         (2, None, [1.0, 0.0]),
+         (3, [0.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>")
+    rows = {r["id"]: r["c"] for r in
+            df.select("id", cosine(F.col("a"), F.col("b")).alias("c"))
+              .collect()}
+    assert rows[1] == 1.0
+    assert rows[2] is None          # missing vector -> NULL
+    assert rows[3] == 0.0           # zero-norm -> 0.0 (unchanged)
+
+
+def test_avg_word_length_and_quality_null_text(spark):
+    """NULL text -> NULL stats: least() SKIPS null operands in Spark,
+    so quality_score's length term scored a missing document as
+    'perfect length' (0.25 total) before r5."""
+    from social_media_ai_engineering_etl_spark.functions.textstats import (
+        avg_word_length)
+    from social_media_ai_engineering_etl_spark.operators.textquality import (
+        quality_score)
+    df = spark.createDataFrame([(1, None), (2, "ab cd")],
+                               "id long, t string")
+    rows = {r["id"]: (r["awl"], r["q"]) for r in
+            df.select("id", avg_word_length(F.col("t")).alias("awl"),
+                      quality_score(F.col("t")).alias("q")).collect()}
+    assert rows[1] == (None, None)
+    assert rows[2][0] == 2.0 and rows[2][1] is not None
+
+
+def test_snapshot_diff_null_fingerprint_is_not_presence(spark):
+    """A row whose fingerprint is genuinely NULL exists in its
+    snapshot: presence must come from join flags, not fp nullness —
+    the old fp-as-presence shortcut classified (k=1, NULL) in both
+    snapshots as an INSERT."""
+    from social_media_ai_engineering_etl_spark.operators.scale import (
+        snapshot_diff)
+    old = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "x")], "k long, fp string")
+    new = spark.createDataFrame(
+        [(1, None), (2, "b"), (4, "y")], "k long, fp string")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k", "fp").collect()}
+    # k=1: NULL -> NULL fp is UNCHANGED (null-safe compare), not insert
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+    # NULL -> value IS a change
+    old2 = spark.createDataFrame([(1, None)], "k long, fp string")
+    new2 = spark.createDataFrame([(1, "now")], "k long, fp string")
+    assert [r["change_type"] for r in
+            snapshot_diff(old2, new2, "k", "fp").collect()] == ["update"]
+
+
+def test_funnel_reports_zero_user_steps(spark):
+    """Every funnel step appears even when nobody reached it — a
+    groupBy silently dropped empty steps before r5."""
+    from social_media_ai_engineering_etl_spark.operators.behavior import (
+        funnel_steps)
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id long, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    rows = [(r["step"], r["event_type"], r["n_users"]) for r in
+            funnel_steps(ev, ("view", "click", "purchase")).collect()]
+    assert rows == [(1, "view", 1), (2, "click", 0), (3, "purchase", 0)]
+
+
+def test_predicate_split_is_null_safe(spark):
+    """`y < c` / `y >= c` do NOT partition a nullable column — the IVM
+    fact split now routes NULL years to history instead of dropping
+    them from both sides."""
+    df = spark.createDataFrame([(1, 1998), (2, 2000), (3, None)],
+                               "id long, y int")
+    hist = df.filter(F.coalesce(F.col("y") < 1999, F.lit(True)))
+    delta = df.filter(F.coalesce(F.col("y") >= 1999, F.lit(False)))
+    assert {r["id"] for r in hist.collect()} == {1, 3}
+    assert {r["id"] for r in delta.collect()} == {2}
+    assert hist.count() + delta.count() == df.count()  # a true partition
+
+
+def test_balance_counts_null_key_combos(spark):
+    """count_distinct over bare key columns skips NULL-key rows; the
+    balancer counts combos with a struct so the scalar matches the
+    combos the windows actually balance."""
+    from social_media_ai_engineering_etl_spark.operators.sampling import (
+        balance_to_average)
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else None) for i in range(30)],
+        "id long, grp string")
+    out = balance_to_average(df, ["grp"], target_cap=1000, seed=1)
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    # 2 combos (a, NULL), 30 rows -> avg_target 15; both land at 15
+    assert counts == {"a": 15, None: 15}
