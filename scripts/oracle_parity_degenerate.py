@@ -37,6 +37,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 BASE = os.environ.get("SPARK_GRAFT_PARITY_BASE", "/root/testdata/sf0.001")
+# bump when any build_fixture recipe changes (invalidates --fixture-dir)
+_RECIPE_VERSION = "2"
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 KEYS = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
@@ -104,10 +106,23 @@ def main() -> int:
     for regime in regimes:
         if fixture_dir:
             d = os.path.join(fixture_dir, regime)
-            if not os.path.isdir(d):
+            # cache keyed on the recipe version: a stale fixture built
+            # by an older recipe must be rebuilt, not silently reused
+            # (the const recipe changed once already — unique keys)
+            stamp = os.path.join(d, ".recipe_version")
+            want = f"{_RECIPE_VERSION}:{BASE}"
+            have = None
+            if os.path.isfile(stamp):
+                with open(stamp) as fh:
+                    have = fh.read().strip()
+            if have != want:
+                import shutil
+                shutil.rmtree(d, ignore_errors=True)
                 os.makedirs(fixture_dir, exist_ok=True)
                 built = build_fixture(spark, regime)
                 os.rename(built, d)
+                with open(stamp, "w") as fh:
+                    fh.write(want)
         else:
             d = build_fixture(spark, regime)
         con = duckdb.connect()
