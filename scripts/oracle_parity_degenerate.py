@@ -120,7 +120,10 @@ def main() -> int:
                 shutil.rmtree(d, ignore_errors=True)
                 os.makedirs(fixture_dir, exist_ok=True)
                 built = build_fixture(spark, regime)
-                os.rename(built, d)
+                # shutil.move, not os.rename: the fixture is built in
+                # tempfile.mkdtemp (often a different filesystem than
+                # --fixture-dir) and os.rename raises EXDEV across fs.
+                shutil.move(built, d)
                 with open(stamp, "w") as fh:
                     fh.write(want)
         else:

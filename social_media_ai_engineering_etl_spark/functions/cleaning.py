@@ -22,13 +22,16 @@ def unwrap_json_field(col: Column, key: str) -> Column:
 
 
 def is_disallowed(col: Column) -> Column:
-    """P8/P9: True when the value contains any disallowed substring,
+    """P8: True when the value contains any disallowed substring,
     any CJK character, or trims/lowers to 'unknown'
-    (7-clean-topics.py:18-43; 12-clean-opinions.py:18-46).
+    (7-clean-topics.py:18-43 — the TOPIC cleaner; stages 12/15 check
+    fewer things, see :func:`is_disallowed_opinion` /
+    :func:`is_disallowed_context_effective`).
 
-    Stage 15's intended check is identical; its shipped version has a
-    truthiness bug (only tests "650+" — SURVEY Q4). We implement the
-    stage-07 semantics everywhere and document the deviation.
+    Stage 15's intended check adds term filters; its shipped version
+    has a truthiness bug (only "650+" of the three terms is tested —
+    SURVEY Q4). The engine's default cleaners use these stage-07
+    semantics as the strictest intended filter.
     """
     cond = F.lit(False)
     for sub in DISALLOWED_SUBSTRINGS:
@@ -80,9 +83,15 @@ def constrain_to_domain(tones: Column, allowed: tuple[str, ...],
 # stage 18/23: label normalizers + prompt-type classifier
 # ---------------------------------------------------------------------------
 
+# The reference's single structure domain, shared by stage 18's
+# find_first_matching_term (18-generate-prompts.py:366-371) and stage
+# 23's extract_structure_from_chosen (23-split.py:139-142).  (Until r6
+# the engine carried an invented 'educational/promotional/...' list
+# that exists nowhere in the reference — caught while building the
+# reference differential test.)
 STRUCTURE_LABELS = (
-    "educational", "inspirational", "promotional", "conversational",
-    "analytical", "narrative", "listicle", "announcement", "question",
+    "instructional", "inspirational", "controversial",
+    "insightful", "comparative", "reflective", "announcement",
 )
 DEFAULT_STRUCTURE = "instructional"
 
@@ -90,13 +99,20 @@ DEFAULT_STRUCTURE = "instructional"
 def normalize_structure(text: Column,
                         labels: tuple[str, ...] = STRUCTURE_LABELS,
                         default: str = DEFAULT_STRUCTURE) -> Column:
-    """First known structure keyword contained in the text, else the
-    default (18-generate-prompts.py:361-374, 437-443)."""
-    lowered = F.lower(text)
-    expr = F.lit(default)
-    for label in reversed(labels):
-        expr = F.when(lowered.contains(F.lit(label)), F.lit(label)).otherwise(expr)
-    return expr
+    """P12 — stage 18's find_first_matching_term
+    (18-generate-prompts.py:361-374, 437-443): split the text on
+    whitespace, return the FIRST WORD (in text order) that is exactly
+    a known label, else the default.  Word-split, not substring:
+    'comparatively' must NOT match 'comparative', and for
+    'reflective and inspirational' the first word in TEXT order wins
+    (not the first label in list order) — both divergences pinned
+    against the reference binary in
+    tests/test_reference_differential.py."""
+    words = F.split(F.lower(text), r"\s+")
+    matches = F.filter(words, lambda w: w.isin(*labels))
+    # try_element_at: empty match array -> NULL -> default (plain
+    # element_at throws under ANSI mode on Spark 4)
+    return F.coalesce(F.try_element_at(matches, F.lit(1)), F.lit(default))
 
 
 PROMPT_TYPE_RULES = (
@@ -188,13 +204,16 @@ def validate_records(df, required: tuple[str, ...] = (),
 
 
 def structure_from_chosen(chosen: Column,
-                          labels: tuple[str, ...] = STRUCTURE_LABELS) -> Column:
-    """P15 (23-split.py:133-152): structure recovered from the chosen
-    completion — exact label match first, then substring containment,
-    else NULL (unknown). Differs from P12's prompt-side normalize in
-    its exact-match fast path and null default."""
+                          labels: tuple[str, ...] = STRUCTURE_LABELS,
+                          default: str = "other") -> Column:
+    """P15 (23-split.py:133-156): structure recovered from the chosen
+    completion — exact label match first, then substring containment
+    in CATEGORY-LIST order, else 'other' (the reference returns the
+    string 'other', not None — r6 fix, was NULL). Differs from P12's
+    prompt-side normalize (word-split, text order) in its
+    substring/list-order semantics."""
     lowered = F.lower(F.trim(chosen))
-    expr = F.lit(None).cast("string")
+    expr = F.lit(default)
     for label in reversed(labels):
         expr = F.when(lowered.contains(F.lit(label)),
                       F.lit(label)).otherwise(expr)
@@ -210,11 +229,27 @@ def first_tone(chosen: Column) -> Column:
     return F.when(head == "", F.lit(None).cast("string")).otherwise(head)
 
 
+def is_disallowed_opinion(col: Column) -> Column:
+    """Stage-12 opinion cleaner, exact shipped semantics
+    (12-clean-opinions.py:19-33): CJK character anywhere, or the
+    whole value trims/lowers to 'unknown'. NO substring list — the
+    opinion cleaner is strictly weaker than the topic cleaner;
+    pinned against the reference binary in
+    tests/test_reference_differential.py."""
+    return col.rlike(CJK_PATTERN) | (F.lower(F.trim(col)) == "unknown")
+
+
 def is_disallowed_context_effective(col: Column) -> Column:
-    """P9 bug-compatible variant (15-clean-context.py:36): the shipped
-    `if "$3.5M" and "LinkedIn" and "650+" in context` only evaluates
-    `"650+" in context` (Python truthiness chain — SURVEY Q4), so the
-    EFFECTIVE reference behavior drops only contexts containing
-    '650+'. Provided for byte-parity replays; the engine's default
+    """P9 bug-compatible variant — the EXACT shipped stage-15 filter
+    (15-clean-context.py:17-40): CJK -> drop, trims/lowers to
+    'unknown' -> drop, then the buggy term line
+    `if "$3.5M" and "LinkedIn" and "650+" in context` which by Python
+    truthiness only evaluates `"650+" in context` (SURVEY Q4). The
+    CJK and 'unknown' checks DO run in the reference (they precede
+    the buggy line) — modeling only the 650+ term (as this function
+    did before r6) under-dropped; pinned against the reference binary
+    in tests/test_reference_differential.py. The engine's default
     cleaners use the intended stage-07 semantics (is_disallowed)."""
-    return col.contains(F.lit("650+"))
+    return (col.rlike(CJK_PATTERN)
+            | (F.lower(F.trim(col)) == "unknown")
+            | col.contains(F.lit("650+")))

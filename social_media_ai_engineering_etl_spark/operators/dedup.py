@@ -225,8 +225,12 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     ranked = (tok.join(dfreq, "s")
               .withColumn("rk", F.row_number().over(
                   Window.partitionBy("id").orderBy("df", "s"))))
-    # prefix length |x| - ceil(t|x|) + 1 (>= 1 for t <= 1)
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # prefix length |x| - ceil(t|x|) + 1 (>= 1 for t <= 1); the same
+    # 1e-9 slack as the join prunes below — float ceil rounding UP here
+    # would SHORTEN the prefix (the lossy direction), slack only ever
+    # lengthens it by one token.
+    plen = (F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1)
     prefix = (ranked.filter(F.col("rk") <= plen)
               .select("id", "s", "sz", "rk").persist())
     # two more LOSSLESS PPJoin prunes applied inside the token join,
@@ -248,14 +252,21 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     #     >= the true overlap.  Equality with the inverted-index twin
     #     stays pinned in tests/test_dedup.py.
     t = float(threshold)
+    # Float-slack on BOTH prune bounds (ADVICE r5): the thresholds are
+    # exact rationals (e.g. t=0.2 -> t/(1+t) = 1/6) that binary floats
+    # can only over-approximate; without slack the ceil can land one
+    # above the exact bound and prune a pair whose exact Jaccard EQUALS
+    # t.  Subtracting/adding 1e-9 weakens each prune by at most one
+    # candidate — still lossless, since the exact-Jaccard verify below
+    # decides membership.
     olap = F.ceil(F.lit(t / (1.0 + t))
-                  * (F.col("a.sz") + F.col("b.sz")))
+                  * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9))
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   (F.col("a.s") == F.col("b.s"))
                   & (F.col("a.id") < F.col("b.id"))
-                  & (F.col("b.sz") * t <= F.col("a.sz"))
-                  & (F.col("a.sz") * t <= F.col("b.sz"))
+                  & (F.col("b.sz") * t <= F.col("a.sz") + F.lit(1e-9))
+                  & (F.col("a.sz") * t <= F.col("b.sz") + F.lit(1e-9))
                   & (F.least(F.col("a.rk"), F.col("b.rk"))
                      + F.least(F.col("a.sz") - F.col("a.rk"),
                                F.col("b.sz") - F.col("b.rk"))

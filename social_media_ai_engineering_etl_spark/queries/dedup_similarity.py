@@ -2224,22 +2224,25 @@ def _bpe_token_stats_oracle_sql(rounds: int = 8) -> str:
 ), dw AS (
     SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
                AS word
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 ), dt AS (
-    SELECT d.doc_id,
+    -- doc_id IS NOT NULL on BOTH engine and oracle sides (ADVICE r5):
+    -- the final per-source rollup used to JOIN ... USING (doc_id),
+    -- silently dropping a NULL-keyed document the engine counted —
+    -- the contract is now explicit instead of fixture-lucky.
+    SELECT d.doc_id, d.source,
            CAST(coalesce(sum(wt.n_tokens), 0) AS BIGINT) AS n_tokens
     FROM documents d
-    LEFT JOIN (SELECT doc_id, word FROM dw WHERE word <> '') x
-           ON x.doc_id = d.doc_id
+    LEFT JOIN dw x ON x.doc_id = d.doc_id AND x.word <> ''
     LEFT JOIN wt ON wt.word = x.word
-    GROUP BY d.doc_id
+    WHERE d.doc_id IS NOT NULL
+    GROUP BY d.doc_id, d.source
 )
-SELECT doc.source,
+SELECT dt.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(dt.n_tokens) AS BIGINT) AS total_tokens,
        round(sum(dt.n_tokens)::DOUBLE / count(*), 6) AS avg_tokens
-FROM dt JOIN documents doc USING (doc_id)
-GROUP BY doc.source ORDER BY doc.source"""
+FROM dt GROUP BY dt.source ORDER BY dt.source"""
 
 
 @register("qx_bpe_learn", oracle=_bpe_learn_oracle_sql(8))
@@ -2281,7 +2284,12 @@ def qx_bpe_token_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     merges = [tuple(r) for r in
               bpe_learn(docs, "text", num_merges=8).collect()]
-    enc = bpe_encode(docs, "doc_id", "text", merges)
+    # Explicit NULL-key contract (matches the oracle's WHERE
+    # d.doc_id IS NOT NULL in dt): the trainer sees every document,
+    # but the per-source rollup counts only keyed docs — the equi-join
+    # back to source already dropped NULL keys implicitly; say so.
+    enc = bpe_encode(docs.filter(F.col("doc_id").isNotNull()),
+                     "doc_id", "text", merges)
     per_doc = enc.join(docs.select("doc_id", "source"),
                        enc.id == F.col("doc_id"))
     return (per_doc.groupBy("source")

@@ -418,34 +418,35 @@ def q23_prompt_type(spark, sf_dir):
 
 @register("q18_structure_normalize", oracle="""
 SELECT structure, count(*) AS n FROM (
-    SELECT CASE
-        WHEN contains(lower(s), 'educational') THEN 'educational'
-        WHEN contains(lower(s), 'inspirational') THEN 'inspirational'
-        WHEN contains(lower(s), 'promotional') THEN 'promotional'
-        WHEN contains(lower(s), 'conversational') THEN 'conversational'
-        WHEN contains(lower(s), 'analytical') THEN 'analytical'
-        WHEN contains(lower(s), 'narrative') THEN 'narrative'
-        WHEN contains(lower(s), 'listicle') THEN 'listicle'
-        WHEN contains(lower(s), 'announcement') THEN 'announcement'
-        WHEN contains(lower(s), 'question') THEN 'question'
-        ELSE 'instructional' END AS structure
+    SELECT coalesce(
+        list_filter(string_split_regex(lower(s), '\\s+'),
+                    w -> list_contains(['instructional', 'inspirational',
+                                        'controversial', 'insightful',
+                                        'comparative', 'reflective',
+                                        'announcement'], w))[1],
+        'instructional') AS structure
     FROM (
         SELECT CASE doc_id % 4
-            WHEN 0 THEN 'An Educational look at ' || source
-            WHEN 1 THEN 'narrative and analytical notes'
-            WHEN 2 THEN 'big Announcement today'
+            WHEN 0 THEN 'a Reflective and inspirational look at ' || source
+            WHEN 1 THEN 'comparatively insightful notes'
+            WHEN 2 THEN 'big announcement today'
             ELSE text END AS s
         FROM documents
     )
 ) GROUP BY structure ORDER BY structure
 """)
 def q18_structure_normalize(spark, sf_dir):
-    """P12: first known structure keyword wins, default 'instructional'
-    (18:361-374); 'narrative and analytical' exercises precedence."""
+    """P12 — find_first_matching_term (18:361-374): first WORD in text
+    order that is a known label, default 'instructional'. The fixtures
+    pin both reference-faithful behaviors: 'Reflective and
+    inspirational' -> reflective (text order, not label order);
+    'comparatively insightful' -> insightful ('comparatively' is not
+    the word 'comparative')."""
     d = F.col("doc_id") % 4
-    s = (F.when(d == 0, F.concat(F.lit("An Educational look at "), F.col("source")))
-          .when(d == 1, F.lit("narrative and analytical notes"))
-          .when(d == 2, F.lit("big Announcement today"))
+    s = (F.when(d == 0, F.concat(F.lit("a Reflective and inspirational look at "),
+                                 F.col("source")))
+          .when(d == 1, F.lit("comparatively insightful notes"))
+          .when(d == 2, F.lit("big announcement today"))
           .otherwise(F.col("text")))
     return (_docs(spark, sf_dir)
             .select(cleaning.normalize_structure(s).alias("structure"))
@@ -688,26 +689,24 @@ def qv_record_validation(spark, sf_dir):
 @register("q23_from_chosen", oracle="""
 SELECT structure_label, first_tone, count(*) AS n FROM (
     SELECT CASE
-        WHEN lower(trim(c_struct)) IN ('educational', 'inspirational',
-             'promotional', 'conversational', 'analytical', 'narrative',
-             'listicle', 'announcement', 'question')
+        WHEN lower(trim(c_struct)) IN ('instructional', 'inspirational',
+             'controversial', 'insightful', 'comparative', 'reflective',
+             'announcement')
             THEN lower(trim(c_struct))
-        WHEN lower(trim(c_struct)) LIKE '%educational%' THEN 'educational'
+        WHEN lower(trim(c_struct)) LIKE '%instructional%' THEN 'instructional'
         WHEN lower(trim(c_struct)) LIKE '%inspirational%' THEN 'inspirational'
-        WHEN lower(trim(c_struct)) LIKE '%promotional%' THEN 'promotional'
-        WHEN lower(trim(c_struct)) LIKE '%conversational%' THEN 'conversational'
-        WHEN lower(trim(c_struct)) LIKE '%analytical%' THEN 'analytical'
-        WHEN lower(trim(c_struct)) LIKE '%narrative%' THEN 'narrative'
-        WHEN lower(trim(c_struct)) LIKE '%listicle%' THEN 'listicle'
+        WHEN lower(trim(c_struct)) LIKE '%controversial%' THEN 'controversial'
+        WHEN lower(trim(c_struct)) LIKE '%insightful%' THEN 'insightful'
+        WHEN lower(trim(c_struct)) LIKE '%comparative%' THEN 'comparative'
+        WHEN lower(trim(c_struct)) LIKE '%reflective%' THEN 'reflective'
         WHEN lower(trim(c_struct)) LIKE '%announcement%' THEN 'announcement'
-        WHEN lower(trim(c_struct)) LIKE '%question%' THEN 'question'
-        ELSE NULL END AS structure_label,
+        ELSE 'other' END AS structure_label,
         CASE WHEN lower(trim(string_split(c_tones, ',')[1])) = '' THEN NULL
              ELSE lower(trim(string_split(c_tones, ',')[1])) END AS first_tone
     FROM (
         SELECT CASE doc_id % 4
-                 WHEN 0 THEN 'educational'
-                 WHEN 1 THEN 'A Narrative piece about ' || source
+                 WHEN 0 THEN 'reflective'
+                 WHEN 1 THEN 'A Comparative piece about ' || source
                  WHEN 2 THEN text
                  ELSE '  Announcement  ' END AS c_struct,
                CASE doc_id % 3
@@ -724,8 +723,8 @@ def q23_from_chosen(spark, sf_dir):
     chosen-completion shaped columns, aggregated to label counts."""
     d = F.col("doc_id")
     derived = _docs(spark, sf_dir).select(
-        (F.when(d % 4 == 0, F.lit("educational"))
-          .when(d % 4 == 1, F.concat(F.lit("A Narrative piece about "),
+        (F.when(d % 4 == 0, F.lit("reflective"))
+          .when(d % 4 == 1, F.concat(F.lit("A Comparative piece about "),
                                      F.col("source")))
           .when(d % 4 == 2, F.col("text"))
           .otherwise(F.lit("  Announcement  "))).alias("c_struct"),
@@ -745,7 +744,10 @@ def q23_from_chosen(spark, sf_dir):
 @register("q15_clean_context", oracle="""
 SELECT semantics, n_kept FROM (
     SELECT 'effective_bug' AS semantics,
-           count(*) FILTER (WHERE NOT contains(ctx, '650+')) AS n_kept
+           count(*) FILTER (WHERE NOT (
+               regexp_matches(ctx, '[一-鿿]')
+               OR lower(trim(ctx)) = 'unknown'
+               OR contains(ctx, '650+'))) AS n_kept
     FROM (SELECT CASE WHEN doc_id % 11 = 0 THEN 'raised 650+ rounds'
                       WHEN doc_id % 7 = 0 THEN 'unknown'
                       ELSE text END AS ctx FROM documents)
