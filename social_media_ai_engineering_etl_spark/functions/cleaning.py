@@ -222,6 +222,94 @@ def structure_from_chosen(chosen: Column,
     return expr
 
 
+# stage-23 inverse of the stage-18 base command (23-split.py:168-196):
+# description substring (searched in the LOWERED prompt) -> structure
+POST_GEN_STRUCTURE_MAP = (
+    ("shares a step-by-step guide", "instructional"),
+    ("reflects on an experience", "reflective"),
+    ("inspires and motivates", "inspirational"),
+    ("challenges popular opinions", "controversial"),
+    ("offers keen observations", "insightful"),
+    ("compares two or more items", "comparative"),
+    ("announces something new", "announcement"),
+)
+
+
+def structure_from_post_gen_prompt(prompt: Column) -> Column:
+    """Recover the structure label from a post-generation prompt's
+    base command, first mapping entry whose description appears in
+    the lowered prompt; NULL when none (23-split.py:168-196)."""
+    lowered = F.lower(prompt)
+    expr = F.lit(None).cast("string")
+    for desc, label in reversed(POST_GEN_STRUCTURE_MAP):
+        expr = F.when(lowered.contains(F.lit(desc)),
+                      F.lit(label)).otherwise(expr)
+    return expr
+
+
+_LEN_FIELD_RE = r"suggested post length[:\s]*(.+?)(?:\n|\*\*|$)"
+_EMOJI_FIELD_RE = r"emoji usage[:\s]*(.+?)(?:\n|\*\*|$)"
+
+
+def _lazy_field(prompt: Column, pattern: str) -> Column:
+    """Reference 23-split.py field scrape: re.search over the LOWERED
+    prompt with a lazy group terminated by newline/'**'/end. Note the
+    captured group keeps the reference's quirky '**: ' prefix (the
+    [:\\s]* gap does not consume asterisks) — faithfully preserved
+    because the raw-return fallback surfaces it in combo keys.
+    Returns NULL (not '') on no match."""
+    got = F.regexp_extract(F.lower(prompt), pattern, 1)
+    return F.when(got == "", F.lit(None)).otherwise(got)
+
+
+def contains_any(col: Column, *needles: str) -> Column:
+    """OR-fold of substring containment checks."""
+    cond = F.lit(False)
+    for n in needles:
+        cond = cond | col.contains(F.lit(n))
+    return cond
+
+
+def extract_max_length_std(prompt: Column) -> Column:
+    """P13-adjacent stage-23 metadata (23-split.py:75-103): scrape the
+    'Suggested Post Length' value and standardize to
+    short/medium/long; unknown when the field is absent; the raw
+    (stripped) scrape when no rule fires."""
+    t = F.trim(_lazy_field(prompt, _LEN_FIELD_RE))
+    return (F.when(t.isNull(), F.lit("unknown"))
+             .when(t.contains("750") & t.contains("1,500"), F.lit("medium"))
+             .when(t.contains("1,500") & t.contains("3,000"), F.lit("long"))
+             .when(t.contains("750"), F.lit("short"))
+             .when(contains_any(t, "short", "brief", "concise"),
+                   F.lit("short"))
+             .when(contains_any(t, "medium", "moderate", "average"),
+                   F.lit("medium"))
+             .when(contains_any(t, "long", "detailed", "comprehensive"),
+                   F.lit("long"))
+             .otherwise(t))
+
+
+def extract_emoji_usage_std(prompt: Column) -> Column:
+    """Stage-23 metadata (23-split.py:105-131): scrape 'Emoji Usage'
+    and standardize; unknown when absent; raw scrape fallback. The
+    category word-lists are substring checks in reference order
+    ('very low' before 'low' matters)."""
+    t = F.trim(_lazy_field(prompt, _EMOJI_FIELD_RE))
+    return (F.when(t.isNull(), F.lit("unknown"))
+             .when(contains_any(t, "none", "no", "zero"), F.lit("none"))
+             .when(contains_any(t, "very low", "minimal", "rarely"),
+                   F.lit("very low"))
+             .when(contains_any(t, "low", "occasional", "sparse"),
+                   F.lit("low"))
+             .when(contains_any(t, "medium", "moderate", "average"),
+                   F.lit("medium"))
+             .when(contains_any(t, "high", "frequent", "many"),
+                   F.lit("high"))
+             .when(contains_any(t, "extreme", "heavy", "abundant"),
+                   F.lit("extreme"))
+             .otherwise(t))
+
+
 def first_tone(chosen: Column) -> Column:
     """P15 (23-split.py:154-166): first tone of a comma-joined tone
     list, lowercased+trimmed; NULL for empty."""

@@ -28,8 +28,11 @@ def describe_vocabulary_usage(vocab_count: Column, post_text: Column) -> Column:
     """unique/alpha-token ratio bins .5/.35/.25/.15 (18:34-49). Note
     the reference recomputes words as isalpha()-filtered split — NOT
     the same tokens as vocabulary_usage itself (SURVEY §2.9)."""
+    # \p{L} (any unicode letter), not [A-Za-z]: the reference filters
+    # with str.isalpha(), which is unicode-aware ('café'.isalpha() is
+    # True) — pinned by the reference differential test
     words = F.filter(F.split(F.trim(post_text), "\\s+"),
-                     lambda w: w.rlike("^[A-Za-z]+$"))
+                     lambda w: w.rlike("^\\p{L}+$"))
     total = F.size(words)
     ratio = F.when(total > 0, vocab_count.cast("double") / total).otherwise(F.lit(0.0))
     return (F.when(ratio > 0.5, F.lit("A rich vocabulary, showcasing extensive language use and depth."))

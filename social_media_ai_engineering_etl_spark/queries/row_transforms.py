@@ -337,7 +337,7 @@ WITH pt AS (
            list_sum(slens) / len(slens) AS avg_len,
            vocab,
            len(list_filter(string_split_regex(trim(text), '\\s+'),
-                           w -> regexp_matches(w, '^[A-Za-z]+$'))) AS total_alpha
+                           w -> regexp_matches(w, '^\p{{L}}+$'))) AS total_alpha
     FROM feats
 )
 SELECT doc_id,
@@ -472,7 +472,7 @@ WITH feats AS (
         len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
             AS vocab,
         len(list_filter(string_split_regex(trim(text), '\s+'),
-                        w -> regexp_matches(w, '^[A-Za-z]+$'))) AS alpha,
+                        w -> regexp_matches(w, '^\p{L}+$'))) AS alpha,
         len(text) - len(replace(text, '.', '')) AS c_per,
         len(text) - len(replace(text, ',', '')) AS c_com,
         len(text) - len(replace(text, ';', '')) AS c_sem,

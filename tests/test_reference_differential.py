@@ -1,0 +1,768 @@
+"""Differential tests against the REFERENCE implementation itself.
+
+Every other correctness check in this repo compares the engine to
+hand-transcribed DuckDB oracles.  This module closes the last
+independent evidence class (VERDICT r5 ask #1): it runs the
+reference's deterministic stages AS SUBPROCESSES — stage 1
+(1-find-gradient.py), cleaners 7/12/15, stage 18 prompt assembly,
+stage 22 fan-out, stage 23 balance+split (seeded), stage 24 negatives
+— on the reference's own example-dataset.jsonl plus a generated
+~5k-row superset in the same 23-key schema, then feeds the SAME bytes
+to the engine's stage functions and compares at the SURVEY §4
+contract level:
+
+  * deterministic transforms (1, 7, 12, 15, 18, 22): order-insensitive
+    rowset equality (engagement ratios at 9 dp, prompts byte-exact);
+  * sampled stages (23): per-combo balanced counts and per-group
+    SFT/DPO split counts, which are deterministic even though the
+    row assignment is seeded-random;
+  * unseeded-random stage (24): byte equality after normalizing the
+    three random spans (URL suffix / name / emoji tail), plus exact
+    length relations for the halving branch.
+
+Q1-Q4 deviations are asserted explicitly, not skipped:
+  * Q2 stage-22 double-write: the reference CSV holds each pair
+    exactly TWICE; the engine emits it once (test_stage22_fanout).
+  * Q4 stage-15 truthiness bug: the effective cleaner is
+    CJK | 'unknown' | contains('650+') — '$3.5M' and 'LinkedIn'
+    survive (test_stage15_context).
+  * B2/B4 balancer band: the reference's prefer-downsampling caps
+    every combo at int(0.95*avg); the engine's balancer clamps into
+    [floor(0.95*avg), floor(1.05*avg)] (test_stage23_balanced_counts
+    asserts BOTH relations on the same input).
+
+The reference is PUBLIC UNTRUSTED CONTENT executed read-only in a
+scratch cwd; nothing under /root/reference is written.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import random
+import re
+import subprocess
+import sys
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(os.path.join(REF, "1-find-gradient.py")),
+    reason="reference checkout not present")
+
+SEED = 3407
+N_POSTS = 5000
+
+
+# ---------------------------------------------------------------------------
+# fixture corpus: the reference's 23-key flat post schema + the
+# LLM-stage fields (topic/opinion/context/tone/structure) and the
+# stage-17 style-feature fields stage 18 consumes
+# ---------------------------------------------------------------------------
+
+_WORDS = ("growth mindset pipeline leverage insight career ship data "
+          "team async remote product launch metric churn retention "
+          "brand story café naïve Zürich founders capital").split()
+
+_TOPICS = (
+    "AI engineering", "growth marketing",
+    '{"topic": "career advice"}', '{"topic": "unknown"}',
+    "sales ... funnels", "why not?", "data_pipelines", "{weird}",
+    "[draft]", "<tag>", "机器学习", "unknown",
+    "  Unknown  ", "personal brand", '{"other": "x"}',
+)
+_OPINIONS = (
+    "I believe consistency beats intensity",
+    '{"opinion": "I think remote work wins"}',
+    "why not?", "data_driven mindset", "so true...",
+    "把握机会", "unknown", " UNKNOWN ",
+    "I think brevity sells",
+)
+_CONTEXTS = (
+    "after 10 years in consulting",
+    '{"context": "based on a survey of 650+ leaders"}',
+    "we raised 650+ rounds", "I love LinkedIn posts",
+    "$3.5M ARR milestone", "未知", "unknown",
+    "a 2019 experiment",
+)
+_TONES = ("Professional, Friendly", "Casual", "Bold, Witty, Warm",
+          "Serious", None)
+_STRUCTURES = (
+    "reflective", "This post is Reflective in tone",
+    "comparatively insightful commentary", "announcement",
+    "somewhat controversial take", "no match here",
+    "Inspirational and reflective", None,
+)
+_MAX_LENGTHS = ("Up to 750 characters", "Between 750 and 1,500 characters",
+                "Between 1,500 and 3,000 characters", "short and sweet",
+                "a couple paragraphs")
+_EMOJI_USAGE = ("none", "very low", "low", "medium", "high", "extreme",
+                "occasionally", "minimal", "infrequent")
+_BULLETS = (None, "Differing Emojis", "EmojiBullets", "Mixed Bullet Styles",
+            "Numbers", "-", "•", "(", "#")
+_DIVIDERS = (None, "-", "—", "***")
+_FLOWS = (
+    [], ["Introduction/Setup"],
+    ["Introduction/Setup", "Conflict/Resolution Point"],
+    ["Transition/Reflection", "Introduction/Setup",
+     "Introduction/Development"],
+    ["Introduction/Setup", "Content", "Content", "Content", "Content"],
+    ["Custom Label"],
+)
+_PACINGS = ("Fast", "Slow", "Variable", "Dynamic", "Moderate",
+            "Short/Not Enough Data")
+_ARCS = ("Upward Trend", "Downward Trend", "Stable", "Complex/Variable",
+         "Short/Not Enough Data for Arc", "Positive", "Negative",
+         "Neutral", "Weird Arc")
+_PHRASES = ([], ["data driven"], ["ship it", "day one"])
+
+
+def _gen_text(rng: random.Random, i: int) -> str:
+    n_sent = rng.randint(1, 8)
+    parts = [f"post {i} opener."]
+    for s in range(n_sent):
+        words = rng.choices(_WORDS, k=rng.randint(3, 28))
+        end = rng.choice([".", ".", "!", "?", ";", ","])
+        parts.append(" ".join(words) + end)
+        if rng.random() < 0.3:
+            parts.append("\n")
+        if rng.random() < 0.1:
+            parts.append("\n\n\U0001F680 bullet line\n")
+    txt = " ".join(parts)
+    if rng.random() < 0.3:          # stretch into the longer buckets
+        txt = txt * rng.randint(2, 6)
+    return txt
+
+
+def _gen_posts(n: int) -> list[dict]:
+    rng = random.Random(SEED)
+    posts = []
+    for i in range(n):
+        p = {
+            "post_id": str(7000000000000000000 + i),
+            "post_url": f"https://example.com/feed/{i}",
+            "post_timestamp": 1665395207054 + i,
+            "author_name": f"Author {i % 37}",
+            "author_username": f"/in/author{i % 37}",
+            "is_repost": rng.random() < 0.2,
+            "has_media": rng.random() < 0.5,
+            "has_image": rng.random() < 0.3,
+            "has_video": rng.random() < 0.1,
+            "has_document": rng.random() < 0.1,
+            "shares_count": rng.choice([0, None, -2, rng.randint(0, 400)]),
+            "comments_count": rng.choice([0, None, rng.randint(0, 900)]),
+            "total_likes_count": rng.choice([0, None, rng.randint(0, 5000)]),
+            "reaction_like_count": rng.randint(0, 100),
+            "reaction_praise_count": rng.randint(0, 50),
+            "reaction_empathy_count": rng.randint(0, 20),
+            "reaction_interest_count": rng.randint(0, 20),
+            "reaction_appreciation_count": rng.randint(0, 20),
+            "reaction_maybe_count": 0,
+            "reaction_entertainment_count": rng.randint(0, 10),
+            "timestamp_array": [1665395207054 + i],
+            "post_text": _gen_text(rng, i),
+            "topic": rng.choice(_TOPICS),
+            "opinion": rng.choice(_OPINIONS),
+            "context": rng.choice(_CONTEXTS),
+            "tone": rng.choice(_TONES),
+            "structure": rng.choice(_STRUCTURES),
+            "max_length": rng.choice(_MAX_LENGTHS),
+            "emoji_usage": rng.choice(_EMOJI_USAGE),
+            "sentence_structure": rng.choice(
+                [[], [3, 4], [12, 15, 9], [25, 30], [8] * 6]),
+            "vocabulary_usage": rng.randint(1, 40),
+            "line_breaks": rng.choice([0, 1, 5, 12, 20]),
+            "avg_line_breaks": round(rng.random() * 0.5, 3),
+            "punctuation_usage": {".": rng.randint(0, 30),
+                                  ",": rng.randint(0, 30),
+                                  ";": rng.randint(0, 5),
+                                  "!": rng.randint(0, 10),
+                                  "?": rng.randint(0, 10)},
+            "divider_style": rng.choice(_DIVIDERS),
+            "bullet_styles": rng.choice(_BULLETS),
+            "topic_shifts": rng.choice(
+                [None, [],
+                 [{"from_segment": 0, "to_segment": 1,
+                   "shift_score": round(rng.random(), 3)}],
+                 [{"from_segment": 0, "to_segment": 1, "shift_score": 0.85},
+                  {"from_segment": 1, "to_segment": 2, "shift_score": 0.1}],
+                 [{"from_segment": 0, "to_segment": 1}]]),
+            "flow": rng.choice(_FLOWS),
+            "pacing": rng.choice(_PACINGS),
+            "sentiment_arc": rng.choice(_ARCS),
+            "profanity": rng.choice([None, "none", "mild"]),
+            "common_phrases": rng.choice(_PHRASES),
+        }
+        p["follower_count"] = rng.choice([0, None, 120, 3044, 98000,
+                                          rng.randint(1, 50000)])
+        if rng.random() < 0.02:
+            p["post_text"] = ""           # falsy -> skipped by cleaners
+        if rng.random() < 0.01:
+            del p["post_text"]            # missing key entirely
+        if rng.random() < 0.02:
+            del p["follower_count"]
+        posts.append(p)
+    return posts
+
+
+# ---------------------------------------------------------------------------
+# subprocess harness
+# ---------------------------------------------------------------------------
+
+def _ref_env(shim_dir: str) -> dict:
+    os.makedirs(shim_dir, exist_ok=True)
+    shim = os.path.join(shim_dir, "tqdm.py")
+    if not os.path.exists(shim):
+        with open(shim, "w") as f:
+            f.write("def tqdm(it=None, *a, **k):\n    return it\n")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = f"{REF}:{shim_dir}"
+    return env
+
+
+def _run_ref(script: str, args: list[str], cwd: str, env: dict) -> None:
+    r = subprocess.run([sys.executable, os.path.join(REF, script), *args],
+                       cwd=cwd, env=env, capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, (f"{script} rc={r.returncode}\n"
+                               f"stdout:\n{r.stdout[-3000:]}\n"
+                               f"stderr:\n{r.stderr[-3000:]}")
+
+
+def _read_jsonl(path: str) -> list[dict]:
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _read_csv(path: str) -> list[dict]:
+    with open(path, newline="", encoding="utf-8") as f:
+        return list(csv.DictReader(f))
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    """Run the full reference chain once; return artifact paths."""
+    tmp = tmp_path_factory.mktemp("refdiff")
+    gen = tmp / "gen.jsonl"
+    with open(gen, "w", encoding="utf-8") as f:
+        for p in _gen_posts(N_POSTS):
+            f.write(json.dumps(p, ensure_ascii=False) + "\n")
+
+    bd = str(tmp / "bd")
+    env = _ref_env(str(tmp / "shim"))
+    cwd = str(tmp)
+
+    _run_ref("1-find-gradient.py",
+             ["--input", os.path.join(REF, "example-dataset.jsonl"),
+              "--run-id", "ex", "--base-dir", bd,
+              "--reports-dir", str(tmp / "reports")], cwd, env)
+    _run_ref("1-find-gradient.py",
+             ["--input", str(gen), "--run-id", "gen", "--base-dir", bd,
+              "--reports-dir", str(tmp / "reports")], cwd, env)
+    s7, s12, s15 = (str(tmp / f"s{k}.jsonl") for k in (7, 12, 15))
+    _run_ref("7-clean-topics.py",
+             ["--input", str(gen), "--output", s7], cwd, env)
+    _run_ref("12-clean-opinions.py",
+             ["--input", s7, "--output", s12], cwd, env)
+    _run_ref("15-clean-context.py",
+             ["--input", s12, "--output", s15], cwd, env)
+    _run_ref("18-generate-prompts.py",
+             ["--input", s15, "--run-id", "r", "--base-dir", bd,
+              "--seed", str(SEED)], cwd, env)
+    _run_ref("22-generate-dataset.py",
+             ["--input", os.path.join(bd, "r", "18-with-prompts.jsonl"),
+              "--run-id", "r", "--base-dir", bd], cwd, env)
+    _run_ref("23-split.py",
+             ["--input", os.path.join(bd, "r", "22-ready-dataset.csv"),
+              "--run-id", "r", "--base-dir", bd,
+              "--seed", str(SEED)], cwd, env)
+    dpo_ready = str(tmp / "dpo-ready.csv")
+    _run_ref("24-add-negatives.py",
+             ["--input", os.path.join(bd, "r", "23-dpo.csv"),
+              "--output", dpo_ready], cwd, env)
+
+    return {
+        "tmp": tmp, "bd": bd, "env": env, "cwd": cwd, "gen": str(gen),
+        "ex1": os.path.join(bd, "ex", "01-best-posts.jsonl"),
+        "gen1": os.path.join(bd, "gen", "01-best-posts.jsonl"),
+        "s7": s7, "s12": s12, "s15": s15,
+        "s18": os.path.join(bd, "r", "18-with-prompts.jsonl"),
+        "s22": os.path.join(bd, "r", "22-ready-dataset.csv"),
+        "balanced": os.path.join(bd, "r", "23-balanced-dataset.csv"),
+        "sft": os.path.join(bd, "r", "23-sft.csv"),
+        "dpo": os.path.join(bd, "r", "23-dpo.csv"),
+        "dpo_ready": dpo_ready,
+    }
+
+
+# ---------------------------------------------------------------------------
+# stage 1 — engagement tiering
+# ---------------------------------------------------------------------------
+
+def _engine_stage1(spark, raw_posts: list[dict]):
+    """Engine stage-1 over the same records the reference read."""
+    from social_media_ai_engineering_etl_spark.functions.engagement import (
+        engagement_ratio, with_tiers)
+    schema = T.StructType([
+        T.StructField("post_id", T.StringType()),
+        T.StructField("follower_count", T.LongType()),
+        T.StructField("comments_count", T.LongType()),
+        T.StructField("total_likes_count", T.LongType()),
+        T.StructField("shares_count", T.LongType()),
+    ])
+    rows = [tuple(p.get(f.name) for f in schema.fields) for p in raw_posts]
+    df = spark.createDataFrame(rows, schema)
+    # reference read semantics: post.get(k, 0) or 0
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    scored = df.withColumn("engagement_ratio", engagement_ratio(
+        z("comments_count"), z("total_likes_count"), z("shares_count"),
+        z("follower_count")))
+    return with_tiers(scored)  # default: drop Tier C, 0.80/0.40 quantiles
+
+
+def _flat_posts(path: str) -> list[dict]:
+    """Explode {'posts': [...]} lines; pass flat post lines through
+    (1-find-gradient.py:42-47)."""
+    out = []
+    for rec in _read_jsonl(path):
+        if isinstance(rec.get("posts"), list):
+            out.extend(rec["posts"])
+        elif ("post_text" in rec or "follower_count" in rec
+              or "total_likes_count" in rec):
+            out.append(rec)
+    return out
+
+
+@pytest.mark.parametrize("dataset", ["example", "generated"])
+def test_stage1_tiers_match_reference(spark, ref, dataset):
+    if dataset == "example":
+        raw = _flat_posts(os.path.join(REF, "example-dataset.jsonl"))
+        got_path = ref["ex1"]
+    else:
+        raw = _flat_posts(ref["gen"])
+        got_path = ref["gen1"]
+    # the example dataset has no post_id on every record: key by index
+    for i, p in enumerate(raw):
+        p["post_id"] = p.get("post_id") or f"idx{i}"
+    want_rows = _read_jsonl(got_path)
+    eng = _engine_stage1(spark, raw)
+    got = [(r["post_id"], round(r["engagement_ratio"], 9), r["tier"])
+           for r in eng.collect()]
+    if all("post_id" in w for w in want_rows):
+        want = [(w["post_id"], round(w["engagement_ratio"], 9), w["tier"])
+                for w in want_rows]
+    else:
+        # align by order: engine keeps input order within its rowset?
+        # no — compare ratio/tier multisets only
+        want = [(None, round(w["engagement_ratio"], 9), w["tier"])
+                for w in want_rows]
+        got = [(None, r, t) for (_, r, t) in got]
+    assert Counter(got) == Counter(want)
+    # the reference drops Tier C by default — assert the filter really
+    # fired on both sides
+    assert all(t != "Tier C (Bottom 40%)" for (_, _, t) in got)
+
+
+# ---------------------------------------------------------------------------
+# stages 7 / 12 / 15 — cleaners
+# ---------------------------------------------------------------------------
+
+def _cleaner_input(spark, path: str, field: str):
+    rows = [(p.get("post_id"), p.get("post_text"), p.get(field, ""))
+            for p in _read_jsonl(path)]
+    # reference `post.get(field, '')` -> missing key reads as ''
+    rows = [(i, t, v if v is not None else "") for (i, t, v) in rows]
+    return spark.createDataFrame(
+        rows, T.StructType([T.StructField("post_id", T.StringType()),
+                            T.StructField("post_text", T.StringType()),
+                            T.StructField("val", T.StringType())]))
+
+
+def _assert_cleaner(spark, in_path, out_path, field, key, disallow_expr):
+    from social_media_ai_engineering_etl_spark.functions import cleaning
+    df = _cleaner_input(spark, in_path, field)
+    kept = (df.filter(F.col("post_text").isNotNull()
+                      & (F.col("post_text") != ""))
+              .withColumn("val", cleaning.unwrap_json_field(
+                  F.col("val"), key))
+              .filter(~disallow_expr(F.col("val"))))
+    got = Counter((r.post_id, r.val) for r in kept.collect())
+    want = Counter((p["post_id"], p.get(field, ""))
+                   for p in _read_jsonl(out_path))
+    assert got == want
+
+
+def test_stage7_clean_topics(spark, ref):
+    from social_media_ai_engineering_etl_spark.functions import cleaning
+    _assert_cleaner(spark, ref["gen"], ref["s7"], "topic", "topic",
+                    cleaning.is_disallowed)
+
+
+def test_stage12_clean_opinions(spark, ref):
+    """Stage 12 drops ONLY CJK/'unknown' — topics' substring list does
+    not apply (a '?' opinion survives)."""
+    from social_media_ai_engineering_etl_spark.functions import cleaning
+    _assert_cleaner(spark, ref["s7"], ref["s12"], "opinion", "opinion",
+                    cleaning.is_disallowed_opinion)
+    # deviation probe: at least one kept opinion would be dropped by
+    # the stricter topic rules
+    kept = {p.get("opinion") for p in _read_jsonl(ref["s12"])}
+    assert any("?" in (o or "") or "_" in (o or "") for o in kept)
+
+
+def test_stage15_clean_context(spark, ref):
+    """Q4: the shipped term filter only tests '650+'; '$3.5M' and
+    'LinkedIn' contexts survive, CJK/'unknown' still drop."""
+    from social_media_ai_engineering_etl_spark.functions import cleaning
+    _assert_cleaner(spark, ref["s12"], ref["s15"], "context", "context",
+                    cleaning.is_disallowed_context_effective)
+    kept = {p.get("context") for p in _read_jsonl(ref["s15"])}
+    assert any("LinkedIn" in (c or "") for c in kept)          # Q4 kept
+    assert any("$3.5M" in (c or "") for c in kept)             # Q4 kept
+    assert all("650+" not in (c or "") for c in kept)          # dropped
+
+# ---------------------------------------------------------------------------
+# stage 18 — prompt assembly (§2.9 describe chain, byte-exact)
+# ---------------------------------------------------------------------------
+
+_S18_SCHEMA = T.StructType([
+    T.StructField("post_text", T.StringType()),
+    T.StructField("topic", T.StringType()),
+    T.StructField("opinion", T.StringType()),
+    T.StructField("context", T.StringType()),
+    T.StructField("tone", T.StringType()),
+    T.StructField("structure", T.StringType()),
+    T.StructField("max_length", T.StringType()),
+    T.StructField("emoji_usage", T.StringType()),
+    T.StructField("sentence_structure", T.ArrayType(T.IntegerType())),
+    T.StructField("vocabulary_usage", T.LongType()),
+    T.StructField("line_breaks", T.LongType()),
+    T.StructField("avg_line_breaks", T.DoubleType()),
+    T.StructField("punctuation_usage",
+                  T.MapType(T.StringType(), T.LongType())),
+    T.StructField("divider_style", T.StringType()),
+    T.StructField("bullet_styles", T.StringType()),
+    T.StructField("topic_shifts", T.ArrayType(T.StructType([
+        T.StructField("shift_score", T.DoubleType())]))),
+    T.StructField("flow", T.ArrayType(T.StringType())),
+    T.StructField("pacing", T.StringType()),
+    T.StructField("sentiment_arc", T.StringType()),
+    T.StructField("profanity", T.StringType()),
+    T.StructField("common_phrases", T.ArrayType(T.StringType())),
+])
+
+
+def _engine_stage18(spark, in_path: str):
+    from social_media_ai_engineering_etl_spark.functions import (cleaning,
+                                                                 describe)
+    rows = []
+    for p in _read_jsonl(in_path):
+        shifts = p.get("topic_shifts")
+        if shifts is not None:
+            shifts = [{"shift_score": d.get("shift_score")} for d in shifts]
+        rows.append(tuple(
+            p.get(f.name) if f.name != "topic_shifts" else shifts
+            for f in _S18_SCHEMA.fields))
+    df = spark.createDataFrame(rows, _S18_SCHEMA)
+    mandatory = (F.col("post_text").isNotNull() & (F.col("post_text") != "")
+                 & F.col("structure").isNotNull() & F.col("topic").isNotNull()
+                 & F.col("opinion").isNotNull() & F.col("context").isNotNull()
+                 & F.col("tone").isNotNull())
+    shift_scores = F.when(
+        F.col("topic_shifts").isNotNull(),
+        F.filter(F.transform(F.col("topic_shifts"),
+                             lambda x: x.getField("shift_score")),
+                 lambda s: s.isNotNull()))
+    prompt = describe.writing_style_summary(
+        cleaning.normalize_structure(F.col("structure")),
+        F.col("topic"),
+        F.concat(F.col("opinion"), F.lit(" "), F.col("context")),
+        F.col("max_length"), F.col("tone"), F.col("emoji_usage"),
+        slens=F.col("sentence_structure"),
+        post_text=F.col("post_text"),
+        vocab_count=F.col("vocabulary_usage"),
+        common_phrases=F.coalesce(F.col("common_phrases"),
+                                  F.array().cast("array<string>")),
+        divider_style=F.col("divider_style"),
+        line_breaks=F.col("line_breaks"),
+        avg_breaks=F.col("avg_line_breaks"),
+        punct_map=F.col("punctuation_usage"),
+        bullet_style=F.col("bullet_styles"),
+        shift_scores=shift_scores,
+        flow=F.col("flow"),
+        pacing_label=F.col("pacing"),
+        arc_label=F.col("sentiment_arc"),
+        profanity=F.col("profanity"))
+    return df.select("post_text",
+                     F.when(mandatory, prompt).alias("prompt"))
+
+
+def test_stage18_prompts_byte_exact(spark, ref):
+    got = Counter((r.post_text, r.prompt)
+                  for r in _engine_stage18(spark, ref["s15"]).collect())
+    want = Counter((p.get("post_text"), p.get("prompt"))
+                   for p in _read_jsonl(ref["s18"]))
+    # every row is written (skipped ones carry prompt=None)
+    assert sum(want.values()) == len(_read_jsonl(ref["s15"]))
+    assert got == want
+    # non-degeneracy: real prompts were assembled and both skip classes
+    # exist
+    n_prompts = sum(c for (t, pr), c in want.items() if pr)
+    assert n_prompts > 100
+    assert any(pr is None for (_, pr) in want)
+
+
+# ---------------------------------------------------------------------------
+# stage 22 — fan-out (Q2 double-write asserted)
+# ---------------------------------------------------------------------------
+
+def _engine_stage22(spark, s18_path: str):
+    from social_media_ai_engineering_etl_spark.operators import fanout
+    rows = [(p.get("post_text"), p.get("topic"), p.get("opinion"),
+             p.get("tone"), p.get("structure"), p.get("prompt"))
+            for p in _read_jsonl(s18_path)]
+    df = spark.createDataFrame(
+        rows, "post_text string, topic string, opinion string, "
+              "tone string, structure string, prompt string")
+    return fanout.generate_training_pairs(df)
+
+
+def test_stage22_fanout_double_write_relation(spark, ref):
+    eng = Counter((r.system, r.prompt, r.chosen)
+                  for r in _engine_stage22(spark, ref["s18"]).collect())
+    refc = Counter((w["system"], w["prompt"], w["chosen"])
+                   for w in _read_csv(ref["s22"]))
+    # Q2: the reference's run-id mode writes each pair TWICE;
+    # the engine emits each exactly once. Assert the 2x relation.
+    assert refc == Counter({k: 2 * v for k, v in eng.items()}), (
+        "stage-22 rowset mismatch beyond the documented 2x double-write")
+    assert len(eng) > 200
+
+
+# ---------------------------------------------------------------------------
+# stage 23 — balance + split (seeded; counts are deterministic)
+# ---------------------------------------------------------------------------
+
+def _combo_frame(spark, csv_path: str):
+    """Attach the engine's stage-23 metadata exprs to a pairs CSV."""
+    from social_media_ai_engineering_etl_spark.functions import cleaning
+    rows = [(w["system"], w["prompt"], w["chosen"], w["rejected"])
+            for w in _read_csv(csv_path)]
+    df = spark.createDataFrame(
+        rows, "system string, prompt string, chosen string, rejected string")
+    pt = cleaning.classify_prompt_type(F.col("prompt"))
+    structure = (F.when(pt == "structure",
+                        cleaning.structure_from_chosen(F.col("chosen")))
+                  .when(pt == "post-generation",
+                        cleaning.structure_from_post_gen_prompt(
+                            F.col("prompt")))
+                  .otherwise(F.lit("N/A")))
+    return df.select(
+        "prompt", "chosen",
+        pt.alias("prompt_type"), structure.alias("structure"),
+        F.when(pt == "post-generation",
+               cleaning.extract_max_length_std(F.col("prompt")))
+         .alias("max_length"),
+        F.when(pt == "post-generation",
+               cleaning.extract_emoji_usage_std(F.col("prompt")))
+         .alias("emoji_usage"))
+
+
+def _combo_counts(spark, csv_path: str) -> Counter:
+    out = Counter()
+    for r in _combo_frame(spark, csv_path).collect():
+        if r.prompt_type == "post-generation":
+            key = ("post-generation", r.structure, r.max_length,
+                   r.emoji_usage)
+        else:
+            key = (r.prompt_type, "N/A", "N/A", "N/A")
+        out[key] += 1
+    return out
+
+
+def test_stage23_balanced_counts(spark, ref):
+    """Reference balanced counts == closed-form expectation computed
+    from the ENGINE's metadata extraction (prompt-type classifier,
+    structure recovery, length/emoji standardizers). Any per-row
+    labeling divergence would shift a combo count."""
+    inp = _combo_counts(spark, ref["s22"])
+    total = sum(inp.values())
+    avg = total / len(inp)
+    min_count = max(1, int(0.95 * avg))
+    expected = {k: min(v, min_count) for k, v in inp.items()}
+    got = _combo_counts(spark, ref["balanced"])
+    assert dict(got) == expected
+    # engine's own balancer (B4) on the same input obeys ITS documented
+    # band clamp [floor(.95 avg), floor(1.05 avg)] — deviation asserted,
+    # not assumed: the reference caps AT the lower bound, the engine
+    # clamps INTO the band
+    from social_media_ai_engineering_etl_spark.operators.sampling import (
+        prefer_downsample_balance)
+    import math
+    pg = F.col("prompt_type") == "post-generation"
+    combos = _combo_frame(spark, ref["s22"]).select(
+        "prompt_type",
+        F.when(pg, F.col("structure")).otherwise("N/A").alias("structure"),
+        F.when(pg, F.col("max_length")).otherwise("N/A").alias("max_length"),
+        F.when(pg, F.col("emoji_usage")).otherwise("N/A")
+         .alias("emoji_usage"))
+    bal = prefer_downsample_balance(
+        combos, ["prompt_type", "structure", "max_length", "emoji_usage"])
+    got_eng = Counter(
+        (r.prompt_type, r.structure, r.max_length, r.emoji_usage)
+        for r in bal.collect())
+    lo = max(1, math.floor(avg * 0.95))
+    hi = max(math.floor(avg * 1.05), lo)
+    for k, v in inp.items():
+        want = min(max(v, lo), hi)
+        assert got_eng[k] == want, (k, got_eng[k], want)
+
+
+def _group_key(r) -> str:
+    if r.prompt_type == "post-generation" and r.structure:
+        return f"post-{r.structure}"
+    return r.prompt_type
+
+
+def test_stage23_split_counts(spark, ref):
+    """Per-group SFT/DPO counts: reference takes int(n*0.8) per group;
+    the engine's grouped_split uses floor(n*0.8) — identical for
+    positive n. Assignment is seeded-random on both sides and not
+    compared; the counts are the contract."""
+    bal = [_group_key(r) for r in
+           _combo_frame(spark, ref["balanced"]).collect()]
+    group_n = Counter(bal)
+    expected_sft = {g: int(n * 0.8) for g, n in group_n.items()}
+    got_sft = Counter(_group_key(r) for r in
+                      _combo_frame(spark, ref["sft"]).collect())
+    got_dpo = Counter(_group_key(r) for r in
+                      _combo_frame(spark, ref["dpo"]).collect())
+    assert dict(got_sft) == {g: n for g, n in expected_sft.items() if n}
+    assert {g: got_sft.get(g, 0) + got_dpo.get(g, 0)
+            for g in group_n} == dict(group_n)
+    # engine grouped_split on the same balanced rowset yields the same
+    # per-group counts
+    from social_media_ai_engineering_etl_spark.operators.sampling import (
+        grouped_split)
+    cf = _combo_frame(spark, ref["balanced"])
+    gk = F.when((F.col("prompt_type") == "post-generation")
+                & F.col("structure").isNotNull(),
+                F.concat(F.lit("post-"), F.col("structure"))
+                ).otherwise(F.col("prompt_type"))
+    split = grouped_split(cf.withColumn("gkey", gk), F.col("gkey"))
+    eng_sft = Counter(r.gkey for r in
+                      split.filter(F.col("split") == "sft").collect())
+    assert dict(eng_sft) == {g: n for g, n in expected_sft.items() if n}
+
+
+def test_stage23_seeded_rerun_is_identical(ref):
+    """Same seed, same input -> byte-identical split artifacts
+    (validates the harness against the reference's own determinism
+    contract, tests/test_split_determinism.py)."""
+    tmp, bd, env, cwd = ref["tmp"], ref["bd"], ref["env"], ref["cwd"]
+    _run_ref("23-split.py",
+             ["--input", ref["s22"], "--run-id", "r2", "--base-dir", bd,
+              "--seed", str(SEED)], cwd, env)
+    for name in ("23-balanced-dataset.csv", "23-sft.csv", "23-dpo.csv"):
+        a = open(os.path.join(bd, "r", name), "rb").read()
+        b = open(os.path.join(bd, "r2", name), "rb").read()
+        assert a == b, f"{name} differs across same-seed reruns"
+
+
+# ---------------------------------------------------------------------------
+# stage 24 — violation negatives (unseeded randomness normalized)
+# ---------------------------------------------------------------------------
+
+_URL_RE = re.compile(r"https://lnkd\.in/[A-Za-z0-9]{8}")
+_NAME_RE = re.compile(
+    r"Shout out to (John Doe|Jane Smith|Alex Johnson|Chris Lee)!")
+_FILLER_RE = re.compile(r"(?: Lorem ipsum dolor sit amet\.)+")
+
+
+def _norm24(s: str) -> str:
+    from social_media_ai_engineering_etl_spark.operators.negatives import (
+        EMOJI_ALPHABET)
+    s = _URL_RE.sub("https://lnkd.in/XXXXXXXX", s)
+    s = _NAME_RE.sub("Shout out to [NAME]!", s)
+    s = re.sub("[" + re.escape("".join(EMOJI_ALPHABET)) + "]+", "[E]", s)
+    s = _FILLER_RE.sub(" [FILLER]", s)
+    return s
+
+
+def test_stage24_negatives_structure(spark, ref):
+    """Byte-compare engine vs reference negatives after normalizing
+    the reference's three unseeded-random spans (URL suffix, name,
+    emoji tail) and collapsing the length filler (whose repeat count
+    varies with the random name length). The halving branch
+    ('between' lengths) is checked by exact length relation instead —
+    the cut position depends on the random name."""
+    from social_media_ai_engineering_etl_spark.operators import (
+        negatives as neg)
+    rows = _read_csv(ref["dpo"])
+    ready = _read_csv(ref["dpo_ready"])
+    assert len(rows) == len(ready)
+    postgen = [i for i, w in enumerate(rows)
+               if "Create a LinkedIn post that" in w["prompt"]]
+    assert postgen, "no post-generation rows reached stage 24"
+    # rows NOT post-generation pass through untouched
+    for i, (a, b) in enumerate(zip(rows, ready)):
+        if i not in postgen:
+            assert a == b
+
+    df = spark.createDataFrame(
+        [(rows[i]["prompt"], rows[i]["chosen"]) for i in postgen],
+        "prompt string, chosen string")
+    length_req = F.trim(F.regexp_extract(
+        F.col("prompt"), r"\*\*Suggested Post Length\*\*:\s*([^\n]*)", 1))
+    emoji_usage = F.lower(F.trim(F.regexp_extract(
+        F.col("prompt"), r"\*\*Emoji Usage\*\*:\s*([^\n]*)", 1)))
+    eng = df.select(
+        "prompt", "chosen",
+        F.lower(length_req).alias("lreq"),
+        neg.generate_negative(F.col("chosen"), length_req,
+                              emoji_usage).alias("rejected")).collect()
+
+    n_exact = n_halved = 0
+    for erow, i in zip(eng, postgen):
+        ref_rej = ready[i]["rejected"]
+        assert ref_rej and ref_rej != rows[i]["rejected"]
+        if "between" in erow.lreq:
+            # halving branch: reference cut = max(1, int(L/2)) where L
+            # is the pre-halving construction; the random name length
+            # makes L one of four values
+            cands = set()
+            for name in ("John Doe", "Jane Smith", "Alex Johnson",
+                         "Chris Lee"):
+                pre = (erow.chosen
+                       + "\n\nLearn more: https://lnkd.in/AAAAAAAA"
+                       + f"\n\nShout out to {name}!")
+                eu = _ref_emoji_usage(rows[i]["prompt"])
+                if eu in ("none", "infrequent"):
+                    pre += "\n\n" + "E" * 10
+                pre = pre.rstrip() + "\n\n" + " ".join(
+                    f"#tag{k}" for k in range(6))
+                cands.add(max(1, int(len(pre) * 0.5)))
+            assert len(ref_rej) in cands, (len(ref_rej), cands)
+            # the engine applies the same cut law to its own build
+            assert len(erow.rejected) in cands
+            n_halved += 1
+        else:
+            assert _norm24(ref_rej) == _norm24(erow.rejected), i
+            n_exact += 1
+    assert n_exact > 20 and n_halved > 5
+
+
+def _ref_emoji_usage(prompt: str) -> str:
+    m = re.search(r"\*\*Emoji Usage\*\*:\s*([^\n]*)", prompt)
+    return (m.group(1).strip().lower() if m else "")
