@@ -40,5 +40,43 @@ def main() -> None:
         print(f"| {i} | `{name}` | {flags} | {summary} |")
 
 
+
+
+def census() -> None:
+    """Cumulative 'driver-graded at least once' census (VERDICT r5
+    ask #2): which oracle-paired queries have appeared in a
+    CORRECTNESS_r*.json grade window, and in which rounds."""
+    import glob
+    import json
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: dict[str, list[str]] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(f).split("_r")[1].split(".")[0]
+        for k in json.load(open(f)):
+            graded.setdefault(k, []).append(rnd)
+    window = set(q.GRADE_WINDOW)
+    oracle_paired = [n for n in QUERIES if n in ORACLES]
+    pending_now = [n for n in oracle_paired
+                   if n not in graded and n in window]
+    never = [n for n in oracle_paired
+             if n not in graded and n not in window]
+    print("\n## Driver-graded census\n")
+    print(f"Oracle-paired: {len(oracle_paired)}. Driver-graded at least "
+          f"once: {len(graded)}. In the current window awaiting their "
+          f"first grading: {len(pending_now)}. Not yet graded and not "
+          f"in the current window: {len(never)} (next rotations pull "
+          "from this list).\n")
+    print("| query | graded in rounds |")
+    print("|---|---|")
+    for n in oracle_paired:
+        if n in graded:
+            print(f"| `{n}` | {', '.join(graded[n])} |")
+    print("\nAwaiting first grading in the current window: "
+          + ", ".join(f"`{n}`" for n in pending_now) + "\n")
+    print("Never graded, not in window: "
+          + ", ".join(f"`{n}`" for n in never) + "\n")
+
+
 if __name__ == "__main__":
     main()
+    census()

@@ -35,132 +35,55 @@ from . import pydatasource_queries  # noqa: F401  (custom Python DataSource)
 # ---------------------------------------------------------------------------
 
 GRADE_WINDOW: tuple[str, ...] = (
-    # stage-01 flagship (P1-P3, A1-A2, J2) — q01_tier_counts COMPOSES
-    # P1 ratio -> A1 exact quantiles -> P2/P3 tier+filter -> A2 counts,
-    # so the standalone P1 (q01_engagement_ratio) and A1
-    # (q01_quantile_cutoffs) probes were consolidated out (same move
-    # as r2's emoji-count fold, VERDICT r2 #3) to seat the two
-    # families new in r3: the Python DataSource and hybrid retrieval.
-    # Both standalone probes remain registered + judge-sweep checked.
-    "q01_tier_counts", "qds_synthetic_events", "qx_hybrid_retrieval",
-    # row transforms (P5-P10, P12, T3-T4, T11, T15, §2.9 describe)
-    # (T15's emoji-count expression is graded via q02_emoji_binning,
-    # which bins that same count — the standalone q02_emoji_count
-    # probe was consolidated out per VERDICT r2 #3 to free a slot.
-    # T4's punctuation counting rides q26_rewards_scalar's R6 reward
-    # (r_punct scores the same per-sentence punctuation counts), so
-    # the standalone q17_punctuation probe
-    # was consolidated out in r3d to seat the classic-report family's
-    # representative, qg_pricing_summary — same consolidation move.)
-    # r4 ROTATION (VERDICT r3 #7): every family already has >= 1
-    # judge-green representative, so seven rows graded green by the
-    # driver in BOTH r2 and r3 rotate out for seven never-driver-graded
-    # ones — driver-issued evidence accumulates across rounds instead
-    # of re-proving the same 50.  Out: q02_length_buckets (P6),
-    # q09_tone_normalize (P10), q15_clean_context (P9),
-    # q17_line_breaks (T3), q17_profanity (T11), q23_from_chosen (P15),
-    # q26_topic_shifts (R13) — all remain registered and judge-sweep
-    # checked; their operators keep in-window coverage via the
-    # composing rows (q26 rewards quad, q17 narrative, q23 splits).
-    # In: qx_weighted_median (UDAF), qx_scd2_intervals (UDTF),
-    # qmm_media_neardup (perceptual near-dup), qx_referential_integrity
-    # (warehouse audit), qg_returned_items (classic-report top-k),
-    # qx_similarity_topk_lsh (ANN LSH, oracle NEW in r4),
-    # qx_hll_mergeable_portable (sketch-merge hierarchy, NEW in r4).
-    # r5 ROTATION (VERDICT r4 #3): seven rows graded green by the
-    # driver in r2+r3+r4 (thrice-graded) rotate out for seven
-    # never-driver-graded representatives.  Out: q02_emoji_binning
-    # (P5/T15 — the emoji-count expression still grades in-window via
-    # the q26 rewards R3-R5 rows), q04_sample_sizes (B1 — size
-    # contract pytest-pinned; B2-B3 stay via q05_balance_counts),
-    # q17_author_top_texts (A6 — same WindowGroupLimit machinery as
-    # the staying A7 row), q18_structure_normalize (P12 —
-    # judge-sweep + composing q18_describe_style stays),
-    # q23_split_counts (P13/B5/B6 — P13+B6-hash grade via
-    # qe2e_training_mix; B5's plan guard is pytest-pinned),
-    # q26_rewards_sentiment (T9/R8 — rewards family keeps three
-    # in-window rows), qs_last_touch (as-of semantics stay graded via
-    # qx_asof_last_click; streaming keeps 3 rows + new windowed topk).
-    # All seven remain registered and full-sweep checked.
-    # In (never driver-graded): qx_quality_classifier (hashed linear
-    # model gate), qx_semantic_decontamination (embedding decontam),
-    # qx_dedup_ngram_prefix (PPJoin prefix filter),
-    # qx_label_propagation (graph communities), qx_bpe_pair_counts
-    # (BPE trainer stats), qg_top_supplier (classic-report semi-join),
-    # qs_windowed_topk (§2.7 windowed top-k, WindowGroupLimit).
-    # r5 LATE SWAPS (the round's two DIRECT oracle attachments enter
-    # as first-time-graded rows): thrice-graded q07_clean_topics
-    # (P7/P8 — judge-sweep kept; topic-stage coverage stays in-window
-    # via q06_extract_topic) -> qx_bpe_token_stats (trainer-replay
-    # oracle); qx_copurchase_pairs -> qm_fpgrowth_itemsets, which is
-    # strictly stronger (its size-2 slice IS copurchase_pairs,
-    # equality-pinned in tests/test_graph.py; copurchase stays
-    # registered + judge-sweep).
-    "q17_author_words", "q17_narrative_structure",
-    "q18_describe_style",
-    # fan-out, classification, splits, validation (F1, P13-P15, B5-B6, P18)
-    "q22_fanout_pairs",
-    "qv_record_validation",
-    # sampling/balancing (B2-B4, A4-A5, J3)
-    "q05_balance_counts", "qb4_prefer_downsample",
-    # training prep (P16, P19-P20)
-    "q24_negatives", "q25_chat_template",
-    # rewards (R1-R20, T1, T5-T6)
-    "q26_rewards_scalar", "q26_rewards_textual",
-    "q26_fabrication",
-    # UDAF / UDTF surface (§2.13): exact weighted median GROUPED_AGG;
-    # SCD2 interval UDTF
-    "qx_weighted_median", "qx_scd2_intervals",
-    # whole-pipeline e2e composition (F1+P13+B6-hash+R20)
-    "qe2e_training_mix",
-    # streaming §2.12 (window agg; session windows rotated out in the
-    # r5 late swaps after three green gradings — streaming keeps three
-    # in-window rows, and as-of coverage rides qx_asof_last_click)
-    "qs_tumbling_engagement",
-    # streaming near-dup: oracle-checked portable-hash twin of the
-    # stateful MinHash/LSH operator (streaming/neardup.py)
-    "qs_neardup_pairs_portable",
-    # §2.7 sorts/top-k: per-window top-k via WindowGroupLimit
-    "qs_windowed_topk",
-    # LLM stages (P11, A3, §2.13)
-    "q06_extract_topic",
-    # ML analytics §2.10 (M1/T2/A16; A11)
-    "q20_feature_table", "q21_cluster_distribution",
-    # star rollups + classic reports (exact fixed-point TPC-H Q1;
-    # Q10-shaped top-20 heap; Q15-shaped top-supplier semi-join)
-    "qg_engagement_by_geo", "qg_pricing_summary", "qg_returned_items",
-    "qg_top_supplier",
-    # warehouse family (incremental rollup; quantile-bucket RFM;
-    # whole-star FK audit)
-    "qx_incremental_rollup", "qx_rfm_segments",
-    "qx_referential_integrity",
-    # curation family (quality gate; sequence packing; hashed linear
-    # quality-classifier gate; BPE-trainer pair counts)
-    "qx_gopher_quality", "qx_pack_sequences",
-    "qx_quality_classifier", "qx_bpe_pair_counts",
-    "qx_bpe_token_stats",
-    # graph family (frequent itemsets — size-2 slice IS
-    # qx_copurchase_pairs; label-propagation communities)
-    "qm_fpgrowth_itemsets", "qx_label_propagation",
-    # dedup: exact + near (inverted-index n-gram Jaccard; PPJoin
-    # prefix-filtered twin; NEW r5 — the flagship banded-MinHash
-    # mechanism itself, driver-gradeable for the first time via the
-    # portable-hash twin)
-    "qx_dedup_exact", "qx_dedup_ngram_jaccard", "qx_dedup_ngram_prefix",
-    "qx_dedup_minhash_portable",
-    # ANN / similarity (distributed GEMM top-k; hyperplane LSH whose
-    # whole pipeline is SQL-transcribed since r4; embedding-based
-    # eval-set decontamination)
-    "qx_similarity_topk_gemm", "qx_similarity_topk_lsh",
-    "qx_semantic_decontamination",
-    # corpus stats (exact twin of the sketch path; exact-distinct
-    # merge-hierarchy twin of the HLL union)
-    "qx_corpus_stats", "qx_hll_mergeable_portable",
-    # multimodal: REAL header-decode metadata path + perceptual
-    # near-dup (portable phash, pigeonhole hamming)
-    "qmm_media_features", "qmm_media_neardup",
-    # temporal joins (unbounded as-of; DuckDB ASOF JOIN oracle)
-    "qx_asof_last_click",
+    # ------------------------------------------------------------------
+    # r6 REBUILD (VERDICT r5 ask #2): the full sweep has been ALL MATCH
+    # for three consecutive rounds, so re-grading the same flagships is
+    # spent evidence.  12 ANCHORS stay (flagship + one judge-green
+    # representative per family); the other 38 slots are queries the
+    # driver has NEVER graded (census: QUERIES.md "driver-graded"
+    # table; 112 of 225 oracle-paired rows had never been driver-graded
+    # entering r6).
+    # ------------------------------------------------------------------
+    # anchors
+    "q01_tier_counts",            # flagship (P1-P3/A1-A2/J2)
+    "q22_fanout_pairs",           # F1 fan-out
+    "q26_rewards_scalar",         # rewards R1-R19
+    "qs_tumbling_engagement",     # streaming §2.12
+    "qg_pricing_summary",         # classic reports
+    "qx_rfm_segments",            # warehouse
+    "qx_gopher_quality",          # curation
+    "qx_dedup_minhash_portable",  # dedup flagship (banded MinHash)
+    "qx_similarity_topk_gemm",    # ANN
+    "qmm_media_features",         # multimodal
+    "qx_weighted_median",         # UDAF surface §2.13
+    "qm_fpgrowth_itemsets",       # graph
+    # ---- first-time-graded: classic reports (TPC-H-shaped) ----
+    "qg_market_share", "qg_product_profit", "qg_min_cost_supplier",
+    "qg_shipping_priority", "qg_priority_check",
+    "qg_customer_distribution", "qg_promo_revenue",
+    "qg_waiting_suppliers",
+    # ---- first-time-graded: streaming/event analytics ----
+    "qs_engagement_cube", "qs_hourly_anomalies", "qs_daily_active_users",
+    # ---- first-time-graded: warehouse/temporal ----
+    "qx_cdc_apply_roundtrip", "qx_scd2_enrich", "qx_gdpr_erasure",
+    "qx_k_anonymity", "qx_cohort_ltv", "qx_ab_test_welch",
+    "qx_distribution_drift",
+    # ---- first-time-graded: curation ----
+    "qx_decontamination", "qx_pii_scrub", "qx_domain_mixture",
+    "qx_token_chunks", "qx_injection_scan", "qx_split_leakage",
+    "qe2e_corpus_curation",
+    # ---- first-time-graded: graph (incl. the fixed-point PageRank
+    # oracle — VERDICT r5 ask #4: the full 10-round iterative
+    # algorithm driver-graded for the first time) ----
+    "qx_pagerank_fixed", "qx_triangle_count", "qx_fuzzy_name_match",
+    # ---- first-time-graded: dedup / ANN / tokenizer ----
+    "qx_dedup_simhash_wide_portable", "qx_dedup_containment",
+    "qx_dedup_incremental_portable", "qx_similarity_topk_ivf_fixed",
+    "qx_similarity_topk_ivfpq_fixed", "qx_bpe_learn",
+    # ---- first-time-graded: multimodal / sampling / model seam /
+    #      skew-profile ----
+    "qmm_media_neardup_wide", "qb7_hash_split",
+    "q17_topic_shifts_model", "qx_key_skew_profile",
 )
 
 

@@ -336,24 +336,27 @@ def test_grade_window_is_first_50_with_oracles():
     assert len(GRADE_WINDOW) == 50
     assert names[:50] == list(GRADE_WINDOW)
     assert all(n in ORACLES for n in GRADE_WINDOW)
-    for family_rep in ("qx_incremental_rollup", "qx_rfm_segments",
-                       "qx_gopher_quality", "qx_pack_sequences",
-                       "qm_fpgrowth_itemsets", "qx_dedup_exact",
-                       "qx_dedup_ngram_jaccard",
-                       "qx_similarity_topk_gemm", "qx_corpus_stats",
-                       "qx_asof_last_click",
-                       "qmm_media_features", "qg_engagement_by_geo",
-                       "q20_feature_table", "q06_extract_topic",
-                       # r5 rotation: never-driver-graded reps in
-                       "qx_quality_classifier",
-                       "qx_semantic_decontamination",
-                       "qx_dedup_ngram_prefix", "qx_label_propagation",
-                       "qx_bpe_pair_counts", "qg_top_supplier",
-                       "qs_windowed_topk",
-                       # r5 late swaps: the round's two direct oracle
-                       # attachments enter as first-time-graded rows
-                       "qx_bpe_token_stats", "qm_fpgrowth_itemsets"):
-        assert family_rep in GRADE_WINDOW, family_rep
+    # r6 rebuild (VERDICT r5 ask #2): 12 anchors — flagship + one
+    # judge-green representative per family — plus >= 35 rows the
+    # driver has never graded (38 in fact; census in QUERIES.md)
+    anchors = ("q01_tier_counts", "q22_fanout_pairs",
+               "q26_rewards_scalar", "qs_tumbling_engagement",
+               "qg_pricing_summary", "qx_rfm_segments",
+               "qx_gopher_quality", "qx_dedup_minhash_portable",
+               "qx_similarity_topk_gemm", "qmm_media_features",
+               "qx_weighted_median", "qm_fpgrowth_itemsets")
+    for a in anchors:
+        assert a in GRADE_WINDOW, a
+    import glob
+    import json
+    import os
+    graded_before_r6 = set()
+    for f in sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_r0[1-5].json"))):
+        graded_before_r6.update(json.load(open(f)))
+    first_time = [n for n in GRADE_WINDOW if n not in graded_before_r6]
+    assert len(first_time) >= 35, (len(first_time), first_time)
 
 
 def test_hierarchical_rollup_scans_fact_once(spark, sf_dir):
