@@ -1192,3 +1192,39 @@ def qm_quality_classifier_train(spark, sf_dir):
         F.round("gate_accuracy", 4).alias("gate_accuracy"),
         F.lit(n_w).cast("long").alias("n_nonzero_weights"),
         F.lit(int(intercept_milli)).cast("long").alias("intercept_milli"))
+
+
+@register("qx_quality_classifier_trained")
+def qx_quality_classifier_trained(spark, sf_dir):
+    """The TRAINED gate applied to the corpus (VERDICT r5 ask #6):
+    train MLlib LR on the planted labels, export the integer
+    milli-weight table through the documented swap-in seam
+    (operators/textquality.quality_model_weights), and gate every
+    document with the trained weights — the end-to-end path a real
+    pipeline runs after retraining, per-source keep counts plus
+    agreement vs the planted labels.  Rows-only (LR is iterative
+    float); tests/test_textquality.py pins the per-source agreement
+    floor.  The deterministic stand-in row (qx_quality_classifier)
+    stays untouched and hash-green."""
+    from ..operators import textquality
+    docs = _docs(spark, sf_dir)
+    labeled = _planted_quality_labels(docs)
+    out_schema = ("source string, n_docs bigint, n_kept bigint, "
+                  "agreement double")
+    if labeled.select("label").distinct().limit(2).count() < 2:
+        return spark.createDataFrame([], out_schema)
+    weights, intercept_milli, _model, _auc = \
+        textquality.train_quality_classifier(
+            labeled, "doc_id", "text", "label", n_buckets=4096)
+    scored = textquality.linear_quality_score(
+        labeled, "doc_id", "text", n_buckets=4096,
+        weights=weights, intercept_milli=intercept_milli)
+    joined = (scored.join(
+        labeled.select(F.col("doc_id").alias("id"), "label"), "id")
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id"))
+    return (joined.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.round(F.avg((F.col("kept") == F.col("label"))
+                               .cast("double")), 4).alias("agreement"))
+            .orderBy("source"))

@@ -7,24 +7,51 @@ from pyspark.sql import functions as F
 from social_media_ai_engineering_etl_spark.functions import cleaning
 
 
-def test_random_split_deterministic_and_ratioed(spark, sf_dir):
+def _binomial_band(n: int, p: float, z: float = 5.0) -> tuple[float, float]:
+    """±z-sigma band around the binomial mean — the same tolerance
+    class the B1 reservoir-size pin uses.  z=5 keeps the flake
+    probability below ~6e-7 per assertion even if the sampler were
+    freshly random; with a fixed seed it is deterministic anyway."""
+    mu = n * p
+    sd = (n * p * (1.0 - p)) ** 0.5
+    return mu - z * sd, mu + z * sd
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("seed,frac", [(42, 0.2), (7, 0.2), (3407, 0.35)])
+def test_random_split_binomial_contract(spark, sf_dir, seed, frac):
+    """B7 seeded randomSplit (VERDICT r5 ask #7): determinism,
+    partition of the input, and test-fraction within the binomial
+    ±5σ band — a quantitative pin, not just execution."""
+    from social_media_ai_engineering_etl_spark.operators.sampling import (
+        train_test_split)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    a_train, a_test = docs.randomSplit([0.8, 0.2], seed=42)
-    b_train, b_test = docs.randomSplit([0.8, 0.2], seed=42)
-    assert a_train.count() == b_train.count()
-    assert a_test.count() == b_test.count()
     total = docs.count()
-    assert a_train.count() + a_test.count() == total
-    assert 0.7 <= a_train.count() / total <= 0.9
+    a_train, a_test = train_test_split(docs, test_frac=frac, seed=seed)
+    b_train, b_test = train_test_split(docs, test_frac=frac, seed=seed)
+    n_test, n_train = a_test.count(), a_train.count()
+    assert (n_train, n_test) == (b_train.count(), b_test.count())
+    assert n_train + n_test == total
+    lo, hi = _binomial_band(total, frac)
+    assert lo <= n_test <= hi, (n_test, lo, hi)
 
 
-def test_percent_sample_deterministic_and_bounded(spark, sf_dir):
+@pytest.mark.parametrize("seed,pct", [(42, 25.0), (7, 25.0), (99, 60.0)])
+def test_percent_gate_binomial_contract(spark, sf_dir, seed, pct):
+    """B8 seeded percent gate: determinism + binomial ±5σ size pin on
+    the df.sample path (the hash-gate twin is exactly pinned in
+    test_percent_gate_hash_deterministic_and_reshard_stable)."""
+    from social_media_ai_engineering_etl_spark.operators.sampling import (
+        percent_gate)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    a = docs.sample(fraction=0.25, seed=42).count()
-    b = docs.sample(fraction=0.25, seed=42).count()
+    total = docs.count()
+    a = percent_gate(docs, pct, seed=seed).count()
+    b = percent_gate(docs, pct, seed=seed).count()
     assert a == b
-    total = docs.count()
-    assert 0.1 <= a / total <= 0.4
+    lo, hi = _binomial_band(total, pct / 100.0)
+    assert lo <= a <= hi, (a, lo, hi)
 
 
 def test_surrogate_normalization(spark):

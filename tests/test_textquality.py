@@ -251,3 +251,32 @@ def test_quality_classifier_train_survives_session_observations(spark, sf_dir):
         textquality.train_quality_classifier(
             labeled, "doc_id", "text", "label", n_buckets=4096)
     assert auc >= 0.95
+
+
+def test_quality_classifier_trained_gate_query_contract(spark, sf_dir):
+    """qx_quality_classifier_trained (VERDICT r5 ask #6): the
+    registered end-to-end trained-gate query keeps per-source
+    agreement vs the planted labels above the floor on every source,
+    covers the whole corpus, and keeps a plausible fraction (the
+    planted fixture is 80% ham)."""
+    import os
+
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+
+    rows = QUERIES["qx_quality_classifier_trained"](spark, sf_dir).collect()
+    assert rows, "trained-gate query returned no rows"
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.filter(F.col("doc_id").isNotNull()).count()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.agreement >= 0.85, (r.source, r.agreement)
+        # n_kept can legitimately be 0 for a source whose doc_ids all
+        # fall on the planted-spam stride (source and label both
+        # derive from doc_id), so only the upper bound is structural
+        assert 0 <= r.n_kept <= r.n_docs
+    total_kept = sum(r.n_kept for r in rows)
+    total = sum(r.n_docs for r in rows)
+    assert 0.6 <= total_kept / total <= 0.95, total_kept / total
+    del n_docs
