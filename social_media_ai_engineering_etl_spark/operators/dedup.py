@@ -627,6 +627,87 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
 
 
+# Measured crossover for the hot-bucket guard (SCALING.md §r5.3):
+# below this bucket width the guard's extra (band, bucket) count pass
+# costs more than it saves (50-doc cluster: 1.04 s as-is vs 1.35 s
+# guarded); above it the candidate blowup is quadratic in cluster
+# width (800-doc cluster: 21.1 s as-is vs 3.3 s guarded, 6.4x).
+LSH_GUARD_CROSSOVER = 256
+
+
+def lsh_bucket_profile(sig: DataFrame, num_hashes: int,
+                       bands: int) -> dict:
+    """Skew diagnostic for the banded LSH join — the (band, bucket)
+    analogue of qx_key_skew_profile: width of the hottest bucket,
+    bucket count, banded row count.  One map-side-combined groupBy
+    plus a 1-row aggregate; O(1) driver rows."""
+    row = (banded_rows(sig, num_hashes, bands)
+           .groupBy("band", "bucket")
+           .agg(F.count(F.lit(1)).alias("w"))
+           .agg(F.max("w").alias("top"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("w").alias("n_rows")).collect()[0])
+    return {"top_bucket_width": int(row.top or 0),
+            "n_buckets": int(row.n_buckets or 0),
+            "n_banded_rows": int(row.n_rows or 0)}
+
+
+def choose_lsh_guard(profile: dict,
+                     crossover: int = LSH_GUARD_CROSSOVER) -> dict:
+    """Diagnose-then-enable policy (VERDICT r5 ask #5): enable the
+    hot-bucket guard only when the MEASURED top bucket width exceeds
+    the documented crossover — a guard below it costs a count pass
+    for nothing, a missing guard above it is the measured 21 s
+    straggler.  Returns the decision with its evidence."""
+    top = profile["top_bucket_width"]
+    on = top > crossover
+    return {"max_bucket": crossover if on else None,
+            "top_bucket_width": top,
+            "crossover": crossover,
+            "reason": (f"top bucket width {top} > crossover {crossover}: "
+                       "hot-cluster guard ON" if on else
+                       f"top bucket width {top} <= crossover {crossover}: "
+                       "exact candidate semantics kept")}
+
+
+def minhash_dedup_pairs_auto(df: DataFrame, id_col: str, text_col: str,
+                             n: int = 3, num_hashes: int = 128,
+                             bands: int = 32, threshold: float = 0.8,
+                             impl: str = "arrow", base_hash=None,
+                             crossover: int = LSH_GUARD_CROSSOVER
+                             ) -> DataFrame:
+    """:func:`minhash_dedup_pairs` with the hot-bucket guard driven by
+    the measured skew profile instead of a hand-set knob.  The
+    signature table is computed once and feeds both the profile and
+    the banded join; the decision (guard on/off, measured top width,
+    crossover) is stamped into the result schema's column metadata
+    under ``lsh_guard`` so it travels with the plan and any parquet
+    the caller writes."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), n).alias("sh")).persist()
+    kw = {} if base_hash is None else {"base_hash": base_hash}
+    sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
+                                        num_hashes, **kw).alias("sig"))
+    sig = sig.persist()
+    decision = choose_lsh_guard(
+        lsh_bucket_profile(sig, num_hashes, bands), crossover)
+    cands = _lsh_candidates_from_sig(sig, num_hashes, bands,
+                                     max_bucket=decision["max_bucket"])
+    joined = (cands
+              .join(sh.select(F.col("id").alias("id1"),
+                              F.col("sh").alias("sh1")), "id1")
+              .join(sh.select(F.col("id").alias("id2"),
+                              F.col("sh").alias("sh2")), "id2"))
+    meta = {k: (v if v is not None else -1)
+            for k, v in decision.items() if k != "reason"}
+    meta["reason"] = decision["reason"]
+    return (joined.withColumn("jaccard_sim",
+                              jaccard(F.col("sh1"), F.col("sh2")))
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select(F.col("id1").alias("id1", metadata={"lsh_guard": meta}),
+                    "id2", F.round("jaccard_sim", 6).alias("jaccard_sim")))
+
+
 def minhash_artifact(df: DataFrame, id_col: str, text_col: str,
                      n: int = 3, num_hashes: int = 128,
                      impl: str = "arrow", base_hash=None) -> DataFrame:

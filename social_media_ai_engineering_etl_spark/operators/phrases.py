@@ -67,6 +67,61 @@ def author_texts(df: DataFrame, author_col: str, text_col: str,
               .filter(F.col("__rn") <= max_posts))
 
 
+# Measured crossover for the hot-author shard knob (SCALING.md §r5.1):
+# the two-phase top-k costs ~+0.6 s fixed and only pays when a single
+# author's rows exceed what one Tungsten sort task absorbs — a 10M-row
+# single author still sorts in 0.71 s unsharded (sharding was SLOWER,
+# 1.19 s), so the measured floor sits orders of magnitude higher.
+AUTHOR_SHARD_CROSSOVER = 100_000_000
+
+
+def key_count_profile(df: DataFrame, key_col: str) -> dict:
+    """Skew diagnostic for a window/groupBy key — the same shape as
+    qx_key_skew_profile: hottest key's row count plus key count, from
+    one map-side-combined groupBy and a 1-row aggregate."""
+    row = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.max("c").alias("top"),
+                F.count(F.lit(1)).alias("n_keys")).collect()[0])
+    return {"top_key_rows": int(row.top or 0),
+            "n_keys": int(row.n_keys or 0)}
+
+
+def choose_window_shards(profile: dict,
+                         crossover: int = AUTHOR_SHARD_CROSSOVER,
+                         shards: int = 32) -> dict:
+    """Diagnose-then-enable (VERDICT r5 ask #5, window flavor): turn
+    the lossless two-phase top-k on only when the measured hottest key
+    exceeds the documented crossover."""
+    top = profile["top_key_rows"]
+    on = top > crossover
+    return {"shards": shards if on else None,
+            "top_key_rows": top, "crossover": crossover,
+            "reason": (f"hottest key has {top} rows > crossover "
+                       f"{crossover}: two-phase top-k ON" if on else
+                       f"hottest key has {top} rows <= crossover "
+                       f"{crossover}: plain window")}
+
+
+def author_texts_auto(df: DataFrame, author_col: str, text_col: str,
+                      id_col: str, max_posts: int = 20,
+                      crossover: int = AUTHOR_SHARD_CROSSOVER,
+                      shards: int = 32) -> DataFrame:
+    """:func:`author_texts` with the shard knob driven by the measured
+    key profile; the decision is stamped into the result schema's
+    metadata on ``author_col`` (same convention as
+    dedup.minhash_dedup_pairs_auto)."""
+    decision = choose_window_shards(
+        key_count_profile(df, author_col), crossover, shards)
+    out = author_texts(df, author_col, text_col, id_col, max_posts,
+                       shards=decision["shards"])
+    meta = {k: (v if v is not None else -1)
+            for k, v in decision.items() if k != "reason"}
+    meta["reason"] = decision["reason"]
+    cols = [F.col(c).alias(c, metadata={"window_shards": meta})
+            if c == author_col else F.col(c) for c in out.columns]
+    return out.select(*cols)
+
+
 def author_uncommon_words(df: DataFrame, author_col: str, text_col: str,
                           id_col: str,
                           stopwords: tuple[str, ...] = STOPWORDS_EN,

@@ -526,3 +526,80 @@ def test_minhash_max_bucket_guard_caps_hot_cluster(spark):
         "ordinary-bucket pairs survive the cap"
     assert not any(a < 40 and b < 40 for a, b in capped_pairs), \
         "the pathological cluster's buckets are dropped in every band"
+
+
+def test_lsh_guard_auto_selects_from_measured_profile(spark):
+    """VERDICT r5 ask #5 — diagnose-then-enable: the 800-doc-cluster
+    shape auto-selects max_bucket (decision recorded in the result
+    schema metadata), the uniform corpus selects none, and oracle
+    rows are unchanged vs the hand-set knob in both regimes."""
+    from social_media_ai_engineering_etl_spark.operators import dedup
+
+    template = " ".join(f"tok{i}" for i in range(60))
+    hot_rows = ([(i, f"{template} variant {i}") for i in range(300)]
+                + [(1000, "a completely different document about spark "
+                          "joins and shuffle behavior under load today"),
+                   (1001, "a completely different document about spark "
+                          "joins and shuffle behavior under load tomorrow")])
+    hot = spark.createDataFrame(hot_rows, "doc_id long, text string")
+    # crossover lowered to keep the fixture small; the decision logic
+    # is identical at the production value of 256
+    auto = dedup.minhash_dedup_pairs_auto(hot, "doc_id", "text",
+                                          threshold=0.5, crossover=64)
+    meta = auto.schema["id1"].metadata["lsh_guard"]
+    assert meta["max_bucket"] == 64, meta
+    assert meta["top_bucket_width"] >= 250   # ~300-doc cluster, minus variants that hash apart in some band
+    got = {(r.id1, r.id2) for r in auto.collect()}
+    want = {(r.id1, r.id2)
+            for r in dedup.minhash_dedup_pairs(
+                hot, "doc_id", "text", threshold=0.5,
+                max_bucket=64).collect()}
+    assert got == want, "auto guard must equal the hand-set guard"
+    assert (1000, 1001) in got
+
+    uni_rows = [(i, f"doc {i} " + " ".join(
+        f"u{i}w{j}" for j in range(25))) for i in range(80)]
+    uni = spark.createDataFrame(uni_rows, "doc_id long, text string")
+    auto_u = dedup.minhash_dedup_pairs_auto(uni, "doc_id", "text",
+                                            threshold=0.5, crossover=64)
+    meta_u = auto_u.schema["id1"].metadata["lsh_guard"]
+    assert meta_u["max_bucket"] == -1, meta_u       # None -> sentinel
+    got_u = {(r.id1, r.id2) for r in auto_u.collect()}
+    want_u = {(r.id1, r.id2)
+              for r in dedup.minhash_dedup_pairs(
+                  uni, "doc_id", "text", threshold=0.5).collect()}
+    assert got_u == want_u, "uniform corpus keeps exact semantics"
+
+
+def test_author_shards_auto_policy_and_equivalence(spark):
+    """Window flavor of diagnose-then-enable: the measured profile
+    drives the shard knob; the uniform corpus keeps the plain window;
+    a forced-low crossover enables sharding and the rowset is
+    IDENTICAL (lossless two-phase top-k)."""
+    from social_media_ai_engineering_etl_spark.operators import phrases
+
+    rows = [(f"a{i % 7}", f"text {'x' * (i % 40)} {i}", i)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "author string, text string, id long")
+    plain = {(r.author, r.id)
+             for r in phrases.author_texts(
+                 df, "author", "text", "id", max_posts=5).collect()}
+
+    auto = phrases.author_texts_auto(df, "author", "text", "id",
+                                     max_posts=5)
+    meta = auto.schema["author"].metadata["window_shards"]
+    assert meta["shards"] == -1, meta          # below crossover -> off
+    assert {(r.author, r.id) for r in auto.collect()} == plain
+
+    forced = phrases.author_texts_auto(df, "author", "text", "id",
+                                       max_posts=5, crossover=10)
+    meta_f = forced.schema["author"].metadata["window_shards"]
+    assert meta_f["shards"] == 32, meta_f      # hottest key ~29 > 10
+    assert {(r.author, r.id) for r in forced.collect()} == plain
+
+    # pure policy at the production crossover
+    on = phrases.choose_window_shards({"top_key_rows": 10**9,
+                                       "n_keys": 5})
+    off = phrases.choose_window_shards({"top_key_rows": 10**6,
+                                        "n_keys": 5})
+    assert on["shards"] == 32 and off["shards"] is None
