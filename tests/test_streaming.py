@@ -1084,3 +1084,90 @@ def test_upsert_sink_replay_replaces_partial_failed_attempt(spark,
     got = sorted(map(tuple, spark.read.parquet(out)
                      .select("k", "v").collect()))
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")], got
+
+
+def test_state_growth_stays_bounded_by_live_keys(spark, tmp_path):
+    """VERDICT r5 ask #8 — state-growth probe: drive the watermarked
+    dedup and the session windows through micro-batches whose key
+    space grows 10x per batch (10 -> 100 -> 1,000 -> 10,000), then
+    two small tail batches.  `stateOperators.numRowsTotal` must track
+    the LIVE horizon (current batch's keys + at most the previous
+    batch's, which evict one batch later when the watermark advances),
+    never the ~11k cumulative distinct keys — the eviction-bounds-
+    state contract that makes 100 TB/day ingest dedup feasible."""
+    import json
+
+    from social_media_ai_engineering_etl_spark.streaming.windows import (
+        dedup_events, sessionized_activity, stream_events)
+
+    phases = [10, 100, 1000, 10000, 10, 10]
+    base = 1_000_000
+
+    def write_phase(src, i, n_keys):
+        # phase i sits 2 h after phase i-1; watermark is 10 min, so
+        # each new phase expires everything before it
+        t0 = 1704067200 + i * 7200
+        rows = [(base * i + k,                      # unique event_id
+                 base * i + k,                      # unique user/key
+                 t0 + (k % 300), 1.0) for k in range(n_keys)]
+        df = (spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, epoch bigint, "
+                  "value double")
+            .select("event_id", "user_id",
+                    F.col("epoch").cast("timestamp").alias("ts"),
+                    F.lit("click").alias("event_type"), "value",
+                    F.lit("{}").alias("props")))
+        tmp = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part),
+                    os.path.join(src, f"p{i}.parquet"))
+
+    def state_rows(q):
+        rows = None
+        for p in q.recentProgress:
+            ops = (p if isinstance(p, dict) else json.loads(p.json))[
+                "stateOperators"]
+            if ops:
+                rows = ops[0]["numRowsTotal"]
+        return rows
+
+    results = {}
+    for name, make in (
+        ("dedup", lambda ev: dedup_events(ev, keys=("event_id",),
+                                          watermark="10 minutes")),
+        ("sessions", lambda ev: sessionized_activity(
+            ev, gap="5 minutes", watermark="10 minutes")),
+    ):
+        src = str(tmp_path / f"src_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        out = str(tmp_path / f"out_{name}")
+        os.makedirs(src)
+        trace = []
+        for i, n_keys in enumerate(phases):
+            write_phase(src, i, n_keys)
+            stream = make(stream_events(spark, src))
+            mode = "append"
+            q = (stream.writeStream.format("parquet")
+                 .option("path", out).outputMode(mode)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            trace.append((n_keys, state_rows(q)))
+        results[name] = trace
+
+    total_keys = sum(phases)                      # 11,130 ever seen
+    for name, trace in results.items():
+        # growth phases: state tracks live keys (current + at most the
+        # not-yet-evicted previous batch), never the cumulative count
+        for i, (n_keys, state) in enumerate(trace):
+            assert state is not None, (name, i)
+            prev = phases[i - 1] if i else 0
+            assert state <= (n_keys + prev) * 1.25 + 16, \
+                (name, i, n_keys, state)
+            assert state >= n_keys, (name, i, n_keys, state)
+        # the money pin: after the 10k batch passes out of the horizon,
+        # state collapses to tens of rows while ~11k keys were seen
+        final = trace[-1][1]
+        assert final <= 64, (name, trace)
+        assert final < total_keys * 0.01, (name, trace)
