@@ -14,6 +14,16 @@ from pyspark.sql import functions as F
 DISALLOWED_SUBSTRINGS = ("...", "?", "_", "{", "}", "[", "]", "<", ">")
 CJK_PATTERN = "[\\x{4e00}-\\x{9fff}]"
 
+# Python str.split() splits on UNICODE whitespace (isspace(): the
+# White_Space property PLUS the bidi controls \x1c-\x1f); Java's plain
+# \s is ASCII-only, so an NBSP-joined 'reflective\xa0and' would refuse
+# to split and the structure matcher would diverge from the reference
+# (found by the r6 NBSP differential probe). (?U) upgrades \s to
+# White_Space; the explicit \x1c-\x1f closes the isspace gap.
+PY_WS_SPLIT = r"(?U)[\s\x1c-\x1f]+"
+# the RE2 (DuckDB) transcription of the same set
+PY_WS_SPLIT_RE2 = r"[\s\p{Z}\x{85}\x{1C}-\x{1F}]+"
+
 
 def unwrap_json_field(col: Column, key: str) -> Column:
     """If the value is a JSON object string with ``key``, take that
@@ -108,7 +118,7 @@ def normalize_structure(text: Column,
     (not the first label in list order) — both divergences pinned
     against the reference binary in
     tests/test_reference_differential.py."""
-    words = F.split(F.lower(text), r"\s+")
+    words = F.split(F.lower(text), PY_WS_SPLIT)
     matches = F.filter(words, lambda w: w.isin(*labels))
     # try_element_at: empty match array -> NULL -> default (plain
     # element_at throws under ANSI mode on Spark 4)

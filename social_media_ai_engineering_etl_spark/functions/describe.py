@@ -30,8 +30,10 @@ def describe_vocabulary_usage(vocab_count: Column, post_text: Column) -> Column:
     the same tokens as vocabulary_usage itself (SURVEY §2.9)."""
     # \p{L} (any unicode letter), not [A-Za-z]: the reference filters
     # with str.isalpha(), which is unicode-aware ('café'.isalpha() is
-    # True) — pinned by the reference differential test
-    words = F.filter(F.split(F.trim(post_text), "\\s+"),
+    # True); the split is str.split() = unicode whitespace — both
+    # pinned by the reference differential test
+    from .cleaning import PY_WS_SPLIT
+    words = F.filter(F.split(F.trim(post_text), PY_WS_SPLIT),
                      lambda w: w.rlike("^\\p{L}+$"))
     total = F.size(words)
     ratio = F.when(total > 0, vocab_count.cast("double") / total).otherwise(F.lit(0.0))

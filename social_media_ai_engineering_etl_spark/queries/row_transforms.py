@@ -336,7 +336,8 @@ WITH pt AS (
     SELECT doc_id,
            list_sum(slens) / len(slens) AS avg_len,
            vocab,
-           len(list_filter(string_split_regex(trim(text), '\\s+'),
+           len(list_filter(string_split_regex(trim(text),
+                               '[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+'),
                            w -> regexp_matches(w, '^\p{{L}}+$'))) AS total_alpha
     FROM feats
 )
@@ -419,7 +420,8 @@ def q23_prompt_type(spark, sf_dir):
 @register("q18_structure_normalize", oracle="""
 SELECT structure, count(*) AS n FROM (
     SELECT coalesce(
-        list_filter(string_split_regex(lower(s), '\\s+'),
+        list_filter(string_split_regex(lower(s),
+                        '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+'),
                     w -> list_contains(['instructional', 'inspirational',
                                         'controversial', 'insightful',
                                         'comparative', 'reflective',
@@ -471,7 +473,8 @@ WITH feats AS (
                        s -> len(string_split_regex(trim(s), '\s+'))) AS slens,
         len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
             AS vocab,
-        len(list_filter(string_split_regex(trim(text), '\s+'),
+        len(list_filter(string_split_regex(trim(text),
+                            '[\s\p{Z}\x{85}\x{1C}-\x{1F}]+'),
                         w -> regexp_matches(w, '^\p{L}+$'))) AS alpha,
         len(text) - len(replace(text, '.', '')) AS c_per,
         len(text) - len(replace(text, ',', '')) AS c_com,

@@ -98,6 +98,11 @@ _STRUCTURES = (
     "comparatively insightful commentary", "announcement",
     "somewhat controversial take", "no match here",
     "Inspirational and reflective", None,
+    # NBSP probe: Python str.split() breaks on unicode whitespace, so
+    # the reference sees the word 'reflective' here — an ASCII-\s
+    # engine split would glue 'reflective\xa0and' and fall through to
+    # 'announcement' (the r6 PY_WS_SPLIT fix)
+    "Reflective\u00a0and announcement",
 )
 _MAX_LENGTHS = ("Up to 750 characters", "Between 750 and 1,500 characters",
                 "Between 1,500 and 3,000 characters", "short and sweet",
@@ -134,6 +139,10 @@ def _gen_text(rng: random.Random, i: int) -> str:
             parts.append("\n")
         if rng.random() < 0.1:
             parts.append("\n\n\U0001F680 bullet line\n")
+    if rng.random() < 0.15:
+        # unicode-whitespace probe inside post_text: exercises the
+        # vocabulary denominator's str.split() semantics in stage 18
+        parts.append("caf\u00e9\u00a0na\u00efve thin\u2009space words")
     txt = " ".join(parts)
     if rng.random() < 0.3:          # stretch into the longer buckets
         txt = txt * rng.randint(2, 6)
