@@ -25,6 +25,22 @@ PY_WS_SPLIT = r"(?U)[\s\x1c-\x1f]+"
 PY_WS_SPLIT_RE2 = r"[\s\p{Z}\x{85}\x{1C}-\x{1F}]+"
 
 
+def py_strip(col: Column) -> Column:
+    """Python str.strip() semantics.  Spark's (and DuckDB's) trim()
+    strips ONLY ASCII spaces — '\\tunknown\\n'.strip() == 'unknown'
+    in the reference, but trim() leaves it intact, so the 'unknown'
+    cleaners would keep a row the reference drops (r6 differential
+    probe).  Strip the full Python whitespace set on both edges."""
+    out = F.regexp_replace(col, r"(?U)^[\s\x1c-\x1f]+", "")
+    return F.regexp_replace(out, r"(?U)[\s\x1c-\x1f]+$", "")
+
+
+# DuckDB transcription of py_strip for oracle SQL (format with {x})
+PY_STRIP_SQL = ("regexp_replace(regexp_replace({x}, "
+                "'^[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+', ''), "
+                "'[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+$', '')")
+
+
 def unwrap_json_field(col: Column, key: str) -> Column:
     """If the value is a JSON object string with ``key``, take that
     value; else passthrough (7-clean-topics.py:45-57)."""
@@ -47,7 +63,7 @@ def is_disallowed(col: Column) -> Column:
     for sub in DISALLOWED_SUBSTRINGS:
         cond = cond | col.contains(F.lit(sub))
     cond = cond | col.rlike(CJK_PATTERN)
-    cond = cond | (F.lower(F.trim(col)) == "unknown")
+    cond = cond | (F.lower(py_strip(col)) == "unknown")
     return cond
 
 
@@ -70,7 +86,7 @@ def normalize_tone_list(tones: Column, max_tones: int = 3,
     ``array_distinct`` preserves first-occurrence order in Spark,
     matching the reference's seen-set loop.
     """
-    norm = F.transform(tones, lambda x: F.lower(F.trim(x)))
+    norm = F.transform(tones, lambda x: F.lower(py_strip(x)))
     capped = F.slice(F.array_distinct(norm), 1, max_tones)
     joined = F.array_join(capped, ", ")
     return F.when(F.size(capped) > 0, joined).otherwise(F.lit(fallback))
@@ -82,7 +98,7 @@ def constrain_to_domain(tones: Column, allowed: tuple[str, ...],
     """Same, but drop entries outside the allowed tone domain first
     (guided-decoding constraint as post-hoc validation, SURVEY §2.13)."""
     allowed_arr = F.array(*[F.lit(a) for a in allowed])
-    norm = F.transform(tones, lambda x: F.lower(F.trim(x)))
+    norm = F.transform(tones, lambda x: F.lower(py_strip(x)))
     kept = F.filter(norm, lambda x: F.array_contains(allowed_arr, x))
     capped = F.slice(F.array_distinct(kept), 1, max_tones)
     return F.when(F.size(capped) > 0,
@@ -222,7 +238,7 @@ def structure_from_chosen(chosen: Column,
     string 'other', not None — r6 fix, was NULL). Differs from P12's
     prompt-side normalize (word-split, text order) in its
     substring/list-order semantics."""
-    lowered = F.lower(F.trim(chosen))
+    lowered = F.lower(py_strip(chosen))
     expr = F.lit(default)
     for label in reversed(labels):
         expr = F.when(lowered.contains(F.lit(label)),
@@ -285,7 +301,7 @@ def extract_max_length_std(prompt: Column) -> Column:
     'Suggested Post Length' value and standardize to
     short/medium/long; unknown when the field is absent; the raw
     (stripped) scrape when no rule fires."""
-    t = F.trim(_lazy_field(prompt, _LEN_FIELD_RE))
+    t = py_strip(_lazy_field(prompt, _LEN_FIELD_RE))
     return (F.when(t.isNull(), F.lit("unknown"))
              .when(t.contains("750") & t.contains("1,500"), F.lit("medium"))
              .when(t.contains("1,500") & t.contains("3,000"), F.lit("long"))
@@ -304,7 +320,7 @@ def extract_emoji_usage_std(prompt: Column) -> Column:
     and standardize; unknown when absent; raw scrape fallback. The
     category word-lists are substring checks in reference order
     ('very low' before 'low' matters)."""
-    t = F.trim(_lazy_field(prompt, _EMOJI_FIELD_RE))
+    t = py_strip(_lazy_field(prompt, _EMOJI_FIELD_RE))
     return (F.when(t.isNull(), F.lit("unknown"))
              .when(contains_any(t, "none", "no", "zero"), F.lit("none"))
              .when(contains_any(t, "very low", "minimal", "rarely"),
@@ -323,7 +339,7 @@ def extract_emoji_usage_std(prompt: Column) -> Column:
 def first_tone(chosen: Column) -> Column:
     """P15 (23-split.py:154-166): first tone of a comma-joined tone
     list, lowercased+trimmed; NULL for empty."""
-    head = F.lower(F.trim(F.element_at(F.split(chosen, ","), 1)))
+    head = F.lower(py_strip(F.element_at(F.split(chosen, ","), 1)))
     return F.when(head == "", F.lit(None).cast("string")).otherwise(head)
 
 
@@ -334,7 +350,7 @@ def is_disallowed_opinion(col: Column) -> Column:
     opinion cleaner is strictly weaker than the topic cleaner;
     pinned against the reference binary in
     tests/test_reference_differential.py."""
-    return col.rlike(CJK_PATTERN) | (F.lower(F.trim(col)) == "unknown")
+    return col.rlike(CJK_PATTERN) | (F.lower(py_strip(col)) == "unknown")
 
 
 def is_disallowed_context_effective(col: Column) -> Column:
@@ -349,5 +365,5 @@ def is_disallowed_context_effective(col: Column) -> Column:
     in tests/test_reference_differential.py. The engine's default
     cleaners use the intended stage-07 semantics (is_disallowed)."""
     return (col.rlike(CJK_PATTERN)
-            | (F.lower(F.trim(col)) == "unknown")
+            | (F.lower(py_strip(col)) == "unknown")
             | col.contains(F.lit("650+")))

@@ -76,20 +76,23 @@ _TOPICS = (
     "sales ... funnels", "why not?", "data_pipelines", "{weird}",
     "[draft]", "<tag>", "机器学习", "unknown",
     "  Unknown  ", "personal brand", '{"other": "x"}',
+    # python-strip probe: str.strip() removes \t/\n/NBSP, trim() does
+    # not — these must be DROPPED like the reference drops them
+    "\tunknown\n", "\u00a0Unknown\u00a0",
 )
 _OPINIONS = (
     "I believe consistency beats intensity",
     '{"opinion": "I think remote work wins"}',
     "why not?", "data_driven mindset", "so true...",
     "把握机会", "unknown", " UNKNOWN ",
-    "I think brevity sells",
+    "I think brevity sells", "\tunknown\n",
 )
 _CONTEXTS = (
     "after 10 years in consulting",
     '{"context": "based on a survey of 650+ leaders"}',
     "we raised 650+ rounds", "I love LinkedIn posts",
     "$3.5M ARR milestone", "未知", "unknown",
-    "a 2019 experiment",
+    "a 2019 experiment", "\u00a0unknown\t",
 )
 _TONES = ("Professional, Friendly", "Casual", "Bold, Witty, Warm",
           "Serious", None)
