@@ -43,7 +43,12 @@ PY_STRIP_SQL = ("regexp_replace(regexp_replace({x}, "
 
 def unwrap_json_field(col: Column, key: str) -> Column:
     """If the value is a JSON object string with ``key``, take that
-    value; else passthrough (7-clean-topics.py:45-57)."""
+    value; else passthrough (7-clean-topics.py:45-57).  Whitespace-
+    leading JSON unwraps in both engines (differential-pinned).
+    Robustness deviation (documented): a NON-STRING json value
+    ({"topic": 3} / null / ["a"]) CRASHES the reference with a
+    TypeError in contains_disallowed; the engine treats it as its
+    JSON text rendering and filters it like any string."""
     return F.coalesce(F.get_json_object(col, f"$.{key}"), col)
 
 

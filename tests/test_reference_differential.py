@@ -73,6 +73,7 @@ _WORDS = ("growth mindset pipeline leverage insight career ship data "
 _TOPICS = (
     "AI engineering", "growth marketing",
     '{"topic": "career advice"}', '{"topic": "unknown"}',
+    '\t{"topic": "whitespace json"}\n',
     "sales ... funnels", "why not?", "data_pipelines", "{weird}",
     "[draft]", "<tag>", "机器学习", "unknown",
     "  Unknown  ", "personal brand", '{"other": "x"}',
