@@ -168,9 +168,14 @@ def _gen_posts(n: int) -> list[dict]:
             "has_image": rng.random() < 0.3,
             "has_video": rng.random() < 0.1,
             "has_document": rng.random() < 0.1,
-            "shares_count": rng.choice([0, None, -2, rng.randint(0, 400)]),
-            "comments_count": rng.choice([0, None, rng.randint(0, 900)]),
-            "total_likes_count": rng.choice([0, None, rng.randint(0, 5000)]),
+            "shares_count": rng.choice(
+                [0, None, -2, rng.randint(0, 400), rng.randint(0, 400)]),
+            "comments_count": rng.choice(
+                [0, None, rng.randint(1, 900), rng.randint(1, 900),
+                 rng.randint(1, 900)]),
+            "total_likes_count": rng.choice(
+                [0, None, rng.randint(1, 5000), rng.randint(1, 5000),
+                 rng.randint(1, 5000)]),
             "reaction_like_count": rng.randint(0, 100),
             "reaction_praise_count": rng.randint(0, 50),
             "reaction_empathy_count": rng.randint(0, 20),
@@ -779,3 +784,46 @@ def test_stage24_negatives_structure(spark, ref):
 def _ref_emoji_usage(prompt: str) -> str:
     m = re.search(r"\*\*Emoji Usage\*\*:\s*([^\n]*)", prompt)
     return (m.group(1).strip().lower() if m else "")
+
+
+def test_stage1_nondefault_knobs(spark, ref):
+    """Parameter plumbing pin: stage 1 with --keep-bottom
+    --top-pct 0.9 --bottom-pct 0.5 --clamp 0.1 must match the engine
+    with the same knobs (keep_bottom keeps Tier C rows; the clamp
+    moves the saturation point; the percentiles move both cutoffs)."""
+    from social_media_ai_engineering_etl_spark.functions.engagement import (
+        engagement_ratio, with_tiers)
+    bd, env, cwd = ref["bd"], ref["env"], ref["cwd"]
+    _run_ref("1-find-gradient.py",
+             ["--input", ref["gen"], "--run-id", "gknobs",
+              "--base-dir", bd, "--reports-dir", cwd,
+              "--keep-bottom", "--top-pct", "0.9",
+              "--bottom-pct", "0.5", "--clamp", "0.1"], cwd, env)
+    want_rows = _read_jsonl(os.path.join(bd, "gknobs",
+                                         "01-best-posts.jsonl"))
+    raw = _flat_posts(ref["gen"])
+    for i, p in enumerate(raw):
+        p["post_id"] = p.get("post_id") or f"idx{i}"
+    schema = T.StructType([
+        T.StructField("post_id", T.StringType()),
+        T.StructField("follower_count", T.LongType()),
+        T.StructField("comments_count", T.LongType()),
+        T.StructField("total_likes_count", T.LongType()),
+        T.StructField("shares_count", T.LongType()),
+    ])
+    rows = [tuple(p.get(f.name) for f in schema.fields) for p in raw]
+    df = spark.createDataFrame(rows, schema)
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    scored = df.withColumn("engagement_ratio", engagement_ratio(
+        z("comments_count"), z("total_likes_count"), z("shares_count"),
+        z("follower_count"), clamp=0.1))
+    eng = with_tiers(scored, top_q=0.9, bot_q=0.5, keep_bottom=True)
+    got = Counter((r["post_id"], round(r["engagement_ratio"], 9), r["tier"])
+                  for r in eng.collect())
+    want = Counter((w["post_id"], round(w["engagement_ratio"], 9),
+                    w["tier"]) for w in want_rows)
+    assert got == want
+    # keep-bottom really kept Tier C
+    assert any(t == "Tier C (Bottom 40%)" for (_, _, t) in want)
+    # and the whole input survived (no filter)
+    assert sum(want.values()) == len(raw)
