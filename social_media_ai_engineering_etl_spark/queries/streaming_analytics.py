@@ -55,11 +55,17 @@ WITH o AS (
     SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                THEN 1 ELSE 0 END AS new_s
+                THEN 1 ELSE 0 END AS new_s,
+           event_id
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    -- event_id tie-break: the lag window and the cumsum window below
+    -- may order TIED timestamps differently across evaluations; the
+    -- rows sorted before the new_s=1 row would then land in a phantom
+    -- sid-0 session (r6 const-regime parity flake — same class as the
+    -- r5 tie-break findings)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
     FROM o
 )
@@ -664,11 +670,13 @@ WITH o AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                THEN 1 ELSE 0 END AS new_s
+                THEN 1 ELSE 0 END AS new_s,
+           event_id
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    -- event_id tie-break (see qs_session_windows oracle note)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
     FROM o
 ), per AS (
@@ -692,7 +700,11 @@ def qs_session_depth_profile(spark, sf_dir):
     the session assignment is the lag+cumsum form so the whole
     profile stays one user-key window + two rollups."""
     from pyspark.sql import Window
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break: keeps the lag pass and the cumsum pass on
+    # one deterministic sort even for tied timestamps (see the oracle
+    # note; Spark shares one physical sort here, but the contract
+    # should not depend on that)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     o = (_events(spark, sf_dir)
          .withColumn("prev", F.lag("ts").over(w))
          .withColumn("new_s", F.when(

@@ -1171,3 +1171,38 @@ def test_state_growth_stays_bounded_by_live_keys(spark, tmp_path):
         final = trace[-1][1]
         assert final <= 64, (name, trace)
         assert final < total_keys * 0.01, (name, trace)
+
+
+def test_tied_timestamps_form_one_session(spark):
+    """r6 parity-flake pin: 100 events with ONE tied timestamp must be
+    ONE session on both engines. The oracle's lag window and cumsum
+    window used to order ties independently — rows sorted before the
+    new_s=1 row landed in a phantom sid-0 session on some evaluations
+    (caught by the repeated const-regime parity sweep; fixed with the
+    event_id tie-break in both windows)."""
+    import duckdb
+
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.registry import (ORACLES,
+                                                                QUERIES)
+    import os
+    import tempfile
+
+    rows = [(i, "2024-01-01 00:09:58.778549", 13, "click", 1.0, "{}")
+            for i in range(100)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = QUERIES["qs_session_windows"](spark, d).collect()
+    assert len(got) == 1 and got[0].n_events == 100, got
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet/*.parquet')")
+    for _ in range(5):   # the old bug was evaluation-order dependent
+        want = con.execute(ORACLES["qs_session_windows"]).fetchall()
+        assert len(want) == 1 and want[0][2] == 100, want
+    prof = QUERIES["qs_session_depth_profile"](spark, d).collect()
+    assert prof[0].n_sessions == 1 and prof[0].max_depth == 100
