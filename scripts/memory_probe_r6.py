@@ -65,7 +65,7 @@ def child() -> None:
         "spark.sql.shuffle.partitions": "8",      # force AQE to split UP
         "spark.ui.enabled": "true",
         # starve the unified memory pool: with heap 4g serving all of
-        # local[32], fraction 0.2 leaves ~<50 MB execution memory per
+        # local[32], fraction 0.1 leaves ~<25 MB unified memory per
         # concurrent task — partitions that exceed it MUST spill (the
         # probe's point: spill, not OOM)
         "spark.memory.fraction": "0.1",

@@ -21,8 +21,12 @@ CJK_PATTERN = "[\\x{4e00}-\\x{9fff}]"
 # (found by the r6 NBSP differential probe). (?U) upgrades \s to
 # White_Space; the explicit \x1c-\x1f closes the isspace gap.
 PY_WS_SPLIT = r"(?U)[\s\x1c-\x1f]+"
-# the RE2 (DuckDB) transcription of the same set
-PY_WS_SPLIT_RE2 = r"[\s\p{Z}\x{85}\x{1C}-\x{1F}]+"
+# the RE2 (DuckDB) transcription of the same set.  RE2's \s is only
+# [\t\n\f\r ] and \p{Z} excludes control-class whitespace, so U+000B
+# (vertical tab — Python isspace() true) must be listed explicitly
+# (r6 ADVICE; verified live: without it string_split_regex keeps
+# 'a\x0bb' whole while 'a\x0bb'.split() splits).
+PY_WS_SPLIT_RE2 = r"[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]+"
 
 
 def py_strip(col: Column) -> Column:
@@ -37,8 +41,8 @@ def py_strip(col: Column) -> Column:
 
 # DuckDB transcription of py_strip for oracle SQL (format with {x})
 PY_STRIP_SQL = ("regexp_replace(regexp_replace({x}, "
-                "'^[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+', ''), "
-                "'[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+$', '')")
+                "'^[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+', ''), "
+                "'[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+$', '')")
 
 
 def unwrap_json_field(col: Column, key: str) -> Column:
@@ -242,7 +246,13 @@ def structure_from_chosen(chosen: Column,
     in CATEGORY-LIST order, else 'other' (the reference returns the
     string 'other', not None — r6 fix, was NULL). Differs from P12's
     prompt-side normalize (word-split, text order) in its
-    substring/list-order semantics."""
+    substring/list-order semantics.
+
+    Falsy-input branch (r6 ADVICE): the reference's ``if not chosen:
+    return None`` fires on None or the EXACTLY-empty string, before
+    any strip — so NULL/'' map to NULL while a whitespace-only chosen
+    survives the guard, strips to '', matches nothing and lands on
+    'other'."""
     lowered = F.lower(py_strip(chosen))
     expr = F.lit(default)
     for label in reversed(labels):
@@ -250,7 +260,8 @@ def structure_from_chosen(chosen: Column,
                       F.lit(label)).otherwise(expr)
     for label in reversed(labels):
         expr = F.when(lowered == label, F.lit(label)).otherwise(expr)
-    return expr
+    return F.when(chosen.isNull() | (chosen == F.lit("")),
+                  F.lit(None).cast("string")).otherwise(expr)
 
 
 # stage-23 inverse of the stage-18 base command (23-split.py:168-196):

@@ -36,54 +36,48 @@ from . import pydatasource_queries  # noqa: F401  (custom Python DataSource)
 
 GRADE_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r6 REBUILD (VERDICT r5 ask #2): the full sweep has been ALL MATCH
-    # for three consecutive rounds, so re-grading the same flagships is
-    # spent evidence.  12 ANCHORS stay (flagship + one judge-green
-    # representative per family); the other 38 slots are queries the
-    # driver has NEVER graded (census: QUERIES.md "driver-graded"
-    # table; 112 of 225 oracle-paired rows had never been driver-graded
-    # entering r6).
+    # r7 ROTATION (VERDICT r6 ask #2): same scheme as the r6 rebuild —
+    # the 12 ANCHORS stay (flagship + one judge-green representative
+    # per family); the other 38 slots are the FIRST 38 names, in the
+    # census order of QUERIES.md "Never graded, not in window", of the
+    # 74 oracle-paired queries the driver has never graded (entering
+    # r7: 163/225 graded at least once).  r8 takes the remaining 36.
     # ------------------------------------------------------------------
     # anchors
     "q01_tier_counts",            # flagship (P1-P3/A1-A2/J2)
     "q22_fanout_pairs",           # F1 fan-out
     "q26_rewards_scalar",         # rewards R1-R19
-    "qs_tumbling_engagement",     # streaming §2.12
+    "qs_tumbling_engagement",     # streaming 2.12
     "qg_pricing_summary",         # classic reports
     "qx_rfm_segments",            # warehouse
     "qx_gopher_quality",          # curation
     "qx_dedup_minhash_portable",  # dedup flagship (banded MinHash)
     "qx_similarity_topk_gemm",    # ANN
     "qmm_media_features",         # multimodal
-    "qx_weighted_median",         # UDAF surface §2.13
+    "qx_weighted_median",         # UDAF surface 2.13
     "qm_fpgrowth_itemsets",       # graph
+    # ---- first-time-graded: sampling / inference / streaming ----
+    "qx_epoch_shards", "qx_best_of_n", "qs_props_variant",
+    "qs_hourly_type_unpivot", "qs_expanding_zscore",
+    "qs_session_depth_profile",
     # ---- first-time-graded: classic reports (TPC-H-shaped) ----
-    "qg_market_share", "qg_product_profit", "qg_min_cost_supplier",
-    "qg_shipping_priority", "qg_priority_check",
-    "qg_customer_distribution", "qg_promo_revenue",
-    "qg_waiting_suppliers",
-    # ---- first-time-graded: streaming/event analytics ----
-    "qs_engagement_cube", "qs_hourly_anomalies", "qs_daily_active_users",
-    # ---- first-time-graded: warehouse/temporal ----
-    "qx_cdc_apply_roundtrip", "qx_scd2_enrich", "qx_gdpr_erasure",
-    "qx_k_anonymity", "qx_cohort_ltv", "qx_ab_test_welch",
-    "qx_distribution_drift",
-    # ---- first-time-graded: curation ----
-    "qx_decontamination", "qx_pii_scrub", "qx_domain_mixture",
-    "qx_token_chunks", "qx_injection_scan", "qx_split_leakage",
-    "qe2e_corpus_curation",
-    # ---- first-time-graded: graph (incl. the fixed-point PageRank
-    # oracle — VERDICT r5 ask #4: the full 10-round iterative
-    # algorithm driver-graded for the first time) ----
-    "qx_pagerank_fixed", "qx_triangle_count", "qx_fuzzy_name_match",
-    # ---- first-time-graded: dedup / ANN / tokenizer ----
-    "qx_dedup_simhash_wide_portable", "qx_dedup_containment",
-    "qx_dedup_incremental_portable", "qx_similarity_topk_ivf_fixed",
-    "qx_similarity_topk_ivfpq_fixed", "qx_bpe_learn",
-    # ---- first-time-graded: multimodal / sampling / model seam /
-    #      skew-profile ----
-    "qmm_media_neardup_wide", "qb7_hash_split",
-    "q17_topic_shifts_model", "qx_key_skew_profile",
+    "qg_top_parts_by_nation", "qg_monthly_revenue_trend",
+    "qg_revenue_moving_sum", "qg_discount_quantity_corr",
+    "qg_ship_latency_by_priority", "qg_local_supplier_volume",
+    "qg_large_orders", "qg_volume_shipping", "qg_forecast_revenue",
+    "qg_disjunctive_revenue", "qg_latency_priority_mix",
+    "qg_important_supply", "qg_small_qty_revenue",
+    "qg_sales_opportunity", "qg_supplier_part_count",
+    "qg_potential_promotion",
+    # ---- first-time-graded: event/warehouse analytics ----
+    "qx_stickiness_exact", "qx_multitouch_attribution",
+    "qx_value_percentile_bands", "qx_event_transitions",
+    "qx_value_histogram", "qx_snapshot_diff",
+    "qx_hierarchical_rollup", "qx_zorder_layout",
+    "qx_audience_overlap", "qx_decayed_engagement",
+    "qx_seasonal_residuals", "qx_conversion_latency_bands",
+    "qx_revenue_concentration", "qx_user_paths",
+    "qx_column_profile", "qx_trimmed_mean",
 )
 
 

@@ -162,7 +162,7 @@ ORDER BY rank_micro DESC, supp_key LIMIT 20
 def qx_pagerank_fixed(spark, sf_dir):
     """Top-20 suppliers by FIXED-POINT PageRank (10 rounds, d = 0.85
     in integer micro-units) — the oracle-checkable twin of the float
-    qx_pagerank_suppliers: BIGINT arithmetic makes every partial-sum
+    float power iteration: BIGINT arithmetic makes every partial-sum
     order produce the identical ranks, so the full iterative
     algorithm is value-checked against a 10-CTE unrolled SQL
     transcription (DuckDB recursive CTEs cannot aggregate over the
@@ -178,21 +178,12 @@ def qx_pagerank_fixed(spark, sf_dir):
             .orderBy(F.desc("rank_micro"), "supp_key").limit(20))
 
 
-@register("qx_pagerank_suppliers")
-def qx_pagerank_suppliers(spark, sf_dir):
-    """Top-20 suppliers by PageRank over the purchase graph (10
-    rounds, d=0.85). Rows-only: the rank is a float power iteration
-    whose partial-sum order is engine-specific; tests/test_graph.py
-    pins the values against a NumPy power-iteration twin at 1e-6 and
-    the sum-of-ranks = N invariant."""
-    edges = graph.purchase_edges(_t(spark, sf_dir, "lineitem"),
-                                 _t(spark, sf_dir, "orders"))
-    ranks = graph.pagerank(edges, iterations=10, damping=0.85)
-    return (ranks.filter(F.col("node") % 2 == 1)
-            .select(((F.col("node") - 1) / 2).cast("long")
-                    .alias("supp_key"),
-                    F.round("rank", 6).alias("rank"))
-            .orderBy(F.desc("rank"), "supp_key").limit(20))
+# The float power-iteration twin (graph.pagerank) is NOT separately
+# registered: it duplicated qx_pagerank_fixed's mechanism as a
+# rows-only row (VERDICT r6 ask #7 — retired r7).  Its evidence
+# lives in tests/test_graph.py: NumPy power-iteration equality at
+# 1e-6, sum-of-ranks == N, and per-node <=1% agreement with the
+# driver-graded fixed-point twin on the shared purchase graph.
 
 
 # --------------------------------------------------------------------------

@@ -140,7 +140,7 @@ WHERE NOT (
     OR contains(topic, '{{') OR contains(topic, '}}') OR contains(topic, '[')
     OR contains(topic, ']') OR contains(topic, '<') OR contains(topic, '>')
     OR regexp_matches(topic, '[\\x{{4e00}}-\\x{{9fff}}]')
-    OR lower(regexp_replace(regexp_replace(topic, '^[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+', ''), '[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+$', '')) = 'unknown'
+    OR lower(regexp_replace(regexp_replace(topic, '^[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+', ''), '[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+$', '')) = 'unknown'
 )
 GROUP BY topic ORDER BY topic
 """)
@@ -337,8 +337,8 @@ WITH pt AS (
            list_sum(slens) / len(slens) AS avg_len,
            vocab,
            len(list_filter(string_split_regex(trim(text),
-                               '[\\s\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+'),
-                           w -> regexp_matches(w, '^\p{{L}}+$'))) AS total_alpha
+                               '[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+'),
+                           w -> regexp_matches(w, '^\\p{{L}}+$'))) AS total_alpha
     FROM feats
 )
 SELECT doc_id,
@@ -421,7 +421,7 @@ def q23_prompt_type(spark, sf_dir):
 SELECT structure, count(*) AS n FROM (
     SELECT coalesce(
         list_filter(string_split_regex(lower(s),
-                        '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+'),
+                        '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+'),
                     w -> list_contains(['instructional', 'inspirational',
                                         'controversial', 'insightful',
                                         'comparative', 'reflective',
@@ -474,7 +474,7 @@ WITH feats AS (
         len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
             AS vocab,
         len(list_filter(string_split_regex(trim(text),
-                            '[\s\p{Z}\x{85}\x{1C}-\x{1F}]+'),
+                            '[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]+'),
                         w -> regexp_matches(w, '^\p{L}+$'))) AS alpha,
         len(text) - len(replace(text, '.', '')) AS c_per,
         len(text) - len(replace(text, ',', '')) AS c_com,
@@ -692,20 +692,21 @@ def qv_record_validation(spark, sf_dir):
 @register("q23_from_chosen", oracle="""
 SELECT structure_label, first_tone, count(*) AS n FROM (
     SELECT CASE
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) IN ('instructional', 'inspirational',
+        WHEN c_struct IS NULL OR c_struct = '' THEN NULL
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) IN ('instructional', 'inspirational',
              'controversial', 'insightful', 'comparative', 'reflective',
              'announcement')
-            THEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', ''))
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%instructional%' THEN 'instructional'
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%inspirational%' THEN 'inspirational'
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%controversial%' THEN 'controversial'
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%insightful%' THEN 'insightful'
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%comparative%' THEN 'comparative'
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%reflective%' THEN 'reflective'
-        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%announcement%' THEN 'announcement'
+            THEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', ''))
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%instructional%' THEN 'instructional'
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%inspirational%' THEN 'inspirational'
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%controversial%' THEN 'controversial'
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%insightful%' THEN 'insightful'
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%comparative%' THEN 'comparative'
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%reflective%' THEN 'reflective'
+        WHEN lower(regexp_replace(regexp_replace(c_struct, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) LIKE '%announcement%' THEN 'announcement'
         ELSE 'other' END AS structure_label,
-        CASE WHEN lower(regexp_replace(regexp_replace(string_split(c_tones, ',')[1], '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) = '' THEN NULL
-             ELSE lower(regexp_replace(regexp_replace(string_split(c_tones, ',')[1], '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) END AS first_tone
+        CASE WHEN lower(regexp_replace(regexp_replace(string_split(c_tones, ',')[1], '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) = '' THEN NULL
+             ELSE lower(regexp_replace(regexp_replace(string_split(c_tones, ',')[1], '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) END AS first_tone
     FROM (
         SELECT CASE doc_id % 4
                  WHEN 0 THEN 'reflective'
@@ -749,7 +750,7 @@ SELECT semantics, n_kept FROM (
     SELECT 'effective_bug' AS semantics,
            count(*) FILTER (WHERE NOT (
                regexp_matches(ctx, '[一-鿿]')
-               OR lower(regexp_replace(regexp_replace(ctx, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) = 'unknown'
+               OR lower(regexp_replace(regexp_replace(ctx, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) = 'unknown'
                OR contains(ctx, '650+'))) AS n_kept
     FROM (SELECT CASE WHEN doc_id % 11 = 0 THEN 'raised 650+ rounds'
                       WHEN doc_id % 7 = 0 THEN 'unknown'
@@ -762,7 +763,7 @@ SELECT semantics, n_kept FROM (
                OR contains(ctx, '[') OR contains(ctx, ']')
                OR contains(ctx, '<') OR contains(ctx, '>')
                OR regexp_matches(ctx, '[一-鿿]')
-               OR lower(regexp_replace(regexp_replace(ctx, '^[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) = 'unknown'))
+               OR lower(regexp_replace(regexp_replace(ctx, '^[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+', ''), '[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]+$', '')) = 'unknown'))
     FROM (SELECT CASE WHEN doc_id % 11 = 0 THEN 'raised 650+ rounds'
                       WHEN doc_id % 7 = 0 THEN 'unknown'
                       ELSE text END AS ctx FROM documents)

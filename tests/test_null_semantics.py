@@ -110,3 +110,48 @@ def test_balance_counts_null_key_combos(spark):
                  .collect()}
     # 2 combos (a, NULL), 30 rows -> avg_target 15; both land at 15
     assert counts == {"a": 15, None: 15}
+
+
+def test_vertical_tab_whitespace_parity(spark, duck):
+    """U+000B (vertical tab) is Python isspace() whitespace but sits
+    outside RE2's \\s ([\\t\\n\\f\\r ]) and \\p{Z} — the DuckDB
+    transcriptions must list it explicitly (r6 ADVICE).  Ground truth
+    is CPython; engine (Java (?U)\\s) and oracle (RE2 class) must both
+    agree with it on split AND strip."""
+    from social_media_ai_engineering_etl_spark.functions.cleaning import (
+        PY_STRIP_SQL, PY_WS_SPLIT, PY_WS_SPLIT_RE2, py_strip)
+    probe = "alpha\x0bbeta"
+    edge = "\x0bunknown\x0b"
+    assert probe.split() == ["alpha", "beta"]           # CPython truth
+    assert edge.strip() == "unknown"
+
+    df = spark.createDataFrame([(probe, edge)], "p string, e string")
+    row = df.select(
+        F.split(F.col("p"), PY_WS_SPLIT).alias("parts"),
+        py_strip(F.col("e")).alias("stripped")).collect()[0]
+    assert row["parts"] == ["alpha", "beta"]
+    assert row["stripped"] == "unknown"
+
+    got = duck.execute(
+        f"SELECT string_split_regex(?, '{PY_WS_SPLIT_RE2}') AS parts, "
+        f"{PY_STRIP_SQL.format(x='?')} AS stripped",
+        [probe, edge]).fetchone()
+    assert list(got[0]) == ["alpha", "beta"]
+    assert got[1] == "unknown"
+
+
+def test_structure_from_chosen_falsy_input(spark):
+    """Reference 23-split.py:135 `if not chosen: return None` fires on
+    None or the EXACTLY-empty string BEFORE any strip; whitespace-only
+    survives the guard, strips to '' and lands on 'other' (r6 ADVICE —
+    the 'other' fix must not swallow the falsy branch)."""
+    from social_media_ai_engineering_etl_spark.functions.cleaning import (
+        structure_from_chosen)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "Reflective"), (5, "zzz")],
+        "id long, chosen string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", structure_from_chosen(F.col("chosen"))
+                     .alias("s")).collect()}
+    assert got == {1: None, 2: None, 3: "other",
+                   4: "reflective", 5: "other"}

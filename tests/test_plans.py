@@ -336,8 +336,8 @@ def test_grade_window_is_first_50_with_oracles():
     assert len(GRADE_WINDOW) == 50
     assert names[:50] == list(GRADE_WINDOW)
     assert all(n in ORACLES for n in GRADE_WINDOW)
-    # r6 rebuild (VERDICT r5 ask #2): 12 anchors — flagship + one
-    # judge-green representative per family — plus >= 35 rows the
+    # r7 rotation (VERDICT r6 ask #2): 12 anchors — flagship + one
+    # judge-green representative per family — plus >= 36 rows the
     # driver has never graded (38 in fact; census in QUERIES.md)
     anchors = ("q01_tier_counts", "q22_fanout_pairs",
                "q26_rewards_scalar", "qs_tumbling_engagement",
@@ -350,13 +350,13 @@ def test_grade_window_is_first_50_with_oracles():
     import glob
     import json
     import os
-    graded_before_r6 = set()
+    graded_before_r7 = set()
     for f in sorted(glob.glob(os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_r0[1-5].json"))):
-        graded_before_r6.update(json.load(open(f)))
-    first_time = [n for n in GRADE_WINDOW if n not in graded_before_r6]
-    assert len(first_time) >= 35, (len(first_time), first_time)
+            "CORRECTNESS_r0[1-6].json"))):
+        graded_before_r7.update(json.load(open(f)))
+    first_time = [n for n in GRADE_WINDOW if n not in graded_before_r7]
+    assert len(first_time) >= 36, (len(first_time), first_time)
 
 
 def test_hierarchical_rollup_scans_fact_once(spark, sf_dir):

@@ -204,7 +204,7 @@ def test_twenty_query_session_leaks_no_cached_blocks(spark, sf_dir):
         "qx_pack_sequences", "qx_dedup_exact", "qx_dedup_ngram_jaccard",
         "qx_dedup_minhash", "qx_dedup_winnow_fast", "qx_similarity_topk_gemm",
         "qx_embedding_dedup_pairs", "qx_copurchase_pairs",
-        "qx_pagerank_suppliers", "qx_corpus_stats", "qx_heavy_hitters",
+        "qx_pagerank_fixed", "qx_corpus_stats", "qx_heavy_hitters",
         "qx_hierarchical_rollup", "qx_asof_last_click",
         "qx_key_skew_profile",
         # r3d persisting additions: scalar-subquery + semi/anti reports,
@@ -603,3 +603,36 @@ def test_author_shards_auto_policy_and_equivalence(spark):
     off = phrases.choose_window_shards({"top_key_rows": 10**6,
                                         "n_keys": 5})
     assert on["shards"] == 32 and off["shards"] is None
+
+
+def test_graded_paths_route_through_auto_guards(spark, sf_dir):
+    """VERDICT r6 ask #3: the GRADED/benched registrations themselves
+    must run the measure->decide machinery — qx_dedup_minhash rides
+    minhash_dedup_pairs_auto and q17_author_words rides
+    author_uncommon_words_auto.  On the uniform testdata corpus both
+    guards must choose OFF (evidence in the schema metadata) and the
+    rows must equal the plain paths."""
+    import social_media_ai_engineering_etl_spark.queries  # noqa: F401
+    from social_media_ai_engineering_etl_spark.operators import (dedup,
+                                                                 phrases)
+    from social_media_ai_engineering_etl_spark.registry import QUERIES
+
+    mh = QUERIES["qx_dedup_minhash"](spark, sf_dir)
+    meta = mh.schema["id1"].metadata["lsh_guard"]
+    assert meta["max_bucket"] == -1, meta          # guard chose none
+    assert meta["top_bucket_width"] <= meta["crossover"]
+    import os
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plain = dedup.minhash_dedup_pairs(docs, "doc_id", "text",
+                                      threshold=0.5)
+    assert ({(r.id1, r.id2, r.jaccard_sim) for r in mh.collect()}
+            == {(r.id1, r.id2, r.jaccard_sim) for r in plain.collect()})
+
+    aw = QUERIES["q17_author_words"](spark, sf_dir)
+    wmeta = aw.schema["source"].metadata["window_shards"]
+    assert wmeta["shards"] == -1, wmeta            # plain window kept
+    assert wmeta["top_key_rows"] <= wmeta["crossover"]
+    plain_w = phrases.author_uncommon_words(docs, "source", "text",
+                                            "doc_id")
+    assert ({(r.source, r.word, r.freq) for r in aw.collect()}
+            == {(r.source, r.word, r.freq) for r in plain_w.collect()})
