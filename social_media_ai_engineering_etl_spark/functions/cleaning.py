@@ -4,6 +4,9 @@
 
 from __future__ import annotations
 
+import json
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -44,16 +47,104 @@ PY_STRIP_SQL = ("regexp_replace(regexp_replace({x}, "
                 "'^[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+', ''), "
                 "'[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+$', '')")
 
+# ---------------------------------------------------------------------------
+# Python str.isalpha() across three Unicode versions (r7 fuzz catch:
+# '鿿' U+9FFF is a letter in CPython 3.11 = Unicode 14 but UNASSIGNED
+# in Java 17 = Unicode 13, so a \p{L} vocabulary filter dropped a word
+# the reference counted and the stage-18 vocabulary bucket shifted).
+# The deltas below are MEASURED, not hand-derived: scripts/
+# unicode_skew.py sweeps every codepoint through all three engines.
+#   * Java 17 letters = CPython letters MINUS the 515 cps in 47
+#     ranges below (Unicode 14 additions) -> positive union class;
+#   * DuckDB RE2 (Unicode 15) letters = CPython letters PLUS 4348
+#     cps in 13 ranges -> negated-class subtraction [^\P{L}excess];
+#   * whitespace needs NO correction: the sweep proves Java
+#     (?U)[\s\x1c-\x1f] and the RE2 class above both equal
+#     str.isspace() EXACTLY over all codepoints.
+# ---------------------------------------------------------------------------
+
+_JAVA_ALPHA_EXTRA = (
+    "\\x{870}-\\x{887}\\x{889}-\\x{88E}\\x{8B5}\\x{8C8}-\\x{8C9}"
+    "\\x{C5D}\\x{CDD}\\x{170D}\\x{171F}\\x{1B4C}\\x{2C2F}\\x{2C5F}"
+    "\\x{9FFD}-\\x{9FFF}\\x{A7C0}-\\x{A7C1}\\x{A7D0}-\\x{A7D1}"
+    "\\x{A7D3}\\x{A7D5}-\\x{A7D9}\\x{A7F2}-\\x{A7F4}"
+    "\\x{10570}-\\x{1057A}\\x{1057C}-\\x{1058A}\\x{1058C}-\\x{10592}"
+    "\\x{10594}-\\x{10595}\\x{10597}-\\x{105A1}\\x{105A3}-\\x{105B1}"
+    "\\x{105B3}-\\x{105B9}\\x{105BB}-\\x{105BC}\\x{10780}-\\x{10785}"
+    "\\x{10787}-\\x{107B0}\\x{107B2}-\\x{107BA}\\x{10F70}-\\x{10F81}"
+    "\\x{11071}-\\x{11072}\\x{11075}\\x{11740}-\\x{11746}"
+    "\\x{11AB0}-\\x{11ABF}\\x{12F90}-\\x{12FF0}\\x{16A70}-\\x{16ABE}"
+    "\\x{1AFF0}-\\x{1AFF3}\\x{1AFF5}-\\x{1AFFB}\\x{1AFFD}-\\x{1AFFE}"
+    "\\x{1B11F}-\\x{1B122}\\x{1DF00}-\\x{1DF1E}\\x{1E290}-\\x{1E2AD}"
+    "\\x{1E7E0}-\\x{1E7E6}\\x{1E7E8}-\\x{1E7EB}\\x{1E7ED}-\\x{1E7EE}"
+    "\\x{1E7F0}-\\x{1E7FE}\\x{2A6DE}-\\x{2A6DF}\\x{2B735}-\\x{2B738}")
+
+_RE2_ALPHA_EXCESS = (
+    "\\x{1123F}-\\x{11240}\\x{11F02}\\x{11F04}-\\x{11F10}"
+    "\\x{11F12}-\\x{11F33}\\x{1342F}\\x{13441}-\\x{13446}\\x{1B132}"
+    "\\x{1B155}\\x{1DF25}-\\x{1DF2A}\\x{1E030}-\\x{1E06D}"
+    "\\x{1E4D0}-\\x{1E4EB}\\x{2B739}\\x{31350}-\\x{323AF}")
+
+# Java pattern fragment: one Python-isalpha character
+PY_ALPHA_CHAR = "[\\p{L}" + _JAVA_ALPHA_EXTRA + "]"
+# RE2 (DuckDB) fragment: letter AND NOT a Unicode-15-only addition
+PY_ALPHA_CHAR_RE2 = "[^\\P{L}" + _RE2_ALPHA_EXCESS + "]"
+
+
+_UNWRAP_UDFS: dict = {}
+
+
+def _py_json_unwrap(key: str):
+    """Arrow-vectorized CPython-exact unwrap (one cached UDF per
+    key).  The r7 fuzz program showed the JVM JSON parsers cannot
+    reproduce json.loads' whole-document contract: Jackson
+    (get_json_object / from_json) stops at the first complete value
+    and silently unwraps '{"topic": "x"}\\xa0' / '{...} note' /
+    concatenated documents that json.loads rejects ('Extra data'),
+    and get_json_object additionally resolves duplicate keys
+    FIRST-wins (dict is last-wins) and accepts single-quoted
+    pseudo-JSON.  'Did the parser consume the whole string' is not
+    natively expressible, so this is the sanctioned vectorized-Arrow
+    fallback — with a pandas fast-path mask so only '{'-leading
+    candidates (after json.loads' own ' \\t\\n\\r' lstrip) pay the
+    parse; everything else passes through inside the batch."""
+    if key in _UNWRAP_UDFS:
+        return _UNWRAP_UDFS[key]
+
+    def _batch(s: pd.Series) -> pd.Series:
+        def one(v):
+            try:
+                p = json.loads(v)
+                if isinstance(p, dict) and key in p:
+                    x = p[key]
+                    # non-string value: the reference CRASHES with a
+                    # TypeError in contains_disallowed (documented
+                    # deviation) — the engine passes the raw string
+                    # through instead of dying
+                    return x if isinstance(x, str) else v
+            except (json.JSONDecodeError, TypeError):
+                pass
+            return v
+
+        mask = s.notna() & s.str.lstrip(" \t\n\r").str.startswith("{")
+        out = s.copy()
+        out[mask] = s[mask].map(one)
+        return out
+
+    fn = F.pandas_udf(_batch, "string")
+    _UNWRAP_UDFS[key] = fn
+    return fn
+
 
 def unwrap_json_field(col: Column, key: str) -> Column:
     """If the value is a JSON object string with ``key``, take that
-    value; else passthrough (7-clean-topics.py:45-57).  Whitespace-
-    leading JSON unwraps in both engines (differential-pinned).
-    Robustness deviation (documented): a NON-STRING json value
-    ({"topic": 3} / null / ["a"]) CRASHES the reference with a
-    TypeError in contains_disallowed; the engine treats it as its
-    JSON text rendering and filters it like any string."""
-    return F.coalesce(F.get_json_object(col, f"$.{key}"), col)
+    value; else passthrough (7-clean-topics.py:45-57) — exactly
+    CPython json.loads semantics (see :func:`_py_json_unwrap`:
+    whole-document consumption, last-wins duplicate keys, no
+    single-quote lenience; battery-pinned in
+    tests/test_null_semantics.py and fuzz-pinned in
+    tests/test_reference_differential.py)."""
+    return _py_json_unwrap(key)(col)
 
 
 def is_disallowed(col: Column) -> Column:

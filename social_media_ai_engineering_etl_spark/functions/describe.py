@@ -28,13 +28,16 @@ def describe_vocabulary_usage(vocab_count: Column, post_text: Column) -> Column:
     """unique/alpha-token ratio bins .5/.35/.25/.15 (18:34-49). Note
     the reference recomputes words as isalpha()-filtered split — NOT
     the same tokens as vocabulary_usage itself (SURVEY §2.9)."""
-    # \p{L} (any unicode letter), not [A-Za-z]: the reference filters
-    # with str.isalpha(), which is unicode-aware ('café'.isalpha() is
-    # True); the split is str.split() = unicode whitespace — both
-    # pinned by the reference differential test
-    from .cleaning import PY_WS_SPLIT
+    # PY_ALPHA_CHAR (unicode letters + the measured Unicode-14-vs-13
+    # skew ranges), not bare \p{L} or [A-Za-z]: the reference filters
+    # with str.isalpha() under CPython's Unicode tables — the r7 fuzz
+    # program caught U+9FFF counting as a word in the reference but
+    # not in Java 17 (Unicode 13), shifting the vocabulary bucket;
+    # the split is str.split() = unicode whitespace — all pinned by
+    # the reference differential + skew-sweep tests
+    from .cleaning import PY_ALPHA_CHAR, PY_WS_SPLIT
     words = F.filter(F.split(F.trim(post_text), PY_WS_SPLIT),
-                     lambda w: w.rlike("^\\p{L}+$"))
+                     lambda w: w.rlike("^" + PY_ALPHA_CHAR + "+$"))
     total = F.size(words)
     ratio = F.when(total > 0, vocab_count.cast("double") / total).otherwise(F.lit(0.0))
     return (F.when(ratio > 0.5, F.lit("A rich vocabulary, showcasing extensive language use and depth."))

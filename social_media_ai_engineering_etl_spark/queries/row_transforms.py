@@ -230,6 +230,10 @@ def q17_line_breaks(spark, sf_dir):
 # T4 punctuation counts + describe (stages 17 + 18)
 # --------------------------------------------------------------------------
 
+# CPython-isalpha RE2 fragment (measured Unicode-15-vs-CPython skew
+# subtracted; see functions/cleaning.py PY_ALPHA_CHAR_RE2)
+_ALPHA_RE2 = cleaning.PY_ALPHA_CHAR_RE2
+
 _PUNCT_INJECT_SQL = """replace(replace(replace(text,
     ' join ', '. '), ' merge ', ', '), ' filter ', '! ')"""
 
@@ -338,7 +342,7 @@ WITH pt AS (
            vocab,
            len(list_filter(string_split_regex(trim(text),
                                '[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+'),
-                           w -> regexp_matches(w, '^\\p{{L}}+$'))) AS total_alpha
+                           w -> regexp_matches(w, '^{_ALPHA_RE2}+$'))) AS total_alpha
     FROM feats
 )
 SELECT doc_id,
@@ -475,7 +479,7 @@ WITH feats AS (
             AS vocab,
         len(list_filter(string_split_regex(trim(text),
                             '[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]+'),
-                        w -> regexp_matches(w, '^\p{L}+$'))) AS alpha,
+                        w -> regexp_matches(w, '^{APLACEHOLDER}+$'))) AS alpha,
         len(text) - len(replace(text, '.', '')) AS c_per,
         len(text) - len(replace(text, ',', '')) AS c_com,
         len(text) - len(replace(text, ';', '')) AS c_sem,
@@ -587,7 +591,7 @@ SELECT doc_id,
            [p1,p2,p3,p4,p5,p6,p7,p8,p9,p10,p11,p12,p13,p14,p15,p16,p17,
             p18,p19,p20,p21], x -> x IS NOT NULL), chr(10))) AS prompt_len
 FROM parts
-"""
+""".replace("{APLACEHOLDER}", _ALPHA_RE2)
 
 
 @register("q18_full_prompt", oracle=_FULL_PROMPT_SQL)

@@ -1,0 +1,32 @@
+"""Fault-injection determinism pins (VERDICT r6 ask #4).
+
+scripts/fault_injection_probe.py is the full probe (5 heaviest shapes
+x retry+speculation modes); this pin keeps the mechanism from
+regressing by driving a representative subset through the same
+subprocess (a second SparkContext with master ``local[N,4]`` cannot
+share the test session's JVM).  A pass requires BOTH the sorted-rowset
+hash to match the clean run AND at least one injection to have fired
+(marker-file counted) — a silently-not-injecting probe fails.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROBE = os.path.join(ROOT, "scripts", "fault_injection_probe.py")
+
+
+def test_retry_determinism_on_heavy_shapes():
+    """Injected first-attempt task failures (maxFailures=4) must not
+    change the minhash-LSH or GEMM-topk rowsets — retries re-read the
+    scan, re-deal a round-robin repartition (the SPARK-23207 shape)
+    and re-fetch shuffle blocks."""
+    r = subprocess.run(
+        [sys.executable, PROBE, "/root/testdata/sf0.01",
+         "--shapes", "minhash,topk_gemm", "--modes", "retry"],
+        capture_output=True, text=True, timeout=900, cwd=ROOT)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "ALL MATCH" in r.stdout

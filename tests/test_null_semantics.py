@@ -155,3 +155,101 @@ def test_structure_from_chosen_falsy_input(spark):
                      .alias("s")).collect()}
     assert got == {1: None, 2: None, 3: "other",
                    4: "reflective", 5: "other"}
+
+
+def test_json_unwrap_is_cpython_faithful(spark):
+    """P7 unwrap vs the reference's json.loads (7-clean-topics.py:45):
+    the r7 fuzz program found the JVM parsers' Jackson lenience
+    diverging on duplicate keys (first- vs last-wins), single-quoted
+    pseudo-JSON (unwrap vs reject) and trailing garbage/whitespace
+    ('{...}\\xa0' unwrapped vs 'Extra data' passthrough — caught live
+    by fuzz seed 911000).  'Did the parser consume the whole string'
+    is not natively expressible, so the unwrap is the Arrow-
+    vectorized CPython-exact UDF — this battery pins every class."""
+    import json as _json
+
+    from social_media_ai_engineering_etl_spark.functions.cleaning import (
+        unwrap_json_field)
+
+    def ref_parse(s):                      # 7-clean-topics.py:45-57
+        try:
+            p = _json.loads(s)
+            if isinstance(p, dict) and "topic" in p:
+                return p["topic"]
+        except (_json.JSONDecodeError, TypeError):
+            pass
+        return s
+
+    agree = [
+        '{"topic": "plain"}', '\t{"topic": "ws-led"}\n',
+        '  {"topic": "sp"}  ', '{"topic": ""}', '{"topic": "q\\"uote"}',
+        '{"topic":"esc\\u00e9"}', '{"topic": "du\\np"}',
+        '{"topic" : "spaced"}', '{"topic"\n:\n"nl-colon"}',
+        '{"topic": "a", "topic": "b"}',            # dup key: LAST wins
+        '{"topic": "a", "other": 1, "topic": "c"}',
+        "{'topic': 'sq'}",                         # single quotes: reject
+        '{topic: "unquoted"}', '{"topic": "x",}', '{}', '{"other": "x"}',
+        '{"TOPIC": "case"}', 'not json', '"just a string"',
+        '[{"topic": "arr"}]', '\x0b{"topic": "vt-led"}',
+        '\u00a0{"topic": "nbsp-led"}', '// c\n{"topic": "c"}',
+        '{"topic": "raw\tctl"}',                   # raw control: reject
+        '{"a": {"topic": "nested-under-other"}}',
+        # whole-document consumption: trailing garbage/whitespace that
+        # json.loads rejects ('Extra data') must pass through
+        '{"topic": "x"} trailing', '{"topic": "x"}}',
+        '{"topic": "x"} {"topic": "y"}', '{"topic": "x"}garbage',
+        '{"topic": "x"} ', '\t{"topic": "x"} \x85',
+        '{"topic": "x"}\n\t ',                     # legal ws: unwrap
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(agree)],
+                               "i long, v string")
+    got = {r.i: r.o for r in df.select(
+        "i", unwrap_json_field(F.col("v"), "topic").alias("o")).collect()}
+    for i, c in enumerate(agree):
+        assert got[i] == ref_parse(c), (c, got[i], ref_parse(c))
+
+
+
+def test_unicode_alpha_skew_pinned(spark, duck):
+    """CPython 3.11 (Unicode 14) / Java 17 (Unicode 13) / DuckDB RE2
+    (Unicode 15) disagree on which codepoints are letters — the r7
+    fuzzer caught U+9FFF ('鿿') counting as a word in the reference's
+    isalpha() filter but not in a Java \\p{L} class, shifting a
+    stage-18 vocabulary bucket.  PY_ALPHA_CHAR / PY_ALPHA_CHAR_RE2
+    carry the MEASURED deltas (scripts/unicode_skew.py sweeps all
+    codepoints); this pin drives every skew codepoint plus boundary
+    neighbours through all three engines."""
+    import re as _re
+
+    from social_media_ai_engineering_etl_spark.functions.cleaning import (
+        _JAVA_ALPHA_EXTRA, _RE2_ALPHA_EXCESS, PY_ALPHA_CHAR,
+        PY_ALPHA_CHAR_RE2)
+
+    def expand(cls: str) -> list[int]:
+        out = []
+        for m in _re.finditer(
+                r"\\x\{([0-9A-Fa-f]+)\}(?:-\\x\{([0-9A-Fa-f]+)\})?", cls):
+            a = int(m.group(1), 16)
+            b = int(m.group(2), 16) if m.group(2) else a
+            out.extend(range(a, b + 1))
+        return out
+
+    probes = sorted(set(expand(_JAVA_ALPHA_EXTRA)
+                        + expand(_RE2_ALPHA_EXCESS)
+                        + [0x41, 0xE9, 0x4E00, 0x9FFC, 0x3400, 0xA000,
+                           0x2160, 0x00B2, 0x3FFF]))
+    pdf = [(cp, chr(cp)) for cp in probes]
+    want = {cp: chr(cp).isalpha() for cp in probes}   # CPython truth
+
+    df = spark.createDataFrame(pdf, "cp long, c string")
+    got_j = {r.cp: r.m for r in df.select(
+        "cp", F.col("c").rlike("^" + PY_ALPHA_CHAR + "$").alias("m"))
+        .collect()}
+    assert got_j == want, {cp: (got_j[cp], want[cp])
+                           for cp in probes if got_j[cp] != want[cp]}
+
+    for cp, ch in pdf:
+        (m,) = duck.execute(
+            f"SELECT regexp_matches(?, '^{PY_ALPHA_CHAR_RE2}$')",
+            [ch]).fetchone()
+        assert m == want[cp], (hex(cp), m, want[cp])
