@@ -1,39 +1,43 @@
 """Unicode-version skew sweep: CPython vs Java 17 (Spark) vs RE2
-(DuckDB) letter/whitespace classification over EVERY codepoint.
+(DuckDB) regex-class classification over EVERY codepoint.
 
 The engines ship different Unicode tables (CPython 3.11 = 14.0,
-Java 17 = 13.0, DuckDB's RE2 = 15.x), so `str.isalpha()` and any
-`\\p{L}` transcription of it disagree on the codepoints assigned
-between those versions — found live by the r7 differential fuzzer
-(U+9FFF counted as a word by the reference but not by a Java \\p{L}
-filter, shifting a stage-18 vocabulary bucket).
+Java 17 = 13.0, DuckDB's RE2 = 15.x), so `str.isalpha()` /
+``re \\d \\w \\s`` and their `\\p{L}` / ``(?U)`` transcriptions
+disagree on codepoints assigned between versions — found live by the
+r7 differential fuzzer (U+9FFF counted as a word by the reference but
+not by a Java ``\\p{L}`` filter, shifting a stage-18 vocabulary
+bucket).
 
-This script MEASURES the deltas and prints them as regex-class
-fragments; the pinned constants in functions/cleaning.py
-(_JAVA_ALPHA_EXTRA / _RE2_ALPHA_EXCESS) must equal its output —
-tests/test_null_semantics.py::test_unicode_alpha_skew_pinned checks
-every skew codepoint through all three engines at test time.
+This script MEASURES the deltas and verifies the GENERATED constants
+module ``functions/_unicode_py_classes.py`` (with ``--emit`` it
+rewrites the module).  It also verifies the derived fragments
+end-to-end: ``PY_ALPHA_CHAR`` / ``PY_DIGIT_CHAR`` /
+``PY_NONWORDSPACE_CHAR`` must classify every codepoint exactly as
+CPython does, and the whitespace classes must equal ``str.isspace()``
+with NO correction in both engines.
 
-Also verified here (and relied on everywhere): WHITESPACE needs no
-correction — Java `(?U)[\\s\\x1c-\\x1f]` and the RE2 class
-`[\\s\\x{0B}\\p{Z}\\x{85}\\x{1C}-\\x{1F}]` both equal
-`str.isspace()` EXACTLY over all codepoints.
+tests/test_null_semantics.py::test_unicode_alpha_skew_pinned drives
+the skew codepoints through all three engines per test run; this
+script is the full-sweep regeneration path.
 
-Usage: python scripts/unicode_skew.py
+Usage: python scripts/unicode_skew.py [--emit]
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
-from social_media_ai_engineering_etl_spark.functions import cleaning  # noqa: E402
-from social_media_ai_engineering_etl_spark.session import get_spark  # noqa: E402
+MODULE = os.path.join(ROOT, "social_media_ai_engineering_etl_spark",
+                      "functions", "_unicode_py_classes.py")
 
 
 def _ranges(xs):
@@ -46,56 +50,201 @@ def _ranges(xs):
     return out
 
 
-def _cls(ranges):
-    return "".join(f"\\x{{{a:X}}}" if a == b else f"\\x{{{a:X}}}-\\x{{{b:X}}}"
-                   for a, b in ranges)
+def _parts(rr):
+    return [f"\\x{{{a:X}}}" if a == b else f"\\x{{{a:X}}}-\\x{{{b:X}}}"
+            for a, b in rr]
+
+
+def _pywrap(name, rr, width=64):
+    lines, cur = [], ""
+    for piece in _parts(rr):
+        if len(cur) + len(piece) > width and cur:
+            lines.append(cur)
+            cur = piece
+        else:
+            cur += piece
+    lines.append(cur)
+    body = "\n    ".join(f'r"{c}"' for c in lines)
+    return f"{name} = (\n    {body})\n"
+
+
+_HEADER = '''"""MEASURED Unicode-class skew constants — GENERATED, do not edit.
+
+Regenerate + verify with ``python scripts/unicode_skew.py`` (add
+``--emit`` to rewrite this file).  Provenance: CPython 3.11 ships
+Unicode 14.0 tables, Java 17 (the Spark JVM) ships 13.0, DuckDB's RE2
+ships 15.x — so ``str.isalpha()`` / ``re`` ``\\\\d \\\\w \\\\s`` and their
+naive ``\\\\p{L}`` / ``(?U)`` transcriptions disagree on the codepoints
+(re)assigned between those versions.  Every constant below is the
+exact measured delta from sweeping ALL codepoints through the live
+engines (r7 fuzz program; the stage-18 vocabulary-bucket divergence on
+U+9FFF was the motivating catch).
+
+Measured facts the transcriptions rely on:
+  * WHITESPACE needs no correction anywhere: Java ``(?U)[\\\\s\\\\x1c-\\\\x1f]``
+    and RE2 ``[\\\\s\\\\x{0B}\\\\p{Z}\\\\x{85}\\\\x{1C}-\\\\x{1F}]`` both equal
+    ``str.isspace()`` / ``re \\\\s`` EXACTLY over all codepoints.
+  * Java letters are a strict SUBSET of CPython letters (+515 cps);
+    RE2 letters a strict SUPERSET (-4348 cps).
+  * Java ``(?U)\\\\d`` misses the 10 Tangsa digits (Unicode 14).
+  * CPython ``\\\\w`` adds Nl/No numerics (isalnum) and Unicode-14
+    letters (+1420 cps) while Java ``(?U)\\\\w`` adds combining marks
+    CPython excludes (-2436 cps).
+"""
+
+'''
+
+_FOOTER = r'''
+
+# ---------------------------------------------------------------------------
+# derived single-char pattern fragments (Java fragments assume the
+# enclosing pattern carries the (?U) flag)
+# ---------------------------------------------------------------------------
+
+# one Python-isalpha char, Java regex
+PY_ALPHA_CHAR = "[\\p{L}" + JAVA_ALPHA_EXTRA + "]"
+# one Python-isalpha char, RE2 (DuckDB): letter AND NOT a U15-only cp
+PY_ALPHA_CHAR_RE2 = "[^\\P{L}" + RE2_ALPHA_EXCESS + "]"
+# one Python re-\d char, Java (?U) context
+PY_DIGIT_CHAR = "[\\d" + JAVA_DIGIT_EXTRA + "]"
+# one Python re-\s char, Java (?U) context (isspace-faithful)
+PY_SPACE_CHAR = "[\\s\\x1c-\\x1f]"
+# one char matching Python [^\w\s] (the symbolic-bullet class), Java
+# (?U) context: either a Java-word char Python does NOT count as word
+# (combining marks), or not-word/space under the Python-adjusted sets
+PY_NONWORDSPACE_CHAR = ("(?:[" + JAVA_WORD_EXCESS + "]|[^\\w\\s"
+                        + "\\x1c-\\x1f" + JAVA_WORD_EXTRA + "])")
+'''
 
 
 def main() -> int:
+    emit = "--emit" in sys.argv
+
     cps = [i for i in range(0x110000) if not (0xD800 <= i <= 0xDFFF)]
-    py_alpha = {i for i in cps if chr(i).isalpha()}
-    py_space = {i for i in cps if chr(i).isspace()}
-    pdf = pd.DataFrame({"id": cps, "c": [chr(i) for i in cps]})
+    rd, rw = re.compile(r"\d"), re.compile(r"\w")
+    py_alpha, py_space, py_d, py_w = set(), set(), set(), set()
+    for i in cps:
+        c = chr(i)
+        if c.isalpha():
+            py_alpha.add(i)
+        if c.isspace():
+            py_space.add(i)
+        if rd.match(c):
+            py_d.add(i)
+        if rw.match(c):
+            py_w.add(i)
+    # re \s for str equals the isspace set (verified each run)
+    assert all(bool(re.match(r"\s", chr(i))) == (i in py_space)
+               for i in list(py_space) + [0x41, 0x2028])
 
     from pyspark.sql import functions as F
+
+    from social_media_ai_engineering_etl_spark.functions import (
+        _unicode_py_classes as gen)
+    from social_media_ai_engineering_etl_spark.functions.cleaning import (
+        PY_WS_SPLIT)
+    from social_media_ai_engineering_etl_spark.session import get_spark
+
     spark = get_spark("unicode-skew")
-    res = spark.createDataFrame(pdf).select(
+    pdf = pd.DataFrame({"id": cps, "c": [chr(i) for i in cps]})
+    sdf = spark.createDataFrame(pdf)
+    res = sdf.select(
         "id",
         F.col("c").rlike("^\\p{L}$").alias("jl"),
-        F.col("c").rlike("^" + cleaning.PY_WS_SPLIT.replace("+", "") + "$")
-         .alias("js")).collect()
+        F.col("c").rlike("^" + PY_WS_SPLIT.replace("+", "") + "$")
+         .alias("js"),
+        F.col("c").rlike("^(?U)\\d$").alias("jd"),
+        F.col("c").rlike("^(?U)\\w$").alias("jw"),
+        # the derived fragments, end-to-end
+        F.col("c").rlike("^(?U)" + gen.PY_ALPHA_CHAR + "$").alias("fa"),
+        F.col("c").rlike("^(?U)" + gen.PY_DIGIT_CHAR + "$").alias("fd"),
+        F.col("c").rlike("^(?U)" + gen.PY_NONWORDSPACE_CHAR + "$")
+         .alias("fn")).collect()
     j_alpha = {r.id for r in res if r.jl}
     j_space = {r.id for r in res if r.js}
+    j_d = {r.id for r in res if r.jd}
+    j_w = {r.id for r in res if r.jw}
+    frag_alpha = {r.id for r in res if r.fa}
+    frag_d = {r.id for r in res if r.fd}
+    frag_nws = {r.id for r in res if r.fn}
 
     con = duckdb.connect()
     con.register("pdf", pdf)
     dres = con.execute(
         r"SELECT id, regexp_matches(c, '^\p{L}$') AS dl, "
-        r"regexp_matches(c, '^[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]$') AS ds "
+        r"regexp_matches(c, '^[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]$') AS ds, "
+        "regexp_matches(c, '^" + gen.PY_ALPHA_CHAR_RE2 + "$') AS fa "
         "FROM pdf").fetchall()
     d_alpha = {r[0] for r in dres if r[1]}
     d_space = {r[0] for r in dres if r[2]}
+    dfrag_alpha = {r[0] for r in dres if r[3]}
 
-    print("py_alpha:", len(py_alpha), "java \\p{L}:", len(j_alpha),
-          "re2 \\p{L}:", len(d_alpha))
-    java_extra = _cls(_ranges(py_alpha - j_alpha))
-    re2_excess = _cls(_ranges(d_alpha - py_alpha))
-    print("\n_JAVA_ALPHA_EXTRA (py-alpha, not java-letter):\n", java_extra)
-    print("\njava-letter not py-alpha (must be empty):",
-          _cls(_ranges(j_alpha - py_alpha)) or "<empty>")
-    print("\n_RE2_ALPHA_EXCESS (re2-letter, not py-alpha):\n", re2_excess)
-    print("\npy-alpha not re2-letter (must be empty):",
-          _cls(_ranges(py_alpha - d_alpha)) or "<empty>")
-    print("\nwhitespace deltas (all must be empty):",
-          sorted(py_space ^ j_space), sorted(py_space ^ d_space))
+    print(f"py alpha {len(py_alpha)} | java \\p{{L}} {len(j_alpha)} | "
+          f"re2 \\p{{L}} {len(d_alpha)}")
+    print(f"py \\d {len(py_d)} | java (?U)\\d {len(j_d)}")
+    print(f"py \\w {len(py_w)} | java (?U)\\w {len(j_w)}")
 
-    ok = (java_extra == cleaning._JAVA_ALPHA_EXTRA.replace("\\\\", "\\")
-          or java_extra == cleaning._JAVA_ALPHA_EXTRA)
-    ok &= (re2_excess == cleaning._RE2_ALPHA_EXCESS.replace("\\\\", "\\")
-           or re2_excess == cleaning._RE2_ALPHA_EXCESS)
-    ok &= not (j_alpha - py_alpha) and not (py_alpha - d_alpha)
-    ok &= py_space == j_space == d_space
-    print("\nPINNED CONSTANTS", "MATCH" if ok else "DIVERGE — update cleaning.py")
+    deltas = {
+        "JAVA_ALPHA_EXTRA": _ranges(py_alpha - j_alpha),
+        "RE2_ALPHA_EXCESS": _ranges(d_alpha - py_alpha),
+        "JAVA_DIGIT_EXTRA": _ranges(py_d - j_d),
+        "JAVA_WORD_EXTRA": _ranges(py_w - j_w),
+        "JAVA_WORD_EXCESS": _ranges(j_w - py_w),
+    }
+
+    ok = True
+    # one-way containments the fragment construction relies on
+    for name, bad in [("java alpha not py", j_alpha - py_alpha),
+                      ("py alpha not re2", py_alpha - d_alpha),
+                      ("java digit not py", j_d - py_d)]:
+        if bad:
+            ok = False
+            print(f"CONTAINMENT BROKEN: {name}: {len(bad)} cps")
+    # whitespace exactness
+    if not (py_space == j_space == d_space):
+        ok = False
+        print("WHITESPACE DELTA:", sorted(py_space ^ j_space),
+              sorted(py_space ^ d_space))
+    # derived fragments classify exactly as CPython
+    py_nws = {i for i in cps
+              if i not in py_w and i not in py_space}
+    for name, got, want in [("PY_ALPHA_CHAR", frag_alpha, py_alpha),
+                            ("PY_DIGIT_CHAR", frag_d, py_d),
+                            ("PY_NONWORDSPACE_CHAR", frag_nws, py_nws),
+                            ("PY_ALPHA_CHAR_RE2", dfrag_alpha, py_alpha)]:
+        if got != want:
+            ok = False
+            print(f"FRAGMENT DIVERGES: {name}: {len(got ^ want)} cps, "
+                  f"e.g. {sorted(hex(x) for x in (got ^ want))[:8]}")
+    # generated constants match the fresh measurement
+    comments = {
+        "RE2_ALPHA_EXCESS": "\n# RE2 letters NOT Python-alpha "
+                            "(Unicode-15 additions)\n",
+        "JAVA_DIGIT_EXTRA": "\n# Python re \\\\d minus Java (?U)\\\\d "
+                            "(Tangsa digits)\n",
+        "JAVA_WORD_EXTRA": "\n# Python re \\\\w minus Java (?U)\\\\w "
+                           "(Nl/No numerics + U14 letters)\n",
+        "JAVA_WORD_EXCESS": "\n# Java (?U)\\\\w minus Python re \\\\w "
+                            "(combining marks Mn/Mc/Me)\n",
+    }
+    body = [_HEADER]
+    for name, rr in deltas.items():
+        body.append(comments.get(name, ""))
+        body.append(_pywrap(name, rr))
+        measured = "".join(_parts(rr))
+        if getattr(gen, name) != measured:
+            ok = False
+            print(f"PINNED CONSTANT STALE: {name}")
+    body.append(_FOOTER)
+
+    if emit:
+        with open(MODULE, "w") as f:
+            f.write("".join(body))
+        print(f"emitted {MODULE}")
+        return 0
+
+    print("SWEEP", "CLEAN — constants + fragments verified"
+          if ok else "DIVERGED — rerun with --emit and re-test")
     return 0 if ok else 1
 
 

@@ -48,47 +48,24 @@ PY_STRIP_SQL = ("regexp_replace(regexp_replace({x}, "
                 "'[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+$', '')")
 
 # ---------------------------------------------------------------------------
-# Python str.isalpha() across three Unicode versions (r7 fuzz catch:
-# '鿿' U+9FFF is a letter in CPython 3.11 = Unicode 14 but UNASSIGNED
-# in Java 17 = Unicode 13, so a \p{L} vocabulary filter dropped a word
-# the reference counted and the stage-18 vocabulary bucket shifted).
-# The deltas below are MEASURED, not hand-derived: scripts/
-# unicode_skew.py sweeps every codepoint through all three engines.
-#   * Java 17 letters = CPython letters MINUS the 515 cps in 47
-#     ranges below (Unicode 14 additions) -> positive union class;
-#   * DuckDB RE2 (Unicode 15) letters = CPython letters PLUS 4348
-#     cps in 13 ranges -> negated-class subtraction [^\P{L}excess];
-#   * whitespace needs NO correction: the sweep proves Java
-#     (?U)[\s\x1c-\x1f] and the RE2 class above both equal
-#     str.isspace() EXACTLY over all codepoints.
+# Python str.isalpha()/re-class fidelity across three Unicode versions
+# (r7 fuzz catch: U+9FFF is a letter in CPython 3.11 = Unicode 14 but
+# UNASSIGNED in Java 17 = Unicode 13, so a \p{L} vocabulary filter
+# dropped a word the reference counted and the stage-18 vocabulary
+# bucket shifted).  The skew classes are MEASURED, not hand-derived:
+# scripts/unicode_skew.py sweeps every codepoint through all three
+# engines and generates functions/_unicode_py_classes.py; the same
+# sweep proves the whitespace classes above need NO correction.
 # ---------------------------------------------------------------------------
 
-_JAVA_ALPHA_EXTRA = (
-    "\\x{870}-\\x{887}\\x{889}-\\x{88E}\\x{8B5}\\x{8C8}-\\x{8C9}"
-    "\\x{C5D}\\x{CDD}\\x{170D}\\x{171F}\\x{1B4C}\\x{2C2F}\\x{2C5F}"
-    "\\x{9FFD}-\\x{9FFF}\\x{A7C0}-\\x{A7C1}\\x{A7D0}-\\x{A7D1}"
-    "\\x{A7D3}\\x{A7D5}-\\x{A7D9}\\x{A7F2}-\\x{A7F4}"
-    "\\x{10570}-\\x{1057A}\\x{1057C}-\\x{1058A}\\x{1058C}-\\x{10592}"
-    "\\x{10594}-\\x{10595}\\x{10597}-\\x{105A1}\\x{105A3}-\\x{105B1}"
-    "\\x{105B3}-\\x{105B9}\\x{105BB}-\\x{105BC}\\x{10780}-\\x{10785}"
-    "\\x{10787}-\\x{107B0}\\x{107B2}-\\x{107BA}\\x{10F70}-\\x{10F81}"
-    "\\x{11071}-\\x{11072}\\x{11075}\\x{11740}-\\x{11746}"
-    "\\x{11AB0}-\\x{11ABF}\\x{12F90}-\\x{12FF0}\\x{16A70}-\\x{16ABE}"
-    "\\x{1AFF0}-\\x{1AFF3}\\x{1AFF5}-\\x{1AFFB}\\x{1AFFD}-\\x{1AFFE}"
-    "\\x{1B11F}-\\x{1B122}\\x{1DF00}-\\x{1DF1E}\\x{1E290}-\\x{1E2AD}"
-    "\\x{1E7E0}-\\x{1E7E6}\\x{1E7E8}-\\x{1E7EB}\\x{1E7ED}-\\x{1E7EE}"
-    "\\x{1E7F0}-\\x{1E7FE}\\x{2A6DE}-\\x{2A6DF}\\x{2B735}-\\x{2B738}")
-
-_RE2_ALPHA_EXCESS = (
-    "\\x{1123F}-\\x{11240}\\x{11F02}\\x{11F04}-\\x{11F10}"
-    "\\x{11F12}-\\x{11F33}\\x{1342F}\\x{13441}-\\x{13446}\\x{1B132}"
-    "\\x{1B155}\\x{1DF25}-\\x{1DF2A}\\x{1E030}-\\x{1E06D}"
-    "\\x{1E4D0}-\\x{1E4EB}\\x{2B739}\\x{31350}-\\x{323AF}")
-
-# Java pattern fragment: one Python-isalpha character
-PY_ALPHA_CHAR = "[\\p{L}" + _JAVA_ALPHA_EXTRA + "]"
-# RE2 (DuckDB) fragment: letter AND NOT a Unicode-15-only addition
-PY_ALPHA_CHAR_RE2 = "[^\\P{L}" + _RE2_ALPHA_EXCESS + "]"
+from ._unicode_py_classes import (  # noqa: E402  (generated, measured)
+    JAVA_ALPHA_EXTRA as _JAVA_ALPHA_EXTRA,
+    RE2_ALPHA_EXCESS as _RE2_ALPHA_EXCESS,
+    PY_ALPHA_CHAR,
+    PY_ALPHA_CHAR_RE2,
+    PY_DIGIT_CHAR,
+    PY_NONWORDSPACE_CHAR,
+)
 
 
 _UNWRAP_UDFS: dict = {}

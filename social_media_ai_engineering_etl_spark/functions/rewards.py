@@ -514,15 +514,29 @@ def sentence_structure(prompt: Column, completion: Column) -> Column:
 
 
 def detect_bullet_styles(text: Column) -> Column:
-    """T5 bullet-style detector (17:231-267, features/bullets.py:8-42): base.py:38-65: per-line Numbers/Letters/first-symbol labels;
-    >1 distinct -> 'Mixed Bullet Styles'; none -> NULL."""
-    lines = F.filter(F.transform(F.split(text, "\n", -1), lambda s: F.trim(s)),
+    """T5/R10 bullet-style detector (training/rewards/base.py:38-65):
+    per-line Numbers/Letters/first-symbol labels over python-stripped
+    lines; >1 distinct -> 'Mixed Bullet Styles'; none -> NULL.
+
+    CPython-faithful classes (r7 unit-differential program): the
+    reference matches ``re`` ``\\d``/``\\s``/``[^\\w\\s]`` on
+    ``line.strip()`` — unicode digits ('١٢٣.' IS numbered), unicode
+    whitespace after the dot, and a symbolic class that excludes
+    Python word chars (No/Nl numerics like '²' are NOT word chars in
+    Java's (?U)\\w but ARE in Python's — measured skew classes from
+    functions/_unicode_py_classes.py)."""
+    from .cleaning import (PY_DIGIT_CHAR, PY_NONWORDSPACE_CHAR, py_strip)
+    sp = r"[\s\x1c-\x1f]"
+    numbered = "(?U)^" + PY_DIGIT_CHAR + "+[.)]" + sp + "+"
+    lettered = "(?U)^[a-zA-Z]+[.)]" + sp + "+"
+    symbolic = "(?U)^" + PY_NONWORDSPACE_CHAR
+    lines = F.filter(F.transform(F.split(text, "\n", -1), py_strip),
                      lambda l: l != "")
     labels = F.transform(
         lines,
-        lambda l: F.when(l.rlike(r"^\s*\d+[.)]\s+"), F.lit("Numbers"))
-                   .when(l.rlike(r"^\s*[a-zA-Z]+[.)]\s+"), F.lit("Letters"))
-                   .when(l.rlike(r"^\s*[^\w\s]"), F.substring(l, 1, 1)))
+        lambda l: F.when(l.rlike(numbered), F.lit("Numbers"))
+                   .when(l.rlike(lettered), F.lit("Letters"))
+                   .when(l.rlike(symbolic), F.substring(l, 1, 1)))
     labels = F.filter(labels, lambda x: x.isNotNull())
     distinct = F.array_distinct(labels)
     return (F.when(F.size(labels) == 0, F.lit(None).cast("string"))
@@ -570,16 +584,22 @@ def divider_style(prompt: Column, completion: Column) -> Column:
     (all-same-char len>=3, or len>=5 space-alternating). The
     same-char test is ``line == repeat(first_char, len)`` — no regex
     backreference, so it mirrors into RE2-bound engines."""
-    req = F.regexp_extract(prompt, r"\*\*Section Divider\*\*:\s*`([^`]+)`", 1)
-    lines = F.filter(F.transform(F.split(completion, "\n", -1), lambda s: F.trim(s)),
+    from .cleaning import py_strip
+    req = F.regexp_extract(
+        prompt, r"(?U)\*\*Section Divider\*\*:[\s\x1c-\x1f]*`([^`]+)`", 1)
+    lines = F.filter(F.transform(F.split(completion, "\n", -1), py_strip),
                      lambda l: l != "")
 
     def divider_char(l: Column) -> Column:
         first = F.substring(l, 1, 1)
         same = (F.length(l) >= 3) & (l == F.repeat(first, F.length(l)))
+        # reference (divider.py:25): len >= 5, line[0] == line[2] and
+        # EVERY odd position is a plain ' ' — even positions beyond 2
+        # are UNCONSTRAINED ('- - \t -' IS a '-' divider), so the
+        # evens are dotall-'.', not [^\s] (r7 unit differential)
         spaced = ((F.length(l) >= 5)
                   & (first == F.substring(l, 3, 1))
-                  & l.rlike(r"^[^\s]( [^\s])+$"))
+                  & l.rlike(r"(?s)^.( .)+$"))
         return F.when(same | spaced, first)
 
     found = F.filter(F.transform(lines, divider_char),

@@ -121,8 +121,16 @@ def profanity_category(text: Column,
     """Max severity of wordlist hits over the first ``max_tokens``
     whitespace tokens (17-writing-style.py:343-379; the 1000-token
     truncation is semantics, SURVEY §4). Wordlists are parameters —
-    the reference's 24-word list plugs in unchanged."""
-    toks = F.slice(F.split(F.lower(text), "\\s+"), 1, max_tokens)
+    the reference's 24-word list plugs in unchanged.
+
+    r7 unit differential: the reference tokenizes with
+    ``text.lower().split()`` — UNICODE whitespace, no empty tokens —
+    so 'fuck\\xa0...' still yields a hit and leading whitespace
+    cannot shift the 1000-token truncation window."""
+    from .cleaning import PY_WS_SPLIT
+    toks = F.slice(
+        F.filter(F.split(F.lower(text), PY_WS_SPLIT),
+                 lambda x: x != ""), 1, max_tokens)
 
     def hits(words: tuple[str, ...]) -> Column:
         return F.arrays_overlap(toks, F.array(*[F.lit(w) for w in words]))

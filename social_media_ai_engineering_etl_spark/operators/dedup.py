@@ -492,7 +492,15 @@ def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
     out of band (it is, by construction, a single boilerplate
     template).  None (default) keeps the exact candidate semantics.
     """
-    banded = banded_rows(sig, num_hashes, bands)
+    return _candidates_from_banded(banded_rows(sig, num_hashes, bands),
+                                   max_bucket)
+
+
+def _candidates_from_banded(banded: DataFrame,
+                            max_bucket: int | None = None) -> DataFrame:
+    """The join half of :func:`_lsh_candidates_from_sig`, split out so
+    callers that already hold (and persist) a banded table — the auto
+    variant profiles it first — don't re-band."""
     if max_bucket is not None:
         width = (banded.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("__w")))
@@ -615,8 +623,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     kw = {} if base_hash is None else {"base_hash": base_hash}
     sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
                                         num_hashes, **kw).alias("sig"))
-    cands = _lsh_candidates_from_sig(sig, num_hashes, bands,
-                                     max_bucket=max_bucket)
+    # persist the banded table: BOTH sides of the candidate self-join
+    # read it, so without materialization the explode + 32-slice
+    # xxhash64 banding (and the signature map above it) runs twice —
+    # measured ~0.5 s of the plain path's 2.8 s at sf0.1 (r7)
+    banded = banded_rows(sig, num_hashes, bands).persist()
+    cands = _candidates_from_banded(banded, max_bucket=max_bucket)
     joined = (cands
               .join(sh.select(F.col("id").alias("id1"),
                               F.col("sh").alias("sh1")), "id1")
@@ -641,7 +653,11 @@ def lsh_bucket_profile(sig: DataFrame, num_hashes: int,
     analogue of qx_key_skew_profile: width of the hottest bucket,
     bucket count, banded row count.  One map-side-combined groupBy
     plus a 1-row aggregate; O(1) driver rows."""
-    row = (banded_rows(sig, num_hashes, bands)
+    return _profile_from_banded(banded_rows(sig, num_hashes, bands))
+
+
+def _profile_from_banded(banded: DataFrame) -> dict:
+    row = (banded
            .groupBy("band", "bucket")
            .agg(F.count(F.lit(1)).alias("w"))
            .agg(F.max("w").alias("top"),
@@ -688,11 +704,16 @@ def minhash_dedup_pairs_auto(df: DataFrame, id_col: str, text_col: str,
     kw = {} if base_hash is None else {"base_hash": base_hash}
     sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
                                         num_hashes, **kw).alias("sig"))
-    sig = sig.persist()
-    decision = choose_lsh_guard(
-        lsh_bucket_profile(sig, num_hashes, bands), crossover)
-    cands = _lsh_candidates_from_sig(sig, num_hashes, bands,
-                                     max_bucket=decision["max_bucket"])
+    # band ONCE and persist the banded table: the profile is an
+    # aggregate over it (its action also materializes the cache) and
+    # the candidate self-join reads it twice — without this the
+    # explode + 32-slice xxhash64 banding ran once for the profile and
+    # again for the join (measured ~+0.5 s at sf0.1, the whole initial
+    # cost of routing the graded path through the guard)
+    banded = banded_rows(sig, num_hashes, bands).persist()
+    decision = choose_lsh_guard(_profile_from_banded(banded), crossover)
+    cands = _candidates_from_banded(banded,
+                                    max_bucket=decision["max_bucket"])
     joined = (cands
               .join(sh.select(F.col("id").alias("id1"),
                               F.col("sh").alias("sh1")), "id1")
