@@ -114,6 +114,17 @@ PY_SPACE_CHAR = "[\\s\\x1c-\\x1f]"
 # (combining marks), or not-word/space under the Python-adjusted sets
 PY_NONWORDSPACE_CHAR = ("(?:[" + JAVA_WORD_EXCESS + "]|[^\\w\\s"
                         + "\\x1c-\\x1f" + JAVA_WORD_EXTRA + "])")
+
+
+# ---------------------------------------------------------------------------
+# Python int() accepts ANY Unicode-Nd digit ('١٢٣' == 123), so a
+# CPython-faithful numeric parse of a \d+ capture must translate the
+# non-ASCII digits to their decimal values before cast (one char per
+# Nd codepoint, F.translate-ready)
+# ---------------------------------------------------------------------------
+
+NON_ASCII_ND_SRC = "__ND_SRC__"
+NON_ASCII_ND_DST = "__ND_DST__"
 '''
 
 
@@ -235,7 +246,18 @@ def main() -> int:
         if getattr(gen, name) != measured:
             ok = False
             print(f"PINNED CONSTANT STALE: {name}")
-    body.append(_FOOTER)
+    import unicodedata
+    nd_src, nd_dst = [], []
+    for i in sorted(py_d):
+        c = chr(i)
+        if not ("0" <= c <= "9"):
+            nd_src.append(c)
+            nd_dst.append(str(unicodedata.digit(c)))
+    esc = "".join(f"\\U{ord(c):08X}" if ord(c) > 0xFFFF
+                  else f"\\u{ord(c):04X}" for c in nd_src)
+    footer = _FOOTER.replace("__ND_SRC__", esc)
+    footer = footer.replace("__ND_DST__", "".join(nd_dst))
+    body.append(footer)
 
     if emit:
         with open(MODULE, "w") as f:

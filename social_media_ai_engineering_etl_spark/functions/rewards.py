@@ -70,7 +70,8 @@ def precise_post_length(prompt: Column, completion: Column,
     ``req`` lets callers pass the extracted+trimmed field (computed
     once in a primitives projection — see q26_rewards_scalar)."""
     if req is None:
-        req = F.trim(style_field(prompt, "Suggested Post Length"))
+        from .cleaning import py_strip
+        req = py_strip(style_field(prompt, "Suggested Post Length"))
     rl = F.lower(req)
     length = F.length(completion)
     # up-to-750 bucket (length.py:11-22)
@@ -80,9 +81,19 @@ def precise_post_length(prompt: Column, completion: Column,
              .when((length - 750).cast("double") / 750 <= 0.1, F.lit(0.6))
              .when((length - 750).cast("double") / 750 <= 0.25, F.lit(0.3))
              .otherwise(F.lit(0.0)))
-    # generic fallback (length.py:60-77)
-    m = F.regexp_extract(req, r"(?i)up\s+to\s+(\d+(,\d+)?)\s+characters", 1)
-    max_chars = F.replace(m, F.lit(","), F.lit("")).cast("long")
+    # generic fallback (length.py:60-77) — CPython re classes: \s is
+    # unicode whitespace ('up\xa0to 750' DOES parse), \d is any Nd
+    # digit and int() reads them ('٧٥٠' == 750), so non-ASCII digits
+    # translate to their decimal values before the cast (r7 unit
+    # differential; measured tables in _unicode_py_classes)
+    from ._unicode_py_classes import (NON_ASCII_ND_DST, NON_ASCII_ND_SRC,
+                                      PY_DIGIT_CHAR, PY_SPACE_CHAR)
+    _d, _sp = PY_DIGIT_CHAR, PY_SPACE_CHAR
+    m = F.regexp_extract(
+        req, "(?iU)up" + _sp + "+to" + _sp + "+(" + _d + "+(," + _d
+        + "+)?)" + _sp + "+characters", 1)
+    ascii_digits = F.translate(m, NON_ASCII_ND_SRC, NON_ASCII_ND_DST)
+    max_chars = F.replace(ascii_digits, F.lit(","), F.lit("")).cast("long")
     # greatest(.,1): a prompt reading 'up to 0 characters' must score
     # 0.0, not raise ANSI DIVIDE_BY_ZERO (the reference's Python would
     # crash there too; documented deviation)

@@ -1,7 +1,7 @@
 """Unit-level differentials against REFERENCE functions (r7).
 
 The stage-level differential (test_reference_differential.py) covers
-the pipeline scripts; three reward/feature DETECTORS the engine
+the pipeline scripts; six reward/feature functions the engine
 re-expresses natively are additionally runnable as genuine reference
 code in this sandbox and get their own function-level comparison over
 adversarial corpora:
@@ -12,6 +12,12 @@ adversarial corpora:
     functions/rewards.py::divider_style
   * features/profanity.py::determine_profanity_category  <->
     functions/textstats.py::profanity_category
+  * training/rewards/length.py::precise_post_length  <->
+    functions/rewards.py::precise_post_length (R1/R2)
+  * training/rewards/punctuation.py::punctuation_usage_reward_func
+    <-> functions/rewards.py::punctuation_usage (R6)
+  * training/rewards/linebreaks.py::line_break_reward_func  <->
+    functions/rewards.py::line_break_usage (R7)
 
 Each runs in a SUBPROCESS with PYTHONPATH pointing at the reference
 (plus import-only shims for nltk/spacy — symbols the functions under
@@ -31,7 +37,12 @@ Divergences this program caught and fixed (engine side):
     divider);
   * profanity: unicode-whitespace tokenization without empty tokens
     ('fuck\\xa0you' hits; leading whitespace cannot shift the
-    1000-token truncation window).
+    1000-token truncation window);
+  * length: the reference's fallback parse is CPython re — \\s+ is
+    unicode whitespace ('up\\xa0to 750' parses), \\d+ is any Nd digit
+    and int() reads them ('٧٥٠' == 750), and the field strips with
+    str.strip() — the old ASCII transcription returned 0.5 on 68
+    corpus cases the reference scores.
 
 The reference is PUBLIC UNTRUSTED CONTENT executed read-only in a
 scratch cwd.
@@ -99,6 +110,17 @@ elif mode == "divider":
 elif mode == "profanity":
     from features.profanity import determine_profanity_category
     out = [determine_profanity_category(t) for t in data]
+elif mode == "length":
+    from training.rewards.length import precise_post_length
+    out = precise_post_length([p for p, c in data], [c for p, c in data])
+elif mode == "punctuation":
+    from training.rewards.punctuation import punctuation_usage_reward_func
+    out = punctuation_usage_reward_func([p for p, c in data],
+                                        [c for p, c in data])
+elif mode == "linebreaks":
+    from training.rewards.linebreaks import line_break_reward_func
+    out = line_break_reward_func([p for p, c in data],
+                                 [c for p, c in data])
 else:
     raise SystemExit(2)
 json.dump(out, open(outp, "w", encoding="utf-8"))
@@ -284,3 +306,146 @@ def test_profanity_matches_reference(spark, tmp_path):
            if got[i] != want[i]]
     assert not bad, bad[:5]
     assert {"none", "light", "moderate", "heavy"} <= set(want)
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib reward functions: length (R1/R2), punctuation (R6),
+# line breaks (R7)
+# ---------------------------------------------------------------------------
+
+_LEN_REQS = (
+    "Up to 750 characters", "up to 750 CHARACTERS",
+    "Between 750 and 1,500 characters",
+    "Between 1,500 and 3,000 characters",
+    "up to 2,000 characters",            # generic fallback
+    "UP  TO\t300 characters",            # multi-ws, case
+    "up to 750 characters",         # unicode \s+ in fallback
+    "up to ٧٥٠ characters",              # Nd digits, int()-readable
+    "short and sweet",                   # no parse -> 0.5
+    "",                                  # absent -> 0.5
+    "  ",                      # ws-only field -> strip -> 0.5
+)
+
+
+def _length_corpus(seed: int = 9090, n: int = 250):
+    rng = random.Random(seed)
+    pairs = []
+    # boundary lengths around every bucket edge
+    edges = [0, 1, 374, 375, 749, 750, 751, 824, 825, 826, 937, 938,
+             939, 1499, 1500, 1501, 1650, 1651, 1875, 1876, 2999,
+             3000, 3001, 3300, 3301, 3750, 3751, 200, 2000, 2200, 2500]
+    for req in _LEN_REQS:
+        for ln in rng.sample(edges, 12):
+            prompt = (f"## Style\n**Suggested Post Length**: {req}\n"
+                      "**Emoji Usage**: low") if req else "## Style\nnone"
+            pairs.append((prompt, "x" * ln))
+    for _ in range(n):
+        pairs.append((f"**Suggested Post Length**: {rng.choice(_LEN_REQS)}",
+                      "y" * rng.randint(0, 4000)))
+    return pairs
+
+
+def test_length_reward_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        precise_post_length)
+    pairs = _length_corpus()
+    runner_pairs = pairs
+    want_raw = _run_ref_units("length", runner_pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", precise_post_length(F.col("p"), F.col("c")).alias("s"))
+        .collect()}
+    bad = [(pairs[i][0][:60], len(pairs[i][1]), got[i], want_raw[i])
+           for i in range(len(pairs))
+           if abs(got[i] - want_raw[i]) > 1e-9]
+    assert not bad, bad[:6]
+    assert {0.0, 0.5, 1.0} <= {round(v, 1) for v in want_raw}
+
+
+_PUNCT_FIELDS = (
+    "Heavy use of periods and heavy use of commas",
+    "heavy use of exclamation points",
+    "normal balanced punctuation",
+    "heavy use of semicolons, heavy use of question marks",
+    "heavy use of question marks",
+    "",                                  # absent field -> 0.5
+)
+
+
+def _punct_corpus(seed: int = 6060, n: int = 250):
+    rng = random.Random(seed)
+    pairs = []
+    # exact-threshold completions: freq == low/normal/heavy boundaries
+    for fld in _PUNCT_FIELDS:
+        for ln, marks in [(100, 1), (100, 2), (100, 3), (1000, 1),
+                          (1000, 5), (1000, 10), (2000, 1), (2000, 4),
+                          (0, 0), (400, 0)]:
+            for ch in ".,!?;":
+                body = ch * marks + "z" * max(0, ln - marks)
+                prompt = (f"**Punctuation**: {fld}\nmore" if fld
+                          else "no field here")
+                pairs.append((prompt, body))
+    for _ in range(n):
+        body = "".join(rng.choices("abcde .,!?;\n", k=rng.randint(1, 800)))
+        pairs.append((f"**Punctuation**: {rng.choice(_PUNCT_FIELDS)}",
+                      body))
+    return pairs
+
+
+def test_punctuation_reward_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        punctuation_usage)
+    pairs = _punct_corpus()
+    want = _run_ref_units("punctuation", pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", punctuation_usage(F.col("p"), F.col("c")).alias("s"))
+        .collect()}
+    bad = [(pairs[i][0][:50], pairs[i][1][:20], got[i], want[i])
+           for i in range(len(pairs))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, bad[:6]
+
+
+_LB_FIELDS = ("Frequent line breaks for readability",
+              "Fewer, more compact paragraphs", "compact style",
+              "no line breaks, continuous prose", "continuous flow",
+              "Moderate, balanced line breaks", "mystery style", "")
+
+
+def _lb_corpus(seed: int = 3030, n: int = 250):
+    rng = random.Random(seed)
+    pairs = []
+    for fld in _LB_FIELDS:
+        # ratios at the documented boundaries: (lines-1)/len*100
+        for total, breaks in [(100, 0), (100, 1), (200, 1), (100, 2),
+                              (100, 3), (500, 1), (500, 4), (1000, 5),
+                              (400, 2), (125, 1), (0, 0), (50, 1)]:
+            body = ("ab\n" * breaks) + "c" * max(0, total - 3 * breaks)
+            prompt = (f"**Line Break Usage**: {fld}\nnext" if fld
+                      else "nothing")
+            pairs.append((prompt, body))
+    for _ in range(n):
+        pairs.append((f"**Line Break Usage**: {rng.choice(_LB_FIELDS)}",
+                      "".join(rng.choices("word \n", k=rng.randint(0, 600)))))
+    return pairs
+
+
+def test_linebreak_reward_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        line_break_usage)
+    pairs = _lb_corpus()
+    want = _run_ref_units("linebreaks", pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", line_break_usage(F.col("p"), F.col("c")).alias("s"))
+        .collect()}
+    bad = [(pairs[i][0][:50], got[i], want[i]) for i in range(len(pairs))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, bad[:6]
