@@ -164,3 +164,87 @@ def topic_transitions_disabled() -> Column:
     backend, registered as q17_topic_shifts_model); this literal is
     what stage-17 actually emits."""
     return F.array().cast("array<struct<idx:int,score:double>>")
+
+
+# ---------------------------------------------------------------------------
+# T5/T6 feature-variant detectors (features/bullets.py:8-42,
+# features/dividers.py:9-17) — the STAGE-17 flavor, distinct from the
+# reward-stage flavor in rewards.py (training/rewards/base.py): labels
+# are 'Numbered'/'Lettered' (not 'Numbers'/'Letters'), patterns match
+# the RAW line (only the EMPTY check strips), ties resolve
+# Counter.most_common-style (max count, FIRST-ENCOUNTERED wins), and
+# the divider is a backreference run of one symbol.
+# Unit-differentialed against the genuine reference modules in
+# tests/test_reference_units_differential.py.
+# ---------------------------------------------------------------------------
+
+
+def _most_common_first(labels: Column) -> Column:
+    """Counter(labels).most_common(1)[0][0]: the max-count element,
+    ties broken by FIRST insertion (array_distinct preserves first
+    occurrence; a strict > keeps the earliest max)."""
+    uniq = F.array_distinct(labels)
+    counted = F.transform(
+        uniq, lambda x: F.struct(
+            F.size(F.filter(labels, lambda y: y == x)).alias("n"),
+            x.alias("lab")))
+    return F.aggregate(
+        counted,
+        F.struct(F.lit(0).alias("n"),
+                 F.lit(None).cast("string").alias("lab")),
+        lambda acc, s: F.when(s.getField("n") > acc.getField("n"), s)
+                        .otherwise(acc)).getField("lab")
+
+
+def detect_bullet_styles_17(text: Column) -> Column:
+    """features/bullets.py:8-42 — per-line label in priority order
+    Numbered / Lettered / indent-symbol / symbol over CPython classes
+    on the RAW line (blank lines skip via python-strip emptiness);
+    NULL when no line labels; >1 distinct -> 'Mixed Bullet Styles';
+    else the most-common label, first-encountered tie-break.
+
+    The indent rule (``^ {4,}([^\\w\\s])``) yields the same group-1
+    symbol the symbolic rule would — label-equivalent, so not
+    separately branched.  The emoji branch imports the ``emojis``
+    package INSIDE a try/except per line — absent from this sandbox,
+    so the effective reference semantics here skip it (the engine
+    mirrors that; 'Differing Emojis' therefore only arises from data
+    that already carries emoji labels upstream)."""
+    from .cleaning import (PY_DIGIT_CHAR, PY_NONWORDSPACE_CHAR, py_strip)
+    sp = r"[\s\x1c-\x1f]"
+    numbered = "(?U)^" + sp + "*" + PY_DIGIT_CHAR + "+[.)]" + sp + "+"
+    lettered = "(?U)^" + sp + "*[a-zA-Z]+[.)]" + sp + "+"
+    symbolic = "(?U)^" + sp + "*(" + PY_NONWORDSPACE_CHAR + ")"
+    lines = F.filter(F.split(text, "\n", -1),
+                     lambda l: py_strip(l) != "")
+    labels = F.transform(
+        lines,
+        lambda l: F.when(l.rlike(numbered), F.lit("Numbered"))
+                   .when(l.rlike(lettered), F.lit("Lettered"))
+                   .when(l.rlike(symbolic),
+                         F.regexp_extract(l, symbolic, 1)))
+    labels = F.filter(labels, lambda x: x.isNotNull() & (x != ""))
+    distinct = F.array_distinct(labels)
+    return (F.when(F.size(labels) == 0, F.lit(None).cast("string"))
+             .when(F.size(distinct) > 1, F.lit("Mixed Bullet Styles"))
+             .otherwise(F.element_at(distinct, 1)))
+
+
+def detect_divider_style_17(text: Column) -> Column:
+    """features/dividers.py:9-17 — a divider line is
+    ``^\\s*([^\\w\\s])\\1{3,}\\s*$`` on the RAW line (4+ repeats of
+    one symbol, CPython classes; Java regex supports the
+    backreference), most-common divider char wins with
+    first-encountered tie-break; NULL when none."""
+    from .cleaning import PY_NONWORDSPACE_CHAR
+    sp = r"[\s\x1c-\x1f]"
+    pat = ("(?U)^" + sp + "*(" + PY_NONWORDSPACE_CHAR + r")\1{3,}"
+           + sp + "*$")
+    lines = F.split(text, "\n", -1)
+    found = F.filter(
+        F.transform(lines, lambda l: F.when(l.rlike(pat),
+                                            F.regexp_extract(l, pat, 1))),
+        lambda x: x.isNotNull() & (x != ""))
+    return F.when(F.size(found) > 0,
+                  _most_common_first(found)).otherwise(
+        F.lit(None).cast("string"))

@@ -790,3 +790,124 @@ def q15_clean_context(spark, sf_dir):
                         F.sum(F.when(~cleaning.is_disallowed(F.col("ctx")),
                                      1).otherwise(0)).alias("n_kept"))
     return eff.unionByName(intended).orderBy("semantics")
+
+
+# --------------------------------------------------------------------------
+# T5/T6 stage-17 FEATURE-variant detectors (features/bullets.py,
+# features/dividers.py) — the reward-stage flavor is covered by q26;
+# this pair value-checks the 17-flavor semantics (Numbered/Lettered
+# labels, raw-line matching, most-common first-encountered tie-break,
+# 4+-run backreference dividers).  Unicode-exactness is the unit
+# differential's job (tests/test_reference_units_differential.py);
+# this corpus is ASCII-tame so the oracle's plain RE2 classes agree.
+# --------------------------------------------------------------------------
+
+_B17_DERIVE_SQL = """
+    SELECT doc_id,
+        (CASE doc_id % 4 WHEN 0 THEN '1. ' WHEN 1 THEN 'a) '
+                         WHEN 2 THEN chr(8226) || ' ' ELSE '' END)
+        || substr(text, 1, 24) || chr(10)
+        || (CASE doc_id % 5 WHEN 0 THEN '----' WHEN 1 THEN '****'
+                            WHEN 2 THEN '- - - -' WHEN 3 THEN '____'
+                            ELSE '~~~~' END) || chr(10)
+        || (CASE doc_id % 3 WHEN 0 THEN chr(8226) || ' tail point'
+                            WHEN 1 THEN '2. tail point'
+                            ELSE 'plain tail' END) AS t
+    FROM documents
+"""
+
+
+def _b17_derive(df):
+    d = F.col("doc_id")
+    line0 = F.concat(
+        F.when(d % 4 == 0, F.lit("1. ")).when(d % 4 == 1, F.lit("a) "))
+         .when(d % 4 == 2, F.lit("• ")).otherwise(F.lit("")),
+        F.substring(F.col("text"), 1, 24))
+    line1 = (F.when(d % 5 == 0, F.lit("----"))
+              .when(d % 5 == 1, F.lit("****"))
+              .when(d % 5 == 2, F.lit("- - - -"))
+              .when(d % 5 == 3, F.lit("____"))
+              .otherwise(F.lit("~~~~")))
+    line2 = (F.when(d % 3 == 0, F.lit("• tail point"))
+              .when(d % 3 == 1, F.lit("2. tail point"))
+              .otherwise(F.lit("plain tail")))
+    return df.select("doc_id", F.concat_ws("\n", line0, line1, line2)
+                     .alias("t"))
+
+
+@register("q17_bullet_styles_17", oracle=f"""
+WITH derived AS ({_B17_DERIVE_SQL}),
+lab AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(t, chr(10)),
+               l -> CASE
+                   WHEN regexp_matches(l, '^\\s*\\d+[.)]\\s+')
+                       THEN 'Numbered'
+                   WHEN regexp_matches(l, '^\\s*[a-zA-Z]+[.)]\\s+')
+                       THEN 'Lettered'
+                   WHEN regexp_matches(l, '^\\s*[^\\w\\s]')
+                       THEN regexp_extract(l, '^\\s*([^\\w\\s])', 1)
+                   END),
+               x -> x IS NOT NULL) AS labs
+    FROM derived
+)
+SELECT style, count(*) AS n FROM (
+    SELECT CASE WHEN len(labs) = 0 THEN NULL
+                WHEN len(list_distinct(labs)) > 1
+                    THEN 'Mixed Bullet Styles'
+                ELSE labs[1] END AS style
+    FROM lab
+) GROUP BY style ORDER BY style NULLS FIRST
+""")
+def q17_bullet_styles_17(spark, sf_dir):
+    """T5, stage-17 flavor (features/bullets.py:8-42): per-line
+    Numbered/Lettered/symbol labels on derived 3-line texts,
+    Mixed when >1 distinct; style distribution."""
+    from ..functions import narrative17 as n17
+    derived = _b17_derive(_docs(spark, sf_dir))
+    return (derived.select(n17.detect_bullet_styles_17(F.col("t"))
+                           .alias("style"))
+            .groupBy("style").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("style").asc_nulls_first()))
+
+
+@register("q17_divider_styles_17", oracle=f"""
+WITH derived AS ({_B17_DERIVE_SQL}),
+lines AS (
+    SELECT doc_id,
+           unnest(string_split(t, chr(10))) AS line,
+           generate_subscripts(string_split(t, chr(10)), 1) AS pos
+    FROM derived
+), divs AS (
+    SELECT doc_id, pos, substr(trim(line), 1, 1) AS c
+    FROM lines
+    WHERE len(trim(line)) >= 4
+      AND trim(line) = repeat(substr(trim(line), 1, 1),
+                              len(trim(line)))
+      AND regexp_matches(substr(trim(line), 1, 1), '^[^\\w\\s]$')
+), ranked AS (
+    SELECT doc_id, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, min(pos) ASC)
+               AS rk
+    FROM divs GROUP BY doc_id, c
+)
+SELECT divider, count(*) AS n FROM (
+    SELECT d.doc_id, r.c AS divider
+    FROM derived d LEFT JOIN ranked r
+      ON r.doc_id = d.doc_id AND r.rk = 1
+) GROUP BY divider ORDER BY divider NULLS FIRST
+""")
+def q17_divider_styles_17(spark, sf_dir):
+    """T6, stage-17 flavor (features/dividers.py:9-17): 4+-run
+    single-symbol divider lines, most-common char per doc with
+    first-encountered tie-break; divider distribution (NULL = none).
+    The oracle strips each line and checks the run with
+    repeat-equality — RE2 has no backreferences, so the engine's
+    ``(.)\\1{{3,}}`` transcribes to the equivalent same-char test."""
+    from ..functions import narrative17 as n17
+    derived = _b17_derive(_docs(spark, sf_dir))
+    return (derived.select(n17.detect_divider_style_17(F.col("t"))
+                           .alias("divider"))
+            .groupBy("divider").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("divider").asc_nulls_first()))

@@ -121,6 +121,16 @@ elif mode == "linebreaks":
     from training.rewards.linebreaks import line_break_reward_func
     out = line_break_reward_func([p for p, c in data],
                                  [c for p, c in data])
+elif mode == "bullets17":
+    from features.bullets import detect_bullet_styles
+    from features.context import FeatureContext
+    ctx = FeatureContext.from_spacy(None)
+    out = [detect_bullet_styles(t, ctx) for t in data]
+elif mode == "dividers17":
+    from features.dividers import detect_divider_styles
+    from features.context import FeatureContext
+    ctx = FeatureContext.from_spacy(None)
+    out = [detect_divider_styles(t, ctx) for t in data]
 else:
     raise SystemExit(2)
 json.dump(out, open(outp, "w", encoding="utf-8"))
@@ -449,3 +459,72 @@ def test_linebreak_reward_matches_reference(spark, tmp_path):
     bad = [(pairs[i][0][:50], got[i], want[i]) for i in range(len(pairs))
            if abs(got[i] - want[i]) > 1e-9]
     assert not bad, bad[:6]
+
+
+# ---------------------------------------------------------------------------
+# stage-17 FEATURE-variant detectors (features/bullets.py,
+# features/dividers.py) — distinct semantics from the reward flavor:
+# 'Numbered'/'Lettered' labels, raw-line matching, most-common
+# first-encountered tie-break, backreference divider runs
+# ---------------------------------------------------------------------------
+
+def _divider17_corpus(seed: int = 5151, n: int = 300) -> list[str]:
+    rng = random.Random(seed)
+    syms = "-*~=—·_"                    # NB: '_' is \w -> never a divider
+    texts = [
+        "a\n----\nb",                     # 4-run: divider
+        "a\n---\nb",                      # 3-run: NOT (needs 1+3 repeats)
+        "a\n****\n----\n****\nz",        # most-common '*'
+        "a\n----\n****\nz",              # tie -> first encountered '-'
+        "x\n\t====\t\n",                 # ws-padded (unicode strip)
+        "x\n　····　\nz",                  # ideographic-space pad
+        "x\n____\nz",                     # underscore: word char, no
+        "x\n🚀🚀🚀🚀\nz",                  # astral backreference
+        "x\n————\nz",                     # em-dash run
+        "x\n- - - -\nz",                  # spaced: NOT this detector
+        "no dividers here",
+    ]
+    for _ in range(n):
+        lines = []
+        for _ in range(rng.randint(1, 5)):
+            r = rng.random()
+            pad = rng.choice(_WS) * rng.randint(0, 2)
+            if r < 0.5:
+                lines.append(pad + rng.choice(syms) * rng.randint(2, 7)
+                             + pad)
+            else:
+                lines.append("words " + pad)
+        texts.append("\n".join(lines))
+    return texts
+
+
+def test_divider17_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.narrative17 import (
+        detect_divider_style_17)
+    texts = _divider17_corpus()
+    want = _run_ref_units("dividers17", texts, tmp_path)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r.i: r.d for r in df.select(
+        "i", detect_divider_style_17(F.col("t")).alias("d")).collect()}
+    bad = [(repr(texts[i][:40]), got[i], want[i])
+           for i in range(len(texts)) if got[i] != want[i]]
+    assert not bad, bad[:6]
+    assert any(v for v in want) and any(v is None for v in want)
+
+
+def test_bullets17_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.narrative17 import (
+        detect_bullet_styles_17)
+    texts = _bullet_corpus(seed=515151)      # same strata, fresh seed
+    want = _run_ref_units("bullets17", texts, tmp_path)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r.i: r.b for r in df.select(
+        "i", detect_bullet_styles_17(F.col("t")).alias("b")).collect()}
+    bad = [(repr(texts[i][:45]), got[i], want[i])
+           for i in range(len(texts)) if got[i] != want[i]]
+    assert not bad, bad[:6]
+    seen = {v for v in want if v}
+    assert "Numbered" in seen and "Lettered" in seen
+    assert "Mixed Bullet Styles" in seen
