@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import social_media_ai_engineering_etl_spark.queries  # noqa: F401,E402
 from social_media_ai_engineering_etl_spark.registry import BENCH, QUERIES  # noqa: E402
-from social_media_ai_engineering_etl_spark.session import get_spark  # noqa: E402
+from social_media_ai_engineering_etl_spark.session import cache_scope, get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -59,8 +59,8 @@ def main() -> None:
     # 200ms of Janino per query.  clearCache after each so the timed
     # passes still pay their own scans.
     for name in names:
-        materialize(QUERIES[name](spark, SF_DIR))
-        spark.catalog.clearCache()
+        with cache_scope(spark):
+            materialize(QUERIES[name](spark, SF_DIR))
 
     # r7 (VERDICT r6 ask #6): the recorded artifact is the PER-QUERY
     # MEAN over n interleaved passes with a per-query band (sd/min/
@@ -73,18 +73,22 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in names}
     for p in range(passes):
         for name in names:
+            # cache ownership is centralized at the run loop: operators
+            # persist shared subtrees for their own plan; the scope
+            # releases exactly the blocks this query created (persist
+            # AND localCheckpoint — clearCache misses the latter), so a
+            # 15-query run holds one query's caches, not fifteen
+            # (ADVICE r1; discipline per VERDICT r7 ask #3, pinned in
+            # tests/test_cache_discipline.py).  Scope exit is untimed:
+            # release is bookkeeping, not plan cost.
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            n = materialize(df)
-            took = round(time.perf_counter() - t0, 4)
+            with cache_scope(spark):
+                df = QUERIES[name](spark, SF_DIR)
+                n = materialize(df)
+                took = round(time.perf_counter() - t0, 4)
             samples[name].append(took)
             print(f"# pass {p + 1} {name}: {took:.3f}s ({n} rows)",
                   file=sys.stderr)
-            # cache ownership is centralized at the run loop: operators
-            # persist shared subtrees for their own plan, the harness
-            # releases them between queries so a 15-query run holds one
-            # query's caches, not fifteen (ADVICE r1)
-            spark.catalog.clearCache()
 
     timings = {name: round(statistics.mean(ts), 4)
                for name, ts in samples.items()}

@@ -75,15 +75,37 @@ def author_texts(df: DataFrame, author_col: str, text_col: str,
 AUTHOR_SHARD_CROSSOVER = 100_000_000
 
 
-def key_count_profile(df: DataFrame, key_col: str) -> dict:
+def key_count_profile(df: DataFrame, key_col: str,
+                      sample_fraction: float | None = None,
+                      seed: int = 42) -> dict:
     """Skew diagnostic for a window/groupBy key — the same shape as
     qx_key_skew_profile: hottest key's row count plus key count, from
-    one map-side-combined groupBy and a 1-row aggregate."""
-    row = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    one map-side-combined groupBy and a 1-row aggregate.
+
+    The profile prunes to ``key_col`` FIRST (a parquet scan reads only
+    that column's pages) and, with ``sample_fraction=p``, counts a
+    seeded Bernoulli sample instead of every row (VERDICT r7 ask #2a).
+    Sampled counts are raw observations — :func:`choose_window_shards`
+    scales the DECISION THRESHOLD by ``p`` rather than inflating the
+    estimate, so the comparison happens where the concentration bound
+    is tight: at the boundary ``c = crossover`` the observed count is
+    Binomial(crossover, p) with relative sd
+    ``sqrt((1-p)/(p*crossover))`` — 3e-4 at p=0.1, crossover=1e8, so a
+    flipped decision needs a >1000-sigma fluke.  Callers must keep
+    ``p * crossover >= 1000`` (relative sd under ~3%);
+    :func:`_safe_profile_fraction` enforces that by dropping to the
+    exact profile when the fraction is too small for the crossover."""
+    if sample_fraction is not None and sample_fraction >= 1.0:
+        sample_fraction = None
+    base = df.select(key_col)
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    row = (base.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
            .agg(F.max("c").alias("top"),
                 F.count(F.lit(1)).alias("n_keys")).collect()[0])
     return {"top_key_rows": int(row.top or 0),
-            "n_keys": int(row.n_keys or 0)}
+            "n_keys": int(row.n_keys or 0),
+            "sample_fraction": sample_fraction}
 
 
 def choose_window_shards(profile: dict,
@@ -91,8 +113,24 @@ def choose_window_shards(profile: dict,
                          shards: int = 32) -> dict:
     """Diagnose-then-enable (VERDICT r5 ask #5, window flavor): turn
     the lossless two-phase top-k on only when the measured hottest key
-    exceeds the documented crossover."""
+    exceeds the documented crossover.  Sampled profiles (see
+    :func:`key_count_profile`) compare the OBSERVED top against the
+    p-scaled crossover; callers guarantee ``p * crossover >= 1000``
+    via :func:`_safe_profile_fraction`, keeping the decision's
+    relative sd under ~3%."""
     top = profile["top_key_rows"]
+    p = profile.get("sample_fraction")
+    if p is not None:
+        bar = p * crossover
+        on = top > bar
+        est = int(top / p)
+        return {"shards": shards if on else None,
+                "top_key_rows": est, "crossover": crossover,
+                "sample_fraction": p,
+                "reason": (f"sampled(p={p}) hottest key: {top} observed "
+                           f"(~{est} est.) {'>' if on else '<='} scaled "
+                           f"crossover {bar:.0f}: "
+                           f"{'two-phase top-k ON' if on else 'plain window'}")}
     on = top > crossover
     return {"shards": shards if on else None,
             "top_key_rows": top, "crossover": crossover,
@@ -102,16 +140,41 @@ def choose_window_shards(profile: dict,
                        f"{crossover}: plain window")}
 
 
+def _safe_profile_fraction(fraction: float | None,
+                           crossover: int) -> float | None:
+    """Drop to the exact profile when the sample would leave fewer
+    than 1,000 expected rows at the decision boundary (relative sd
+    above ~3% — see :func:`key_count_profile`'s concentration bound)."""
+    if fraction is None or fraction * crossover < 1000:
+        return None
+    return fraction
+
+
 def author_texts_auto(df: DataFrame, author_col: str, text_col: str,
                       id_col: str, max_posts: int = 20,
                       crossover: int = AUTHOR_SHARD_CROSSOVER,
-                      shards: int = 32) -> DataFrame:
+                      shards: int = 32,
+                      profile_on: DataFrame | None = None,
+                      profile_fraction: float | None = 0.1) -> DataFrame:
     """:func:`author_texts` with the shard knob driven by the measured
     key profile; the decision is stamped into the result schema's
     metadata on ``author_col`` (same convention as
-    dedup.minhash_dedup_pairs_auto)."""
+    dedup.minhash_dedup_pairs_auto).
+
+    ``profile_on`` (VERDICT r7 ask #2): an alternate lineage of the
+    SAME rows to profile — key-count profiles are invariant under
+    repartitioning, so callers whose ``df`` carries a compute
+    repartition (session.widen_scan, a local-bench artifact) pass the
+    raw pruned scan here and the profile skips the exchange entirely.
+    ``profile_fraction`` applies the seeded-sample profile with the
+    p-scaled threshold (concentration bound in
+    :func:`key_count_profile`)."""
     decision = choose_window_shards(
-        key_count_profile(df, author_col), crossover, shards)
+        key_count_profile(profile_on if profile_on is not None else df,
+                          author_col,
+                          _safe_profile_fraction(profile_fraction,
+                                                 crossover)),
+        crossover, shards)
     out = author_texts(df, author_col, text_col, id_col, max_posts,
                        shards=decision["shards"])
     meta = {k: (v if v is not None else -1)
@@ -168,16 +231,28 @@ def author_uncommon_words(df: DataFrame, author_col: str, text_col: str,
 def author_uncommon_words_auto(df: DataFrame, author_col: str,
                                text_col: str, id_col: str,
                                crossover: int = AUTHOR_SHARD_CROSSOVER,
-                               shards: int = 32, **kw) -> DataFrame:
+                               shards: int = 32,
+                               profile_on: DataFrame | None = None,
+                               profile_fraction: float | None = 0.1,
+                               **kw) -> DataFrame:
     """:func:`author_uncommon_words` with the hot-author shard knob
     driven by the measured key profile (VERDICT r6 ask #3: the
     measure->decide machinery must run on the graded/benched path,
     not only in tests/test_scale.py).  One extra map-side-combined
-    count profile; the decision + evidence are stamped into the
-    result schema's metadata on ``author_col`` (same convention as
+    count profile — trimmed per VERDICT r7 ask #2: the profile prunes
+    to the key column, samples at ``profile_fraction`` with the
+    p-scaled threshold, and runs on ``profile_on`` (an alternate
+    lineage of the same rows, e.g. the raw scan under a widen_scan
+    repartition — key counts are repartition-invariant) when given.
+    The decision + evidence are stamped into the result schema's
+    metadata on ``author_col`` (same convention as
     dedup.minhash_dedup_pairs_auto)."""
     decision = choose_window_shards(
-        key_count_profile(df, author_col), crossover, shards)
+        key_count_profile(profile_on if profile_on is not None else df,
+                          author_col,
+                          _safe_profile_fraction(profile_fraction,
+                                                 crossover)),
+        crossover, shards)
     out = author_uncommon_words(df, author_col, text_col, id_col,
                                 shards=decision["shards"], **kw)
     meta = {k: (v if v is not None else -1)

@@ -36,12 +36,12 @@ from . import pydatasource_queries  # noqa: F401  (custom Python DataSource)
 
 GRADE_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r7 ROTATION (VERDICT r6 ask #2): same scheme as the r6 rebuild —
-    # the 12 ANCHORS stay (flagship + one judge-green representative
-    # per family); the other 38 slots are the FIRST 38 names, in the
-    # census order of QUERIES.md "Never graded, not in window", of the
-    # 74 oracle-paired queries the driver has never graded (entering
-    # r7: 163/225 graded at least once).  r8 takes the remaining 36.
+    # r8 ROTATION (VERDICT r7 ask #1): the 12 ANCHORS stay (flagship +
+    # one judge-green representative per family); the other 38 slots
+    # are the FINAL 38 oracle-paired queries the driver has never
+    # graded (entering r8: 189/227 graded at least once; exactly 38
+    # remain, so the r8 window fills exactly 50 and closes the census
+    # at 227/227 — every oracle-paired query driver-graded).
     # ------------------------------------------------------------------
     # anchors
     "q01_tier_counts",            # flagship (P1-P3/A1-A2/J2)
@@ -56,28 +56,24 @@ GRADE_WINDOW: tuple[str, ...] = (
     "qmm_media_features",         # multimodal
     "qx_weighted_median",         # UDAF surface 2.13
     "qm_fpgrowth_itemsets",       # graph
-    # ---- first-time-graded: sampling / inference / streaming ----
-    "qx_epoch_shards", "qx_best_of_n", "qs_props_variant",
-    "qs_hourly_type_unpivot", "qs_expanding_zscore",
-    "qs_session_depth_profile",
-    # ---- first-time-graded: classic reports (TPC-H-shaped) ----
-    "qg_top_parts_by_nation", "qg_monthly_revenue_trend",
-    "qg_revenue_moving_sum", "qg_discount_quantity_corr",
-    "qg_ship_latency_by_priority", "qg_local_supplier_volume",
-    "qg_large_orders", "qg_volume_shipping", "qg_forecast_revenue",
-    "qg_disjunctive_revenue", "qg_latency_priority_mix",
-    "qg_important_supply", "qg_small_qty_revenue",
-    "qg_sales_opportunity", "qg_supplier_part_count",
-    "qg_potential_promotion",
-    # ---- first-time-graded: event/warehouse analytics ----
-    "qx_stickiness_exact", "qx_multitouch_attribution",
-    "qx_value_percentile_bands", "qx_event_transitions",
-    "qx_value_histogram", "qx_snapshot_diff",
-    "qx_hierarchical_rollup", "qx_zorder_layout",
-    "qx_audience_overlap", "qx_decayed_engagement",
-    "qx_seasonal_residuals", "qx_conversion_latency_bands",
-    "qx_revenue_concentration", "qx_user_paths",
-    "qx_column_profile", "qx_trimmed_mean",
+    # ---- first-time-graded: the final 38 (census order) ----
+    "q17_bullet_styles_17", "q17_divider_styles_17",
+    "qmm_media_dedup", "qs_curated_ingest", "qv_constraints_report",
+    "qx_arrival_gaps", "qx_asof_next_error", "qx_contiguous_ids",
+    "qx_copurchase_lift", "qx_corpus_diversity",
+    "qx_dataset_datasheet", "qx_decontamination_bloom",
+    "qx_dedup_simhash_portable", "qx_degree_distribution",
+    "qx_embedding_dedup_pairs_lsh", "qx_encoding_anomalies",
+    "qx_hard_negatives", "qx_heavy_hitters", "qx_heavy_hitters_cms",
+    "qx_join_ivm_rollup", "qx_latest_event_per_user",
+    "qx_length_bucket_batches", "qx_lm_familiarity",
+    "qx_lm_familiarity_cms", "qx_mixture_downsample",
+    "qx_mixture_temperature", "qx_pack_udtf", "qx_posting_lists",
+    "qx_priority_sample", "qx_readability", "qx_repetition_filter",
+    "qx_resample_ffill", "qx_salted_join_rollup",
+    "qx_similarity_topk_filtered", "qx_similarity_topk_pq_fixed",
+    "qx_source_overlap", "qx_substring_dup_spans",
+    "qx_weighted_quartile_bands",
 )
 
 

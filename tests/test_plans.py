@@ -336,9 +336,9 @@ def test_grade_window_is_first_50_with_oracles():
     assert len(GRADE_WINDOW) == 50
     assert names[:50] == list(GRADE_WINDOW)
     assert all(n in ORACLES for n in GRADE_WINDOW)
-    # r7 rotation (VERDICT r6 ask #2): 12 anchors — flagship + one
-    # judge-green representative per family — plus >= 36 rows the
-    # driver has never graded (38 in fact; census in QUERIES.md)
+    # r8 rotation (VERDICT r7 ask #1): 12 anchors — flagship + one
+    # judge-green representative per family — plus the FINAL 38 rows
+    # the driver has never graded, closing the census at 227/227
     anchors = ("q01_tier_counts", "q22_fanout_pairs",
                "q26_rewards_scalar", "qs_tumbling_engagement",
                "qg_pricing_summary", "qx_rfm_segments",
@@ -350,13 +350,19 @@ def test_grade_window_is_first_50_with_oracles():
     import glob
     import json
     import os
-    graded_before_r7 = set()
+    graded_before_r8 = set()
     for f in sorted(glob.glob(os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_r0[1-6].json"))):
-        graded_before_r7.update(json.load(open(f)))
-    first_time = [n for n in GRADE_WINDOW if n not in graded_before_r7]
-    assert len(first_time) >= 36, (len(first_time), first_time)
+            "CORRECTNESS_r0[1-7].json"))):
+        graded_before_r8.update(json.load(open(f)))
+    first_time = [n for n in GRADE_WINDOW if n not in graded_before_r8]
+    assert len(first_time) == 38, (len(first_time), first_time)
+    # census closure: every oracle-paired registry query is graded
+    # at least once across r1-r7 OR sits in the r8 window
+    never = [n for n in QUERIES
+             if n in ORACLES and n not in graded_before_r8
+             and n not in GRADE_WINDOW]
+    assert not never, never
 
 
 def test_hierarchical_rollup_scans_fact_once(spark, sf_dir):
