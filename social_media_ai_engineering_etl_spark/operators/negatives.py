@@ -51,11 +51,15 @@ def violate_emoji(text: Column, n: int = 10) -> Column:
     return F.concat(text, F.lit("\n\n"), *picks)
 
 
-def violate_hashtags(text: Column, count: int = 6) -> Column:
-    """violations.py:24-26: >= 6 hashtags on a fresh tail line.
-    rstrip == strip ALL trailing whitespace -> regexp, not rtrim."""
+def violate_hashtags(text: Column, count: int = 8) -> Column:
+    """violations.py:24-26: hashtags on a fresh tail line (function
+    default count=8 like the reference; the pipeline passes
+    max(6, limit+3) = 6).  rstrip() strips PYTHON whitespace — the
+    unicode set incl. U+2028/NBSP/\\x1c-\\x1f — so the trailing strip
+    is the (?U) py-whitespace class, not Java's ASCII ``\\s`` (r8
+    unit differential caught both: default-count and rstrip skew)."""
     tags = " ".join(f"#tag{i}" for i in range(count))
-    return F.concat(F.regexp_replace(text, r"\s+$", ""),
+    return F.concat(F.regexp_replace(text, r"(?U)[\s\x1c-\x1f]+$", ""),
                     F.lit("\n\n" + tags))
 
 
@@ -83,7 +87,7 @@ def generate_negative(chosen: Column, length_req: Column,
     usage = F.lower(F.coalesce(emoji_usage, F.lit("")))
     text = F.when(usage.isin("none", "infrequent"),
                   violate_emoji(text)).otherwise(text)
-    text = violate_hashtags(text)
+    text = violate_hashtags(text, count=6)  # max(6, limit 3 + 3)
     lr = F.lower(F.coalesce(length_req, F.lit("")))
     return (F.when(lr.contains("up to"), violate_length(text, "over"))
              .when(lr.contains("between"), violate_length(text, "under"))

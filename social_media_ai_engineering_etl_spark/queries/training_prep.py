@@ -60,9 +60,10 @@ _NEG_SQL = "WITH rp AS (" + _RP_CTE + r"""
                           % {len(neg.EMOJI_ALPHABET)} + 1]), 'string_agg', '')
              ELSE t END AS t
     FROM v2
-), v4 AS (  -- hashtags (always)
+), v4 AS (  -- hashtags (always); rstrip() = PYTHON whitespace set
     SELECT doc_id, length_req,
-        regexp_replace(t, '\s+$', '') || chr(10) || chr(10)
+        regexp_replace(t, '[\s\x{{0B}}\p{{Z}}\x{{85}}\x{{1C}}-\x{{1F}}]+$', '')
+        || chr(10) || chr(10)
         || '#tag0 #tag1 #tag2 #tag3 #tag4 #tag5' AS t
     FROM v3
 ), v5 AS (  -- length

@@ -131,6 +131,68 @@ elif mode == "dividers17":
     from features.context import FeatureContext
     ctx = FeatureContext.from_spacy(None)
     out = [detect_divider_styles(t, ctx) for t in data]
+elif mode == "hashtags":
+    from training.rewards.hashtags import hashtag_limit_reward_func
+    out = hashtag_limit_reward_func([""] * len(data), data)
+elif mode == "chinese":
+    from training.rewards.language import chinese_character_reward_func
+    out = chinese_character_reward_func([""] * len(data), data)
+elif mode == "scenarios":
+    from training.grpo.scenarios import (get_scenario_type,
+                                         normalize_scenario_score)
+    out = [[get_scenario_type(p),
+            normalize_scenario_score(s, get_scenario_type(p))]
+           for p, s in data]
+elif mode == "emoji_variety":
+    # the `emojis` package is absent from this sandbox; shim its
+    # count() with the engine's measured emoji class so THIS
+    # differential pins the ratio/uniqueness/bin arithmetic (the
+    # membership set itself is by-construction shared — documented
+    # in the test)
+    import re as _re
+    _em = _re.compile(data["pattern"])
+    emojis_mod = types.ModuleType("emojis")
+    emojis_mod.count = lambda s: len(_em.findall(s))
+    sys.modules["emojis"] = emojis_mod
+    from training.rewards.emoji_variety import emoji_variety_reward
+    out = [emoji_variety_reward(t) for t in data["texts"]]
+elif mode == "aggregator":
+    from training.rewards.aggregator import aggregate_rewards
+    from training.rewards.hashtags import hashtag_limit_reward_func
+    from training.rewards.language import chinese_character_reward_func
+
+    def _boom(prompts, completions):
+        raise RuntimeError("per-func failure path")
+
+    def _half(prompts, completions):
+        return [0.5] * len(completions)
+
+    def _overscale(prompts, completions):
+        return [1.0 + 0.25 * (i % 4) for i in range(len(completions))]
+
+    funcs = {"hash": hashtag_limit_reward_func,
+             "cjk": chinese_character_reward_func,
+             "boom": _boom, "half": _half, "big": _overscale}
+    comps = data["completions"]
+    prompts = [""] * len(comps)
+    out = {
+        "plain": aggregate_rewards(prompts, comps, funcs,
+                                   data["weights"]),
+        "clip": aggregate_rewards(prompts, comps, funcs,
+                                  data["weights"], normalize="clip"),
+        "zero_w": aggregate_rewards(prompts, comps, funcs,
+                                    {k: 0.0 for k in funcs}),
+    }
+elif mode == "violations":
+    from utils.violations import violate_hashtags, violate_length
+    out = []
+    for text, kind in data:
+        if kind == "hashtags":
+            out.append(violate_hashtags(text))
+        elif kind == "under":
+            out.append(violate_length(text, target="under"))
+        else:
+            out.append(violate_length(text, target="over"))
 else:
     raise SystemExit(2)
 json.dump(out, open(outp, "w", encoding="utf-8"))
@@ -511,6 +573,272 @@ def test_divider17_matches_reference(spark, tmp_path):
            for i in range(len(texts)) if got[i] != want[i]]
     assert not bad, bad[:6]
     assert any(v for v in want) and any(v is None for v in want)
+
+
+# ---------------------------------------------------------------------------
+# r8 (VERDICT r7 ask #6): the remaining pure-stdlib reference
+# functions — hashtags (R16), language (R17), scenarios (R20),
+# aggregator (R19 incl. the per-func-exception->zeros path),
+# emoji_variety (R5 ratio bins), violations (P16 deterministic parts)
+# ---------------------------------------------------------------------------
+
+def _hashtag_corpus(seed: int = 2025, n: int = 300) -> list[str]:
+    rng = random.Random(seed)
+    texts = [
+        "post body\n#one #two #three",
+        "post body\n#one #two #three #four",          # 4 -> 0.8
+        "#a #b #c #d #e #f #g #h #i",                 # 9 -> 0.0 floor
+        "tags up here #one #two #three #four\nclean last line",
+        "no newline at all #x #y #z #w",              # tail == whole
+        "ends with newline #x #y\n",                  # tail == ''
+        "unicode #日本語 #tag_1 #TAG2 #tag-3",         # ascii \w only
+        "#__ #_a #1 #2 #3 #4",                        # _ and digits
+        "midline #inline tag\n# spaced not-a-tag",
+        "",
+        "\n\n\n#solo",
+    ]
+    for _ in range(n):
+        lines = [" ".join(rng.choices(
+            ["word", "#tag", f"#tag{rng.randint(0, 9)}", "#日", "x#y"],
+            k=rng.randint(0, 10))) for _ in range(rng.randint(1, 4))]
+        texts.append("\n".join(lines))
+    return texts
+
+
+def test_hashtag_reward_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        hashtag_limit)
+    texts = _hashtag_corpus()
+    want = _run_ref_units("hashtags", texts, tmp_path)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r.i: r.s for r in df.select(
+        "i", hashtag_limit(F.col("t")).alias("s")).collect()}
+    bad = [(repr(texts[i][:50]), got[i], want[i])
+           for i in range(len(texts))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, bad[:6]
+    assert {0.0, 0.8, 1.0} <= {round(v, 1) for v in want}
+
+
+def _chinese_corpus(seed: int = 4242, n: int = 200) -> list[str]:
+    rng = random.Random(seed)
+    texts = [
+        "plain ascii", "", "emoji 🚀 only",
+        "cjk 中文 inside", "\u4e00 range floor", "\u9fff range ceil",
+        "\u33ff just below", "\ua000 just above",
+        "\u3400 ext-A outside the reference's range",
+        "katakana カタカナ outside", "hangul 한글 outside",
+        "mixed 中 and latin",
+    ]
+    pool = ["word", "中", "文", "カ", "한", "🚀", "\u4e00", "\u9fff",
+            "\u3400", "x"]
+    for _ in range(n):
+        texts.append("".join(rng.choices(pool, k=rng.randint(0, 30))))
+    return texts
+
+
+def test_chinese_guard_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        chinese_character_guard)
+    texts = _chinese_corpus()
+    want = _run_ref_units("chinese", texts, tmp_path)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r.i: r.s for r in df.select(
+        "i", chinese_character_guard(F.col("t")).alias("s")).collect()}
+    bad = [(repr(texts[i][:40]), got[i], want[i])
+           for i in range(len(texts))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, bad[:6]
+    assert {0.0, 1.0} == set(want)
+
+
+_SCENARIO_PHRASES = (
+    "Create a LinkedIn post that explains X",
+    "Analyze the following social media post and identify its "
+    "primary topic",
+    "Extract the core opinion from this social media post and "
+    "present it in first person",
+    "Analyze this social media post and identify up to three "
+    "primary tones",
+    "Classify the structural format of this social media post",
+    "Do something else entirely",
+)
+
+
+def _scenario_corpus(seed: int = 808, n: int = 250):
+    rng = random.Random(seed)
+    pairs = []
+    scores = [-3.0, 0.0, 2.5, 9.999, 10.0, 10.001, 25.0, 7.3]
+    for ph in _SCENARIO_PHRASES:
+        for s in scores:
+            pairs.append((f"## Task\n{ph}\nmore text", s))
+            pairs.append((ph.upper(), s))                  # case-folded
+    # precedence: prompt containing TWO phrases takes the first match
+    pairs.append((_SCENARIO_PHRASES[1] + "\n" + _SCENARIO_PHRASES[0], 5.0))
+    pairs.append((_SCENARIO_PHRASES[0] + "\n" + _SCENARIO_PHRASES[3], 5.0))
+    # unicode case-lowering edge (Turkish dotted capital I)
+    pairs.append(("CREATE A LİNKEDIN POST THAT ...", 5.0))
+    for _ in range(n):
+        ph = rng.choice(_SCENARIO_PHRASES)
+        body = ph if rng.random() < 0.7 else ph.replace(" post", "")
+        pairs.append((f"{'#' * rng.randint(0, 3)} {body}",
+                      rng.uniform(-2, 15)))
+    return pairs
+
+
+def test_scenario_typing_matches_reference(spark, tmp_path):
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        normalize_scenario_score, scenario_type)
+    pairs = _scenario_corpus()
+    want = _run_ref_units("scenarios", pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(pairs)],
+        "i long, p string, s double")
+    got = {r.i: (r.t, r.n) for r in df.select(
+        "i", scenario_type(F.col("p")).alias("t"),
+        normalize_scenario_score(F.col("s")).alias("n")).collect()}
+    bad = [(repr(pairs[i][0][:50]), got[i], want[i])
+           for i in range(len(pairs))
+           if got[i][0] != want[i][0]
+           or abs(got[i][1] - want[i][1]) > 1e-12]
+    assert not bad, bad[:6]
+    assert set(range(6)) == {w[0] for w in want}
+
+
+def _emoji_variety_corpus(seed: int = 1212, n: int = 250) -> list[str]:
+    rng = random.Random(seed)
+    ems = list("😀😃🔥✨👍✅❌💡📈📉🚀")
+    texts = [
+        "", "no emoji at all",
+        "😀",                                # 1/1 -> 1.0
+        "😀😀😀😀😀😀😀😀😀😀",                 # 1/10 -> 0.4
+        "😀😃🔥✨👍",                          # 5/5 -> 1.0
+        "😀😀😃🔥✨👍👍👍",                    # ratio 5/8 = 0.625 -> 0.6
+        "😀😃🔥✨👍✅❌💡📈😀",                 # 9/10 -> 1.0 (>= 0.9)
+        "text ✨ mixed 🔥 with ✨ words",
+        "❤\ufe0f variation selector",        # FE0F in the class
+    ]
+    for _ in range(n):
+        k = rng.randint(0, 25)
+        texts.append("".join(rng.choices(ems + ["x", " "], k=k)))
+    return texts
+
+
+def test_emoji_variety_matches_reference(spark, tmp_path):
+    """R5 differential.  The `emojis` package is absent from the
+    sandbox, so its per-char count() is SHIMMED with the engine's
+    measured emoji class — this pins the reference's ratio /
+    uniqueness / bin arithmetic (total==0 -> 0.0, >=0.9/0.7/0.5
+    ladder) value-for-value; set membership itself is shared by
+    construction and is NOT what this test proves."""
+    import re as _re
+
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        emoji_variety)
+    from social_media_ai_engineering_etl_spark.functions.textstats import (
+        EMOJI_CLASS)
+    py_pattern = _re.sub(r"\\x\{([0-9A-Fa-f]+)\}",
+                         lambda m: re_escape_cp(int(m.group(1), 16)),
+                         EMOJI_CLASS)
+    texts = _emoji_variety_corpus()
+    want = _run_ref_units("emoji_variety",
+                          {"pattern": py_pattern, "texts": texts},
+                          tmp_path)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r.i: r.s for r in df.select(
+        "i", emoji_variety(F.col("t")).alias("s")).collect()}
+    bad = [(repr(texts[i][:40]), got[i], want[i])
+           for i in range(len(texts))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, bad[:6]
+    assert {0.0, 0.4, 0.6, 0.8, 1.0} <= {round(v, 1) for v in want}
+
+
+def re_escape_cp(cp: int) -> str:
+    return "\\U%08X" % cp if cp > 0xFFFF else "\\u%04X" % cp
+
+
+def test_aggregator_matches_reference(spark, tmp_path):
+    """R19 differential: genuine aggregate_rewards over five funcs —
+    two real reward functions, a RAISING func (the degrade-to-zeros
+    path), a constant, and an out-of-range func (clip normalize) —
+    against the engine's weighted-mean Column form with the failed
+    func modeled as a zero column.  Also pins the all-zero-weights
+    guard (0.0, not a divide-by-zero null)."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        aggregate_rewards, chinese_character_guard, hashtag_limit)
+    comps = _hashtag_corpus(seed=99, n=80) + _chinese_corpus(seed=98,
+                                                             n=80)
+    weights = {"hash": 2.0, "cjk": 0.5, "boom": 3.0, "big": 1.25}
+    # "half" intentionally missing -> default weight 1.0
+    want = _run_ref_units("aggregator",
+                          {"completions": comps, "weights": weights},
+                          tmp_path)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(comps)],
+                               "i long, t string")
+    big = 1.0 + 0.25 * (F.col("i") % 4).cast("double")
+    cols = {"hash": hashtag_limit(F.col("t")),
+            "cjk": chinese_character_guard(F.col("t")),
+            "boom": F.lit(0.0),       # reference degrades to zeros
+            "half": F.lit(0.5), "big": big}
+    got = {r.i: (r.plain, r.clip, r.zw) for r in df.select(
+        "i",
+        aggregate_rewards(cols, weights).alias("plain"),
+        aggregate_rewards(cols, weights, clip=True).alias("clip"),
+        aggregate_rewards(cols, {k: 0.0 for k in cols}).alias("zw"))
+        .collect()}
+    bad = []
+    for i in range(len(comps)):
+        trip = (want["plain"][i], want["clip"][i], want["zero_w"][i])
+        if any(abs(a - b) > 1e-12 for a, b in zip(got[i], trip)):
+            bad.append((repr(comps[i][:40]), got[i], trip))
+    assert not bad, bad[:6]
+
+
+def _violations_corpus(seed: int = 6161, n: int = 220):
+    rng = random.Random(seed)
+    pairs = [
+        ("plain body", "hashtags"),
+        ("trailing spaces   ", "hashtags"),
+        ("trailing nbsp\xa0\xa0", "hashtags"),        # unicode rstrip
+        ("trailing mix \t\n\xa0\u3000", "hashtags"),
+        ("", "hashtags"),
+        ("\u2028line-sep tail\u2028", "hashtags"),
+        ("x", "under"), ("xy", "under"), ("xyz", "under"),
+        ("", "under"),
+        ("🚀😀 emoji length", "under"),               # codepoint len
+        ("x" * 119, "over"), ("x" * 120, "over"),     # reps boundary
+        ("x" * 121, "over"), ("x" * 240, "over"),
+        ("", "over"), ("short", "over"),
+    ]
+    for _ in range(n):
+        body = "".join(rng.choices("abc \t\n\xa0　🚀中", k=rng.randint(0, 300)))
+        pairs.append((body, rng.choice(["hashtags", "under", "over"])))
+    return pairs
+
+
+def test_violations_match_reference(spark, tmp_path):
+    """P16 differential for the DETERMINISTIC violations
+    (violate_hashtags, violate_length under/over) — the random-draw
+    violations (urls/names/emoji) are md5-derived by documented
+    deviation and excluded."""
+    from social_media_ai_engineering_etl_spark.operators.negatives import (
+        violate_hashtags, violate_length)
+    pairs = _violations_corpus()
+    want = _run_ref_units("violations", pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, t, k) for i, (t, k) in enumerate(pairs)],
+        "i long, t string, k string")
+    out = (F.when(F.col("k") == "hashtags", violate_hashtags(F.col("t")))
+            .when(F.col("k") == "under", violate_length(F.col("t"), "under"))
+            .otherwise(violate_length(F.col("t"), "over")))
+    got = {r.i: r.o for r in df.select("i", out.alias("o")).collect()}
+    bad = [(repr(pairs[i]), repr(got[i][:60]), repr(want[i][:60]))
+           for i in range(len(pairs)) if got[i] != want[i]]
+    assert not bad, bad[:6]
 
 
 def test_bullets17_matches_reference(spark, tmp_path):
