@@ -55,7 +55,9 @@ def main() -> int:
             print(f"seed {seed}: AGREE ({n_posts} posts)")
             if not args.keep:
                 shutil.rmtree(tmp, ignore_errors=True)
-        except BaseException as e:  # noqa: BLE001 — report and continue
+        except (KeyboardInterrupt, SystemExit):
+            raise  # an interrupt is an abort, not a divergence (ADVICE r7)
+        except Exception as e:  # report-and-continue per corpus
             failures.append((seed, tmp, e))
             print(f"seed {seed}: DIVERGE — artifacts kept at {tmp}")
             traceback.print_exc(limit=4)

@@ -1040,6 +1040,259 @@ def test_stage1_nondefault_knobs(spark, ref):
 
 
 # ---------------------------------------------------------------------------
+# stage 2 — emoji-frequency binning + length buckets (VERDICT r7 ask #7)
+# ---------------------------------------------------------------------------
+
+def _emoji_shim_pattern() -> str:
+    """EMOJI_CLASS (Java \\x{..} syntax) converted to a CPython
+    pattern for the subprocess shim."""
+    from social_media_ai_engineering_etl_spark.functions.textstats import (
+        EMOJI_CLASS)
+    return re.sub(r"\\x\{([0-9A-Fa-f]+)\}",
+                  lambda m: ("\\U%08X" % int(m.group(1), 16)
+                             if int(m.group(1), 16) > 0xFFFF
+                             else "\\u%04X" % int(m.group(1), 16)),
+                  EMOJI_CLASS)
+
+
+def _stage2_env(arts: dict) -> dict:
+    """Stage-2 env: the base shims plus an `emojis` module visible to
+    2-label.py ONLY (its top-level import; package absent from the
+    sandbox).  The shim counts via the engine's measured emoji class,
+    so the differential pins the frequency/bin/length ARITHMETIC and
+    the skip semantics — emoji-set membership is shared by
+    construction, stated here, not proven.  Kept out of the chain's
+    shared PYTHONPATH on purpose: features/bullets.py probe-imports
+    `emojis` per line inside try/except, and a globally visible shim
+    would silently flip the reference's effective bullet semantics."""
+    s2shim = os.path.join(arts["cwd"], "shim2")
+    os.makedirs(s2shim, exist_ok=True)
+    with open(os.path.join(s2shim, "emojis.py"), "w",
+              encoding="utf-8") as f:
+        f.write("import re\n_P = re.compile(%r)\n"
+                "def count(s):\n    return len(_P.findall(s))\n"
+                % _emoji_shim_pattern())
+    env = dict(arts["env"])
+    env["PYTHONPATH"] = env["PYTHONPATH"] + ":" + s2shim
+    return env
+
+
+def _check_stage2(spark, arts: dict, run_id: str,
+                  bins: list[tuple[float, str]] | None = None) -> None:
+    """2-label.py subprocess vs the engine's P5/P6 columns
+    (textstats.emoji_count / bin_label / length_bucket) on stage 1's
+    output + appended malformed lines covering the skip paths."""
+    from social_media_ai_engineering_etl_spark.functions import textstats
+    s2in = os.path.join(arts["cwd"], f"{run_id}-in.jsonl")
+    with open(arts["gen1"], encoding="utf-8") as src, \
+            open(s2in, "w", encoding="utf-8") as dst:
+        dst.write(src.read())
+        # skip paths: blank line, invalid JSON, empty/missing post_text
+        dst.write("\n{not json\n")
+        dst.write(json.dumps({"post_text": ""}) + "\n")
+        dst.write(json.dumps({"other": 1}) + "\n")
+    args = ["--run-id", run_id, "--base-dir", arts["bd"],
+            "--input", s2in]
+    if bins is not None:
+        bins_path = os.path.join(arts["cwd"], f"{run_id}-bins.json")
+        with open(bins_path, "w", encoding="utf-8") as f:
+            json.dump([{"threshold": t, "label": lb}
+                       for t, lb in bins], f)
+        args += ["--emoji-bins", bins_path]
+    _run_ref("2-label.py", args, arts["cwd"], _stage2_env(arts))
+    out_path = os.path.join(arts["bd"], run_id, "02-labeled.jsonl")
+
+    # the reference's lenient read: strip, JSON-or-skip, truthy text
+    valid = []
+    with open(s2in, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                post = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if post.get("post_text", ""):
+                valid.append(post["post_text"])
+    df = spark.createDataFrame([(t,) for t in valid],
+                               "post_text string")
+    ec = textstats.emoji_count(F.col("post_text"))
+    n = F.length("post_text")
+    freq = F.when(n > 0, ec.cast("double") / n).otherwise(F.lit(0.0))
+    use_bins = tuple(bins) if bins is not None else textstats.EMOJI_BINS
+    got = Counter(
+        (r.post_text, r.ec, r.tl, round(r.fr, 12), r.us, r.ml)
+        for r in df.select(
+            "post_text", ec.alias("ec"), n.alias("tl"),
+            freq.alias("fr"),
+            textstats.bin_label(freq, use_bins).alias("us"),
+            textstats.length_bucket(F.col("post_text")).alias("ml"))
+        .collect())
+    want_rows = _read_jsonl(out_path)
+    want = Counter(
+        (w["post_text"], w["emoji_count"], w["text_length"],
+         round(w["emoji_frequency"], 12), w["emoji_usage"],
+         w["max_length"])
+        for w in want_rows)
+    assert len(want_rows) == len(valid)     # skip paths really skipped
+    assert got == want
+
+
+def test_stage2_labels_match_reference(spark, ref):
+    """Fixed corpus, default bins — plus a non-degeneracy assert on
+    the length buckets (the emoji column may legitimately be all
+    'none' on an emoji-free corpus; the fuzz corpora carry emoji)."""
+    _check_stage2(spark, ref, "s2chk")
+    out = _read_jsonl(os.path.join(ref["bd"], "s2chk",
+                                   "02-labeled.jsonl"))
+    assert len({w["max_length"] for w in out}) >= 2
+
+
+# ---------------------------------------------------------------------------
+# stage 5 — two-pass combo balancer (VERDICT r7 ask #7)
+# ---------------------------------------------------------------------------
+
+_S5_RUNNER = r'''
+import importlib.util, json, sys
+spec = importlib.util.spec_from_file_location(
+    "stage5", "/root/reference/5-balance.py")
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+cap = None if sys.argv[3] == "none" else int(sys.argv[3])
+res = m.two_pass_balance_dataset(
+    input_file=sys.argv[1], output_file=sys.argv[2],
+    base_dir=sys.argv[4], target_cap=cap,
+    augment_fraction=float(sys.argv[5]), seed=int(sys.argv[6]))
+print(json.dumps({"final_size": res["final_size"],
+                  "combos": res["combos"]}))
+'''
+
+
+def _write_stage5_shims(shim_dir: str) -> None:
+    """nlpaug/nltk import shims: SynonymAug constructs as a no-op and
+    its augment() RAISES — with augment_fraction=1.0 the raise proves
+    the reference's except-degrade path (replace_synonyms_nlpaug
+    returns the text unchanged); with 0.0 it is never called."""
+    pkg = os.path.join(shim_dir, "nlpaug", "augmenter")
+    os.makedirs(pkg, exist_ok=True)
+    for init in (os.path.join(shim_dir, "nlpaug", "__init__.py"),
+                 os.path.join(pkg, "__init__.py")):
+        open(init, "w").close()
+    with open(os.path.join(pkg, "word.py"), "w") as f:
+        f.write("class SynonymAug:\n"
+                "    def __init__(self, *a, **k):\n        pass\n"
+                "    def augment(self, text):\n"
+                "        raise RuntimeError('augmenter unavailable')\n")
+    with open(os.path.join(shim_dir, "nltk.py"), "w") as f:
+        f.write("def download(*a, **k):\n    return None\n")
+
+
+_S5_STRUCTURES = ("announcement", "reflective", "educational")
+_S5_EMOJI = ("none", "low", "high")
+_S5_LENGTHS = ("Up to 750 characters long",
+               "Between 750 and 1,500 characters long")
+
+
+def _gen_stage5_posts(n: int, seed: int) -> list[dict]:
+    rng = random.Random(seed)
+    posts = []
+    for i in range(n):
+        p = {"post_id": f"p{i}",
+             "post_text": " ".join(rng.choices(_WORDS, k=8)),
+             # zipf-ish skew so some combos downsample, some upsample
+             "structure": _S5_STRUCTURES[
+                 min(int(rng.random() ** 2 * 3), 2)],
+             "emoji_usage": rng.choice(_S5_EMOJI),
+             "max_length": (_S5_LENGTHS[0] if rng.random() < 0.8
+                            else _S5_LENGTHS[1])}
+        r = rng.random()
+        if r < 0.04:
+            del p["structure"]            # None key -> skipped
+        elif r < 0.08:
+            p["emoji_usage"] = None
+        posts.append(p)
+    return posts
+
+
+def _check_stage5(spark, tmp, seed: int, target_cap: int | None,
+                  augment_fraction: float, n: int = 800) -> None:
+    """5-balance.py (via importlib; nlpaug/nltk shimmed) vs the
+    engine's sampling.balance_to_average on the same rows: every
+    combo lands at exactly avg_target = max(1, min(total//combos,
+    cap)); output rows are drawn from the combo's input rows; the
+    closed form and the engine agree with the reference subprocess."""
+    from social_media_ai_engineering_etl_spark.operators import sampling
+    import pathlib
+    tmp = pathlib.Path(tmp)
+    shim = str(tmp / "shim5")
+    os.makedirs(shim, exist_ok=True)
+    _write_stage5_shims(shim)
+    env = os.environ.copy()
+    env["PYTHONPATH"] = f"{REF}:{shim}"
+
+    posts = _gen_stage5_posts(n, seed)
+    inp = tmp / "s5-in.jsonl"
+    with open(inp, "w", encoding="utf-8") as f:
+        for p in posts:
+            f.write(json.dumps(p, ensure_ascii=False) + "\n")
+        f.write("\n{not json\n")          # lenient-read skip paths
+    outp = tmp / "s5-out.jsonl"
+    cap_arg = "none" if target_cap is None else str(target_cap)
+    r = subprocess.run(
+        [sys.executable, "-c", _S5_RUNNER, str(inp), str(outp),
+         cap_arg, str(tmp / "s5bd"), str(augment_fraction), str(seed)],
+        cwd=str(tmp), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    key = lambda p: (p.get("structure"), p.get("emoji_usage"),  # noqa: E731
+                     p.get("max_length"))
+    valid = [p for p in posts if None not in key(p)]
+    in_counts = Counter(key(p) for p in valid)
+    avg = int(len(valid) / len(in_counts))
+    if target_cap is not None:
+        avg = min(avg, int(target_cap))
+    avg = max(1, avg)
+
+    out_posts = _read_jsonl(str(outp))
+    out_counts = Counter(key(p) for p in out_posts)
+    assert out_counts == {k: avg for k in in_counts}
+    # row identity: every output row is one of the combo's input rows
+    # (the bombed augmenter degrades to an unchanged copy)
+    in_ids = {k: {p["post_id"] for p in valid if key(p) == k}
+              for k in in_counts}
+    for p in out_posts:
+        assert p["post_id"] in in_ids[key(p)]
+    # non-degeneracy: the skewed corpus always downsamples somewhere;
+    # upsampling only exists when the target sits above the smallest
+    # combo (a small cap legitimately puts every combo above target)
+    assert any(v > avg for v in in_counts.values()), "no downsample"
+    if target_cap is None:
+        assert any(v < avg for v in in_counts.values()), "no upsample"
+
+    # engine balancer on the same rows: identical per-combo counts
+    df = spark.createDataFrame(
+        [(p["post_id"], p.get("structure"), p.get("emoji_usage"),
+          p.get("max_length")) for p in valid],
+        "post_id string, structure string, emoji_usage string, "
+        "max_length string")
+    bal = sampling.balance_to_average(
+        df, ["structure", "emoji_usage", "max_length"],
+        target_cap=target_cap, seed=seed)
+    got = Counter((r.structure, r.emoji_usage, r.max_length)
+                  for r in bal.collect())
+    assert got == out_counts
+
+
+def test_stage5_balance_matches_reference(spark, tmp_path):
+    """Fixed seeds over the knob grid: uncapped/capped crossed with
+    augment-on (bombed augmenter -> except-degrade) and augment-off."""
+    _check_stage5(spark, tmp_path / "a", 71, None, 1.0)
+    _check_stage5(spark, tmp_path / "b", 72, 7, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # randomized differential fuzzing (VERDICT r6 ask #1)
 # ---------------------------------------------------------------------------
 
@@ -1061,6 +1314,19 @@ def run_fuzz_checks(spark, tmp, seed: int,
     clamp = krng.choice([0.01, 0.05, 0.1, 0.5, 1.0])
     _check_stage1_knobs(spark, arts, "fknobs", top, bot, clamp,
                         keep_bottom=krng.random() < 0.5)
+    # stage 2 with randomized bin thresholds (VERDICT r7 ask #7): a
+    # seeded ladder of 4 interior thresholds between 1e-5 and 5e-2,
+    # bracketed by the none/extreme rails, exercises the <=-boundary
+    # binning on fresh frequencies every corpus
+    ts = sorted(10 ** krng.uniform(-5, -1.3) for _ in range(4))
+    fuzz_bins = ([(0.0, "none")]
+                 + list(zip(ts, ["very low", "low", "medium", "high"]))
+                 + [(1.0, "extreme")])
+    _check_stage2(spark, arts, "f2chk", bins=fuzz_bins)
+    # stage 5 with randomized cap / augment knobs
+    _check_stage5(spark, os.path.join(str(tmp), "s5"), seed,
+                  target_cap=krng.choice([None, 3, 11, 40]),
+                  augment_fraction=krng.choice([0.0, 1.0]))
     _assert_cleaner(spark, arts["gen"], arts["s7"], "topic", "topic",
                     cleaning.is_disallowed)
     _assert_cleaner(spark, arts["s7"], arts["s12"], "opinion", "opinion",
