@@ -117,6 +117,126 @@ def _build(shape: str, spark, sf_dir: str, marker_dir: str,
     return _flaky(out, f"{shape}-out", marker_dir, inject)
 
 
+STREAM_SHAPES = ("session_windows", "neardup_ingest")
+
+
+def _canon_state_rows(shape: str, rows) -> list:
+    """Canonical, order-insensitive rendering of state-store rows.
+    The neardup value packs (ids, sig-matrix blob) whose MEMBER order
+    follows arrival order within the bucket — identical across runs
+    here, but canonicalized anyway so the comparison asserts state
+    CONTENTS, not incidental member order."""
+    import numpy as np
+    out = []
+    for r in rows:
+        if shape == "neardup_ingest":
+            gs = r.value.groupState   # applyInPandasWithState nests it
+            ids = list(gs.ids)
+            sigs = np.frombuffer(bytes(gs.sigs),
+                                 dtype="<i8").reshape(len(ids), -1)
+            members = sorted(
+                (int(i), sigs[j].tobytes().hex())
+                for j, i in enumerate(ids))
+            out.append((repr(tuple(r.key)), repr(members)))
+        else:
+            out.append(repr(sorted(r.asDict(recursive=True).items())))
+    return sorted(out)
+
+
+def _run_stream_shape(spark, sf_dir: str, shape: str, marker_dir: str,
+                      workdir: str, inject: str | None):
+    """Drive one stateful streaming query (3-file staged source, one
+    micro-batch per file) to completion with task failures injected
+    BOTH pre-state (in-pipeline mapInPandas on the source) and in the
+    state-commit stage (the foreachBatch job's result stage).  Returns
+    (sink_hash, n_rows, state_hash, n_state_rows)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from social_media_ai_engineering_etl_spark.streaming import (neardup,
+                                                                 windows)
+    from social_media_ai_engineering_etl_spark.streaming.state_inspect import (
+        read_state)
+
+    tag = f"{shape}-{'fault' if inject else 'clean'}"
+    src = os.path.join(workdir, f"{shape}-src")   # shared: staged once
+    ckpt = os.path.join(workdir, f"{tag}-ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    if not os.path.isdir(src):
+        if shape == "session_windows":
+            base = windows.load_events(
+                spark, os.path.join(sf_dir, "events.parquet"))
+            split_key = F.col("event_id")
+        else:
+            base = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet"))
+            split_key = F.col("doc_id")
+        for i in range(3):
+            (base.filter(F.pmod(split_key, F.lit(3)) == i).coalesce(1)
+             .write.mode("append").parquet(src))
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = _flaky(stream, f"{tag}-in", marker_dir, inject)
+    if shape == "session_windows":
+        out = windows.sessionized_activity(stream, gap="30 minutes",
+                                           watermark="30 minutes")
+    else:
+        out = neardup.stream_neardup_pairs(stream, threshold=0.5)
+
+    sunk: list = []
+
+    def sink(bdf, bid):
+        # state-commit-stage injection: the wrapper stays in the same
+        # stage as the stateful operator (no shuffle between), so a
+        # raise here kills the task AFTER state updates were staged —
+        # the retry must observe the aborted store, not partial state
+        wrapped = _flaky(bdf, f"{tag}-fb{bid}", marker_dir, inject)
+        sunk.extend(wrapped.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .outputMode("append" if shape == "session_windows" else "update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    lines = sorted(
+        "|".join(f"{v:.9f}" if isinstance(v, float) else repr(v)
+                 for v in row) for row in sunk)
+    sink_h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    st = _canon_state_rows(shape,
+                           read_state(spark, ckpt).collect())
+    state_h = hashlib.sha256(repr(st).encode()).hexdigest()
+    return sink_h, len(sunk), state_h, len(st)
+
+
+def stream_child(sf_dir: str, marker_dir: str,
+                 shapes: tuple = STREAM_SHAPES) -> None:
+    """VERDICT r7 ask #4: mid-batch task failures inside stateful
+    streaming queries — final state store contents AND sink rowset
+    must hash-match the clean run."""
+    from social_media_ai_engineering_etl_spark.session import get_spark
+    spark = get_spark("fault-injection-streaming")
+    workdir = tempfile.mkdtemp(prefix="fault-stream-")
+    results = []
+    for shape in shapes:
+        clean = _run_stream_shape(spark, sf_dir, shape, marker_dir,
+                                  workdir, None)
+        fault = _run_stream_shape(spark, sf_dir, shape, marker_dir,
+                                  workdir, "raise")
+        injected = len([f for f in os.listdir(marker_dir)
+                        if f.startswith(f"raise-{shape}-fault")])
+        results.append({
+            "mode": "streaming", "shape": shape, "rows": clean[1],
+            "match": (clean[0] == fault[0] and clean[1] == fault[1]
+                      and clean[2] == fault[2] and clean[3] == fault[3]),
+            "state_rows": clean[3], "injections": injected})
+    print("CHILD_RESULT " + json.dumps(results))
+
+
 def child(mode: str, sf_dir: str, marker_dir: str,
           shapes: tuple = SHAPES) -> None:
     from social_media_ai_engineering_etl_spark.session import get_spark
@@ -164,9 +284,12 @@ def main() -> int:
         # task retries require local[N, maxFailures>1]
         n = env.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
         env["SPARK_GRAFT_MASTER"] = f"local[{n},4]"
+        mode_shapes = shapes
+        if mode == "streaming" and shapes == SHAPES:
+            mode_shapes = STREAM_SHAPES
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", mode,
-             sf, marker_dir, ",".join(shapes)],
+             sf, marker_dir, ",".join(mode_shapes)],
             capture_output=True, text=True, timeout=1200, env=env,
             cwd=ROOT)
         if r.returncode != 0:
@@ -191,8 +314,13 @@ def main() -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(sys.argv[2], sys.argv[3], sys.argv[4],
-              tuple(sys.argv[5].split(",")) if len(sys.argv) > 5
-              else SHAPES)
+        if sys.argv[2] == "streaming":
+            stream_child(sys.argv[3], sys.argv[4],
+                         tuple(sys.argv[5].split(","))
+                         if len(sys.argv) > 5 else STREAM_SHAPES)
+        else:
+            child(sys.argv[2], sys.argv[3], sys.argv[4],
+                  tuple(sys.argv[5].split(",")) if len(sys.argv) > 5
+                  else SHAPES)
     else:
         raise SystemExit(main())

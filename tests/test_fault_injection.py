@@ -30,3 +30,20 @@ def test_retry_determinism_on_heavy_shapes():
         capture_output=True, text=True, timeout=900, cwd=ROOT)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "ALL MATCH" in r.stdout
+
+
+def test_streaming_retry_determinism():
+    """VERDICT r7 ask #4: mid-batch task failures inside the stateful
+    streaming queries (session windows; MinHash/LSH near-dup ingest),
+    injected both pre-state and in the state-commit stage of every
+    micro-batch's foreachBatch job — the sink rowset AND the final
+    state-store contents (statestore reader, canonicalized) must
+    hash-match the clean run, with injections marker-counted."""
+    r = subprocess.run(
+        [sys.executable, PROBE, "/root/testdata/sf0.001",
+         "--modes", "streaming"],
+        capture_output=True, text=True, timeout=900, cwd=ROOT)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "ALL MATCH" in r.stdout
+    assert "session_windows" in r.stdout
+    assert "neardup_ingest" in r.stdout
