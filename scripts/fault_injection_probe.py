@@ -70,9 +70,13 @@ def _flaky(df, key: str, marker_dir: str, inject: str | None):
 
 
 def _rowset_hash(df) -> tuple[str, int]:
+    """Floats hash by their raw BIT PATTERN (float.hex), not a rounded
+    rendering — this probe certifies byte-identical results under
+    retry/speculation, so sub-1e-9 partial-sum-order drift must fail,
+    not slip under a 9-decimal format (ADVICE r7)."""
     rows = df.collect()
     lines = sorted(
-        "|".join(f"{v:.9f}" if isinstance(v, float) else repr(v)
+        "|".join(v.hex() if isinstance(v, float) else repr(v)
                  for v in row) for row in rows)
     h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
     return h, len(rows)
@@ -204,7 +208,7 @@ def _run_stream_shape(spark, sf_dir: str, shape: str, marker_dir: str,
     q.awaitTermination()
 
     lines = sorted(
-        "|".join(f"{v:.9f}" if isinstance(v, float) else repr(v)
+        "|".join(v.hex() if isinstance(v, float) else repr(v)
                  for v in row) for row in sunk)
     sink_h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
     st = _canon_state_rows(shape,

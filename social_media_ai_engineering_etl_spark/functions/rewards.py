@@ -284,9 +284,30 @@ def enhanced_emoji_usage(prompt: Column, completion: Column,
     emoji-regex match count (shared with R4/R5 so the giant codepoint
     class runs ONCE per row, not three times); ``completion_len`` =
     precomputed length(completion), so a caller that caches primitives
-    need not carry the completion text itself."""
-    req = (F.lower(F.trim(style_field(prompt, "Emoji Usage")))
-           if field is None else F.trim(field))
+    need not carry the completion text itself.
+
+    The default (field=None) branch mirrors R3's EFFECTIVE invocation
+    — 26-train-grpo.py:204 routes through
+    prompt_parsing.parse_writing_style_block:134-138, which tries the
+    dash form ``- Emoji Usage: (none|infrequent|frequent)`` FIRST,
+    falls back to the ``**Emoji Usage**`` field, matches field names
+    case-insensitively with UNICODE ``\\s``, and str.strip()s the
+    value — so ``(?iU)`` + py_strip here, not ASCII trim (r8 unit
+    differential caught 56 reference-scorable divergent cases:
+    NBSP-padded values, case-variant names, dash-form precedence).
+    The ``field=`` primitive path is the pipeline-canonical fast path
+    (q26's stage-18-derived prompts are exact-case and clean, where
+    both parses agree)."""
+    if field is None:
+        from .cleaning import py_strip
+        dash = F.lower(F.regexp_extract(
+            prompt, r"(?iU)-\s*Emoji\s+Usage:\s*(none|infrequent|frequent)",
+            1))
+        star = F.lower(py_strip(F.regexp_extract(
+            prompt, r"(?iU)\*\*Emoji Usage\*\*:\s*([^\n]*)", 1)))
+        req = F.when(dash != "", dash).otherwise(star)
+    else:
+        req = F.trim(field)
     required_cat = (F.when(req.isin(*_EMOJI_ORDER), req)
                      .when(req == "infrequent", F.lit("low"))
                      .when(req == "frequent", F.lit("high"))

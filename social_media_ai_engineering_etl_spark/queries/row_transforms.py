@@ -799,14 +799,17 @@ def q15_clean_context(spark, sf_dir):
 # labels, raw-line matching, most-common first-encountered tie-break,
 # 4+-run backreference dividers).  Unicode-exactness is the unit
 # differential's job (tests/test_reference_units_differential.py);
-# this corpus is ASCII-tame so the oracle's plain RE2 classes agree.
+# the derived corpus is projected to printable ASCII in BOTH engines
+# (see _b17_derive), so the oracle's plain RE2 classes agree by
+# construction, not by assumption (ADVICE r7).
 # --------------------------------------------------------------------------
 
-_B17_DERIVE_SQL = """
+_B17_DERIVE_SQL = r"""
     SELECT doc_id,
         (CASE doc_id % 4 WHEN 0 THEN '1. ' WHEN 1 THEN 'a) '
                          WHEN 2 THEN chr(8226) || ' ' ELSE '' END)
-        || substr(text, 1, 24) || chr(10)
+        || regexp_replace(substr(text, 1, 24), '[^\x20-\x7e]', 'x', 'g')
+        || chr(10)
         || (CASE doc_id % 5 WHEN 0 THEN '----' WHEN 1 THEN '****'
                             WHEN 2 THEN '- - - -' WHEN 3 THEN '____'
                             ELSE '~~~~' END) || chr(10)
@@ -818,11 +821,21 @@ _B17_DERIVE_SQL = """
 
 
 def _b17_derive(df):
+    # The text fragment is projected to PRINTABLE ASCII in BOTH
+    # engines (ADVICE r7): the oracle's plain RE2 classes (\d, \w,
+    # trim) and the engine's CPython-faithful classes only agree on
+    # ASCII, so the derivation guarantees the agreement BY
+    # CONSTRUCTION instead of assuming the testdata stays tame —
+    # a regen with an 'é'-led or CJK-led text can no longer produce
+    # a spurious class-skew mismatch here.  Unicode-exactness of the
+    # detectors themselves is the unit differential's job
+    # (tests/test_reference_units_differential.py).
     d = F.col("doc_id")
     line0 = F.concat(
         F.when(d % 4 == 0, F.lit("1. ")).when(d % 4 == 1, F.lit("a) "))
          .when(d % 4 == 2, F.lit("• ")).otherwise(F.lit("")),
-        F.substring(F.col("text"), 1, 24))
+        F.regexp_replace(F.substring(F.col("text"), 1, 24),
+                         r"[^\x20-\x7e]", "x"))
     line1 = (F.when(d % 5 == 0, F.lit("----"))
               .when(d % 5 == 1, F.lit("****"))
               .when(d % 5 == 2, F.lit("- - - -"))

@@ -183,6 +183,26 @@ elif mode == "aggregator":
         "zero_w": aggregate_rewards(prompts, comps, funcs,
                                     {k: 0.0 for k in funcs}),
     }
+elif mode == "emoji_enhanced":
+    import re as _re
+    _em = _re.compile(data["pattern"])
+    emojis_mod = types.ModuleType("emojis")
+    emojis_mod.count = lambda s: len(_em.findall(s))
+    sys.modules["emojis"] = emojis_mod
+    from training.grpo.prompt_parsing import parse_writing_style_block
+    from training.rewards.emoji import enhanced_emoji_usage_reward
+    out = [enhanced_emoji_usage_reward(
+               parse_writing_style_block(p).get("emoji_usage_requirement"),
+               c)
+           for p, c in data["pairs"]]
+elif mode == "emoji_coarse":
+    import re as _re
+    _em = _re.compile(data["pattern"])
+    emojis_mod = types.ModuleType("emojis")
+    emojis_mod.count = lambda s: len(_em.findall(s))
+    sys.modules["emojis"] = emojis_mod
+    from training.rewards.emoji import emoji_usage_reward
+    out = [emoji_usage_reward(req, c) for req, c in data["pairs"]]
 elif mode == "violations":
     from utils.violations import violate_hashtags, violate_length
     out = []
@@ -759,6 +779,119 @@ def test_emoji_variety_matches_reference(spark, tmp_path):
 
 def re_escape_cp(cp: int) -> str:
     return "\\U%08X" % cp if cp > 0xFFFF else "\\u%04X" % cp
+
+
+def _py_emoji_pattern() -> str:
+    import re as _re
+
+    from social_media_ai_engineering_etl_spark.functions.textstats import (
+        EMOJI_CLASS)
+    return _re.sub(r"\\x\{([0-9A-Fa-f]+)\}",
+                   lambda m: re_escape_cp(int(m.group(1), 16)),
+                   EMOJI_CLASS)
+
+
+_EMOJI_FIELD_VALUES = (
+    "none", "very low", "low", "medium", "high", "extreme",
+    "infrequent", "frequent", "occasional", "None", "HIGH",
+    " low ", "low\xa0", "\u3000medium", "", "  ")
+
+
+def _emoji_completion_pool(seed: int = 3434, n: int = 40) -> list[str]:
+    rng = random.Random(seed)
+    pool = [
+        "",                                   # len 0 -> freq 0
+        "plain words no emoji at all",
+        "😀" + "x" * 1999,                    # 1/2000 = 0.0005 edge
+        "😀" + "x" * 999,                     # 1/1000 = 0.001 edge
+        "😀😀😀😀😀" + "x" * 995,              # 5/1000 = 0.005 edge
+        "😀" * 10 + "x" * 990,                # 10/1000 = 0.01 edge
+        "😀" * 50 + "x" * 50,                 # 0.5 extreme
+        "🔥✨👍 three in ten chars",
+        "😀" + "x" * 2000,                    # just under 0.0005
+    ]
+    for _ in range(n):
+        k = rng.randint(0, 12)
+        body = "x" * rng.randint(0, 1200)
+        pool.append("🚀" * k + body)
+    return pool
+
+
+def _emoji_prompt(field_line: str) -> str:
+    return ("# Request\nCreate a post.\n\n## Writing Style\n"
+            f"{field_line}\n**Tone**: friendly\n")
+
+
+def _emoji_enhanced_corpus(seed: int = 555):
+    rng = random.Random(seed)
+    lines = (
+        ["**Emoji Usage**: " + v for v in _EMOJI_FIELD_VALUES]
+        + ["**emoji usage**: high",           # case-insensitive name
+           "**EMOJI USAGE**: none",
+           "- Emoji Usage: infrequent",       # dash form (precedence)
+           "- emoji usage: frequent",
+           "- Emoji Usage: frequent\n**Emoji Usage**: none",  # both
+           "**Emoji Usage**:\xa0high",        # unicode \s* after colon
+           "no field at all"])
+    comps = _emoji_completion_pool()
+    pairs = []
+    for ln in lines:
+        for c in rng.sample(comps, 8):
+            pairs.append((_emoji_prompt(ln), c))
+    return pairs
+
+
+def test_emoji_enhanced_reward_matches_reference(spark, tmp_path):
+    """R3 differential via the reference's EFFECTIVE invocation
+    (26-train-grpo.py:204: parse_writing_style_block ->
+    enhanced_emoji_usage_reward).  The `emojis` package is shimmed
+    with the engine's measured class (membership shared by
+    construction; the parse/strip/bin arithmetic is what this
+    proves)."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        enhanced_emoji_usage)
+    pairs = _emoji_enhanced_corpus()
+    want = _run_ref_units("emoji_enhanced",
+                          {"pattern": _py_emoji_pattern(),
+                           "pairs": pairs}, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", enhanced_emoji_usage(F.col("p"), F.col("c")).alias("s"))
+        .collect()}
+    bad = [(repr(pairs[i][0].split(chr(10))[4])[:60],
+            repr(pairs[i][1][:20]), got[i], want[i])
+           for i in range(len(pairs))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, (len(bad), bad[:8])
+    assert {0.0, 0.4, 0.7, 1.0, 0.5} <= {round(v, 1) for v in want}
+
+
+def test_emoji_coarse_reward_matches_reference(spark, tmp_path):
+    """R4 differential: emoji_usage_reward(required, completion) as a
+    pure function grid — the reference lowers WITHOUT stripping here
+    (unlike R3's parse), so padded values fall to its else-branches."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        emoji_usage_coarse)
+    rng = random.Random(777)
+    comps = _emoji_completion_pool(seed=778)
+    pairs = [(req, c) for req in _EMOJI_FIELD_VALUES
+             for c in rng.sample(comps, 6)]
+    want = _run_ref_units("emoji_coarse",
+                          {"pattern": _py_emoji_pattern(),
+                           "pairs": pairs}, tmp_path)
+    df = spark.createDataFrame(
+        [(i, req, c) for i, (req, c) in enumerate(pairs)],
+        "i long, req string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", emoji_usage_coarse(
+            F.lit(None).cast("string"), F.col("c"),
+            field=F.lower(F.col("req"))).alias("s")).collect()}
+    bad = [(repr(pairs[i][0]), repr(pairs[i][1][:20]), got[i], want[i])
+           for i in range(len(pairs))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, (len(bad), bad[:8])
 
 
 def test_aggregator_matches_reference(spark, tmp_path):
