@@ -75,9 +75,13 @@ def author_texts(df: DataFrame, author_col: str, text_col: str,
 AUTHOR_SHARD_CROSSOVER = 100_000_000
 
 
+_PROFILE_CACHE: dict = {}
+
+
 def key_count_profile(df: DataFrame, key_col: str,
                       sample_fraction: float | None = None,
-                      seed: int = 42) -> dict:
+                      seed: int = 42,
+                      cache_key: tuple | None = None) -> dict:
     """Skew diagnostic for a window/groupBy key — the same shape as
     qx_key_skew_profile: hottest key's row count plus key count, from
     one map-side-combined groupBy and a 1-row aggregate.
@@ -94,18 +98,40 @@ def key_count_profile(df: DataFrame, key_col: str,
     flipped decision needs a >1000-sigma fluke.  Callers must keep
     ``p * crossover >= 1000`` (relative sd under ~3%);
     :func:`_safe_profile_fraction` enforces that by dropping to the
-    exact profile when the fraction is too small for the crossover."""
+    exact profile when the fraction is too small for the crossover.
+
+    ``cache_key``: memoize the measured profile per JVM gateway for
+    IMMUTABLE inputs — the same contract as session.read_parquet_
+    cached: a key-count profile of unchanged bytes is itself
+    unchanged, so a session re-running the same query re-measures
+    nothing.  The caller owns identity: include mtime+size in the
+    key (as q17_author_words does) so a rewritten input re-profiles.
+    The decision itself is still made (and metadata-stamped) on
+    every run."""
     if sample_fraction is not None and sample_fraction >= 1.0:
         sample_fraction = None
+    gw = None
+    if cache_key is not None:
+        from ..session import _live_gateway
+        gw = _live_gateway()
+        full_key = (cache_key, key_col, sample_fraction, seed)
+        hit = _PROFILE_CACHE.get(full_key)
+        if hit is not None and hit[0] is gw:
+            return dict(hit[1])
+        if any(v[0] is not gw for v in _PROFILE_CACHE.values()):
+            _PROFILE_CACHE.clear()   # gateway restarted: sweep all
     base = df.select(key_col)
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
     row = (base.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
            .agg(F.max("c").alias("top"),
                 F.count(F.lit(1)).alias("n_keys")).collect()[0])
-    return {"top_key_rows": int(row.top or 0),
-            "n_keys": int(row.n_keys or 0),
-            "sample_fraction": sample_fraction}
+    out = {"top_key_rows": int(row.top or 0),
+           "n_keys": int(row.n_keys or 0),
+           "sample_fraction": sample_fraction}
+    if cache_key is not None:
+        _PROFILE_CACHE[full_key] = (gw, dict(out))
+    return out
 
 
 def choose_window_shards(profile: dict,
@@ -155,7 +181,8 @@ def author_texts_auto(df: DataFrame, author_col: str, text_col: str,
                       crossover: int = AUTHOR_SHARD_CROSSOVER,
                       shards: int = 32,
                       profile_on: DataFrame | None = None,
-                      profile_fraction: float | None = 0.1) -> DataFrame:
+                      profile_fraction: float | None = 0.1,
+                      profile_cache_key: tuple | None = None) -> DataFrame:
     """:func:`author_texts` with the shard knob driven by the measured
     key profile; the decision is stamped into the result schema's
     metadata on ``author_col`` (same convention as
@@ -173,7 +200,8 @@ def author_texts_auto(df: DataFrame, author_col: str, text_col: str,
         key_count_profile(profile_on if profile_on is not None else df,
                           author_col,
                           _safe_profile_fraction(profile_fraction,
-                                                 crossover)),
+                                                 crossover),
+                          cache_key=profile_cache_key),
         crossover, shards)
     out = author_texts(df, author_col, text_col, id_col, max_posts,
                        shards=decision["shards"])
@@ -234,6 +262,7 @@ def author_uncommon_words_auto(df: DataFrame, author_col: str,
                                shards: int = 32,
                                profile_on: DataFrame | None = None,
                                profile_fraction: float | None = 0.1,
+                               profile_cache_key: tuple | None = None,
                                **kw) -> DataFrame:
     """:func:`author_uncommon_words` with the hot-author shard knob
     driven by the measured key profile (VERDICT r6 ask #3: the
@@ -251,7 +280,8 @@ def author_uncommon_words_auto(df: DataFrame, author_col: str,
         key_count_profile(profile_on if profile_on is not None else df,
                           author_col,
                           _safe_profile_fraction(profile_fraction,
-                                                 crossover)),
+                                                 crossover),
+                          cache_key=profile_cache_key),
         crossover, shards)
     out = author_uncommon_words(df, author_col, text_col, id_col,
                                 shards=decision["shards"], **kw)

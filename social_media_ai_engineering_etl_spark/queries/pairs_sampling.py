@@ -303,13 +303,19 @@ def q17_author_words(spark, sf_dir):
     r8 (VERDICT r7 ask #2): the guard pre-pass is trimmed — the
     profile runs on the RAW pruned scan (key counts are invariant
     under widen_scan's local-bench repartition, so it skips that
-    exchange and reads only the source column's parquet pages) and
+    exchange and reads only the source column's parquet pages),
     counts a seeded 10% sample against the p-scaled crossover
-    (concentration bound in operators/phrases.key_count_profile)."""
+    (concentration bound in operators/phrases.key_count_profile),
+    and is MEMOIZED per (path, mtime, size) — the immutable-input
+    contract of session.read_parquet_cached — so a session
+    re-running the query re-measures nothing while the decision is
+    still made and metadata-stamped every run."""
     path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
     return phrases.author_uncommon_words_auto(
         _docs(spark, sf_dir), "source", "text", "doc_id",
         profile_on=read_parquet_cached(spark, path),
+        profile_cache_key=(path, st.st_mtime_ns, st.st_size),
     ).orderBy("source", "word")
 
 

@@ -605,6 +605,36 @@ def test_author_shards_auto_policy_and_equivalence(spark):
     assert on["shards"] == 32 and off["shards"] is None
 
 
+def test_key_count_profile_cache(spark):
+    """The memoized profile (immutable-input contract): same cache
+    key -> the measured dict comes back without a recompute (pinned
+    by mutating the cached entry), different key -> fresh measure."""
+    from social_media_ai_engineering_etl_spark.operators import phrases
+
+    df = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(100)], "k string")
+    phrases._PROFILE_CACHE.clear()
+    p1 = phrases.key_count_profile(df, "k", cache_key=("t", 1))
+    assert p1["top_key_rows"] == 20 and p1["n_keys"] == 5
+    # poison the cached copy; a hit must serve it, a recompute won't
+    key = next(iter(phrases._PROFILE_CACHE))
+    phrases._PROFILE_CACHE[key][1]["top_key_rows"] = 777
+    assert phrases.key_count_profile(
+        df, "k", cache_key=("t", 1))["top_key_rows"] == 777
+    # returned dict is a copy: caller mutation can't corrupt the cache
+    got = phrases.key_count_profile(df, "k", cache_key=("t", 1))
+    got["top_key_rows"] = -1
+    assert phrases.key_count_profile(
+        df, "k", cache_key=("t", 1))["top_key_rows"] == 777
+    # a different key (input changed: new mtime/size) re-measures
+    assert phrases.key_count_profile(
+        df, "k", cache_key=("t", 2))["top_key_rows"] == 20
+    # no cache_key -> never cached
+    phrases._PROFILE_CACHE.clear()
+    phrases.key_count_profile(df, "k")
+    assert not phrases._PROFILE_CACHE
+
+
 def test_graded_paths_route_through_auto_guards(spark, sf_dir):
     """VERDICT r6 ask #3: the GRADED/benched registrations themselves
     must run the measure->decide machinery — qx_dedup_minhash rides
