@@ -113,6 +113,32 @@ def precise_post_length(prompt: Column, completion: Column,
              .otherwise(fallback))
 
 
+def precise_post_length_grpo(prompt: Column, completion: Column) -> Column:
+    """R1 via the GRPO EFFECTIVE invocation (26-train-grpo.py:198
+    routes through prompt_parsing.parse_writing_style_block:128-132):
+    the dash form ``- Post length: (up to [\\d,]+ characters)`` is
+    tried FIRST (case-insensitive, literal single spaces, unicode
+    ``\\d``), falling back to the ``**Suggested Post Length**`` field
+    matched case-insensitively; the value str.strip()s.
+
+    Distinct from :func:`precise_post_length`, which mirrors
+    length.py's OWN wrapper (the score_app / evaluate_rewards path,
+    case-SENSITIVE field name) — both invocation paths are genuine
+    reference surfaces and each engine form is unit-differentialed
+    against its counterpart."""
+    from ._unicode_py_classes import PY_DIGIT_CHAR
+    from .cleaning import py_strip
+    digit_comma = PY_DIGIT_CHAR[:-1] + ",]"    # [\d<measured>,]
+    dash = F.regexp_extract(
+        prompt,
+        r"(?iU)-\s*Post\s+length:\s*(up to " + digit_comma
+        + "+ characters)", 1)
+    star = F.regexp_extract(
+        prompt, r"(?iU)\*\*Suggested Post Length\*\*:\s*([^\n]*)", 1)
+    req = py_strip(F.when(dash != "", dash).otherwise(star))
+    return precise_post_length(prompt, completion, req=req)
+
+
 # ---------------------------------------------------------------------------
 # R6 — punctuation usage (punctuation.py:6-66)
 # ---------------------------------------------------------------------------

@@ -183,6 +183,13 @@ elif mode == "aggregator":
         "zero_w": aggregate_rewards(prompts, comps, funcs,
                                     {k: 0.0 for k in funcs}),
     }
+elif mode == "length_grpo":
+    from training.grpo.prompt_parsing import parse_writing_style_block
+    from training.rewards.length import precise_post_length_reward
+    out = [precise_post_length_reward(
+               parse_writing_style_block(p).get("post_length_requirement"),
+               c)
+           for p, c in data]
 elif mode == "emoji_enhanced":
     import re as _re
     _em = _re.compile(data["pattern"])
@@ -779,6 +786,63 @@ def test_emoji_variety_matches_reference(spark, tmp_path):
 
 def re_escape_cp(cp: int) -> str:
     return "\\U%08X" % cp if cp > 0xFFFF else "\\u%04X" % cp
+
+
+_LEN_GRPO_LINES = (
+    "- Post length: up to 750 characters",        # dash form
+    "- post LENGTH: up to 1,200 characters",      # (?i) dash
+    "- Post length: up to ٧٥٠ characters",        # unicode \d in dash
+    "- Post length: between 750 and 1,500 characters",  # dash no-match
+    "- Post length: up to 750 characters\n"
+    "**Suggested Post Length**: between 750 and 1,500 characters",
+    "**Suggested Post Length**: Up to 750 characters",
+    "**suggested post length**: up to 750 characters",  # (?i) star
+    "**SUGGESTED POST LENGTH**: between 1,500 and 3,000 characters",
+    "**Suggested Post Length**: up to 300 characters\xa0",  # strip
+    "**Suggested Post Length**:\xa0up to 300 characters",   # \s* pad
+    "**Suggested Post Length**:   ",              # ws-only -> 0.5
+    "no length field at all",
+)
+
+
+def _length_grpo_corpus(seed: int = 4242, n: int = 150):
+    rng = random.Random(seed)
+    pairs = []
+    lens = [0, 1, 200, 299, 300, 301, 330, 331, 374, 375, 749, 750,
+            751, 824, 825, 826, 937, 938, 1199, 1200, 1201, 1499,
+            1500, 1501, 2999, 3000, 3001, 3300, 3750, 3751]
+    for ln in _LEN_GRPO_LINES:
+        for k in rng.sample(lens, 10):
+            pairs.append((f"# Request\nPost please.\n\n## Writing "
+                          f"Style\n{ln}\n**Tone**: bold\n", "x" * k))
+    for _ in range(n):
+        pairs.append((f"## Style\n{rng.choice(_LEN_GRPO_LINES)}",
+                      "y" * rng.randint(0, 4000)))
+    return pairs
+
+
+def test_length_grpo_path_matches_reference(spark, tmp_path):
+    """R1 via the GRPO effective invocation (26-train-grpo.py:198 ->
+    parse_writing_style_block): dash-form precedence, (?i) field
+    names, unicode digits, str.strip — against the engine's
+    precise_post_length_grpo.  The length.py-wrapper path has its own
+    differential above (both are genuine reference surfaces)."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        precise_post_length_grpo)
+    pairs = _length_grpo_corpus()
+    want = _run_ref_units("length_grpo", pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", precise_post_length_grpo(F.col("p"), F.col("c"))
+        .alias("s")).collect()}
+    bad = [(repr(pairs[i][0].split(chr(10))[-3])[:60],
+            len(pairs[i][1]), got[i], want[i])
+           for i in range(len(pairs))
+           if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, (len(bad), bad[:8])
+    assert {0.0, 0.5, 1.0} <= {round(v, 1) for v in want}
 
 
 def _py_emoji_pattern() -> str:
