@@ -109,6 +109,13 @@ PY_ALPHA_CHAR_RE2 = "[^\\P{L}" + RE2_ALPHA_EXCESS + "]"
 PY_DIGIT_CHAR = "[\\d" + JAVA_DIGIT_EXTRA + "]"
 # one Python re-\s char, Java (?U) context (isspace-faithful)
 PY_SPACE_CHAR = "[\\s\\x1c-\\x1f]"
+# one CPython upper-alpha char (isalpha() and isupper()), Java regex.
+# Measured: the set equals category Lu under CPython's tables (no
+# Other_Uppercase survivor is isalpha), Java 17's Lu is a strict
+# subset (Unicode-14 additions), RE2's Lu matches it EXACTLY.
+PY_UPPER_ALPHA_CHAR = "[\\p{Lu}" + JAVA_UPPER_EXTRA + "]"
+# same class, RE2 (DuckDB) — measured exactly equal, no correction
+PY_UPPER_ALPHA_CHAR_RE2 = "\\p{Lu}"
 # one char matching Python [^\w\s] (the symbolic-bullet class), Java
 # (?U) context: either a Java-word char Python does NOT count as word
 # (combining marks), or not-word/space under the Python-adjusted sets
@@ -134,10 +141,13 @@ def main() -> int:
     cps = [i for i in range(0x110000) if not (0xD800 <= i <= 0xDFFF)]
     rd, rw = re.compile(r"\d"), re.compile(r"\w")
     py_alpha, py_space, py_d, py_w = set(), set(), set(), set()
+    py_up = set()
     for i in cps:
         c = chr(i)
         if c.isalpha():
             py_alpha.add(i)
+            if c.isupper():
+                py_up.add(i)
         if c.isspace():
             py_space.add(i)
         if rd.match(c):
@@ -166,29 +176,37 @@ def main() -> int:
          .alias("js"),
         F.col("c").rlike("^(?U)\\d$").alias("jd"),
         F.col("c").rlike("^(?U)\\w$").alias("jw"),
+        F.col("c").rlike("^\\p{Lu}$").alias("ju"),
         # the derived fragments, end-to-end
         F.col("c").rlike("^(?U)" + gen.PY_ALPHA_CHAR + "$").alias("fa"),
         F.col("c").rlike("^(?U)" + gen.PY_DIGIT_CHAR + "$").alias("fd"),
         F.col("c").rlike("^(?U)" + gen.PY_NONWORDSPACE_CHAR + "$")
-         .alias("fn")).collect()
+         .alias("fn"),
+        F.col("c").rlike("^(?U)" + getattr(gen, "PY_UPPER_ALPHA_CHAR",
+                                           "$^") + "$").alias("fu")
+        ).collect()
     j_alpha = {r.id for r in res if r.jl}
     j_space = {r.id for r in res if r.js}
     j_d = {r.id for r in res if r.jd}
     j_w = {r.id for r in res if r.jw}
+    j_up = {r.id for r in res if r.ju}
     frag_alpha = {r.id for r in res if r.fa}
     frag_d = {r.id for r in res if r.fd}
     frag_nws = {r.id for r in res if r.fn}
+    frag_up = {r.id for r in res if r.fu}
 
     con = duckdb.connect()
     con.register("pdf", pdf)
     dres = con.execute(
         r"SELECT id, regexp_matches(c, '^\p{L}$') AS dl, "
         r"regexp_matches(c, '^[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]$') AS ds, "
-        "regexp_matches(c, '^" + gen.PY_ALPHA_CHAR_RE2 + "$') AS fa "
+        "regexp_matches(c, '^" + gen.PY_ALPHA_CHAR_RE2 + "$') AS fa, "
+        r"regexp_matches(c, '^\p{Lu}$') AS du "
         "FROM pdf").fetchall()
     d_alpha = {r[0] for r in dres if r[1]}
     d_space = {r[0] for r in dres if r[2]}
     dfrag_alpha = {r[0] for r in dres if r[3]}
+    d_up = {r[0] for r in dres if r[4]}
 
     print(f"py alpha {len(py_alpha)} | java \\p{{L}} {len(j_alpha)} | "
           f"re2 \\p{{L}} {len(d_alpha)}")
@@ -201,13 +219,16 @@ def main() -> int:
         "JAVA_DIGIT_EXTRA": _ranges(py_d - j_d),
         "JAVA_WORD_EXTRA": _ranges(py_w - j_w),
         "JAVA_WORD_EXCESS": _ranges(j_w - py_w),
+        "JAVA_UPPER_EXTRA": _ranges(py_up - j_up),
     }
 
     ok = True
     # one-way containments the fragment construction relies on
     for name, bad in [("java alpha not py", j_alpha - py_alpha),
                       ("py alpha not re2", py_alpha - d_alpha),
-                      ("java digit not py", j_d - py_d)]:
+                      ("java digit not py", j_d - py_d),
+                      ("java Lu not py upper-alpha", j_up - py_up),
+                      ("re2 Lu != py upper-alpha", d_up ^ py_up)]:
         if bad:
             ok = False
             print(f"CONTAINMENT BROKEN: {name}: {len(bad)} cps")
@@ -219,10 +240,13 @@ def main() -> int:
     # derived fragments classify exactly as CPython
     py_nws = {i for i in cps
               if i not in py_w and i not in py_space}
+    has_up = hasattr(gen, "PY_UPPER_ALPHA_CHAR")
     for name, got, want in [("PY_ALPHA_CHAR", frag_alpha, py_alpha),
                             ("PY_DIGIT_CHAR", frag_d, py_d),
                             ("PY_NONWORDSPACE_CHAR", frag_nws, py_nws),
-                            ("PY_ALPHA_CHAR_RE2", dfrag_alpha, py_alpha)]:
+                            ("PY_ALPHA_CHAR_RE2", dfrag_alpha, py_alpha)
+                            ] + ([("PY_UPPER_ALPHA_CHAR", frag_up, py_up)]
+                                 if has_up else []):
         if got != want:
             ok = False
             print(f"FRAGMENT DIVERGES: {name}: {len(got ^ want)} cps, "
@@ -237,13 +261,17 @@ def main() -> int:
                            "(Nl/No numerics + U14 letters)\n",
         "JAVA_WORD_EXCESS": "\n# Java (?U)\\\\w minus Python re \\\\w "
                             "(combining marks Mn/Mc/Me)\n",
+        "JAVA_UPPER_EXTRA": "\n# CPython upper-alpha (isalpha & isupper"
+                            " == category Lu under CPython's tables)\n"
+                            "# minus Java \\\\p{Lu} (Unicode-14 "
+                            "additions, e.g. Vithkuqi)\n",
     }
     body = [_HEADER]
     for name, rr in deltas.items():
         body.append(comments.get(name, ""))
         body.append(_pywrap(name, rr))
         measured = "".join(_parts(rr))
-        if getattr(gen, name) != measured:
+        if getattr(gen, name, None) != measured:
             ok = False
             print(f"PINNED CONSTANT STALE: {name}")
     import unicodedata

@@ -174,6 +174,12 @@ JAVA_WORD_EXCESS = (
     r"\x{1E944}-\x{1E94A}\x{1F130}-\x{1F149}\x{1F150}-\x{1F169}"
     r"\x{1F170}-\x{1F189}\x{E0100}-\x{E01EF}")
 
+# CPython upper-alpha (isalpha & isupper == category Lu under CPython's tables)
+# minus Java \\p{Lu} (Unicode-14 additions, e.g. Vithkuqi)
+JAVA_UPPER_EXTRA = (
+    r"\x{2C2F}\x{A7C0}\x{A7D0}\x{A7D6}\x{A7D8}\x{10570}-\x{1057A}"
+    r"\x{1057C}-\x{1058A}\x{1058C}-\x{10592}\x{10594}-\x{10595}")
+
 
 # ---------------------------------------------------------------------------
 # derived single-char pattern fragments (Java fragments assume the
@@ -188,6 +194,13 @@ PY_ALPHA_CHAR_RE2 = "[^\\P{L}" + RE2_ALPHA_EXCESS + "]"
 PY_DIGIT_CHAR = "[\\d" + JAVA_DIGIT_EXTRA + "]"
 # one Python re-\s char, Java (?U) context (isspace-faithful)
 PY_SPACE_CHAR = "[\\s\\x1c-\\x1f]"
+# one CPython upper-alpha char (isalpha() and isupper()), Java regex.
+# Measured: the set equals category Lu under CPython's tables (no
+# Other_Uppercase survivor is isalpha), Java 17's Lu is a strict
+# subset (Unicode-14 additions), RE2's Lu matches it EXACTLY.
+PY_UPPER_ALPHA_CHAR = "[\\p{Lu}" + JAVA_UPPER_EXTRA + "]"
+# same class, RE2 (DuckDB) — measured exactly equal, no correction
+PY_UPPER_ALPHA_CHAR_RE2 = "\\p{Lu}"
 # one char matching Python [^\w\s] (the symbolic-bullet class), Java
 # (?U) context: either a Java-word char Python does NOT count as word
 # (combining marks), or not-word/space under the Python-adjusted sets

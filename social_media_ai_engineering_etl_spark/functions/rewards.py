@@ -703,30 +703,40 @@ def semantic_coherence(completion: Column) -> Column:
 # P17 URL detection (24:35-38, training/grpo/prompt_parsing.py:218-220)
 URL_REGEX = r"http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*(),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+"
 
+# (?iu): Python re.IGNORECASE folds unicode case (KELVIN SIGN matches
+# 'k'); Java needs UNICODE_CASE on top of CASE_INSENSITIVE for that —
+# r8 fabrication differential
 _NEWSLETTER_PATTERNS = (
-    r"(?i)(sign\s*up|subscribe|join).{0,30}(newsletter)",
-    r"(?i)(register|join).{0,30}(webinar|event)",
-    r"(?i)link in (bio|profile|comments)",
+    r"(?iu)(sign\s*up|subscribe|join).{0,30}(newsletter)",
+    r"(?iu)(register|join).{0,30}(webinar|event)",
+    r"(?iu)link in (bio|profile|comments)",
 )
 _ACTION_PATTERNS = (
-    r"(?i)link in (bio|comments|description)",
-    r"(?i)dm me for",
-    r"(?i)email me at",
-    r"(?i)call (me|us) at",
-    r"(?i)limited time offer",
-    r"(?i)exclusive (deal|offer)",
+    r"(?iu)link in (bio|comments|description)",
+    r"(?iu)dm me for",
+    r"(?iu)email me at",
+    r"(?iu)call (me|us) at",
+    r"(?iu)limited time offer",
+    r"(?iu)exclusive (deal|offer)",
 )
 
 
 def _capitalized_pairs(text: Column) -> Column:
     """Consecutive capitalized-word pairs — the reference's non-spaCy
-    people-name fallback (prompt_parsing.py:247-258)."""
-    words = F.split(F.trim(text), "\\s+")
+    people-name fallback (prompt_parsing.py:165-178): first char
+    ``isalpha() and isupper()`` (the MEASURED CPython upper-alpha
+    class — 'Éric Dupont' and U+10570-initial Vithkuqi words are
+    names, titlecase 'ǅ' is not; r8 differential) and length > 1,
+    over Python-whitespace splits."""
+    from ._unicode_py_classes import PY_UPPER_ALPHA_CHAR
+    from .cleaning import PY_WS_SPLIT, py_strip
+    initial = "^(?U)" + PY_UPPER_ALPHA_CHAR + "."
+    words = F.split(py_strip(text), PY_WS_SPLIT)
     shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
     pairs = F.zip_with(F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
                        shifted,
                        lambda a, b: F.when(
-                           a.rlike("^[A-Z].") & b.rlike("^[A-Z]."),
+                           a.rlike(initial) & b.rlike(initial),
                            F.concat(a, F.lit(" "), b)))
     return F.filter(pairs, lambda x: x.isNotNull())
 
@@ -734,10 +744,20 @@ def _capitalized_pairs(text: Column) -> Column:
 def fabrication_guard(prompt: Column, completion: Column) -> Column:
     """R18: penalties for fabricated URLs (+0.7 / +0.5), new person
     names (0.1 each, cap 0.5), and promo/action phrases (+0.3 / +0.4);
-    score = max(0, 1 - penalty). Org penalty is 0 (see docstring)."""
-    topic = F.regexp_extract(prompt, r"(?i)on the topic of`?:?\s*`?([^`\n]+)", 1)
-    key_msg = F.regexp_extract(prompt,
-                               r"(?is)### Key Message\s*```\s*(.*?)\s*```", 1)
+    score = max(0, 1 - penalty). Org penalty is 0 (see docstring).
+
+    The topic / key-message extraction mirrors CPython re exactly
+    (prompt_parsing.py:20-29): ``\\s*`` is UNICODE whitespace (an
+    NBSP or em-space after the colon must not truncate the capture)
+    and both captures ``str.strip()`` — r8 differential catches."""
+    from .cleaning import py_strip
+    from ._unicode_py_classes import PY_SPACE_CHAR
+    topic = py_strip(F.regexp_extract(
+        prompt,
+        r"(?iU)on the topic of`?:?" + PY_SPACE_CHAR + r"*`?([^`\n]+)", 1))
+    key_msg = py_strip(F.regexp_extract(
+        prompt,
+        r"(?isU)### Key Message" + PY_SPACE_CHAR + r"*```(.*?)```", 1))
     urls_c = F.regexp_extract_all(completion, F.lit(URL_REGEX), 0)
     urls_p = F.regexp_extract_all(prompt, F.lit(URL_REGEX), 0)
     url_pen = (F.when(F.size(urls_c) == 0, F.lit(0.0))

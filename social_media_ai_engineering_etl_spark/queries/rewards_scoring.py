@@ -737,27 +737,46 @@ def q26_rewards_sentiment(spark, sf_dir):
 _URL_SQL = (r"http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*(),]"
             r"|(?:%[0-9a-fA-F][0-9a-fA-F]))+")
 
-_CAP_PAIRS = """list_filter(list_transform(
+# first-char class: RE2 \p{Lu} is MEASURED exactly equal to CPython's
+# isalpha-and-isupper set (scripts/unicode_skew.py; the engine's Java
+# side needs the JAVA_UPPER_EXTRA correction, RE2 needs none)
+_CAP_PAIRS = r"""list_filter(list_transform(
         range(1, greatest(len({w}), 1)),
-        i -> CASE WHEN regexp_matches({w}[i], '^[A-Z].')
-                   AND regexp_matches({w}[i+1], '^[A-Z].')
+        i -> CASE WHEN regexp_matches({w}[i], '^\p{{Lu}}.')
+                   AND regexp_matches({w}[i+1], '^\p{{Lu}}.')
                   THEN {w}[i] || ' ' || {w}[i+1] END),
         x -> x IS NOT NULL)"""
+
+# CPython-re-faithful extraction (unicode \s, str.strip) — mirrors
+# fabrication_guard's (?iU)/py_strip forms; RE2 \s is ASCII so the
+# python-space class is spelled out (same set as PY_WS_SPLIT_RE2)
+_PYS = r"[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]"
+_TOPIC_RAW = ("regexp_extract(prompt, '(?i)on the topic of`?:?"
+              + _PYS + r"*`?([^`\n]+)', 1)")
+_KEY_RAW = ("regexp_extract(prompt, '(?is)### Key Message"
+            + _PYS + r"*```(.*?)```', 1)")
+
+
+def _pystrip_sql(x: str) -> str:
+    return ("regexp_replace(regexp_replace(" + x + ", '^" + _PYS
+            + "+', ''), '" + _PYS + "+$', '')")
+
+
+def _pysplit_sql(x: str) -> str:
+    return ("string_split_regex(" + _pystrip_sql(x) + ", '"
+            + _PYS + "+')")
+
 
 _FAB_SQL = "WITH rp AS (" + _RP_CTE + r"""
 ), base AS (
     SELECT doc_id, prompt, completion,
-        regexp_extract(prompt, '(?i)on the topic of`?:?\s*`?([^`\n]+)', 1)
-            AS topic,
-        regexp_extract(prompt,
-            '(?is)### Key Message\s*```\s*(.*?)\s*```', 1) AS key_msg,
+        """ + _pystrip_sql(_TOPIC_RAW) + r""" AS topic,
+        """ + _pystrip_sql(_KEY_RAW) + r""" AS key_msg,
         regexp_extract_all(completion, '""" + _URL_SQL + r"""') AS urls_c,
         regexp_extract_all(prompt, '""" + _URL_SQL + r"""') AS urls_p,
-        string_split_regex(trim(completion), '\s+') AS cw,
-        string_split_regex(trim(regexp_extract(prompt,
-            '(?i)on the topic of`?:?\s*`?([^`\n]+)', 1)), '\s+') AS tw,
-        string_split_regex(trim(regexp_extract(prompt,
-            '(?is)### Key Message\s*```\s*(.*?)\s*```', 1)), '\s+') AS kw
+        """ + _pysplit_sql("completion") + r""" AS cw,
+        """ + _pysplit_sql(_TOPIC_RAW) + r""" AS tw,
+        """ + _pysplit_sql(_KEY_RAW) + r""" AS kw
     FROM rp
 ), pairs AS (
     SELECT *,

@@ -210,6 +210,30 @@ elif mode == "emoji_coarse":
     sys.modules["emojis"] = emojis_mod
     from training.rewards.emoji import emoji_usage_reward
     out = [emoji_usage_reward(req, c) for req, c in data["pairs"]]
+elif mode == "fabrication":
+    # word_tokenize shim = str.split(): the corpus keeps NAME-bearing
+    # text space-separated (where treebank tokenization and split()
+    # agree by construction), so THIS differential pins the URL
+    # branch logic, new-name counting/cap/lowered-membership, the
+    # first-char upper-alpha class, promo/action phrase gating, the
+    # topic/key-message extraction regexes, and the penalty clamp —
+    # tokenization of punctuation-adjacent text stays the engine's
+    # documented deviation (functions/rewards.py module docstring)
+    sys.modules["nltk.tokenize"].word_tokenize = lambda s: s.split()
+    from training.rewards.fabrication import (
+        fabrication_detection_reward_func)
+    out = fabrication_detection_reward_func([p for p, c in data],
+                                            [c for p, c in data])
+elif mode == "vocabulary":
+    # same shim + pure-alpha space-separated corpus: proves the field
+    # parse (case-sensitive name, substring keyword precedence), the
+    # unique/total ratio arithmetic and ALL four bin ladders, and the
+    # 0.5/0.2 fallback order; word_tokenize-vs-[a-z]+ tokenization of
+    # general text is the documented deviation
+    sys.modules["nltk.tokenize"].word_tokenize = lambda s: s.split()
+    from training.rewards.vocabulary import vocabulary_usage_reward_func
+    out = vocabulary_usage_reward_func([p for p, c in data],
+                                       [c for p, c in data])
 elif mode == "violations":
     from utils.violations import violate_hashtags, violate_length
     out = []
@@ -1053,3 +1077,207 @@ def test_bullets17_matches_reference(spark, tmp_path):
     seen = {v for v in want if v}
     assert "Numbered" in seen and "Lettered" in seen
     assert "Mixed Bullet Styles" in seen
+
+
+# ---------------------------------------------------------------------------
+# R18 fabrication + R15 vocabulary (r8): word_tokenize shimmed to
+# str.split(); name-bearing corpus text stays space-separated so the
+# shim and treebank agree by construction — the differential pins the
+# nltk-FREE logic (URL branches, name arithmetic, upper-alpha class,
+# phrase gates, extraction regexes, bin ladders)
+# ---------------------------------------------------------------------------
+
+_FAB_URL = "https://example.com/Launch_(v2),x%2Fok!"
+_FAB_URL2 = "http://other.io/p+q&r@s"
+
+
+def _fab_prompt(topic=None, key=None, tail=""):
+    s = ("# Request\nCreate a LinkedIn post that follows the writing "
+         "style below")
+    if topic is not None:
+        s += " on the topic of`: `" + topic + "`"
+    s += "\n"
+    if key is not None:
+        s += "\n### Key Message\n```\n" + key + "\n```\n"
+    return s + "\n## Writing Style\n**Tone**: informative\n" + tail
+
+
+def _fabrication_corpus():
+    P = _fab_prompt
+    pairs = [
+        # --- URL branch logic ---
+        (P(topic="cloud costs"), f"Read this {_FAB_URL} today"),       # 0.7
+        (P(topic=f"see {_FAB_URL} soon"), f"Read {_FAB_URL} now"),     # 0.0
+        (P(topic=f"see {_FAB_URL} soon"), f"Read {_FAB_URL2} now"),    # 0.5
+        (P(key=f"details at {_FAB_URL}"), f"Go {_FAB_URL} ok"),        # key-msg URL
+        (P(topic="x"), "HTTPS://example.com stays uppercase"),         # no match
+        (P(topic="x"), f"two {_FAB_URL} and {_FAB_URL2}"),
+        (P(topic=f"a {_FAB_URL2} b"), f"two {_FAB_URL} and {_FAB_URL2}"),
+        (P(), "bare http:// nothing"),
+        # --- name counting / cap / membership ---
+        (P(topic="growth"), "met Alice Johnson yesterday"),            # 1 new
+        (P(topic="growth"), "Alice Johnson Bob Smith talked"),         # chain of 3
+        (P(topic="growth"), "Alice Johnson and Alice Johnson again"),  # dup = 2
+        (P(topic="Alice Johnson profile"), "Alice Johnson spoke"),     # known
+        (P(topic="ALICE JOHNSON"), "Alice Johnson spoke"),             # case fold
+        (P(key="Alice Johnson praised the launch"), "Alice Johnson"),  # wait: single
+        (P(key="quarterly Alice Johnson notes"), "per Alice Johnson plan"),
+        (P(), "Aa Bb Cc Dd Ee Ff Gg Hh"),                              # 7 pairs -> cap 0.5
+        (P(), "A Team works"),                                         # len-1 initial: no
+        (P(), "A1 Steak house"),                                       # digit 2nd char: yes
+        (P(), "1st Place Winners shine"),                              # Place Winners only
+        (P(), "mid sentence So It Goes"),                              # chains count
+        # --- unicode name initials (genuine class differences) ---
+        (P(topic="growth"), "met Éric Dupont today"),             # É Lu
+        (P(topic="Éric Dupont bio"), "saw Éric Dupont talk"),
+        (P(), "Ωmega Protocol launch"),                           # Ω Lu
+        (P(), "ǅungla Grad spot"),                                # ǅ Lt: NOT upper
+        (P(), "\U00010570ek Test run"),                                # Vithkuqi U14 Lu
+        (P(topic="İstanbul Merkez"), "the İstanbul Merkez hub"),
+        (P(), "the İstanbul Merkez hub"),
+        # --- promo / newsletter gates ---
+        (P(topic="x"), "Sign up for our newsletter today"),            # 0.3
+        (P(topic="x"), "signup bonus newsletter drop"),                # \s* form
+        (P(topic="x"), "SUBSCRIBE TO OUR NEWSLETTER"),                 # (?i)
+        (P(topic="x"), "join the " + "x" * 24 + " newsletter"),        # gap 30
+        (P(topic="x"), "join the " + "x" * 31 + " newsletter"),        # gap > 30
+        (P(topic="x"), "join our\nnewsletter please"),                 # \n in gap
+        (P(topic="x"), "Register for the webinar now"),
+        (P(topic="x"), "join us at the big event"),
+        (P(topic="sign up for our newsletter info"),
+         "Sign up for our newsletter today"),                          # topic gate
+        (P(key="Sign up for our newsletter"), "sign up for our newsletter"),
+        (P(topic="x"), "link in bio for more"),                        # 0.3 + 0.4
+        # --- action gates ---
+        (P(topic="x"), "DM me for details"),
+        (P(topic="x"), "email me at team aliases"),
+        (P(topic="x"), "call us at 555 0100"),
+        (P(topic="x"), "LIMITED TIME OFFER ends"),
+        (P(topic="x"), "an exclusive deal for you"),
+        (P(topic="exclusive offer week"), "an exclusive offer for you"),
+        (P(key="limited time offer terms"), "limited time offer terms"),
+        (P(topic="x"), "link in comments below"),
+        (P(topic="x"), "link in description area"),
+        (P(topic="x"), "linK in bio now"),      # KELVIN SIGN folds to k
+        (P(topic="x"), "SIGN UP for our NEWSLETTER"),
+        # --- penalty clamp ---
+        (P(), f"{_FAB_URL} Alice Johnson Bob Smith Carol Danvers Dave "
+              f"Evans sign up for our newsletter dm me for stuff"),
+        # --- extraction regex edges (unicode \s, strip, DOTALL) ---
+        ("talk on the topic of:\xa0\nexclusive deal insights\nrest",
+         "an exclusive deal story"),
+        ("on the topic of: \nAlice Johnson wins",
+         "Alice Johnson wins big"),
+        ("# R\n### Key Message\n```\n\xa0Alice Johnson praised us\xa0\n"
+         "```\nrest", "Alice Johnson praised us"),
+        ("# R\n### Key Message\n```\r\nwin with Carol Danvers\r\n```\n",
+         "Carol Danvers agrees"),
+        ("ON THE TOPIC OF: Quantum Leaders today\nrest",
+         "Quantum Leaders rally"),                                     # (?i) topic
+        ("on the topic of Big Rocks strategy\nrest",
+         "Big Rocks strategy wins"),                                   # no `:` form
+        ("### key message\n```\nMary Jones quote\n```\n",
+         "Mary Jones agrees"),                                         # (?i) key
+        ("# R\n### Key Message (draft)\n```\nMary Jones quote\n```\n",
+         "Mary Jones agrees"),                                         # no match: text between
+        ("on the topic of: Alice Johnson   \nrest",
+         "Alice Johnson leads"),                                       # trailing strip
+        (P(topic=None), "plain text no fields at all"),
+        ("", ""),
+        ("", "Alice Johnson " + _FAB_URL + " sign up for a newsletter"),
+    ]
+    return pairs
+
+
+def test_fabrication_matches_reference(spark, tmp_path):
+    """R18 differential (word_tokenize shimmed to split; names stay
+    space-separated by construction).  Pins: URL 0.7/0.5 branches and
+    URL-set equality, sliding capitalized-bigram names with dup
+    counting and the 0.5 cap, the CPython upper-alpha first-char
+    class (PY_UPPER_ALPHA_CHAR), lowered membership vs topic/key
+    names, promo (+0.3) / action (+0.4) phrase gates incl. the
+    .{0,30} span and (?i), the topic/key-message extraction regexes
+    (unicode \\s*, str.strip, DOTALL), and the max(0, 1-penalty)
+    clamp."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        fabrication_guard)
+    pairs = _fabrication_corpus()
+    want = _run_ref_units("fabrication", pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", fabrication_guard(F.col("p"), F.col("c")).alias("s"))
+        .collect()}
+    bad = [(i, repr(pairs[i][0][:60]), repr(pairs[i][1][:60]),
+            got[i], want[i])
+           for i in range(len(pairs)) if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, (len(bad), bad[:8])
+    # the corpus must actually exercise every branch
+    assert {0.3, 0.5, 0.7, 1.0} <= {round(v, 6) for v in want}
+    assert min(want) == 0.0
+
+
+_VOCAB_FIELDS = (
+    "Rich and varied", "rich", "enriched prose", "Developed",
+    "underdeveloped style", "Normal", "abnormally fancy", "Conservative",
+    "narrow", "Conservative and narrow", "rich developed normal narrow",
+    "Sophisticated", "", None, "RICH",
+)
+
+
+def _vocab_completion(unique, total):
+    # pure-alpha tokens: word_tokenize's isalpha filter and the
+    # engine's [a-z]+ runs agree by construction
+    words = ["w" + chr(97 + i % 26) + chr(97 + i // 26)
+             for i in range(unique)]
+    words += [words[0]] * (total - unique)
+    return " ".join(words)
+
+
+def _vocab_corpus(seed=828282):
+    rng = random.Random(seed)
+    pairs = []
+    ratios = [(1, 2), (2, 5), (3, 10), (7, 20), (3, 5), (1, 4), (1, 5),
+              (3, 20), (11, 20), (13, 20), (2, 3), (9, 20), (1, 10),
+              (4, 10), (6, 10), (5, 20), (8, 20), (1, 1), (19, 20)]
+    for fld in _VOCAB_FIELDS:
+        if fld is None:
+            prompt = "## Style\n**Tone**: bold\n"
+        else:
+            prompt = "## Style\n**Vocabulary Usage**: %s\n**Tone**: x\n" % fld
+        for u, t in rng.sample(ratios, 8):
+            pairs.append((prompt, _vocab_completion(u, t)))
+        pairs.append((prompt, ""))                     # empty completion
+        pairs.append((prompt, "   "))                  # ws-only
+        pairs.append((prompt, "Alpha alpha ALPHA beta"))
+    # case-sensitive field name: lowercase field must NOT match
+    pairs.append(("**vocabulary usage**: rich\n", _vocab_completion(3, 5)))
+    pairs.append(("**Vocabulary Usage**:rich\n", _vocab_completion(3, 5)))
+    pairs.append(("**Vocabulary Usage**: rich", _vocab_completion(3, 5)))
+    return pairs
+
+
+def test_vocabulary_matches_reference(spark, tmp_path):
+    """R15 differential (word_tokenize shimmed to split; completions
+    are pure-alpha space-separated by construction).  Pins: the
+    case-SENSITIVE field regex, substring keyword precedence
+    (rich > developed > normal > conservative|narrow), the
+    unique/total ratio and all four bin ladders at their exact
+    boundaries, and the 0.5 (no field) / 0.2 (no words) fallback
+    order."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        vocabulary_usage)
+    pairs = _vocab_corpus()
+    want = _run_ref_units("vocabulary", pairs, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", vocabulary_usage(F.col("p"), F.col("c")).alias("s"))
+        .collect()}
+    bad = [(i, repr(pairs[i][0][:48]), repr(pairs[i][1][:32]),
+            got[i], want[i])
+           for i in range(len(pairs)) if abs(got[i] - want[i]) > 1e-9]
+    assert not bad, (len(bad), bad[:8])
+    assert {0.2, 0.3, 0.5, 0.8, 1.0} <= {round(v, 6) for v in want}
