@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .rewards import _mean, sentences, sentiment_scores
+from .rewards import _mean, _py_words, sentences, sentiment_scores
 
 
 def _truncated(text: Column) -> Column:
@@ -44,9 +44,11 @@ def narrative_flow_17(text: Column) -> Column:
 def pacing_17(text: Column) -> Column:
     """T8 main-path (17:286-298): avg sentence token count <10 Fast /
     >20 Slow / else Moderate; <3 sentences -> Short/Not Enough Data.
-    (No stddev 'Variable' branch — that is the base.py flavor.)"""
+    (No stddev 'Variable' branch — that is the base.py flavor.)
+    Token counts are ``str.split()`` semantics (r8, as in
+    rewards.py)."""
     sents = sentences(_truncated(text))
-    lens = F.transform(sents, lambda s: F.size(F.split(s, "\\s+")))
+    lens = F.transform(sents, lambda s: F.size(_py_words(s)))
     avg = _mean(lens)
     return (F.when(F.size(sents) < 3, F.lit("Short/Not Enough Data"))
              .when(avg < 10, F.lit("Fast"))
@@ -98,13 +100,19 @@ def narrative_flow_cue(text: Column, max_sentences: int = 20) -> Column:
             expr = expr | F.lower(s).contains(c)
         return expr
 
-    return F.zip_with(
+    labels = F.zip_with(
         sents, F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
         lambda s, i: F.when((i <= 2) & any_cue(s, INTRO_CUES),
                             F.lit("Introduction/Setup"))
                       .when((i >= n - 1) & any_cue(s, OUTRO_CUES),
                             F.lit("Outro/CTA"))
                       .otherwise(F.lit("Content")))
+    # reference returns [] for no sentences (narrative.py:13-14);
+    # without this guard zip_with pads the empty array against the
+    # 1-element index sequence and fabricates ['Content'] (r8
+    # differential catch)
+    return F.when(n <= 0, F.array().cast("array<string>")
+                  ).otherwise(labels)
 
 
 def _percentile_linear(sorted_arr: Column, q: float) -> Column:
@@ -123,7 +131,7 @@ def pacing_p75(text: Column, max_sentences: int = 50) -> Column:
     token count <= 10 Fast / > 20 Slow / else Moderate."""
     sents = sentences(_truncated(text))
     lens = F.transform(F.slice(sents, 1, max_sentences),
-                       lambda s: F.size(F.split(s, "\\s+")))
+                       lambda s: F.size(_py_words(s)))
     p75 = _percentile_linear(F.array_sort(lens), 0.75)
     return (F.when(F.size(sents) < 3, F.lit("Short/Not Enough Data"))
              .when(p75 <= 10, F.lit("Fast"))

@@ -410,8 +410,24 @@ def sentences(text: Column) -> Column:
                     lambda s: s != "")
 
 
+def _trunc5k(text: Column) -> Column:
+    """base.py's ``text[:5000]`` guard (get_sentiment_scores:69,
+    analyze_pacing:119, analyze_narrative_flow:98).  Spark substring
+    counts code points like a CPython slice."""
+    return F.substring(text, 1, 5000)
+
+
+def _py_words(s: Column) -> Column:
+    """``str.split()`` tokens (r8 differential): unicode whitespace,
+    empty tokens dropped — a sentence with a leading '\\n' (Spark trim
+    strips spaces only) or an NBSP-joined pair must not change the
+    count the reference's shimmed ``word_tokenize`` produces."""
+    from .cleaning import PY_WS_SPLIT
+    return F.filter(F.split(s, PY_WS_SPLIT), lambda t: t != "")
+
+
 def _sentence_token_counts(sents: Column) -> Column:
-    return F.transform(sents, lambda s: F.size(F.split(s, "\\s+")))
+    return F.transform(sents, lambda s: F.size(_py_words(s)))
 
 
 def _mean(arr: Column) -> Column:
@@ -439,8 +455,9 @@ NEGATIVE_WORDS = (
 
 def _lexicon_score(sentence: Column) -> Column:
     """Mini-lexicon 'compound' in [-1, 1] (replaces VADER, see module
-    docstring): 5*(pos-neg)/tokens, clamped."""
-    toks = F.split(F.lower(sentence), "\\s+")
+    docstring): 5*(pos-neg)/tokens, clamped; tokens are
+    ``sentence.lower().split()`` (unicode, no empties)."""
+    toks = _py_words(F.lower(sentence))
     pos = F.size(F.filter(toks, lambda t: t.isin(*POSITIVE_WORDS)))
     neg = F.size(F.filter(toks, lambda t: t.isin(*NEGATIVE_WORDS)))
     raw = 5.0 * (pos - neg).cast("double") / F.greatest(F.size(toks), F.lit(1))
@@ -449,8 +466,9 @@ def _lexicon_score(sentence: Column) -> Column:
 
 def sentiment_scores(text: Column) -> Column:
     """T9 per-sentence sentiment (17:300-312 / rewards/base.py:68-80): base.py:68-80: per-sentence scores; >10 sentences sampled with
-    stride ``max(1, n // 10)``."""
-    sents = sentences(text)
+    stride ``max(1, n // 10)``; the reference tokenizes
+    ``text[:5000]`` (r8 differential)."""
+    sents = sentences(_trunc5k(text))
     n = F.size(sents)
     step = F.greatest(F.lit(1), (n / 10).cast("int"))
     sampled = F.when(n > 10,
@@ -478,8 +496,9 @@ def sentiment_arc(scores: Column) -> Column:
 
 def pacing(text: Column) -> Column:
     """base.py:117-129: stddev>7 Variable, avg<10 Fast, avg>20 Slow,
-    else Moderate; <3 sentences -> Short/Not Enough Data."""
-    sents = sentences(text)
+    else Moderate; <3 sentences -> Short/Not Enough Data; over
+    ``text[:5000]`` like the reference (r8 differential)."""
+    sents = sentences(_trunc5k(text))
     lens = _sentence_token_counts(sents)
     avg, std = _mean(lens), F.sqrt(_pop_var(lens))
     return (F.when(F.size(sents) < 3, F.lit("Short/Not Enough Data"))
@@ -502,12 +521,22 @@ _TONE_MAP = {
 
 def tone_alignment(prompt: Column, completion: Column) -> Column:
     """R8: requested tones -> pos/neg/neutral targets vs sentiment arc;
-    mean of per-tone 1.0/0.6 scores."""
-    raw = F.regexp_extract(prompt, r"(?i)\*\*Tone\*\*: \s*([^\n]+)", 1)
+    mean of per-tone 1.0/0.6 scores.
+
+    The field parse mirrors CPython re (tone.py:12-15): ``\\s*`` is
+    unicode whitespace (and may cross newlines), and each
+    comma-separated tone ``str.strip()``s — 'friendly\\xa0' is still
+    friendly (r8 differential)."""
+    from ._unicode_py_classes import PY_SPACE_CHAR
+    from .cleaning import py_strip
+    sp = PY_SPACE_CHAR + "*"
+    raw = F.regexp_extract(
+        prompt, r"(?iU)\*\*Tone\*\*: " + sp + r"([^\n]+)", 1)
     raw = F.when(raw == "", F.regexp_extract(
-        prompt, r"(?i)-\s*Tone:\s*([^\n]+)", 1)).otherwise(raw)
+        prompt, r"(?iU)-" + sp + "Tone:" + sp + r"([^\n]+)", 1)
+        ).otherwise(raw)
     tones = F.filter(F.transform(F.split(raw, ","),
-                                 lambda t: F.lower(F.trim(t))),
+                                 lambda t: F.lower(py_strip(t))),
                      lambda t: t != "")
     arc = sentiment_arc(sentiment_scores(completion))
 
@@ -539,8 +568,19 @@ def tone_alignment(prompt: Column, completion: Column) -> Column:
 
 def sentence_structure(prompt: Column, completion: Column) -> Column:
     """R9: avg sentence length + population variance vs requested
-    short/long/balanced; paragraph heuristic when no request."""
-    t = F.lower(style_field(prompt, "Sentence Structure"))
+    short/long/balanced; paragraph heuristic when no request.
+
+    The request parse is structure.py:12's
+    ``\\*\\*Sentence Structure\\*\\*:\\s*(.*?)(?:\\n|$)`` under
+    CPython re: case-SENSITIVE, and the greedy unicode ``\\s*`` may
+    cross newlines — a value on the next line still counts (r8
+    differential).  Paragraphs are ``str.strip()``ped."""
+    from ._unicode_py_classes import PY_SPACE_CHAR
+    from .cleaning import py_strip
+    t = F.lower(F.regexp_extract(
+        prompt,
+        r"(?U)\*\*Sentence Structure\*\*:" + PY_SPACE_CHAR + r"*([^\n]*)",
+        1))
     req = (F.when(t.contains("short") & t.contains("sentences"), F.lit("short"))
             .when(t.contains("long") & t.contains("complex"), F.lit("long"))
             .when(t.contains("mix") | t.contains("balanced"), F.lit("balanced")))
@@ -548,7 +588,7 @@ def sentence_structure(prompt: Column, completion: Column) -> Column:
     ns = F.size(sents)
     lens = _sentence_token_counts(sents)
     avg, var = _mean(lens), _pop_var(lens)
-    paragraphs = F.filter(F.transform(F.split(completion, "\n\n"), lambda s: F.trim(s)),
+    paragraphs = F.filter(F.transform(F.split(completion, "\n\n"), py_strip),
                           lambda p: p != "")
     fallback = (F.when((F.size(paragraphs) >= 2) & (ns >= 2), F.lit(0.9))
                  .when(ns >= 2, F.lit(0.7)).otherwise(F.lit(0.5)))
@@ -840,22 +880,34 @@ def topic_shifts_score(completion: Column) -> Column:
     vector cosine); that model isn't available here, so the engine's
     deterministic stand-in is distinct-token Jaccard between
     consecutive paragraphs — same [0,1] range, same monotonicity in
-    lexical overlap, fully native (split/array ops, no UDF). <2
-    paragraphs -> neutral 0.5, matching the reference's early return.
-    """
+    lexical overlap, fully native (split/array ops, no UDF).
+
+    The WRAPPER is reference-exact (topics.py:12-33, r8 differential
+    with the Jaccard injected as ``doc.similarity``): <3 sentences ->
+    0.5 (the only early return); paragraphs ``str.strip()``ped and
+    truncated to 1000 chars BEFORE tokenizing; <2 paragraphs means an
+    empty similarity list -> avg_sim 0.5 -> score 1.0 (NOT 0.5 — the
+    pre-r8 engine conflated this with the sentence gate); tokens are
+    ``str.split()`` (unicode, no empties); final clamp to [0, 1]."""
+    from .cleaning import py_strip
+    ns = F.size(sentences(completion))
     paras = F.filter(
-        F.transform(F.split(completion, "\n\n"), lambda p: F.trim(p)),
+        F.transform(F.split(completion, "\n\n"), py_strip),
         lambda p: p != "")
     toks = F.transform(
-        paras, lambda p: F.array_distinct(F.split(F.lower(p), "\\s+")))
+        paras,
+        lambda p: F.array_distinct(_py_words(F.lower(
+            F.substring(p, 1, 1000)))))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - 1)
     sims = F.transform(idx, lambda i: _pair_jaccard(
         F.element_at(toks, i), F.element_at(toks, i + 1)))
-    avg_sim = (F.aggregate(sims, F.lit(0.0), lambda a, x: a + x)
-               / F.size(sims))
-    return (F.when(n < 2, F.lit(0.5))
-             .otherwise(F.lit(1.0) - F.abs(F.lit(0.5) - avg_sim)))
+    avg_sim = F.when(n < 2, F.lit(0.5)).otherwise(
+        F.aggregate(sims, F.lit(0.0), lambda a, x: a + x) / F.size(sims))
+    score = F.lit(1.0) - F.abs(F.lit(0.5) - avg_sim)
+    return (F.when(ns < 3, F.lit(0.5))
+             .otherwise(F.least(F.lit(1.0),
+                                F.greatest(F.lit(0.0), score))))
 
 
 def _pair_jaccard(a: Column, b: Column) -> Column:

@@ -76,6 +76,14 @@ GRADE_WINDOW: tuple[str, ...] = (
     "qx_weighted_quartile_bands",
 )
 
+# Oracle-paired queries REGISTERED AFTER the r8 window froze (the r8
+# rotation closes the census for everything registered before it).
+# These are the r9 rotation's first-time candidates; tests/test_plans
+# asserts the census property modulo exactly this list.
+POST_CENSUS_NEW: tuple[str, ...] = (
+    "q17_narrative_variants",   # features/narrative.py flavor trio (r8)
+)
+
 
 def _apply_grade_window() -> None:
     from .. import registry

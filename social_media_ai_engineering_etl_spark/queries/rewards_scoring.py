@@ -175,8 +175,31 @@ _RP_CTE = f"""
 
 _SENTS = ("list_filter(list_transform(string_split_regex(completion,"
           " '[.!?]+'), s -> trim(s)), s -> s <> '')")
+# truncated flavor: base.py's text[:5000] guard (pacing / sentiment)
+_SENTS_T = ("list_filter(list_transform(string_split_regex("
+            "substr(completion, 1, 5000),"
+            " '[.!?]+'), s -> trim(s)), s -> s <> '')")
 _TLINES = ("list_filter(list_transform(string_split(completion, chr(10)),"
            " l -> trim(l)), l -> l <> '')")
+
+# one CPython re-\s char in RE2 (same set as cleaning.PY_WS_SPLIT_RE2)
+_PYS = r"[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]"
+
+
+def _pystrip_sql(x: str) -> str:
+    return ("regexp_replace(regexp_replace(" + x + ", '^" + _PYS
+            + "+', ''), '" + _PYS + "+$', '')")
+
+
+def _pywords_sql(x: str) -> str:
+    """``str.split()`` tokens: unicode-whitespace split, no empties."""
+    return ("list_filter(string_split_regex(" + x + ", '" + _PYS
+            + "+'), t -> t <> '')")
+
+
+def _pysplit_sql(x: str) -> str:
+    return ("string_split_regex(" + _pystrip_sql(x) + ", '"
+            + _PYS + "+')")
 _POS_SQL = "[" + ", ".join(f"'{w}'" for w in rw.POSITIVE_WORDS) + "]"
 _NEG_SQL = "[" + ", ".join(f"'{w}'" for w in rw.NEGATIVE_WORDS) + "]"
 
@@ -524,7 +547,8 @@ _TEXTUAL_SQL = "WITH rp AS (" + _RP_CTE + r"""
         """ + _SENTS + r""" AS sents,
         """ + _TLINES + r""" AS tlines,
         lower(regexp_extract(prompt,
-             '\*\*Sentence Structure\*\*:\s*([^\n]*)', 1)) AS ssf,
+             '\*\*Sentence Structure\*\*:""" + _PYS + r"""*([^\n]*)',
+             1)) AS ssf,
         CASE WHEN regexp_extract(prompt,
                   '(?i)Bullet\s+Styles?:\s*([^\n]*)', 1) = ''
              THEN lower(trim(regexp_extract(prompt,
@@ -535,13 +559,14 @@ _TEXTUAL_SQL = "WITH rp AS (" + _RP_CTE + r"""
              '\*\*Section Divider\*\*:\s*`([^`]+)`', 1) AS div_req,
         len(regexp_extract_all(completion, '""" + EMOJI_CLASS + r"""')) AS ec,
         len(list_filter(list_transform(string_split(completion,
-            chr(10) || chr(10)), p -> trim(p)), p -> p <> '')) AS n_paras
+            chr(10) || chr(10)),
+            p -> """ + _pystrip_sql("p") + r"""), p -> p <> '')) AS n_paras
     FROM rp
 ), stats AS (
     SELECT *,
         len(sents) AS ns,
         list_transform(sents,
-            s -> len(string_split_regex(s, '\s+'))) AS slens,
+            s -> len(""" + _pywords_sql("s") + r""")) AS slens,
         list_filter(list_transform(tlines,
             l -> CASE WHEN regexp_matches(l, '^\s*\d+[.)]\s+') THEN 'Numbers'
                       WHEN regexp_matches(l, '^\s*[a-zA-Z]+[.)]\s+') THEN 'Letters'
@@ -632,33 +657,36 @@ _SENTIMENT_SQL = "WITH rp AS (" + _RP_CTE + r"""
 ), base AS (
     SELECT doc_id, prompt, completion,
         """ + _SENTS + r""" AS sents,
+        """ + _SENTS_T + r""" AS sents_t,
         CASE WHEN regexp_extract(prompt,
-                  '(?i)\*\*Tone\*\*: \s*([^\n]+)', 1) = ''
-             THEN regexp_extract(prompt, '(?i)-\s*Tone:\s*([^\n]+)', 1)
+                  '(?i)\*\*Tone\*\*: """ + _PYS + r"""*([^\n]+)', 1) = ''
+             THEN regexp_extract(prompt,
+                  '(?i)-""" + _PYS + "*Tone:" + _PYS + r"""*([^\n]+)', 1)
              ELSE regexp_extract(prompt,
-                  '(?i)\*\*Tone\*\*: \s*([^\n]+)', 1) END AS tone_raw
+                  '(?i)\*\*Tone\*\*: """ + _PYS + r"""*([^\n]+)', 1)
+             END AS tone_raw
     FROM rp
 ), stats AS (
-    SELECT *, len(sents) AS ns,
-        greatest(1, len(sents) // 10) AS step,
-        list_transform(sents,
-            s -> len(string_split_regex(s, '\s+'))) AS slens
+    SELECT *, len(sents) AS ns, len(sents_t) AS nst,
+        greatest(1, len(sents_t) // 10) AS step,
+        list_transform(sents_t,
+            s -> len(""" + _pywords_sql("s") + r""")) AS slens
     FROM base
 ), sampled AS (
     SELECT *,
-        CASE WHEN ns > 10
-             THEN list_filter(sents, (x, i) -> (i - 1) % step = 0)
-             ELSE sents END AS ssents
+        CASE WHEN nst > 10
+             THEN list_filter(sents_t, (x, i) -> (i - 1) % step = 0)
+             ELSE sents_t END AS ssents
     FROM stats
 ), scored AS (
     SELECT *,
         list_transform(ssents, s ->
             least(1.0, greatest(-1.0,
-                5.0 * (len(list_filter(string_split_regex(lower(s), '\s+'),
+                5.0 * (len(list_filter(""" + _pywords_sql("lower(s)") + r""",
                            t -> list_contains(""" + _POS_SQL + r""", t)))
-                     - len(list_filter(string_split_regex(lower(s), '\s+'),
+                     - len(list_filter(""" + _pywords_sql("lower(s)") + r""",
                            t -> list_contains(""" + _NEG_SQL + r""", t))))::DOUBLE
-                / greatest(len(string_split_regex(lower(s), '\s+')), 1)))
+                / greatest(len(""" + _pywords_sql("lower(s)") + r"""), 1)))
         ) AS scores
     FROM sampled
 ), arcs AS (
@@ -673,18 +701,19 @@ _SENTIMENT_SQL = "WITH rp AS (" + _RP_CTE + r"""
              WHEN abs(scores[len(scores)] - scores[1]) < 0.1
               AND abs(scores[len(scores)//2 + 1]) < 0.1 THEN 'Flat'
              ELSE 'Variable' END AS arc,
-        CASE WHEN ns < 3 THEN 'Short/Not Enough Data'
-             WHEN sqrt(list_sum(list_transform(slens, x -> x*x))::DOUBLE / ns
-                       - (list_sum(slens)::DOUBLE/ns)*(list_sum(slens)::DOUBLE/ns))
+        CASE WHEN nst < 3 THEN 'Short/Not Enough Data'
+             WHEN sqrt(list_sum(list_transform(slens, x -> x*x))::DOUBLE / nst
+                       - (list_sum(slens)::DOUBLE/nst)*(list_sum(slens)::DOUBLE/nst))
                   > 7 THEN 'Variable'
-             WHEN list_sum(slens)::DOUBLE / ns < 10 THEN 'Fast'
-             WHEN list_sum(slens)::DOUBLE / ns > 20 THEN 'Slow'
+             WHEN list_sum(slens)::DOUBLE / nst < 10 THEN 'Fast'
+             WHEN list_sum(slens)::DOUBLE / nst > 20 THEN 'Slow'
              ELSE 'Moderate' END AS pacing
     FROM scored
 ), toned AS (
     SELECT *,
         list_filter(list_transform(string_split(tone_raw, ','),
-                    t -> lower(trim(t))), t -> t <> '') AS tones
+                    t -> lower(""" + _pystrip_sql("t") + r""")),
+                    t -> t <> '') AS tones
     FROM arcs
 )
 SELECT doc_id, arc, pacing,
@@ -748,23 +777,12 @@ _CAP_PAIRS = r"""list_filter(list_transform(
         x -> x IS NOT NULL)"""
 
 # CPython-re-faithful extraction (unicode \s, str.strip) — mirrors
-# fabrication_guard's (?iU)/py_strip forms; RE2 \s is ASCII so the
-# python-space class is spelled out (same set as PY_WS_SPLIT_RE2)
-_PYS = r"[\s\x{0B}\p{Z}\x{85}\x{1C}-\x{1F}]"
+# fabrication_guard's (?iU)/py_strip forms (helpers live in the
+# shared-fragments section above)
 _TOPIC_RAW = ("regexp_extract(prompt, '(?i)on the topic of`?:?"
               + _PYS + r"*`?([^`\n]+)', 1)")
 _KEY_RAW = ("regexp_extract(prompt, '(?is)### Key Message"
             + _PYS + r"*```(.*?)```', 1)")
-
-
-def _pystrip_sql(x: str) -> str:
-    return ("regexp_replace(regexp_replace(" + x + ", '^" + _PYS
-            + "+', ''), '" + _PYS + "+$', '')")
-
-
-def _pysplit_sql(x: str) -> str:
-    return ("string_split_regex(" + _pystrip_sql(x) + ", '"
-            + _PYS + "+')")
 
 
 _FAB_SQL = "WITH rp AS (" + _RP_CTE + r"""
@@ -854,7 +872,7 @@ WITH base AS (
     SELECT doc_id, """ + _SENTS5K + r""" AS sents FROM documents
 ), stats AS (
     SELECT doc_id, len(sents) AS ns,
-        list_transform(sents, s -> len(string_split_regex(s, '\s+'))) AS slens,
+        list_transform(sents, s -> len(""" + _pywords_sql("s") + r""")) AS slens,
         CASE WHEN len(sents) > 10
              THEN list_filter(sents,
                   (x, i) -> (i - 1) % greatest(1, len(sents) // 10) = 0)
@@ -904,11 +922,140 @@ def q17_narrative_structure(spark, sf_dir):
         n17.sentiment_arc_17(t).alias("arc"))
 
 
+# --------------------------------------------------------------------------
+# q17_narrative_variants — the features/narrative.py FLAVORS (cue flow,
+# p75 pacing, polyfit-slope arc), unit-differentialed vs the genuine
+# reference functions in tests/test_reference_units_differential.py
+# --------------------------------------------------------------------------
+
+_INTRO_CUES_SQL = " OR ".join(
+    f"contains(lower(fs[i]), '{c}')"
+    for c in ("today", "announce", "we''re", "introduce", "sharing"))
+_OUTRO_CUES_SQL = " OR ".join(
+    f"contains(lower(fs[i]), '{c}')"
+    for c in ("follow", "check out", "sign up", "learn more", "share",
+              "comment"))
+
+_VARIANTS_SQL = r"""
+WITH base AS (
+    SELECT doc_id, """ + _SENTS5K + r""" AS sents FROM documents
+), stats AS (
+    SELECT doc_id, sents, len(sents) AS ns,
+        list_slice(sents, 1, 20) AS fs,
+        list_sort(list_transform(list_slice(sents, 1, 50),
+            s -> len(""" + _pywords_sql("s") + r"""))) AS plens,
+        CASE WHEN len(sents) > 10
+             THEN list_filter(sents,
+                  (x, i) -> (i - 1) % greatest(1, len(sents) // 10) = 0)
+             ELSE sents END AS ssents
+    FROM base
+), scored AS (
+    SELECT doc_id, ns, fs, plens, len(fs) AS nf,
+        list_transform(ssents, s ->
+            least(1.0, greatest(-1.0,
+                5.0 * (len(list_filter(""" + _pywords_sql("lower(s)") + r""",
+                           t -> list_contains(""" + _POS_SQL + r""", t)))
+                     - len(list_filter(""" + _pywords_sql("lower(s)") + r""",
+                           t -> list_contains(""" + _NEG_SQL + r""", t))))::DOUBLE
+                / greatest(len(""" + _pywords_sql("lower(s)") + r"""), 1)))
+        ) AS scores
+    FROM stats
+), smoothed AS (
+    SELECT *,
+        CASE WHEN len(scores) < 3 THEN scores
+             ELSE list_transform(range(1, len(scores) - 1), i ->
+                  list_aggregate(list_slice(scores, i, i + 2), 'sum') / 3)
+        END AS sm
+    FROM scored
+), flow AS (
+    SELECT *,
+        list_transform(range(1, nf + 1), i ->
+            CASE WHEN i <= 2 AND (""" + _INTRO_CUES_SQL + r""")
+                 THEN 'Introduction/Setup'
+                 WHEN i >= nf - 1 AND (""" + _OUTRO_CUES_SQL + r""")
+                 THEN 'Outro/CTA'
+                 ELSE 'Content' END) AS labels
+    FROM smoothed
+), slope AS (
+    SELECT *, len(sm)::DOUBLE AS m,
+        list_aggregate(sm, 'sum') AS sum_y,
+        (len(sm)::DOUBLE - 1) * len(sm)::DOUBLE / 2 AS sum_t,
+        (len(sm)::DOUBLE - 1) * len(sm)::DOUBLE
+            * (2 * len(sm)::DOUBLE - 1) / 6 AS sum_t2,
+        list_aggregate(list_transform(range(1, len(sm) + 1),
+            i -> (i - 1)::DOUBLE * sm[i]), 'sum') AS sum_ty
+    FROM flow
+), labeled AS (
+    SELECT *,
+        CASE WHEN sum_t2 - sum_t * sum_t / m > 0
+             THEN (sum_ty - sum_t * sum_y / m)
+                  / (sum_t2 - sum_t * sum_t / m)
+             ELSE 0.0 END AS sl,
+        -- np.percentile(lens, 75) linear interpolation, mirroring the
+        -- engine's a*(1-frac) + b*frac operand order (dyadic frac +
+        -- integer counts => exact)
+        0.75 * (len(plens) - 1) - floor(0.75 * (len(plens) - 1)) AS pfrac,
+        floor(0.75 * (len(plens) - 1))::INT AS plo
+    FROM slope
+), paced AS (
+    SELECT *,
+        plens[plo + 1] * (1.0 - pfrac)
+            + plens[least(plo + 2, len(plens))] * pfrac AS p75
+    FROM labeled
+)
+SELECT doc_id,
+    CASE WHEN nf > 0 THEN labels[1] END AS flow_head,
+    len(list_filter(labels, x -> x = 'Introduction/Setup')) AS n_intro,
+    len(list_filter(labels, x -> x = 'Outro/CTA')) AS n_outro,
+    len(list_filter(labels, x -> x = 'Content')) AS n_content,
+    CASE WHEN ns < 3 THEN 'Short/Not Enough Data'
+         WHEN p75 <= 10 THEN 'Fast'
+         WHEN p75 > 20 THEN 'Slow'
+         ELSE 'Moderate' END AS pacing75,
+    CASE WHEN len(scores) < 4 THEN 'Short/Not Enough Data for Arc'
+         WHEN sl > 0.03 THEN 'Rising'
+         WHEN sl < -0.03 THEN 'Falling'
+         ELSE 'Flat' END AS arc_slope
+FROM paced
+ORDER BY doc_id
+"""
+
+
+@register("q17_narrative_variants", oracle=_VARIANTS_SQL)
+def q17_narrative_variants(spark, sf_dir):
+    """Stage-17 FEATURE-flavor narrative variants (features/
+    narrative.py:10-67): cue-zone flow labels over the [:20] slice
+    (head + per-label counts), p75 pacing over the [:50] slice
+    (np.percentile linear interpolation — dyadic-exact on integer
+    counts), and the rolling-mean least-squares-slope sentiment arc —
+    each unit-differentialed against the genuine reference functions
+    (tests/test_reference_units_differential.py, r8)."""
+    from ..functions import narrative17 as n17
+    t = F.col("text")
+    flow = n17.narrative_flow_cue(t)
+    return (_docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(flow, 1).alias("flow_head"),
+        F.size(F.filter(flow, lambda x: x == "Introduction/Setup"))
+         .alias("n_intro"),
+        F.size(F.filter(flow, lambda x: x == "Outro/CTA"))
+         .alias("n_outro"),
+        F.size(F.filter(flow, lambda x: x == "Content"))
+         .alias("n_content"),
+        n17.pacing_p75(t).alias("pacing75"),
+        n17.sentiment_arc_slope(rw.sentiment_scores(t))
+         .alias("arc_slope"))
+        .orderBy("doc_id"))
+
+
 @register("q26_topic_shifts", oracle=r"""
-SELECT doc_id, round(CASE WHEN n_paras < 2 THEN 0.5
-            ELSE 1.0 - abs(0.5 - avg_sim) END, 6) AS topic_shift_score
+SELECT doc_id, round(CASE
+            WHEN ns < 3 THEN 0.5
+            ELSE least(1.0, greatest(0.0, 1.0 - abs(0.5 -
+                 CASE WHEN n_paras < 2 THEN 0.5 ELSE avg_sim END)))
+       END, 6) AS topic_shift_score
 FROM (
-    SELECT doc_id, len(toks) AS n_paras,
+    SELECT doc_id, ns, len(toks) AS n_paras,
         CASE WHEN len(toks) >= 2 THEN
             list_aggregate(list_transform(range(1, len(toks)), i ->
                 CASE WHEN len(toks[i]) + len(toks[i+1])
@@ -921,23 +1068,31 @@ FROM (
         END AS avg_sim
     FROM (
         SELECT doc_id,
+            len(list_filter(list_transform(string_split_regex(
+                completion, '[.!?]+'), s -> trim(s)), s -> s <> '')) AS ns,
             list_transform(
                 list_filter(list_transform(
-                    string_split(substr(text, 1, 200) || chr(10) || chr(10)
-                                 || substr(text, 101, 200) || chr(10) || chr(10)
-                                 || substr(text, 301, 200),
-                                 chr(10) || chr(10)), p -> trim(p)),
+                    string_split(completion, chr(10) || chr(10)),
+                    p -> """ + _pystrip_sql("p") + r"""),
                     p -> p <> ''),
-                p -> list_distinct(string_split_regex(lower(p), '\s+'))) AS toks
-        FROM documents
+                p -> list_distinct(""" + _pywords_sql(
+                    "lower(substr(p, 1, 1000))") + r""")) AS toks
+        FROM (
+            SELECT doc_id,
+                substr(text, 1, 200) || chr(10) || chr(10)
+                || substr(text, 101, 200) || chr(10) || chr(10)
+                || substr(text, 301, 200) AS completion
+            FROM documents
+        )
     )
 ) ORDER BY doc_id
 """)
 def q26_topic_shifts(spark, sf_dir):
     """R13: consecutive-paragraph similarity reward (token-Jaccard
-    stand-in for spaCy vectors; documented deviation). Paragraphs are
-    derived from overlapping text windows so the scoring path (not
-    just the <2-paragraph neutral branch) is value-checked."""
+    stand-in for spaCy vectors; documented deviation — the wrapper is
+    reference-exact, see topic_shifts_score). Paragraphs are derived
+    from overlapping text windows so the scoring path (not just the
+    gate branches) is value-checked."""
     paras = F.concat(F.substring(F.col("text"), 1, 200), F.lit("\n\n"),
                      F.substring(F.col("text"), 101, 200), F.lit("\n\n"),
                      F.substring(F.col("text"), 301, 200))

@@ -358,11 +358,15 @@ def test_grade_window_is_first_50_with_oracles():
     first_time = [n for n in GRADE_WINDOW if n not in graded_before_r8]
     assert len(first_time) == 38, (len(first_time), first_time)
     # census closure: every oracle-paired registry query is graded
-    # at least once across r1-r7 OR sits in the r8 window
+    # at least once across r1-r7 OR sits in the r8 window — except the
+    # explicitly-tracked post-census registrations (the r9 rotation's
+    # first-time candidates)
+    from social_media_ai_engineering_etl_spark.queries import (
+        POST_CENSUS_NEW)
     never = [n for n in QUERIES
              if n in ORACLES and n not in graded_before_r8
              and n not in GRADE_WINDOW]
-    assert not never, never
+    assert sorted(never) == sorted(POST_CENSUS_NEW), never
 
 
 def test_hierarchical_rollup_scans_fact_once(spark, sf_dir):

@@ -234,6 +234,90 @@ elif mode == "vocabulary":
     from training.rewards.vocabulary import vocabulary_usage_reward_func
     out = vocabulary_usage_reward_func([p for p, c in data],
                                        [c for p, c in data])
+elif mode in ("tone", "sent_structure", "narrative", "semantic",
+              "topics", "arcpacing"):
+    # declared seams = the engine's documented deviations, injected at
+    # the reference's own extension points (sent_tokenize /
+    # word_tokenize / VADER / spaCy similarity); every OTHER line of
+    # tone.py / structure.py / narrative.py / semantic.py / topics.py
+    # / base.py runs as genuine reference code
+    import re as _re
+    POS, NEG = set(data["pos"]), set(data["neg"])
+
+    def _sent_tok(t):
+        return [s for s in (x.strip(" ") for x in _re.split(r"[.!?]+", t))
+                if s]
+
+    def _compound(s):
+        toks = s.lower().split()
+        p = sum(t in POS for t in toks)
+        n = sum(t in NEG for t in toks)
+        return max(-1.0, min(1.0, 5.0 * (p - n) / max(len(toks), 1)))
+
+    class _MiniSIA:
+        def polarity_scores(self, s):
+            return {"compound": _compound(s)}
+
+    tok.sent_tokenize = _sent_tok
+    tok.word_tokenize = lambda s: s.split()
+    sent.SentimentIntensityAnalyzer = _MiniSIA
+    pairs = data["pairs"]
+    ps, cs = [p for p, c in pairs], [c for p, c in pairs]
+    if mode == "topics":
+        class _Doc:
+            def __init__(self, text):
+                self.t = set(text.lower().split())
+
+            def similarity(self, other):
+                u = len(self.t | other.t)
+                return (len(self.t & other.t) / u) if u else 0.0
+        spacy.load = lambda name: (lambda p: _Doc(p))
+        from training.rewards.topics import topic_shifts_reward_func
+        out = topic_shifts_reward_func(ps, cs)
+    elif mode == "tone":
+        from training.rewards.tone import tone_alignment_reward_func
+        out = tone_alignment_reward_func(ps, cs)
+    elif mode == "sent_structure":
+        from training.rewards.structure import (
+            sentence_structure_reward_func)
+        out = sentence_structure_reward_func(ps, cs)
+    elif mode == "narrative":
+        from training.rewards.narrative import (
+            narrative_structure_reward_func)
+        out = narrative_structure_reward_func(ps, cs)
+    elif mode == "semantic":
+        from training.rewards.semantic import semantic_coherence_reward
+        out = semantic_coherence_reward(ps, cs)
+    else:  # arcpacing: the base.py labels themselves
+        from training.rewards import base as rb
+        out = [[rb.analyze_sentiment_arc(rb.get_sentiment_scores(c)),
+                rb.analyze_pacing(c)] for c in cs]
+elif mode in ("feat_narrative", "arc_slope", "text_stats"):
+    # features/narrative.py + features/text_stats.py (stage-17
+    # feature flavors).  line/punct stats are PURE stdlib (no seams);
+    # sentence/token seams as in the sentiment-family modes;
+    # arc_slope takes raw score lists so np.polyfit runs genuinely.
+    import re as _re
+    tok.sent_tokenize = lambda t: [
+        s for s in (x.strip(" ") for x in _re.split(r"[.!?]+", t)) if s]
+    tok.word_tokenize = lambda s: s.split()
+    if mode == "feat_narrative":
+        from features.narrative import (analyze_narrative_flow,
+                                        analyze_pacing)
+        out = [[analyze_narrative_flow(t), analyze_pacing(t)]
+               for t in data]
+    elif mode == "arc_slope":
+        from features.narrative import analyze_sentiment_arc
+        out = [analyze_sentiment_arc(scores) for scores in data]
+    else:
+        from features.text_stats import (analyze_line_breaks,
+                                         analyze_sentence_structure,
+                                         punctuation_counts)
+        out = []
+        for t in data:
+            lb, ab = analyze_line_breaks(t)
+            out.append([lb, ab, punctuation_counts(t),
+                        analyze_sentence_structure(t)])
 elif mode == "violations":
     from utils.violations import violate_hashtags, violate_length
     out = []
@@ -1281,3 +1365,392 @@ def test_vocabulary_matches_reference(spark, tmp_path):
            for i in range(len(pairs)) if abs(got[i] - want[i]) > 1e-9]
     assert not bad, (len(bad), bad[:8])
     assert {0.2, 0.3, 0.5, 0.8, 1.0} <= {round(v, 6) for v in want}
+
+
+# ---------------------------------------------------------------------------
+# R8 tone / R9 structure / R12 narrative / R13 topics / R14 semantic +
+# the base.py arc/pacing labels (r8): sent_tokenize / word_tokenize /
+# VADER / spaCy similarity are shimmed at the documented-deviation
+# seams ([.!?]+ strip-split, str.split(), the mini-lexicon compound,
+# token-Jaccard); every other reference line runs genuinely, so the
+# differentials pin field parses (unicode \s crossing newlines,
+# str.strip, case sensitivity), the [:5000]/[:1000] truncations, arc
+# thresholds and stride sampling, pacing/variance arithmetic,
+# paragraph gates and clamps.
+# ---------------------------------------------------------------------------
+
+_FILLERS = ("alpha", "beta", "gamma", "delta", "omega", "plan",
+            "work", "idea", "note", "step")
+
+
+def _sent(k, pos=0, neg=0, tag="w"):
+    toks = (["good"] * pos) + (["terrible"] * neg)
+    toks += [f"{tag}{i}" for i in range(k - len(toks))]
+    return " ".join(toks)
+
+
+def _sentifam_prompts():
+    return [
+        "## Style\n**Tone**: friendly\n**Sentence Structure**: short sentences\n",
+        "## Style\n**Tone**: serious\n**Sentence Structure**: long and complex\n",
+        "## Style\n**Tone**: professional\n**Sentence Structure**: a balanced mix\n",
+        "## Style\n**Tone**: friendly, serious, professional\n",
+        "## Style\n**Tone**: friendly\xa0, CHARMING\n**Sentence Structure**:\xa0short sentences\n",
+        "## Style\n**Tone**:friendly\n**sentence structure**: short sentences\n",
+        "## Style\n**Tone**: \n\ncheerful\n**Sentence Structure**:\nmix of lengths\n",
+        "- Tone: cheerful\n",
+        "- Tone: sarcastic\n**Sentence Structure**: long complex clauses\n",
+        "## Style\n**Tone**: bold, , mysterious\n**Sentence Structure**: free form\n",
+        "## Style\n**Tone**: \n**Sentence Structure**: \n",
+        "no fields at all\n",
+        "## Style\n**TONE**: friendly\n**Sentence Structure**: Short Sentences please\n",
+    ]
+
+
+def _sentifam_completions(rng):
+    C = [
+        "",
+        "   ",
+        "one bare sentence with a handful of tokens",
+        _sent(5) + ". " + _sent(5) + ".",
+        ". ".join(_sent(5, tag=f"f{i}") for i in range(3)) + ".",
+        ". ".join(_sent(25, tag=f"s{i}") for i in range(3)) + ".",
+        ". ".join(_sent(15, tag=f"m{i}") for i in range(3)) + ".",
+        _sent(2) + ". " + _sent(30) + ". " + _sent(2) + ".",
+        _sent(10) + ". " + _sent(20) + ". " + _sent(15) + ".",
+        _sent(8) + ". " + _sent(22) + ". " + _sent(15) + ".",
+        _sent(25) + ". " + _sent(40) + ".",
+        _sent(10, neg=1) + ". " + _sent(10) + ". " + _sent(10, pos=1) + ".",
+        _sent(10, pos=1) + ". " + _sent(10) + ". " + _sent(10, neg=1) + ".",
+        _sent(10) + ". " + _sent(10, tag="x") + ". " + _sent(10, tag="y") + ".",
+        _sent(10, pos=1) + ". " + _sent(10) + ". " + _sent(10, pos=1) + ".",
+        _sent(25, pos=1) + ". " + _sent(25, pos=1) + ". " + _sent(25, pos=1) + ".",
+        _sent(4, neg=2) + "! " + _sent(9, pos=1) + "? " + _sent(2, pos=2) + ".",
+        "lead\xa0pair here. \nnewline led sentence. tail  spaced .",
+        "para one alpha beta. second thought here. third one lands.\n\n"
+        "para two gamma delta. more words follow. closing line here.",
+        "single paragraph. with three sentences. all in one block.",
+        "para only\n\nsecond para",
+        "same tokens here. same tokens here.\n\nsame tokens here. extra.",
+        "alpha beta. gamma delta.\n\nepsilon zeta. eta theta.",
+        "alpha beta shared. words here.\n\nalpha gamma shared. words there.",
+        ("good day. " * 520).strip(),
+        ("🚀 good win. " + "plain words here now. " * 260).strip(),
+        " ".join(f"long{i}" for i in range(1200)) + ". tail sentence one."
+        " more after that. and a third.",
+        (" ".join(f"pa{i}" for i in range(600)) + "\n\n"
+         + " ".join(f"pa{i}" for i in range(300))
+         + " " + " ".join(f"pb{i}" for i in range(300))
+         + "\n\nshort tail. here now. done."),
+    ]
+    # 20-sentence (stride 2) and 35-sentence (stride 3) profiles
+    C.append(" ".join(
+        _sent(rng.randint(3, 12), pos=rng.randint(0, 1),
+              neg=rng.randint(0, 1), tag=f"t{i}") + "."
+        for i in range(20)))
+    C.append(" ".join(
+        _sent(rng.randint(2, 26), pos=rng.randint(0, 2),
+              neg=rng.randint(0, 2), tag=f"u{i}") + rng.choice([". ", "! "])
+        for i in range(35)))
+    return C
+
+
+def _rand_completion(rng):
+    parts = []
+    for _ in range(rng.choice([0, 1, 2, 3, 4, 8, 12, 22])):
+        k = rng.randint(1, 28)
+        toks = []
+        for _ in range(k):
+            r = rng.random()
+            if r < 0.12:
+                toks.append(rng.choice(
+                    ["good", "great", "love", "win", "amazing"]))
+            elif r < 0.2:
+                toks.append(rng.choice(
+                    ["bad", "terrible", "hate", "loss", "awful"]))
+            else:
+                toks.append(rng.choice(_FILLERS))
+        parts.append(" ".join(toks)
+                     + rng.choice([". ", "! ", "? ", ".\n", "!\n\n", "... "]))
+    txt = "".join(parts)
+    if rng.random() < 0.3:
+        txt = txt.replace(" ", "\xa0", 1)
+    if rng.random() < 0.2:
+        txt = "\n" + txt
+    return txt
+
+
+def _rand_prompt(rng):
+    tone = rng.choice([
+        "friendly", "serious", "professional", "cheerful", "sarcastic",
+        "scholarly", "bold", "friendly, professional",
+        "charming ,rebellious", "informative\xa0"])
+    ss = rng.choice([
+        "short sentences", "long and complex", "balanced mix",
+        "a mix of lengths", "free form", "Short Sentences",
+        "long, complex clauses"])
+    fmt = rng.random()
+    if fmt < 0.2:
+        return f"- Tone: {tone}\n**Sentence Structure**: {ss}\n"
+    if fmt < 0.3:
+        return f"**Sentence Structure**: {ss}\n"
+    if fmt < 0.4:
+        return f"**Tone**: {tone}\n"
+    return f"**Tone**: {tone}\n**Sentence Structure**: {ss}\n"
+
+
+def _sentifam_payload(seed=515151):
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        NEGATIVE_WORDS, POSITIVE_WORDS)
+    rng = random.Random(seed)
+    prompts, comps = _sentifam_prompts(), _sentifam_completions(rng)
+    pairs = [(p, c) for p in prompts[:4] for c in comps]
+    pairs += [(p, comps[11]) for p in prompts]
+    pairs += [(p, comps[4]) for p in prompts]
+    pairs += [(rng.choice(prompts), c) for c in comps]
+    pairs += [(_rand_prompt(rng), _rand_completion(rng)) for _ in range(90)]
+    return {"pos": list(POSITIVE_WORDS), "neg": list(NEGATIVE_WORDS),
+            "pairs": pairs}
+
+
+def _sentifam_diff(spark, tmp_path, mode, expr_fn, tol=1e-9):
+    payload = _sentifam_payload()
+    pairs = payload["pairs"]
+    want = _run_ref_units(mode, payload, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: r.s for r in df.select(
+        "i", expr_fn(F.col("p"), F.col("c")).alias("s")).collect()}
+    bad = [(i, repr(pairs[i][0][:48]), repr(pairs[i][1][:48]),
+            got[i], want[i])
+           for i in range(len(pairs))
+           if (abs(got[i] - want[i]) > tol
+               if isinstance(want[i], float) else got[i] != want[i])]
+    assert not bad, (len(bad), bad[:8])
+    return want
+
+
+def test_tone_alignment_matches_reference(spark, tmp_path):
+    """R8 differential: two-form field parse (unicode \\s* crossing
+    newlines, literal-space form, case-insensitive), comma-split
+    str.strip tones, tone_map targets vs arc, 1.0/0.6 mean, 0.5
+    no-tone fallback."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        tone_alignment)
+    want = _sentifam_diff(spark, tmp_path, "tone", tone_alignment)
+    assert {0.5, 0.6, 1.0} <= {round(v, 6) for v in want}
+
+
+def test_sentence_structure_matches_reference(spark, tmp_path):
+    """R9 differential: case-SENSITIVE field regex with \\s* crossing
+    newlines, short/long/balanced keyword routing, paragraph fallback
+    (str.strip), <2-sentence 0.3 gate, avg/np.var ladders."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        sentence_structure)
+    want = _sentifam_diff(spark, tmp_path, "sent_structure",
+                          sentence_structure)
+    assert {0.2, 0.3, 0.4, 0.5, 0.7, 0.9, 1.0} <= {round(v, 6) for v in want}
+
+
+def test_narrative_structure_matches_reference(spark, tmp_path):
+    """R12 differential: 0.4 pacing + 0.3 arc + the flow[0] quirk
+    (first CHARACTER of the flow label is never in the exclusion
+    list, so +0.3 is constant) — all over [:5000]-truncated text."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        narrative_structure)
+    want = _sentifam_diff(spark, tmp_path, "narrative",
+                          lambda p, c: narrative_structure(c))
+    # arc == Neutral  <=>  <3 truncated sentences  <=>  pacing Short,
+    # so the only reachable values are 0.3 and 1.0 (differential-
+    # verified: the mixed 0.7 outcome cannot occur)
+    assert {0.3, 1.0} == {round(v, 6) for v in want}
+
+
+def test_semantic_coherence_matches_reference(spark, tmp_path):
+    """R14 differential: UNtruncated sentence-count gate (0.6/0.5) vs
+    truncated pacing/arc bonuses, clamp."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        semantic_coherence)
+    want = _sentifam_diff(spark, tmp_path, "semantic",
+                          lambda p, c: semantic_coherence(c))
+    # the 0.75 middle rung is unreachable (arc Neutral <=> pacing
+    # Short, both from the truncated sentence count); 0.5 covers both
+    # the 0-sentence gate and the long-text nst<3 full-branch case
+    assert {0.5, 0.6, 1.0} == {round(v, 6) for v in want}
+
+
+def test_topic_shifts_matches_reference(spark, tmp_path):
+    """R13 differential (token-Jaccard injected as doc.similarity):
+    <3-sentence 0.5 gate, str.strip paragraphs, [:1000] truncation
+    BEFORE tokenizing, empty-similarity -> avg 0.5 -> 1.0, clamp."""
+    from social_media_ai_engineering_etl_spark.functions.rewards import (
+        topic_shifts_score)
+    want = _sentifam_diff(spark, tmp_path, "topics",
+                          lambda p, c: topic_shifts_score(c))
+    assert {0.5, 1.0} <= {round(v, 6) for v in want}
+    assert any(0.5 < v < 1.0 for v in want)
+
+
+def test_arc_pacing_labels_match_reference(spark, tmp_path):
+    """base.py label differential: analyze_sentiment_arc over
+    stride-sampled mini-lexicon scores and analyze_pacing over
+    str.split token counts, both on text[:5000]."""
+    from social_media_ai_engineering_etl_spark.functions import rewards as rw
+    payload = _sentifam_payload()
+    pairs = payload["pairs"]
+    want = _run_ref_units("arcpacing", payload, tmp_path)
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(pairs)],
+        "i long, p string, c string")
+    got = {r.i: (r.arc, r.pac) for r in df.select(
+        "i",
+        rw.sentiment_arc(rw.sentiment_scores(F.col("c"))).alias("arc"),
+        rw.pacing(F.col("c")).alias("pac")).collect()}
+    bad = [(i, repr(pairs[i][1][:60]), got[i], tuple(want[i]))
+           for i in range(len(pairs)) if got[i] != tuple(want[i])]
+    assert not bad, (len(bad), bad[:8])
+    arcs = {w[0] for w in want}
+    pacs = {w[1] for w in want}
+    assert {"Neutral", "Rising", "Falling", "Flat", "Variable"} <= arcs
+    assert {"Short/Not Enough Data", "Fast", "Slow", "Moderate",
+            "Variable"} <= pacs
+
+
+# ---------------------------------------------------------------------------
+# features/narrative.py + features/text_stats.py flavors (r8):
+# cue-based flow, p75 pacing, polyfit-slope arc, and the pure-stdlib
+# line/punctuation/sentence stats
+# ---------------------------------------------------------------------------
+
+
+def _feat_texts(seed=616161):
+    rng = random.Random(seed)
+    texts = [
+        "",
+        "   ",
+        "\n\n",
+        "Today we announce the launch. middle content here. "
+        "follow us for more.",
+        "sharing something new. check out the docs.",
+        "plain start here. we're introducing a tool. sign up now. done.",
+        "ANNOUNCE in caps. more words. LEARN MORE tail.",
+        "no cues at all. just plain text. nothing special. the end.",
+        "comment below please. then content. today we start.",
+        " ".join(_sent(5, tag=f"p{i}") + "." for i in range(25)),
+        " ".join(_sent(rng.randint(2, 30), tag=f"q{i}") + "."
+                 for i in range(55)),
+        ("good win. " * 520).strip(),
+        "line one\ntwo\n\n\nthree\n",
+        "\r\nwindows\r\nlines\r\n",
+        "uni break\x85line end",
+        "dots... mixed!! marks?? ok;; and, some. more",
+        "¡inverted! ？fullwidth 。ideographic",
+        "trailing newline run\n\n\n",
+        "a\nb",
+        "single",
+        "lead\xa0pair. \nnewline led. tail  spaced .",
+    ]
+    texts += _sentifam_completions(rng)
+    texts += [_rand_completion(rng) for _ in range(60)]
+    return texts
+
+
+def test_feat_narrative_matches_reference(spark, tmp_path):
+    """features/narrative.py cue-flow + p75-pacing differential: the
+    intro/outro cue zones and precedence, the [:20]/[:50] slices vs
+    the pre-slice <3 gate, np.percentile(75) linear interpolation
+    (dyadic-exact on integer counts), the [:5000] truncation, and the
+    []-for-empty return (the r8 zip_with-padding catch)."""
+    from social_media_ai_engineering_etl_spark.functions import (
+        narrative17 as n17)
+    texts = _feat_texts()
+    want = _run_ref_units("feat_narrative", texts, tmp_path)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r.i: (list(r.flow), r.pac) for r in df.select(
+        "i",
+        n17.narrative_flow_cue(F.col("t")).alias("flow"),
+        n17.pacing_p75(F.col("t")).alias("pac")).collect()}
+    bad = [(i, repr(texts[i][:60]), got[i], (want[i][0], want[i][1]))
+           for i in range(len(texts))
+           if got[i] != (want[i][0], want[i][1])]
+    assert not bad, (len(bad), bad[:6])
+    labels = {l for w in want for l in w[0]}
+    assert {"Introduction/Setup", "Outro/CTA", "Content"} <= labels
+    assert {"Short/Not Enough Data", "Fast", "Slow",
+            "Moderate"} <= {w[1] for w in want}
+
+
+def _arc_score_lists(seed=717171):
+    rng = random.Random(seed)
+    lists = [
+        [],
+        [0.1],
+        [0.1, 0.2],
+        [0.1, 0.2, 0.3],
+        [0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.2, 0.4, 0.6],
+        [0.6, 0.4, 0.2, 0.0],
+        [0.1, -0.1, 0.1, -0.1, 0.1],
+        [-1.0, 1.0, -1.0, 1.0],
+        [0.0, 0.029, 0.058, 0.087],
+        [0.0, 0.031, 0.062, 0.093],
+        [0.0, -0.031, -0.062, -0.093],
+        [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5],
+    ]
+    for _ in range(40):
+        n = rng.randint(4, 14)
+        lists.append([round(rng.uniform(-1, 1), 3) for _ in range(n)])
+    return lists
+
+
+def test_arc_slope_matches_reference(spark, tmp_path):
+    """features/narrative.py polyfit-slope arc differential: rolling
+    window-3 smoothing, the <4 short gate, np.polyfit degree-1 slope
+    vs the engine's closed-form least squares, +-0.03 thresholds."""
+    from social_media_ai_engineering_etl_spark.functions import (
+        narrative17 as n17)
+    lists = _arc_score_lists()
+    want = _run_ref_units("arc_slope", lists, tmp_path)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lists)],
+        "i long, v array<double>")
+    got = {r.i: r.a for r in df.select(
+        "i", n17.sentiment_arc_slope(F.col("v")).alias("a")).collect()}
+    bad = [(i, lists[i][:6], got[i], want[i])
+           for i in range(len(lists)) if got[i] != want[i]]
+    assert not bad, (len(bad), bad[:6])
+    assert {"Short/Not Enough Data for Arc", "Rising", "Falling",
+            "Flat"} <= set(want)
+
+
+def test_text_stats_matches_reference(spark, tmp_path):
+    """features/text_stats.py differential — analyze_line_breaks
+    (count('\\n') + blank-line fraction over n_lines-1, PURE stdlib,
+    no seams), punctuation_counts (.,;!? only — unicode variants
+    excluded), analyze_sentence_structure token counts."""
+    from social_media_ai_engineering_etl_spark.functions import (
+        rewards as rw, textstats as ts)
+    texts = _feat_texts()
+    want = _run_ref_units("text_stats", texts, tmp_path)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string")
+    slens = F.transform(rw.sentences(F.col("t")),
+                        lambda s: F.size(rw._py_words(s)))
+    got = {r.i: (r.lb, r.ab, dict(r.pc), list(r.sl)) for r in df.select(
+        "i",
+        ts.line_break_count(F.col("t")).alias("lb"),
+        ts.blank_line_fraction(F.col("t")).alias("ab"),
+        ts.punctuation_counts(F.col("t")).alias("pc"),
+        slens.alias("sl")).collect()}
+    bad = []
+    for i in range(len(texts)):
+        lb, ab, pc, sl = want[i]
+        g = got[i]
+        if (g[0] != lb or abs(g[1] - ab) > 1e-12 or g[2] != pc
+                or g[3] != sl):
+            bad.append((i, repr(texts[i][:48]), g, want[i]))
+    assert not bad, (len(bad), bad[:6])
+    assert any(w[0] > 0 and w[1] > 0 for w in want)
+    assert any(w[2]["."] > 0 and w[2]["!"] > 0 for w in want)
