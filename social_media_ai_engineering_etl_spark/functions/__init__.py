@@ -1,6 +1,8 @@
 """Column-expression libraries.
 
 Everything here returns ``pyspark.sql.Column`` built from native
-functions (JVM-side, whole-stage-codegen eligible). Python/pandas
-UDFs live in :mod:`.udfs` only — keep the hot path native.
+functions (JVM-side, whole-stage-codegen eligible). The only
+non-native seams are the SURVEY-sanctioned pandas UDF in
+:mod:`.cleaning` (P4 surrogate normalize) and its masked Arrow JSON
+unwrap — keep the hot path native.
 """

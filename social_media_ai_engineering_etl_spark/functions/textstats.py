@@ -163,6 +163,11 @@ def avg_word_length(text: Column) -> Column:
 
 
 def distinct_word_count(text: Column) -> Column:
-    """Whitespace-token distinct count (native variant of T2/A16;
-    NLTK-tokenizer-parity version lives in udfs.py)."""
-    return F.size(F.array_distinct(F.split(F.lower(F.trim(text)), "\\s+")))
+    """T2/A16 ``len(set(word_tokenize(text)))``
+    (features/text_stats.py:8-10) under the declared
+    word_tokenize := str.split() seam: CASE-SENSITIVE distinct
+    unicode-whitespace tokens, no empties.  (Pre-r8 this silently
+    lowercased and ASCII-split — an undeclared extra deviation; the
+    r8 text_stats unit differential pins the faithful form.)"""
+    from .rewards import _py_words
+    return F.size(F.array_distinct(_py_words(text)))

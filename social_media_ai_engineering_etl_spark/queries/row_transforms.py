@@ -334,7 +334,9 @@ WITH pt AS (
     SELECT doc_id, text,
            list_transform(string_split(t, '. '),
                           s -> len(string_split_regex(trim(s), '\\s+'))) AS slens,
-           len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS vocab
+           len(list_distinct(list_filter(string_split_regex(text,
+               '[\\s\\x{{0B}}\\p{{Z}}\\x{{85}}\\x{{1C}}-\\x{{1F}}]+'),
+               w -> w <> ''))) AS vocab
     FROM pt
 ), scored AS (
     SELECT doc_id,

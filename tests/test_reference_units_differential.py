@@ -312,12 +312,14 @@ elif mode in ("feat_narrative", "arc_slope", "text_stats"):
     else:
         from features.text_stats import (analyze_line_breaks,
                                          analyze_sentence_structure,
+                                         analyze_vocabulary_usage,
                                          punctuation_counts)
         out = []
         for t in data:
             lb, ab = analyze_line_breaks(t)
             out.append([lb, ab, punctuation_counts(t),
-                        analyze_sentence_structure(t)])
+                        analyze_sentence_structure(t),
+                        analyze_vocabulary_usage(t)])
 elif mode == "violations":
     from utils.violations import violate_hashtags, violate_length
     out = []
@@ -1729,28 +1731,34 @@ def test_text_stats_matches_reference(spark, tmp_path):
     """features/text_stats.py differential — analyze_line_breaks
     (count('\\n') + blank-line fraction over n_lines-1, PURE stdlib,
     no seams), punctuation_counts (.,;!? only — unicode variants
-    excluded), analyze_sentence_structure token counts."""
+    excluded), analyze_sentence_structure token counts, and
+    analyze_vocabulary_usage (CASE-SENSITIVE distinct tokens — the r8
+    catch: the engine used to lowercase)."""
     from social_media_ai_engineering_etl_spark.functions import (
         rewards as rw, textstats as ts)
     texts = _feat_texts()
+    texts.append("Case case CASE casE keeps four distinct tokens")
     want = _run_ref_units("text_stats", texts, tmp_path)
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "i long, t string")
     slens = F.transform(rw.sentences(F.col("t")),
                         lambda s: F.size(rw._py_words(s)))
-    got = {r.i: (r.lb, r.ab, dict(r.pc), list(r.sl)) for r in df.select(
+    got = {r.i: (r.lb, r.ab, dict(r.pc), list(r.sl), r.vc)
+           for r in df.select(
         "i",
         ts.line_break_count(F.col("t")).alias("lb"),
         ts.blank_line_fraction(F.col("t")).alias("ab"),
         ts.punctuation_counts(F.col("t")).alias("pc"),
-        slens.alias("sl")).collect()}
+        slens.alias("sl"),
+        ts.distinct_word_count(F.col("t")).alias("vc")).collect()}
     bad = []
     for i in range(len(texts)):
-        lb, ab, pc, sl = want[i]
+        lb, ab, pc, sl, vc = want[i]
         g = got[i]
         if (g[0] != lb or abs(g[1] - ab) > 1e-12 or g[2] != pc
-                or g[3] != sl):
+                or g[3] != sl or g[4] != vc):
             bad.append((i, repr(texts[i][:48]), g, want[i]))
     assert not bad, (len(bad), bad[:6])
     assert any(w[0] > 0 and w[1] > 0 for w in want)
     assert any(w[2]["."] > 0 and w[2]["!"] > 0 for w in want)
+    assert want[-1][4] == 8
