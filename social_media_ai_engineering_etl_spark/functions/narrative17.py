@@ -213,11 +213,16 @@ def detect_bullet_styles_17(text: Column) -> Column:
 
     The indent rule (``^ {4,}([^\\w\\s])``) yields the same group-1
     symbol the symbolic rule would — label-equivalent, so not
-    separately branched.  The emoji branch imports the ``emojis``
-    package INSIDE a try/except per line — absent from this sandbox,
-    so the effective reference semantics here skip it (the engine
-    mirrors that; 'Differing Emojis' therefore only arises from data
-    that already carries emoji labels upstream)."""
+    separately branched.  The emoji branch (bullets.py:25-31) is
+    UNREACHABLE even with the ``emojis`` package installed: an
+    emoji-led line is always captured by the symbolic
+    ``^\\s*([^\\w\\s])`` rule first (single-codepoint RGI emoji are
+    category So — never Python ``\\w``), and a word-led first token
+    fails ``all(emojis.count)`` on its first character.  r8
+    differential proof: tests/test_reference_units_differential.py::
+    test_bullets17_emoji_branch_is_dead runs the genuine reference
+    WITH an emojis seam and pins both the equality and that the
+    Emoji/EmojiBullets/Differing-Emojis labels never fire."""
     from .cleaning import (PY_DIGIT_CHAR, PY_NONWORDSPACE_CHAR, py_strip)
     sp = r"[\s\x1c-\x1f]"
     numbered = "(?U)^" + sp + "*" + PY_DIGIT_CHAR + "+[.)]" + sp + "+"

@@ -126,6 +126,24 @@ elif mode == "bullets17":
     from features.context import FeatureContext
     ctx = FeatureContext.from_spacy(None)
     out = [detect_bullet_styles(t, ctx) for t in data]
+elif mode == "bullets17_emoji":
+    # the emojis package INSTALLED (shimmed): count(ch) truthy iff ch
+    # is an engine-emoji-class codepoint that is NOT Python \w —
+    # single-codepoint RGI emoji are all category So (never \w), so
+    # the word-class codepoints the engine's broader class admits
+    # (dingbat circled digits U+2776..) must not count, exactly like
+    # the real package's shortcode DB
+    import re as _re
+    _em = _re.compile(data["pattern"])
+    _w = _re.compile(r"\w")
+    emojis_mod = types.ModuleType("emojis")
+    emojis_mod.count = lambda s: sum(
+        1 for ch in s if _em.match(ch) and not _w.match(ch))
+    sys.modules["emojis"] = emojis_mod
+    from features.bullets import detect_bullet_styles
+    from features.context import FeatureContext
+    ctx = FeatureContext.from_spacy(None)
+    out = [detect_bullet_styles(t, ctx) for t in data["texts"]]
 elif mode == "dividers17":
     from features.dividers import detect_divider_styles
     from features.context import FeatureContext
@@ -1762,3 +1780,57 @@ def test_text_stats_matches_reference(spark, tmp_path):
     assert any(w[0] > 0 and w[1] > 0 for w in want)
     assert any(w[2]["."] > 0 and w[2]["!"] > 0 for w in want)
     assert want[-1][4] == 8
+
+
+def test_bullets17_emoji_branch_is_dead(spark, tmp_path):
+    """Differential proof for the reference's emoji bullet branch
+    (features/bullets.py:25-31) WITH the emojis package present
+    (shimmed: engine emoji class minus \\w — single-codepoint RGI
+    emoji are all category So, never Python \\w, so the real
+    package's DB admits no word-class codepoint either).
+
+    The branch is UNREACHABLE: an emoji-led line is always captured
+    by the symbolic ``^\\s*([^\\w\\s])`` rule first (emoji are
+    non-word), and a word-led first token fails ``all(emojis.count)``
+    on its first character.  So the engine's branchless
+    detect_bullet_styles_17 equals the reference with the package
+    installed, and the Emoji/EmojiBullets/Differing-Emojis labels
+    never fire."""
+    from social_media_ai_engineering_etl_spark.functions.narrative17 import (
+        detect_bullet_styles_17)
+    texts = _bullet_corpus(seed=626262)
+    texts += [
+        "🚀 point one\n🚀 point two",
+        "🚀🔥 double lead\n🚀🔥 again",
+        "🚀 rocket\n🔥 flame",                 # two symbolic emoji labels
+        "🚀 rocket\n• dot",                    # emoji + dot -> mixed
+        "❶ dingbat first\n❷ dingbat second",  # \w-class: NO label
+        "1️⃣ keycap lead\n2️⃣ keycap lead",      # digit-led keycap: NO label
+        "    🚀 indented emoji",
+        "🚀🚀🚀",
+        "\xa0🚀 nbsp then emoji",
+        "word 🚀 emoji not first",
+        "❶❷ multi dingbat word",
+        "☔ so-class weather\n☔ again",
+    ]
+    from social_media_ai_engineering_etl_spark.functions.textstats import (
+        EMOJI_CLASS)
+    import re as _re
+    py_pattern = _re.sub(r"\\x\{([0-9A-Fa-f]+)\}",
+                         lambda m: "\\U%08x" % int(m.group(1), 16),
+                         EMOJI_CLASS)
+    want = _run_ref_units("bullets17_emoji",
+                          {"pattern": py_pattern, "texts": texts},
+                          tmp_path)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r.i: r.b for r in df.select(
+        "i", detect_bullet_styles_17(F.col("t")).alias("b")).collect()}
+    bad = [(repr(texts[i][:45]), got[i], want[i])
+           for i in range(len(texts)) if got[i] != want[i]]
+    assert not bad, bad[:6]
+    # the dead-branch proof: with the package present, the emoji
+    # labels never fire on ANY corpus line
+    assert not any(w and "Emoji" in w for w in want)
+    # ...while emoji-led lines DO label via the symbolic rule
+    assert "🚀" in {v for v in want if v}
