@@ -1497,6 +1497,14 @@ def _rand_completion(rng):
         txt = txt.replace(" ", "\xa0", 1)
     if rng.random() < 0.2:
         txt = "\n" + txt
+    # unicode stratum: exotic case-folds (KELVIN SIGN, İ), unicode
+    # whitespace (em-space, FS), mixed-script tokens — the lexicon
+    # membership, tokenization and lower() must stay parity
+    if rng.random() < 0.25:
+        txt = txt.replace(" ", rng.choice([" ", "\x1c", "　"]), 2)
+    if rng.random() < 0.2:
+        txt = rng.choice(["K elvin prefix. ", "İstanbul lead. ",
+                          "ǅungla mix. ", "你好 мир. "]) + txt
     return txt
 
 
