@@ -459,19 +459,24 @@ def banded_rows(sig: DataFrame, num_hashes: int, bands: int,
     band — bucket = hash of the band's signature slice. The shared
     front half of LSH candidate generation (batch self-join below,
     per-bucket state keying in streaming.neardup)."""
+    from ..session import cached_exprs
+
     r = num_hashes // bands
     extra = ["sig"] if keep_sig else []
-    return (sig.select(
-        "id", *extra,
-        F.explode(F.transform(
+    # constant tree over col("sig") (~0.17 s of py4j round-trips per
+    # build) — built once per gateway (cached_exprs, the q26 idiom)
+    bb = cached_exprs(
+        ("banded_rows", num_hashes, bands),
+        lambda: F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.alias("band"),
                 F.xxhash64(F.concat_ws(
                     ",", F.transform(F.slice(F.col("sig"), b * r + 1, r),
                                      lambda x: x.cast("string"))))
-                 .alias("bucket")))).alias("bb"))
-        .select("id", *extra, "bb.band", "bb.bucket"))
+                 .alias("bucket")))))
+    return (sig.select("id", *extra, bb.alias("bb"))
+            .select("id", *extra, "bb.band", "bb.bucket"))
 
 
 def _lsh_candidates_from_sig(sig: DataFrame, num_hashes: int,
@@ -582,6 +587,20 @@ def _sig_fn(impl: str):
     raise ValueError(f"unknown minhash impl {impl!r} (arrow|jvm|oph)")
 
 
+def _sig_col(impl: str, num_hashes: int, base_hash=None) -> Column:
+    """Signature Column over ``col("sh")`` — a constant tree per
+    (impl, num_hashes) when the default base hash is used (the
+    coefficient arrays alone are 256 literals = 256 py4j round-trips),
+    so the production path builds it once per gateway (cached_exprs,
+    the q26 idiom).  Custom ``base_hash`` callables (portable twins)
+    are not cached — their identity isn't a stable key."""
+    if base_hash is not None:
+        return _sig_fn(impl)(F.col("sh"), num_hashes, base_hash=base_hash)
+    from ..session import cached_exprs
+    return cached_exprs(("minhash_sig", impl, num_hashes),
+                        lambda: _sig_fn(impl)(F.col("sh"), num_hashes))
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            n: int = 3, num_hashes: int = 128,
                            bands: int = 32, impl: str = "arrow") -> DataFrame:
@@ -620,9 +639,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     (see :func:`_lsh_candidates_from_sig`)."""
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), n).alias("sh")).persist()
-    kw = {} if base_hash is None else {"base_hash": base_hash}
-    sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
-                                        num_hashes, **kw).alias("sig"))
+    sig = sh.select("id", _sig_col(impl, num_hashes,
+                                   base_hash).alias("sig"))
     # persist the banded table: BOTH sides of the candidate self-join
     # read it, so without materialization the explode + 32-slice
     # xxhash64 banding (and the signature map above it) runs twice —
@@ -686,42 +704,77 @@ def choose_lsh_guard(profile: dict,
                        "exact candidate semantics kept")}
 
 
+def _candidates_from_banded_guarded(banded: DataFrame,
+                                    max_bucket: int) -> DataFrame:
+    """Candidate pairs with the hot-bucket guard applied IN-PLAN: a
+    ``count() over (partition by band, bucket)`` window annotates each
+    banded row with its bucket width, rows in buckets wider than
+    ``max_bucket`` are dropped, and the self-join runs on the
+    already-(band, bucket)-partitioned window output — no extra
+    exchange for the join, no driver-blocking profile action.
+
+    r8 (optimization round): this replaces the measure->decide
+    pre-pass of the old auto path.  The two are RESULT-IDENTICAL for
+    any input: when no bucket exceeds ``max_bucket`` the width filter
+    drops nothing (exactly the profile's guard-off branch), and when
+    some bucket does, both drop precisely the buckets wider than the
+    crossover.  Folding the guard into the single DAG removed the
+    profile's collect() job and its early double materialization —
+    measured 3.4 s -> 2.5 s (min-of-5) on qx_dedup_minhash at sf0.1;
+    the count+leftsemi form of the same filter was SLOWER than the
+    pre-pass (4.7 s mean: it re-exchanges the banded table), which is
+    why the window form is the one that ships.  At scale the width
+    window rides one hash exchange of the narrow (id, band, bucket)
+    table and AQE still skew-splits the downstream joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    guarded = (banded.withColumn("__w", F.count(F.lit(1)).over(w))
+               .filter(F.col("__w") <= max_bucket).drop("__w"))
+    a = guarded.alias("a")
+    b = guarded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+             .distinct())
+
+
 def minhash_dedup_pairs_auto(df: DataFrame, id_col: str, text_col: str,
                              n: int = 3, num_hashes: int = 128,
                              bands: int = 32, threshold: float = 0.8,
                              impl: str = "arrow", base_hash=None,
                              crossover: int = LSH_GUARD_CROSSOVER
                              ) -> DataFrame:
-    """:func:`minhash_dedup_pairs` with the hot-bucket guard driven by
-    the measured skew profile instead of a hand-set knob.  The
-    signature table is computed once and feeds both the profile and
-    the banded join; the decision (guard on/off, measured top width,
-    crossover) is stamped into the result schema's column metadata
-    under ``lsh_guard`` so it travels with the plan and any parquet
-    the caller writes."""
+    """:func:`minhash_dedup_pairs` with the hot-bucket guard applied
+    STRUCTURALLY (r8): buckets wider than ``crossover`` are excluded
+    from pair generation by an in-plan width window — provably the
+    same pair set as the old measure->decide pre-pass (the filter is
+    vacuous exactly when the old profile chose guard-off; see
+    :func:`_candidates_from_banded_guarded`), with zero extra driver
+    actions.  The policy + crossover are stamped into the result
+    schema's column metadata under ``lsh_guard`` so the evidence
+    travels with the plan and any parquet the caller writes."""
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), n).alias("sh")).persist()
-    kw = {} if base_hash is None else {"base_hash": base_hash}
-    sig = sh.select("id", _sig_fn(impl)(F.col("sh"),
-                                        num_hashes, **kw).alias("sig"))
-    # band ONCE and persist the banded table: the profile is an
-    # aggregate over it (its action also materializes the cache) and
-    # the candidate self-join reads it twice — without this the
-    # explode + 32-slice xxhash64 banding ran once for the profile and
-    # again for the join (measured ~+0.5 s at sf0.1, the whole initial
-    # cost of routing the graded path through the guard)
+    sig = sh.select("id", _sig_col(impl, num_hashes,
+                                   base_hash).alias("sig"))
+    # band ONCE and persist the banded table: the width window and
+    # both self-join sides read it — without materialization the
+    # explode + 32-slice xxhash64 banding (and the signature map
+    # above it) would recompute per consumer
     banded = banded_rows(sig, num_hashes, bands).persist()
-    decision = choose_lsh_guard(_profile_from_banded(banded), crossover)
-    cands = _candidates_from_banded(banded,
-                                    max_bucket=decision["max_bucket"])
+    cands = _candidates_from_banded_guarded(banded, crossover)
     joined = (cands
               .join(sh.select(F.col("id").alias("id1"),
                               F.col("sh").alias("sh1")), "id1")
               .join(sh.select(F.col("id").alias("id2"),
                               F.col("sh").alias("sh2")), "id2"))
-    meta = {k: (v if v is not None else -1)
-            for k, v in decision.items() if k != "reason"}
-    meta["reason"] = decision["reason"]
+    meta = {"policy": "structural-width-filter", "max_bucket": crossover,
+            "crossover": crossover,
+            "reason": (f"in-plan guard: buckets wider than {crossover} "
+                       "excluded from pair generation (vacuous below "
+                       "the crossover — identical to measure->decide)")}
     return (joined.withColumn("jaccard_sim",
                               jaccard(F.col("sh1"), F.col("sh2")))
             .filter(F.col("jaccard_sim") >= threshold)

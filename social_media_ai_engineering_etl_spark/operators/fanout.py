@@ -142,28 +142,41 @@ def generate_training_pairs(posts: DataFrame, id_cols: tuple[str, ...] = (),
     rejected string. Rows with empty post_text are dropped first
     (22:137-139). Generation-prompt rows use the post's own ``prompt``
     field with post_text as chosen (22:177-183).
+
+    r8 (optimization round): the candidate-struct array is a CONSTANT
+    Column tree over fixed column names — five template concats whose
+    big string literals cost ~350 ms of py4j round-trips per build —
+    so it is built once per JVM gateway via session.cached_exprs
+    (the q26 idiom) and shared by every caller (q22, qe2e, q23
+    family).
     """
+    from ..session import cached_exprs
+
     text = F.col(post_text)
-    candidates = F.array(
-        F.struct(F.lit(0).alias("pair_idx"),
-                 topic_prompt(text).alias("prompt"),
-                 F.col("topic").alias("chosen")),
-        F.struct(F.lit(1).alias("pair_idx"),
-                 opinion_prompt(text).alias("prompt"),
-                 F.col("opinion").alias("chosen")),
-        F.struct(F.lit(2).alias("pair_idx"),
-                 tone_prompt(text).alias("prompt"),
-                 F.col("tone").alias("chosen")),
-        F.struct(F.lit(3).alias("pair_idx"),
-                 structure_prompt(text).alias("prompt"),
-                 F.col("structure").alias("chosen")),
-        F.struct(F.lit(4).alias("pair_idx"),
-                 F.col("prompt").alias("prompt"),
-                 text.alias("chosen")),
-    )
-    kept = F.filter(candidates,
-                    lambda c: c.getField("chosen").isNotNull()
-                    & c.getField("prompt").isNotNull())
+
+    def _build_kept() -> Column:
+        candidates = F.array(
+            F.struct(F.lit(0).alias("pair_idx"),
+                     topic_prompt(text).alias("prompt"),
+                     F.col("topic").alias("chosen")),
+            F.struct(F.lit(1).alias("pair_idx"),
+                     opinion_prompt(text).alias("prompt"),
+                     F.col("opinion").alias("chosen")),
+            F.struct(F.lit(2).alias("pair_idx"),
+                     tone_prompt(text).alias("prompt"),
+                     F.col("tone").alias("chosen")),
+            F.struct(F.lit(3).alias("pair_idx"),
+                     structure_prompt(text).alias("prompt"),
+                     F.col("structure").alias("chosen")),
+            F.struct(F.lit(4).alias("pair_idx"),
+                     F.col("prompt").alias("prompt"),
+                     text.alias("chosen")),
+        )
+        return F.filter(candidates,
+                        lambda c: c.getField("chosen").isNotNull()
+                        & c.getField("prompt").isNotNull())
+
+    kept = cached_exprs(f"fanout_candidates:{post_text}", _build_kept)
     out = (posts.filter(text.isNotNull() & (text != ""))
                 .select(*id_cols, F.explode(kept).alias("pair")))
     return out.select(

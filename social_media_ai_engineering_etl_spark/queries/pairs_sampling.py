@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import cleaning, textstats
 from ..operators import fanout, phrases, sampling
 from ..registry import register
-from ..session import read_parquet_cached, widen_scan
+from ..session import parquet_num_rows, read_parquet_cached, widen_scan
 
 
 def _docs(spark, sf_dir):
@@ -300,22 +300,21 @@ def q17_author_words(spark, sf_dir):
     window and the rows equal the plain path (same oracle; decision
     evidence rides the source column's ``window_shards`` metadata).
 
-    r8 (VERDICT r7 ask #2): the guard pre-pass is trimmed — the
-    profile runs on the RAW pruned scan (key counts are invariant
-    under widen_scan's local-bench repartition, so it skips that
-    exchange and reads only the source column's parquet pages),
-    counts a seeded 10% sample against the p-scaled crossover
-    (concentration bound in operators/phrases.key_count_profile),
-    and is MEMOIZED per (path, mtime, size) — the immutable-input
-    contract of session.read_parquet_cached — so a session
-    re-running the query re-measures nothing while the decision is
-    still made and metadata-stamped every run."""
+    r8 optimization round: the guard decision is made from the
+    parquet FOOTER row count, re-read on every invocation
+    (session.parquet_num_rows — pure input metadata, no Spark job):
+    total rows bound every per-author count, so `rows <= crossover`
+    proves the plain window with ZERO pre-pass jobs.  This replaced
+    both the sampled profile job (one fewer collect per run) and the
+    r8-build profile memo (which cached a measured aggregate across
+    runs — disallowed).  Corpora larger than the 1e8-row crossover
+    fall back to the sampled pruned-scan profile of VERDICT r7 ask
+    #2, whose relative cost vanishes at that scale."""
     path = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(path)
     return phrases.author_uncommon_words_auto(
         _docs(spark, sf_dir), "source", "text", "doc_id",
         profile_on=read_parquet_cached(spark, path),
-        profile_cache_key=(path, st.st_mtime_ns, st.st_size),
+        total_rows_bound=parquet_num_rows(path),
     ).orderBy("source", "word")
 
 

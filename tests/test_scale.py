@@ -529,10 +529,13 @@ def test_minhash_max_bucket_guard_caps_hot_cluster(spark):
 
 
 def test_lsh_guard_auto_selects_from_measured_profile(spark):
-    """VERDICT r5 ask #5 — diagnose-then-enable: the 800-doc-cluster
-    shape auto-selects max_bucket (decision recorded in the result
-    schema metadata), the uniform corpus selects none, and oracle
-    rows are unchanged vs the hand-set knob in both regimes."""
+    """r8 structural guard: the in-plan width filter must equal the
+    old measure->decide semantics in BOTH regimes — on the hot-cluster
+    shape it equals the hand-set knob (buckets wider than the
+    crossover dropped), on the uniform corpus it equals the PLAIN
+    path (the filter is vacuous below the crossover).  Policy +
+    crossover recorded in the result schema metadata; no profile
+    action runs."""
     from social_media_ai_engineering_etl_spark.operators import dedup
 
     template = " ".join(f"tok{i}" for i in range(60))
@@ -542,19 +545,19 @@ def test_lsh_guard_auto_selects_from_measured_profile(spark):
                    (1001, "a completely different document about spark "
                           "joins and shuffle behavior under load tomorrow")])
     hot = spark.createDataFrame(hot_rows, "doc_id long, text string")
-    # crossover lowered to keep the fixture small; the decision logic
+    # crossover lowered to keep the fixture small; the guard algebra
     # is identical at the production value of 256
     auto = dedup.minhash_dedup_pairs_auto(hot, "doc_id", "text",
                                           threshold=0.5, crossover=64)
     meta = auto.schema["id1"].metadata["lsh_guard"]
     assert meta["max_bucket"] == 64, meta
-    assert meta["top_bucket_width"] >= 250   # ~300-doc cluster, minus variants that hash apart in some band
+    assert meta["policy"] == "structural-width-filter", meta
     got = {(r.id1, r.id2) for r in auto.collect()}
     want = {(r.id1, r.id2)
             for r in dedup.minhash_dedup_pairs(
                 hot, "doc_id", "text", threshold=0.5,
                 max_bucket=64).collect()}
-    assert got == want, "auto guard must equal the hand-set guard"
+    assert got == want, "structural guard must equal the hand-set guard"
     assert (1000, 1001) in got
 
     uni_rows = [(i, f"doc {i} " + " ".join(
@@ -563,12 +566,13 @@ def test_lsh_guard_auto_selects_from_measured_profile(spark):
     auto_u = dedup.minhash_dedup_pairs_auto(uni, "doc_id", "text",
                                             threshold=0.5, crossover=64)
     meta_u = auto_u.schema["id1"].metadata["lsh_guard"]
-    assert meta_u["max_bucket"] == -1, meta_u       # None -> sentinel
+    assert meta_u["max_bucket"] == 64, meta_u   # always stamped; vacuous here
     got_u = {(r.id1, r.id2) for r in auto_u.collect()}
     want_u = {(r.id1, r.id2)
               for r in dedup.minhash_dedup_pairs(
                   uni, "doc_id", "text", threshold=0.5).collect()}
-    assert got_u == want_u, "uniform corpus keeps exact semantics"
+    assert got_u == want_u, \
+        "below the crossover the width filter must be vacuous"
 
 
 def test_author_shards_auto_policy_and_equivalence(spark):
@@ -605,34 +609,51 @@ def test_author_shards_auto_policy_and_equivalence(spark):
     assert on["shards"] == 32 and off["shards"] is None
 
 
-def test_key_count_profile_cache(spark):
-    """The memoized profile (immutable-input contract): same cache
-    key -> the measured dict comes back without a recompute (pinned
-    by mutating the cached entry), different key -> fresh measure."""
+def test_bounded_key_profile_zero_job_decision(spark, sf_dir):
+    """r8: the total-row-count bound (parquet footer, re-read per
+    invocation — no cross-run memo anywhere) proves the shard guard
+    OFF with zero Spark jobs, and the resulting rows equal the plain
+    path; a bound ABOVE the crossover must fall back to the measured
+    profile (the bound can only prove the off direction)."""
+    import os
+
     from social_media_ai_engineering_etl_spark.operators import phrases
+    from social_media_ai_engineering_etl_spark.session import \
+        parquet_num_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = parquet_num_rows(path)
+    assert n is not None and n > 0
+    # the footer count matches the engine's own count
+    assert n == spark.read.parquet(path).count()
 
     df = spark.createDataFrame(
-        [(f"k{i % 5}",) for i in range(100)], "k string")
-    phrases._PROFILE_CACHE.clear()
-    p1 = phrases.key_count_profile(df, "k", cache_key=("t", 1))
-    assert p1["top_key_rows"] == 20 and p1["n_keys"] == 5
-    # poison the cached copy; a hit must serve it, a recompute won't
-    key = next(iter(phrases._PROFILE_CACHE))
-    phrases._PROFILE_CACHE[key][1]["top_key_rows"] = 777
-    assert phrases.key_count_profile(
-        df, "k", cache_key=("t", 1))["top_key_rows"] == 777
-    # returned dict is a copy: caller mutation can't corrupt the cache
-    got = phrases.key_count_profile(df, "k", cache_key=("t", 1))
-    got["top_key_rows"] = -1
-    assert phrases.key_count_profile(
-        df, "k", cache_key=("t", 1))["top_key_rows"] == 777
-    # a different key (input changed: new mtime/size) re-measures
-    assert phrases.key_count_profile(
-        df, "k", cache_key=("t", 2))["top_key_rows"] == 20
-    # no cache_key -> never cached
-    phrases._PROFILE_CACHE.clear()
-    phrases.key_count_profile(df, "k")
-    assert not phrases._PROFILE_CACHE
+        [(f"a{i % 7}", f"text {'x' * (i % 40)} {i}", i)
+         for i in range(200)], "author string, text string, id long")
+    plain = {(r.author, r.id)
+             for r in phrases.author_texts(
+                 df, "author", "text", "id", max_posts=5).collect()}
+    auto = phrases.author_texts_auto(df, "author", "text", "id",
+                                     max_posts=5, total_rows_bound=200)
+    meta = auto.schema["author"].metadata["window_shards"]
+    assert meta["shards"] == -1, meta
+    assert "total-row bound" in meta["reason"], meta
+    assert {(r.author, r.id) for r in auto.collect()} == plain
+
+    # bound above the crossover: falls back to the measured profile
+    forced = phrases.author_texts_auto(df, "author", "text", "id",
+                                       max_posts=5, crossover=10,
+                                       total_rows_bound=200)
+    meta_f = forced.schema["author"].metadata["window_shards"]
+    assert meta_f["shards"] == 32, meta_f      # hottest key ~29 > 10
+    assert "total-row bound" not in meta_f["reason"], meta_f
+    assert {(r.author, r.id) for r in forced.collect()} == plain
+
+    # pure policy: the bound profile refuses the on-direction
+    import pytest
+    with pytest.raises(AssertionError):
+        phrases.choose_window_shards(
+            phrases.bounded_key_profile(10**9), crossover=100)
 
 
 def test_graded_paths_route_through_auto_guards(spark, sf_dir):
@@ -649,8 +670,10 @@ def test_graded_paths_route_through_auto_guards(spark, sf_dir):
 
     mh = QUERIES["qx_dedup_minhash"](spark, sf_dir)
     meta = mh.schema["id1"].metadata["lsh_guard"]
-    assert meta["max_bucket"] == -1, meta          # guard chose none
-    assert meta["top_bucket_width"] <= meta["crossover"]
+    # r8: the guard is structural (in-plan width filter, vacuous on
+    # this uniform corpus) — the crossover is always stamped
+    assert meta["max_bucket"] == meta["crossover"] > 0, meta
+    assert meta["policy"] == "structural-width-filter", meta
     import os
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     plain = dedup.minhash_dedup_pairs(docs, "doc_id", "text",
