@@ -230,13 +230,27 @@ def classify_prompt_type(prompt: Column) -> Column:
     """Substring rules -> prompt type, first match wins; 'unknown' for
     null/empty; else 'other' (23-split.py:56-73). The post-generation
     rule needs BOTH '# request' and 'create a linkedin post'."""
-    lowered = F.lower(prompt)
-    expr = F.when(lowered.contains("# request")
-                  & lowered.contains("create a linkedin post"),
-                  F.lit("post-generation")).otherwise(F.lit("other"))
-    for needle, label in reversed(PROMPT_TYPE_RULES):
-        expr = F.when(lowered.contains(F.lit(needle)), F.lit(label)).otherwise(expr)
-    return F.when(prompt.isNull() | (prompt == ""), F.lit("unknown")).otherwise(expr)
+    def build(p: Column) -> Column:
+        lowered = F.lower(p)
+        expr = F.when(lowered.contains("# request")
+                      & lowered.contains("create a linkedin post"),
+                      F.lit("post-generation")).otherwise(F.lit("other"))
+        for needle, label in reversed(PROMPT_TYPE_RULES):
+            expr = F.when(lowered.contains(F.lit(needle)),
+                          F.lit(label)).otherwise(expr)
+        return F.when(p.isNull() | (p == ""), F.lit("unknown")).otherwise(expr)
+
+    # constant per referenced column name: cache the common
+    # F.col("...") form (r8 — ~80 py4j round-trips per build)
+    from ..session import cached_exprs
+    try:
+        name = prompt._jc.toString()
+    except Exception:
+        name = None
+    if name is not None and name.isidentifier():
+        return cached_exprs(("prompt_type", name),
+                            lambda: build(F.col(name)))
+    return build(prompt)
 
 
 def normalize_surrogates_udf():

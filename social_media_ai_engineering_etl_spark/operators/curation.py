@@ -71,44 +71,61 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
       * most-frequent-token fraction <= num/den (as den*top <= num*n)
       * at least ``min_stopword_hits`` stopword occurrences
     """
-    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    ws = words(F.col(text_col))
-    srt = F.array_sort(ws)
-    # max token multiplicity = longest equal-run in the sorted array,
-    # folded with a (prev, run, best) struct — O(n log n) per row, no
-    # explode: the exploded (doc, token) hash-agg alternative shuffles
-    # one row per distinct token per doc, which at corpus scale is the
-    # single biggest exchange in the whole quality pass
-    run = lambda acc, t: F.when(t == acc["prev"], acc["run"] + 1) \
-                          .otherwise(F.lit(1).cast("long"))
-    top = F.aggregate(
-        srt,
-        F.struct(F.lit("").alias("prev"),
-                 F.lit(0).cast("long").alias("run"),
-                 F.lit(0).cast("long").alias("best")),
-        lambda acc, t: F.struct(
-            t.alias("prev"), run(acc, t).alias("run"),
-            F.greatest(acc["best"], run(acc, t)).alias("best")),
-        lambda acc: acc["best"])
-    per_doc = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in (passthrough or [])],
-        F.size(ws).cast("long").alias("n_words"),
-        F.size(F.array_distinct(ws)).cast("long")
-         .alias("n_distinct_words"),
-        F.aggregate(ws, F.lit(0).cast("long"),
-                    lambda acc, t: acc + F.length(t))
-         .alias("sum_word_chars"),
-        top.alias("top_token_count"),
-        F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
-         .cast("long").alias("stopword_hits"))
-    keep = ((F.col("n_words") >= min_words)
-            & (F.col("n_words") <= max_words)
-            & (F.col("sum_word_chars") >= min_mean_wlen * F.col("n_words"))
-            & (F.col("sum_word_chars") <= max_mean_wlen * F.col("n_words"))
-            & (max_top_frac_den * F.col("top_token_count")
-               <= max_top_frac_num * F.col("n_words"))
-            & (F.col("stopword_hits") >= min_stopword_hits))
+    def _build_metric_cols():
+        sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        ws = words(F.col(text_col))
+        srt = F.array_sort(ws)
+        # max token multiplicity = longest equal-run in the sorted
+        # array, folded with a (prev, run, best) struct — O(n log n)
+        # per row, no explode: the exploded (doc, token) hash-agg
+        # alternative shuffles one row per distinct token per doc,
+        # which at corpus scale is the single biggest exchange in the
+        # whole quality pass
+        run = lambda acc, t: F.when(t == acc["prev"], acc["run"] + 1) \
+                              .otherwise(F.lit(1).cast("long"))
+        top = F.aggregate(
+            srt,
+            F.struct(F.lit("").alias("prev"),
+                     F.lit(0).cast("long").alias("run"),
+                     F.lit(0).cast("long").alias("best")),
+            lambda acc, t: F.struct(
+                t.alias("prev"), run(acc, t).alias("run"),
+                F.greatest(acc["best"], run(acc, t)).alias("best")),
+            lambda acc: acc["best"])
+        return [
+            F.col(id_col).alias("doc_id"),
+            F.size(ws).cast("long").alias("n_words"),
+            F.size(F.array_distinct(ws)).cast("long")
+             .alias("n_distinct_words"),
+            F.aggregate(ws, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+             .alias("sum_word_chars"),
+            top.alias("top_token_count"),
+            F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
+             .cast("long").alias("stopword_hits")]
+
+    # the HOF metric projection + keep rule are constant trees per
+    # (columns, thresholds) — built once per gateway (cached_exprs,
+    # r8; ~700 py4j round-trips per build otherwise)
+    from ..session import cached_exprs
+    mcols = cached_exprs(("gopher_metrics", id_col, text_col),
+                         _build_metric_cols)
+    per_doc = df.select(mcols[0],
+                        *[F.col(c) for c in (passthrough or [])],
+                        *mcols[1:])
+    keep = cached_exprs(
+        ("gopher_keep", min_words, max_words, min_mean_wlen,
+         max_mean_wlen, max_top_frac_num, max_top_frac_den,
+         min_stopword_hits),
+        lambda: ((F.col("n_words") >= min_words)
+                 & (F.col("n_words") <= max_words)
+                 & (F.col("sum_word_chars")
+                    >= min_mean_wlen * F.col("n_words"))
+                 & (F.col("sum_word_chars")
+                    <= max_mean_wlen * F.col("n_words"))
+                 & (max_top_frac_den * F.col("top_token_count")
+                    <= max_top_frac_num * F.col("n_words"))
+                 & (F.col("stopword_hits") >= min_stopword_hits)))
     return per_doc.withColumn("keep", keep.cast("int"))
 
 

@@ -83,6 +83,19 @@ def word_shingle_hashes(text: Column, n: int = 3) -> Column:
         zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)])))
 
 
+def shingle_col(text_col: str, n: int, hashed: bool = False) -> Column:
+    """:func:`word_shingles` / :func:`word_shingle_hashes` over a
+    NAMED column, built once per gateway (cached_exprs): the
+    split+slice+zip+transform tree costs ~30-60 ms of py4j
+    round-trips per build and every dedup-family query rebuilds it
+    (r8 optimization round — plan-fragment cache, never data)."""
+    from ..session import cached_exprs
+
+    fn = word_shingle_hashes if hashed else word_shingles
+    return cached_exprs(("shingles", text_col, n, hashed),
+                        lambda: fn(F.col(text_col), n))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays; 0.0 when both
     are empty (ANSI mode would otherwise raise DIVIDE_BY_ZERO the
@@ -150,7 +163,7 @@ def ngram_jaccard_pairs_inverted(df: DataFrame, id_col: str, text_col: str,
     set is byte-identical on the fixtures).
     """
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingle_hashes(F.col(text_col), n).alias("sh"))
+                   shingle_col(text_col, n, hashed=True).alias("sh"))
     # the shingle table feeds sizes (x2 joins), the explode, and both
     # sides of the self-join — persist or the shingling (regex split +
     # n-way zip + distinct) recomputes per branch (no DAG CSE; the
@@ -216,7 +229,7 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     from pyspark.sql import Window
 
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingle_hashes(F.col(text_col), n).alias("sh"))
+                   shingle_col(text_col, n, hashed=True).alias("sh"))
     sh = (sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
           .persist())
     sizes = sh.select("id", "sz")
@@ -229,8 +242,11 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     # 1e-9 slack as the join prunes below — float ceil rounding UP here
     # would SHORTEN the prefix (the lossy direction), slack only ever
     # lengthens it by one token.
-    plen = (F.col("sz")
-            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1)
+    from ..session import cached_exprs
+    plen = cached_exprs(
+        ("prefix_plen", threshold),
+        lambda: F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1)
     prefix = (ranked.filter(F.col("rk") <= plen)
               .select("id", "s", "sz", "rk").persist())
     # two more LOSSLESS PPJoin prunes applied inside the token join,
@@ -259,18 +275,24 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     # t.  Subtracting/adding 1e-9 weakens each prune by at most one
     # candidate — still lossless, since the exact-Jaccard verify below
     # decides membership.
-    olap = F.ceil(F.lit(t / (1.0 + t))
-                  * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9))
+    # the prune conjunction is a constant tree per threshold (~40
+    # py4j round-trips) — built once per gateway (r8)
+    def _build_cond():
+        olap = F.ceil(F.lit(t / (1.0 + t))
+                      * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9))
+        return ((F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("b.sz") * t <= F.col("a.sz") + F.lit(1e-9))
+                & (F.col("a.sz") * t <= F.col("b.sz") + F.lit(1e-9))
+                & (F.least(F.col("a.rk"), F.col("b.rk"))
+                   + F.least(F.col("a.sz") - F.col("a.rk"),
+                             F.col("b.sz") - F.col("b.rk"))
+                   >= olap))
+
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
-                  (F.col("a.s") == F.col("b.s"))
-                  & (F.col("a.id") < F.col("b.id"))
-                  & (F.col("b.sz") * t <= F.col("a.sz") + F.lit(1e-9))
-                  & (F.col("a.sz") * t <= F.col("b.sz") + F.lit(1e-9))
-                  & (F.least(F.col("a.rk"), F.col("b.rk"))
-                     + F.least(F.col("a.sz") - F.col("a.rk"),
-                               F.col("b.sz") - F.col("b.rk"))
-                     >= olap))
+                  cached_exprs(("prefix_join_cond", threshold),
+                               _build_cond))
             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
             .distinct())
     # verify: per-candidate exact Jaccard over the two hashed-shingle
@@ -316,7 +338,7 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     candidate pass.  Same ``max_df`` stopword-shingle skew guard.
     """
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), n).alias("sh"))
+                   shingle_col(text_col, n).alias("sh"))
     sh = (sh.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
           .persist())
     sizes = sh.select("id", "sz")
@@ -638,7 +660,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     banding.  ``max_bucket`` passes through to the hot-bucket guard
     (see :func:`_lsh_candidates_from_sig`)."""
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), n).alias("sh")).persist()
+                   shingle_col(text_col, n).alias("sh")).persist()
     sig = sh.select("id", _sig_col(impl, num_hashes,
                                    base_hash).alias("sig"))
     # persist the banded table: BOTH sides of the candidate self-join
@@ -756,7 +778,7 @@ def minhash_dedup_pairs_auto(df: DataFrame, id_col: str, text_col: str,
     schema's column metadata under ``lsh_guard`` so the evidence
     travels with the plan and any parquet the caller writes."""
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), n).alias("sh")).persist()
+                   shingle_col(text_col, n).alias("sh")).persist()
     sig = sh.select("id", _sig_col(impl, num_hashes,
                                    base_hash).alias("sig"))
     # band ONCE and persist the banded table: the width window and
@@ -1240,16 +1262,23 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     from .textquality import (gram_hashes, winnow_fingerprint,
                               winnow_fingerprint_arrow)
 
+    from ..session import cached_exprs
+
     winnow = {"arrow": winnow_fingerprint_arrow,
               "jvm": winnow_fingerprint}[impl]
-    hashed = df.select(F.col(id_col).alias("id"),
-                       gram_hashes(F.col(text_col), k,
-                                   mirrorable=mirrorable).alias("hs"))
+    # gram-hash and winnow columns are constant trees per knob set —
+    # built once per gateway (cached_exprs, r8)
+    hs_col = cached_exprs(("gram_hashes", text_col, k, mirrorable),
+                          lambda: gram_hashes(F.col(text_col), k,
+                                              mirrorable=mirrorable))
+    fps_col = cached_exprs(("winnow_fp", impl, w),
+                           lambda: winnow(F.col("hs"), w))
+    hashed = df.select(F.col(id_col).alias("id"), hs_col.alias("hs"))
     # the fingerprint table feeds FOUR branches (both sides of the
     # self-join + two size joins); without persist the whole
     # hash+winnow pipeline recomputes per branch (no DAG CSE — the
     # minhash shingle-table lesson; measured ~4x on the scale probe)
-    fp = (hashed.select("id", winnow(F.col("hs"), w).alias("fps"))
+    fp = (hashed.select("id", fps_col.alias("fps"))
           .withColumn("n_fp", F.size("fps")).filter(F.col("n_fp") > 0)
           .persist())
     sizes = fp.select("id", "n_fp")

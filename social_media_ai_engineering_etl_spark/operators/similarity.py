@@ -1052,9 +1052,10 @@ def hybrid_retrieval_topk(docs: DataFrame, emb: DataFrame,
     stages break ties deterministically (count/cos DESC, id ASC), so
     the result is value-hash stable cross-engine.
     """
-    from .dedup import word_shingles
+    from ..session import cached_exprs
+    from .dedup import shingle_col
     sh = docs.select(F.col(doc_id).alias("did"),
-                     F.explode(word_shingles(F.col(text_col))).alias("s"))
+                     F.explode(shingle_col(text_col, 3)).alias("s"))
     qsh = (sh.filter(F.col("did") % query_mod == 0)
            .select(F.col("did").alias("query_id"), "s"))
     cand = (sh.join(qsh, "s")
@@ -1075,9 +1076,12 @@ def hybrid_retrieval_topk(docs: DataFrame, emb: DataFrame,
                   F.col("vec").alias("qv"), F.col("n").alias("qn"))
     cv = v.select(F.col("vid").alias("cand_id"),
                   F.col("vec").alias("cv"), F.col("n").alias("cn"))
-    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v_: acc + v_)
+    # constant HOF tree over (cv, qv) — built once per gateway (r8)
+    dot = cached_exprs(
+        ("hybrid_dot",),
+        lambda: F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, v_: acc + v_))
     scored = (shortlist.join(qv, "query_id").join(cv, "cand_id")
               .withColumn("cosine_sim", _safe_cosine(dot)))
     w = Window.partitionBy("query_id").orderBy(

@@ -1611,8 +1611,8 @@ def qx_latest_event_per_user(spark, sf_dir):
     max_by-over-struct operator — one partial-aggregating shuffle, no
     per-key sort window (scale.compact_latest). The oracle expresses
     the same semantics as the window form DuckDB can run."""
-    from ..streaming.windows import load_events
-    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    from ..session import load_events_cached
+    ev = load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
     out = scale.compact_latest(ev, ["user_id"], ["ts", "event_id"],
                                ["event_type", "value"])
     return (out.select("user_id", "event_id", "event_type",

@@ -53,9 +53,9 @@ _POSTS_CTE = """
 """
 
 
-def _derive_posts(df):
+def _build_post_cols():
     d = F.col("doc_id")
-    return df.select(
+    return [
         "doc_id",
         F.when(d % 97 == 0, F.lit("")).otherwise(F.col("text")).alias("post_text"),
         F.when(d % 2 == 0, F.col("source")).alias("topic"),
@@ -67,7 +67,14 @@ def _derive_posts(df):
         F.when(d % 2 == 1,
                F.concat(F.lit("# Request\nCreate a LinkedIn post about "),
                         F.col("source"))).alias("prompt"),
-    )
+    ]
+
+
+def _derive_posts(df):
+    # constant tree over (doc_id, text, source, lang): built once per
+    # gateway (cached_exprs, the q26 idiom — r8)
+    from ..session import cached_exprs
+    return df.select(*cached_exprs("derived_post_cols", _build_post_cols))
 
 
 _PAIRS_CTE = _POSTS_CTE + """

@@ -15,11 +15,11 @@ from ..registry import register
 from ..streaming import (sessionized_activity, sliding_event_rates,
                          tumbling_engagement)
 from ..streaming import windows
-from ..streaming.windows import load_events
+from ..session import load_events_cached
 
 
 def _events(spark, sf_dir):
-    return load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 @register("qs_tumbling_engagement", bench=True, oracle="""
@@ -131,7 +131,7 @@ def qs_event_dedup(spark, sf_dir):
     tested in tests/test_streaming.py): duplicates planted by
     unioning the feed with its own tail, dedup on event_id, counts
     per type."""
-    ev = windows.load_events(spark,
+    ev = load_events_cached(spark,
                              os.path.join(sf_dir, "events.parquet"))
     dupes = ev.filter(F.col("event_id") % 3 == 0)
     feed = ev.unionByName(dupes)
@@ -155,7 +155,7 @@ def qs_conversion_join(spark, sf_dir):
     """Event-time interval join (click -> purchase attribution within
     1 hour) — the batch twin of the watermarked stream-stream join
     (state-bounding tested in tests/test_streaming.py)."""
-    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
     out = windows.conversion_join(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"))
@@ -185,7 +185,7 @@ def qs_last_touch(spark, sf_dir):
     """As-of join (last-touch attribution): nearest preceding click
     per purchase within 1 hour — interval join + WindowGroupLimit
     top-1 (see streaming/windows.last_touch_attribution)."""
-    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
     out = windows.last_touch_attribution(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"))
@@ -217,7 +217,7 @@ def qs_inter_event_gaps(spark, sf_dir):
     lag window; the bucket rollup aggregates map-side."""
     from pyspark.sql import Window
 
-    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (F.unix_micros(F.col("ts"))
            - F.unix_micros(F.lag("ts").over(w)))
@@ -258,7 +258,7 @@ def qs_engagement_rollup(spark, sf_dir):
     error can cross a round(·,6) boundary between engines —
     floor(value*1e6) is computed on bit-identical doubles on both
     sides, so the BIGINT sum is exact and order-independent."""
-    ev = load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
     hour = F.date_format(F.date_trunc("hour", F.col("ts")),
                          "yyyy-MM-dd HH:mm:ss")
     return (ev.rollup(F.col("event_type"), hour.alias("hour"))
@@ -289,7 +289,7 @@ def qsc_salted_agg(spark, sf_dir):
     hashed in integer micro-units (exact, order-independent) instead
     of a round(sum(double)) whose ulp drift is engine-dependent."""
     from ..operators import scale
-    ev = (load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = (load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
           .withColumn("value_micros", F.floor(F.col("value") * 1e6)))
     out = scale.salted_aggregate(
         ev, ["event_type"],

@@ -18,11 +18,12 @@ from pyspark.sql import functions as F
 
 from ..operators.temporal import asof_join
 from ..registry import register
-from ..streaming.windows import load_events
+from ..session import load_events_cached
 
 
 def _events(spark, sf_dir):
-    return load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    # immutable sf input: cached scan construction (session contract)
+    return load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 # Equal-timestamp clicks are pre-deduped to max(event_id) on BOTH

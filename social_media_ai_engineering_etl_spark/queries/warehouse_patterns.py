@@ -13,12 +13,12 @@ import os
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import read_parquet_cached
-from ..streaming.windows import load_events
+from ..session import load_events_cached, read_parquet_cached
 
 
 def _events(spark, sf_dir):
-    return load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    # immutable sf input: cached scan construction (session contract)
+    return load_events_cached(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 
