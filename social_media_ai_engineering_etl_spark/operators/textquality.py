@@ -312,7 +312,18 @@ def winnow_fingerprint_arrow(hashes: Column, w: int = 4) -> Column:
     min moves from interpreted HOF lambdas to a single
     ``sliding_window_view(...).min(axis=1)``; the k-gram hash stream
     is still computed JVM-side (xxhash64/md5 via gram_hashes), so the
-    UDF only ever sees array<long>. Narrow map, no shuffle."""
+    UDF only ever sees array<long>. Narrow map, no shuffle.
+
+    Returned marked NON-DETERMINISTIC (r8, optimization guide §4.4):
+    the caller filters on ``size(fps) > 0``, and Catalyst pushes that
+    filter below the compute repartition by DUPLICATING the UDF — one
+    ArrowEvalPython below the exchange (feeding the filter) and one
+    above (producing the column), i.e. the whole gram-hash + winnow
+    pass ran twice per row (plan-verified; measured ~0.13 s at sf0.1
+    where the duplicate runs on the unwidened scan — at corpus scale
+    it would double the whole fingerprint stage).  The function is
+    pure; the marking is purely an optimizer fence against
+    re-evaluation, and the pair set is pinned identical."""
     @pandas_udf("array<bigint>")
     def _winnow(hs: pd.Series) -> pd.Series:
         win = np.lib.stride_tricks.sliding_window_view
@@ -329,7 +340,7 @@ def winnow_fingerprint_arrow(hashes: Column, w: int = 4) -> Column:
             out.append(np.unique(mins))   # sorted + distinct
         return pd.Series(out)
 
-    return _winnow(hashes)
+    return _winnow.asNondeterministic()(hashes)
 
 
 # ---------------------------------------------------------------------------
