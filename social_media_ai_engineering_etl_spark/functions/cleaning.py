@@ -108,7 +108,13 @@ def _py_json_unwrap(key: str):
         out[mask] = s[mask].map(one)
         return out
 
-    fn = F.pandas_udf(_batch, "string")
+    # non-deterministic marking = optimizer fence (r8, optimization
+    # guide §4.4): clean_field filters on the unwrapped column, and
+    # Catalyst pushed that filter below by DUPLICATING the UDF — two
+    # ArrowEvalPython nodes, every row parsed twice (plan-verified on
+    # q07_clean_topics).  The function is pure; the marking only
+    # stops re-evaluation/reordering.
+    fn = F.pandas_udf(_batch, "string").asNondeterministic()
     _UNWRAP_UDFS[key] = fn
     return fn
 
