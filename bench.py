@@ -41,6 +41,62 @@ def materialize(df) -> int:
     return row["n"]
 
 
+def task_time_reader(spark):
+    """Per-query EXECUTOR TASK-TIME totals (VERDICT r8 ask #2): wall
+    time at sf0.1 is fixed-cost bound (~0.4 s job floor), so an
+    8-vs-32-core probe reads ~1 everywhere and cannot distinguish a
+    parallel engine from a serial one.  The sum of task durations CAN:
+    a compute-bound query keeps its task-time roughly constant across
+    core counts while wall shrinks, and task_time/wall >> 1 at 32
+    cores is direct evidence the plan parallelizes.
+
+    Returns a ``snap()`` closure: each call returns the summed
+    ``executorRunTime`` (seconds) of all stages newly completed since
+    the previous call, read from the driver's AppStatusStore (the
+    always-on listener-bus store that backs the UI — no extra
+    listener, no UI needed).  The store's stage list is walked
+    newest-first and the walk stops at the last-seen stage id, so a
+    snapshot costs a handful of py4j calls, not a scan of the
+    retained-stage window; stage eviction (spark.ui.retainedStages)
+    only ever removes OLD stages, which are already counted.
+    Measurement-only instrumentation: no effect on plans or results.
+    """
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    gw = sc._gateway
+    empty_quantiles = gw.new_array(gw.jvm.double, 0)
+    state = {"max_id": -1}
+
+    def snap() -> float:
+        # flush the async listener bus so the last action's stage
+        # metrics are final before reading
+        jsc.listenerBus().waitUntilEmpty()
+        stages = jsc.statusStore().stageList(
+            None, False, False, empty_quantiles, None)
+        n = stages.size()
+        if n == 0:
+            return 0.0
+        # direction-aware: the KV-store view has been observed
+        # newest-first, but don't bet correctness on it
+        newest_first = (n < 2
+                        or stages.apply(0).stageId()
+                        >= stages.apply(n - 1).stageId())
+        order = range(n) if newest_first else range(n - 1, -1, -1)
+        total_ms = 0
+        top = state["max_id"]
+        for i in order:
+            s = stages.apply(i)
+            sid = s.stageId()
+            if sid <= state["max_id"]:
+                break
+            top = max(top, sid)
+            total_ms += s.executorRunTime()
+        state["max_id"] = top
+        return total_ms / 1000.0
+
+    return snap
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -62,6 +118,11 @@ def main() -> None:
         with cache_scope(spark):
             materialize(QUERIES[name](spark, SF_DIR))
 
+    # task-time instrumentation (VERDICT r8 ask #2): absorb the
+    # warmup pass's stages, then read a per-query delta each pass
+    snap_task_time = task_time_reader(spark)
+    snap_task_time()
+
     # r7 (VERDICT r6 ask #6): the recorded artifact is the PER-QUERY
     # MEAN over n interleaved passes with a per-query band (sd/min/
     # max) — a single-shot or min-of-2 total sits a coin flip from
@@ -71,6 +132,7 @@ def main() -> None:
     # equally instead of biasing whichever was running.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     samples: dict[str, list[float]] = {name: [] for name in names}
+    task_samples: dict[str, list[float]] = {name: [] for name in names}
     for p in range(passes):
         for name in names:
             # cache ownership is centralized at the run loop: operators
@@ -87,7 +149,11 @@ def main() -> None:
                 n = materialize(df)
                 took = round(time.perf_counter() - t0, 4)
             samples[name].append(took)
-            print(f"# pass {p + 1} {name}: {took:.3f}s ({n} rows)",
+            task_s = snap_task_time()
+            task_samples[name].append(task_s)
+            print(f"# pass {p + 1} {name}: {took:.3f}s "
+                  f"task-time {task_s:.3f}s "
+                  f"parallelism {task_s / took:.1f}x ({n} rows)",
                   file=sys.stderr)
 
     timings = {name: round(statistics.mean(ts), 4)
@@ -100,6 +166,12 @@ def main() -> None:
     } for name, ts in samples.items()}
     total = round(sum(timings.values()), 4)
     min_total = round(sum(b["min"] for b in band.values()), 4)
+    # per-query executor task-time (sum of task durations): the
+    # core-scaling signal — roughly constant across core counts for
+    # compute-bound queries while wall shrinks, and task/wall >> 1
+    # demonstrates the plan parallelizes (VERDICT r8 ask #2).
+    task_time = {name: round(statistics.mean(ts), 4)
+                 for name, ts in task_samples.items()}
     print(json.dumps({
         "metric": "total_headline_query_time",
         "value": total,
@@ -109,6 +181,8 @@ def main() -> None:
         "passes": passes,
         "band": band,
         "min_sum": min_total,
+        "task_sec": task_time,
+        "task_sec_sum": round(sum(task_time.values()), 4),
     }))
     spark.stop()
 

@@ -543,3 +543,55 @@ def test_q26_rewards_scalar_codegen_compiles(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
         spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# §4.4 duplicated-Python-eval guard (VERDICT r8 ask #7)
+# ---------------------------------------------------------------------------
+
+_EVAL_NODE = re.compile(
+    r"^\(\d+\) (?:ArrowEvalPython|BatchEvalPython)\n"
+    r"((?:(?!\n\(\d+\) ).)*)", re.M | re.S)
+_UDF_CALLS = re.compile(r"Arguments: \[(.*?)\], \[", re.S)
+
+
+def _normalized_udf_evals(plan: str) -> list[str]:
+    """One entry per Python-eval NODE in the formatted plan's numbered
+    operator list: the node's UDF argument expressions with expression
+    / lambda / plan ids stripped.  Fresh (unexecuted) plans list each
+    physical operator once even when two cached-relation scans
+    reference it, so two entries with identical normalized text mean
+    the optimizer truly duplicated the evaluation (guide §4.4) —
+    every surviving row pays the UDF twice."""
+    out = []
+    for m in _EVAL_NODE.finditer(plan):
+        detail = m.group(1)
+        call = _UDF_CALLS.search(detail)
+        if not call:
+            continue
+        norm = re.sub(r"#\d+[L]?", "#", call.group(1))
+        norm = re.sub(r"lambda [a-z_]+#?\d*", "lambda", norm)
+        norm = re.sub(r"plan_id=\d+", "plan_id=", norm)
+        out.append(norm.strip())
+    return out
+
+
+def test_no_benched_plan_duplicates_a_python_udf(spark, sf_dir):
+    """The r8 registry-wide §4.4 scan found two REAL double-eval bugs
+    (winnow's pushed filter re-evaluating the Arrow fingerprint UDF;
+    q07's JSON-unwrap pandas UDF running twice per row).  This pins
+    the fix class in CI: build every benched plan (plus q07, the
+    fixed unbenched path) fresh and fail if any single UDF evaluation
+    appears in more than one ArrowEvalPython/BatchEvalPython node."""
+    from social_media_ai_engineering_etl_spark.registry import BENCH
+
+    for name in sorted(set(BENCH) | {"q07_clean_topics"}):
+        df = QUERIES[name](spark, sf_dir)
+        evals = _normalized_udf_evals(plan_of(df))
+        dupes = {e for e in evals if evals.count(e) > 1}
+        spark.catalog.clearCache()
+        assert not dupes, (
+            f"{name}: Python UDF evaluated in {len(evals)} nodes with "
+            f"duplicates — optimizer re-evaluation (guide §4.4); "
+            f"mark the UDF nondeterministic or cache the column: "
+            f"{sorted(dupes)[:1]}")
