@@ -179,13 +179,14 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     corpus text at all, and the per-doc rollup partial-aggregates
     map-side. Returns (doc_id, n_shared_grams, n_bench_docs_hit).
     """
-    from .dedup import word_shingles  # distinct n-grams
-    bench = (benchmark.select(
-        F.col(id_col).alias("bench_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("gram")))
-    corp = (corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("gram")))
+    from .dedup import shingle_col  # distinct n-grams, build-cached
+    # shingle_col = word_shingles over the NAMED column via the
+    # per-gateway constant-tree cache (r9 build sweep): the
+    # split+slice+zip tree costs ~40 ms of py4j round-trips per build
+    # and this operator used to build it twice per call
+    grams = F.explode(shingle_col(text_col, n)).alias("gram")
+    bench = benchmark.select(F.col(id_col).alias("bench_id"), grams)
+    corp = corpus.select(F.col(id_col).alias("doc_id"), grams)
     hits = corp.join(F.broadcast(bench), "gram")
     return (hits.groupBy("doc_id")
             .agg(F.count_distinct("gram").alias("n_shared_grams"),
@@ -472,16 +473,13 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
     grams, so the result is bit-identical to :func:`decontaminate`
     (same oracle) — the bloom can only let extra candidates INTO the
     verify join, never drop a true hit."""
-    from .dedup import word_shingles
-    bench = (benchmark.select(
-        F.col(id_col).alias("bench_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("gram")))
+    from .dedup import shingle_col
+    grams = F.explode(shingle_col(text_col, n)).alias("gram")
+    bench = benchmark.select(F.col(id_col).alias("bench_id"), grams)
     bitmap = bloom_bitmap(bench.select("gram").distinct(), "gram",
                           m_bits, k)
-    corp = (corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
-        .filter(bloom_might_contain("gram", bitmap, m_bits, k)))
+    corp = (corpus.select(F.col(id_col).alias("doc_id"), grams)
+            .filter(bloom_might_contain("gram", bitmap, m_bits, k)))
     hits = corp.join(bench, "gram")
     return (hits.groupBy("doc_id")
             .agg(F.count_distinct("gram").alias("n_shared_grams"),

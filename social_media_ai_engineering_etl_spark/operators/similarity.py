@@ -1071,19 +1071,24 @@ def hybrid_retrieval_topk(docs: DataFrame, emb: DataFrame,
     v = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_id).alias("vid"),
         _as_double(F.col(vec_col)).alias("vec"))
-    v = v.withColumn("n", _norm(F.col("vec")))
+    # norm HOF tree over col("vec") — constant per gateway (r9 sweep)
+    v = v.withColumn("n", cached_exprs(
+        ("hybrid_norm",), lambda: _norm(F.col("vec"))))
     qv = v.select(F.col("vid").alias("query_id"),
                   F.col("vec").alias("qv"), F.col("n").alias("qn"))
     cv = v.select(F.col("vid").alias("cand_id"),
                   F.col("vec").alias("cv"), F.col("n").alias("cn"))
-    # constant HOF tree over (cv, qv) — built once per gateway (r8)
-    dot = cached_exprs(
-        ("hybrid_dot",),
-        lambda: F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
-                                       lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, v_: acc + v_))
+    # constant HOF tree over (cv, qv) — built once per gateway (r8);
+    # r9 extends the cache through the cosine guard so the whole
+    # scored expression is one cached tree
+    scored_expr = cached_exprs(
+        ("hybrid_cosine",),
+        lambda: _safe_cosine(
+            F.aggregate(F.zip_with(F.col("cv"), F.col("qv"),
+                                   lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, v_: acc + v_)))
     scored = (shortlist.join(qv, "query_id").join(cv, "cand_id")
-              .withColumn("cosine_sim", _safe_cosine(dot)))
+              .withColumn("cosine_sim", scored_expr))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -27,6 +27,8 @@ def order_engagement(lineitem: DataFrame, orders: DataFrame,
                      customer: DataFrame,
                      clamp: float = 0.05) -> DataFrame:
     """Per-order engagement ratio (post grain)."""
+    from ..session import cached_exprs
+
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.sum("l_quantity").alias("qty"),
         F.count(F.lit(1)).alias("items"),
@@ -35,11 +37,12 @@ def order_engagement(lineitem: DataFrame, orders: DataFrame,
              .join(per_order, orders.o_orderkey == per_order.l_orderkey)
              .join(F.broadcast(customer),
                    orders.o_custkey == customer.c_custkey))
-    return posts.withColumn(
-        "engagement_ratio",
-        engagement_ratio(F.col("qty"), F.col("items"), F.lit(0),
-                         F.col("c_acctbal"), clamp=clamp),
-    )
+    # constant name-referencing ratio tree per clamp (r9 build sweep)
+    ratio = cached_exprs(
+        ("order_engagement_ratio", clamp),
+        lambda: engagement_ratio(F.col("qty"), F.col("items"), F.lit(0),
+                                 F.col("c_acctbal"), clamp=clamp))
+    return posts.withColumn("engagement_ratio", ratio)
 
 
 def tier_counts(lineitem: DataFrame, orders: DataFrame,
